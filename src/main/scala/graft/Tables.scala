@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's TPC-H-ish testdata tables (see TESTDATA.md).
+  *
+  * All reads are plain parquet scans — Catalyst pushes filters/projections
+  * into the scan, so callers should NOT pre-materialize or cache here.
+  * At 100 TB these would be partitioned tables; the loader keeps the read
+  * declarative so partition pruning applies when a `dt=`-style layout exists.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by default;
+    // read nanos as long and normalize below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // `ts_ns` keeps exact nanosecond epoch (safe for ordering/compares
+      // against a ns-native oracle); `ts` is the usable micros timestamp.
+      df.withColumn("ts_ns", col("ts").cast("long"))
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
