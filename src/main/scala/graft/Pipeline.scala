@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Schemas
+import graft.functions.TextFunctions
+import graft.operators.{Batching, Reconcile}
+import graft.sources.CsvIO
+import graft.translate.Translator
+
+/** The end-to-end translation pipeline (SURVEY.md §3.1 re-expressed
+  * Spark-first): scan → clean → pos-index → token-budget batch → translator
+  * boundary → parse cascade → reconcile → sinks. Stages 2 and 6 of the
+  * reference are the engine; the network exchange is the pluggable
+  * `Translator` seam.
+  */
+object Pipeline {
+
+  val DefaultSystemPrompt: String =
+    "Translate each value of the JSON object to the target language. " +
+      "Reply with a JSON object mapping the same keys to translations."
+
+  case class Result(output: DataFrame, missing: DataFrame,
+                    extra: DataFrame, summary: DataFrame)
+
+  /** Run the full pipeline on a cleaned (pos, description_id,
+    * english_sentence) DataFrame.
+    */
+  def run(input: DataFrame, translator: Translator,
+          budget: Long = Schemas.TokenBudget,
+          systemPrompt: String = DefaultSystemPrompt,
+          numPartitions: Int = 0): Result = {
+    val withTokens = input.withColumn("tokens",
+      TextFunctions.approxTokenCount(col("english_sentence")))
+    val baseCost = math.ceil(systemPrompt.length / 4.0).toLong
+    val assigned = Batching.assignBatches(withTokens, budget, baseCost,
+      numPartitions = numPartitions)
+    val requests = Batching.buildRequests(assigned, systemPrompt)
+    val responses = translator.translate(requests)
+    val expected = assigned.select("custom_id", "pos", "description_id", "english_sentence")
+    val (out, miss, ext, summ) = Reconcile.run(expected, responses)
+    Result(out.orderBy("pos"), miss, ext, summ)
+  }
+
+  /** CSV-to-CSV convenience entry matching the reference CLI shape
+    * (`auto_translate.py <csv> <lang> <out>`).
+    */
+  def runCsv(spark: SparkSession, inputCsv: String, outDir: String,
+             translator: Translator): Result = {
+    val input = CsvIO.readInput(spark, inputCsv)
+    val r = run(input, translator)
+    CsvIO.writeOutputCsv(
+      r.output.select("description_id", "english_sentence", "translated_sentence"),
+      outDir)
+    r
+  }
+}

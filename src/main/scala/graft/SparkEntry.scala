@@ -15,11 +15,25 @@ import graft.functions.TextFunctions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q1-style pricing summary (SURVEY §2.4 A3 scalar aggregates).
+  /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full translation pipeline (SURVEY §3.1): documents as the input
+    * table → token-budget batching → fault-injecting mock translator →
+    * parse/repair cascade → reconcile with sentinel + shift flags.
     */
   def entry(spark: SparkSession): DataFrame =
-    q1PricingSummary(spark, "/root/testdata/sf0.001")
+    pipelineE2E(spark, "/root/testdata/sf0.001")
+
+  /** End-to-end engine pass over the documents table (rows-only check:
+    * the reconcile join guarantees exactly one output row per input row).
+    */
+  def pipelineE2E(s: SparkSession, d: String): DataFrame = {
+    val input = t(s, d, "documents")
+      .select(col("doc_id").cast("string").as("description_id"),
+        col("text").as("english_sentence"))
+    val r = Pipeline.run(graft.sources.CsvIO.withPos(input),
+      new graft.translate.MockTranslator(injectFaults = true), budget = 3000)
+    r.output
+  }
 
   // ---------------------------------------------------------------- helpers
 
@@ -41,6 +55,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, d) => q1PricingSummary(s, d)),
+
+    // §3.1 — the whole engine end-to-end (batch → translate → parse →
+    // reconcile); non-SQL-expressible, driver records a rows-only check.
+    "pipeline_e2e" -> ((s, d) => pipelineE2E(s, d).orderBy("pos")),
 
     // S1 — scan + blank filter + trim projection (auto_translate.py:267-275)
     "s1_scan_clean" -> ((s, d) =>
