@@ -18,7 +18,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout line may get wrapped in sbt's "[info] " prefix; also write a
+    // bare JSON file so parsers never depend on log scraping.
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     spark.stop()
   }
 }

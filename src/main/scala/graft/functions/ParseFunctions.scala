@@ -99,7 +99,7 @@ object ParseFunctions {
     * suspicious/empty values dropped; duplicate ids last-wins (A9,
     * auto_translate.py:514-518).
     */
-  private val pJsonLine = """"([^"]+)"\s*:\s*"(.*?)"\s*,?\s*$""".r
+  private val pJsonLine = """^\s*"([^"]+)"\s*:\s*"(.*?)"\s*,?\s*$""".r
   private val pTuple = """^\s*\d+\.\s*\(\s*'([^']+)'\s*,\s*'(.*?)'\s*\)\s*,?\s*$""".r
   private val pDescLine = """^\s*(?:desc_)?([A-Za-z0-9_-]+)\.\s+(.*\S)\s*$""".r
 
