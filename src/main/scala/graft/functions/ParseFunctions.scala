@@ -27,15 +27,57 @@ object ParseFunctions {
   def extractFencedJson(c: Column): Column =
     regexp_extract(c, "(?s)```(?:json)?\\s*(\\{.*?\\})\\s*```", 1)
 
-  /** F6 — four-strategy JSON-map parse (auto_translate.py:490-534):
-    * direct → basic fence strip → aggressive strip → fenced extract.
-    * `from_json` yields null on malformed input — exactly the reference's
-    * try/except semantics.
+  /** F4 — multiline cleanup (auto_translate.py:443-466): keep only the
+    * trimmed, non-empty lines INSIDE fenced blocks (each ``` line toggles
+    * the state and is dropped); if nothing was inside a fence, fall back
+    * to the basic strip. Expressed as a fold over the line array so it
+    * stays a deterministic Column expression (no UDF).
+    */
+  def keepInsideFences(c: Column): Column = {
+    val folded = aggregate(
+      split(c, "\n"),
+      struct(lit(false).as("inside"), lit("").as("out")),
+      (acc, raw) => {
+        val line = trim(raw)
+        val fence = line.startsWith("```")
+        val inside = acc.getField("inside")
+        val out = acc.getField("out")
+        struct(
+          when(fence, !inside).otherwise(inside).as("inside"),
+          when(fence || !inside || line === "", out)
+            .otherwise(when(out === "", line).otherwise(concat(out, lit("\n"), line)))
+            .as("out"))
+      },
+      acc => acc.getField("out"))
+    when(folded =!= "", folded).otherwise(TextFunctions.stripFencesBasic(c))
+  }
+
+  /** F5 — unicode/quote cleanup (auto_translate.py:469-487): basic strip,
+    * shave stray leading/trailing quote characters, then wrap `{`/`}`
+    * around object-looking text (has a ':' but no opening brace).
+    */
+  def cleanupQuotesAndBraces(c: Column): Column = {
+    val basic = TextFunctions.stripFencesBasic(c)
+    val shaved = regexp_replace(regexp_replace(basic, "^\\s*['\"]+", ""), "['\"]+\\s*$", "")
+    val opened = when(!shaved.startsWith("{") && shaved.contains(":"),
+      concat(lit("{"), shaved)).otherwise(shaved)
+    TextFunctions.wsTrim(when(opened.startsWith("{") && !opened.endsWith("}"),
+      concat(opened, lit("}"))).otherwise(opened))
+  }
+
+  /** F6 — multi-strategy JSON-map parse (auto_translate.py:490-534), in
+    * the reference's cascade order: direct → basic fence strip (F2) →
+    * aggressive strip (F3) → keep-inside-fences (F4) → quote/brace
+    * cleanup (F5) → fenced extract (F11). `from_json` yields null on
+    * malformed input — exactly the reference's try/except semantics —
+    * and `coalesce` short-circuits left-to-right.
     */
   def parseJsonMap(c: Column): Column = coalesce(
     from_json(c, mapType),
     from_json(TextFunctions.stripFencesBasic(c), mapType),
     from_json(TextFunctions.stripFencesAggressive(c), mapType),
+    from_json(keepInsideFences(c), mapType),
+    from_json(cleanupQuotesAndBraces(c), mapType),
     from_json(extractFencedJson(c), mapType))
 
   // ------------------------------------------------------------- Scala side

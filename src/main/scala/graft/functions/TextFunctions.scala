@@ -49,19 +49,25 @@ object TextFunctions {
       t.rlike("^[0-9]+$")
   }
 
+  /** Python-`.strip()` equivalent: Spark's `trim` removes only spaces, so
+    * fence cleanup must trim ALL whitespace (newlines included) to match
+    * the reference's strip() semantics.
+    */
+  def wsTrim(c: Column): Column = trim(c, " \t\r\n\f")
+
   /** F2 — basic markdown fence cleanup: strip a leading ```json / ``` line
     * and a trailing ``` line (auto_translate.py:410-423).
     */
   def stripFencesBasic(c: Column): Column = {
     val noLead = regexp_replace(c, "^\\s*```(?:json|javascript|text)?\\s*\\n?", "")
-    trim(regexp_replace(noLead, "\\n?```\\s*$", ""))
+    wsTrim(regexp_replace(noLead, "\\n?```\\s*$", ""))
   }
 
   /** F3 — aggressive fence cleanup: remove ALL fence markers anywhere
     * (auto_translate.py:426-440).
     */
   def stripFencesAggressive(c: Column): Column =
-    trim(regexp_replace(c, "(?m)^\\s*```(?:json|javascript|text)?\\s*$\\n?", ""))
+    wsTrim(regexp_replace(c, "(?m)^\\s*```(?:json|javascript|text)?\\s*$\\n?", ""))
 
   /** F8 — truncation detection (auto_translate.py:678-697): an opened
     * fence that never closes, or more '{' than '}'.

@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{MinHashLSH, Multimodal, Similarity, TextAnalysis}
+import graft.functions.TextFunctions
+
+/** Oracle-checked queries for the north-star LLM-data-pipeline operators
+  * (dedup / similarity / text analysis / multimodal). The ext operators
+  * are built on a portable md5-based hash and left-to-right double folds,
+  * so the DuckDB oracle replays them EXACTLY — including cosine values —
+  * with no tolerance window.
+  *
+  * Near-dup fixtures: the testdata has no true near-duplicates, so the
+  * dedup queries union `documents` with a mutated copy of itself
+  * (doc_id + 100000, last 8 chars dropped) — planted pairs the pipeline
+  * must find; the oracle plants the same pairs.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, d: String, name: String) = Tables.load(s, d, name)
+
+  /** documents ∪ mutated copies — the planted near-dup corpus. */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val mutated = t(s, d, "documents")
+      .select((col("doc_id") + 100000).cast("long").as("id"),
+        expr("substring(text, 1, length(text) - 8)").as("text"))
+    docs.unionByName(mutated)
+  }
+
+  // ----------------------------------------------------------- queries
+
+  def minhashSignature(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.signature(MinHashLSH.shingles(col("text"))).as("sig"))
+      .select(col("doc_id"),
+        concat_ws("-", transform(col("sig"), x => x.cast("string"))).as("sig_str"))
+      .orderBy("doc_id")
+
+  def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    MinHashLSH.nearDupPairs(plantedDocs(s, d), "id", "text", threshold = 0.6)
+      .orderBy("a", "b")
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        round(MinHashLSH.jaccard(
+          MinHashLSH.shingles(col("text")),
+          MinHashLSH.shingles(expr("substring(text, 1, length(text) - 8)"))), 4)
+          .as("jaccard"))
+      .orderBy("doc_id")
+
+  def simhashText(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.simhash32(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingHash(col("text")).as("roll"))
+      .orderBy("doc_id")
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.meanWordLen(col("text")).as("mean_wlen"))
+      .orderBy("doc_id")
+
+  def embedCosine(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineToQuery(t(s, d, "embeddings"), queryId = 0L)
+      .filter(col("cos") >= 0.2)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
+      .orderBy("vec_id")
+
+  def embedTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.topK(t(s, d, "embeddings"), queryId = 0L, k = 10)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
+
+  def embedLshBuckets(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(Similarity.bucket(col("embedding")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  def annBucketed(s: SparkSession, d: String): DataFrame =
+    Similarity.bucketedSearch(t(s, d, "embeddings"), queryId = 0L)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
+      .orderBy("vec_id")
+
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.withMeta(
+      t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
+      "doc_id", "blob")
+      .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.content_hash").as("content_hash"),
+        col("meta.format").as("format"))
+      .orderBy("media_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_signature" -> (minhashSignature(_, _)),
+    "near_dup_pairs" -> (nearDupPairs(_, _)),
+    "ngram_jaccard" -> (ngramJaccard(_, _)),
+    "simhash_text" -> (simhashText(_, _)),
+    "rolling_fingerprint" -> (rollingFingerprint(_, _)),
+    "lang_id" -> (langId(_, _)),
+    "text_quality" -> (textQuality(_, _)),
+    "embed_cosine" -> (embedCosine(_, _)),
+    "embed_topk" -> (embedTopK(_, _)),
+    "embed_lsh_buckets" -> (embedLshBuckets(_, _)),
+    "ann_bucketed" -> (annBucketed(_, _)),
+    "multimodal_meta" -> (multimodalMeta(_, _)))
+
+  // ------------------------------------------------- oracle SQL builders
+
+  /** DuckDB: 60-bit portable hash of `<seed>:<expr>`. */
+  private def h60(seed: String, e: String): String =
+    s"CAST(('0x' || substring(md5($seed || ':' || $e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB: distinct 5-shingle list of a text expression. */
+  private def shinglesSql(e: String): String =
+    s"list_distinct([substring($e, i, 5) for i in range(1, greatest(length($e) - 4, 1) + 1)])"
+
+  /** DuckDB: 8-hash minhash signature (list) over shingle list `sh`. */
+  private def sigSql(sh: String): String =
+    "[" + (0 until 8).map(i =>
+      s"list_min(list_transform($sh, s -> ${h60(s"'$i'", "s")}))").mkString(", ") + "]"
+
+  private def dfold(items: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $items), (a, b) -> a + b)"
+
+  /** DuckDB: left-to-right double dot product of two 64-dim list exprs. */
+  private def dotSql(a: String, b: String): String =
+    dfold(s"[CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)]")
+
+  private def cosSql(e: String, q: String): String =
+    s"(${dotSql(e, q)} / (sqrt(${dotSql(e, e)}) * sqrt(${dotSql(q, q)})))"
+
+  /** DuckDB: hyperplane-LSH bucket of a 64-dim embedding expression. */
+  private def bucketSql(v: String, bits: Int = 6): String =
+    (0 until bits).map { i =>
+      val prods = s"[CAST($v[j + 1] AS DOUBLE) * CAST(((j * 2654435761 + $i * 40503) % 1009 - 504) AS DOUBLE) for j in range(0, 64)]"
+      s"(CASE WHEN ${dfold(prods)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  private def langScoreSql(words: Seq[String]): String =
+    s"len(list_filter($wordsSql, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  def oracleSql: Map[String, String] = Map(
+    "minhash_signature" -> {
+      val sig = sigSql("sh")
+      s"""WITH sh_t AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents)
+         |SELECT doc_id, array_to_string($sig, '-') AS sig_str
+         |FROM sh_t ORDER BY doc_id""".stripMargin
+    },
+
+    "near_dup_pairs" -> {
+      s"""WITH docs AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, length(text) - 8)
+         |  FROM documents),
+         |sh_t AS (SELECT id, ${shinglesSql("text")} AS sh FROM docs),
+         |sig_t AS (SELECT id, sh, ${sigSql("sh")} AS g FROM sh_t),
+         |bands AS (
+         |  SELECT id, b.band,
+         |    md5(CAST(g[b.band * 2 + 1] AS VARCHAR) || '-' ||
+         |        CAST(g[b.band * 2 + 2] AS VARCHAR)) AS bh
+         |  FROM sig_t, (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS a, r.id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+         |    AND l.id < r.id),
+         |jac AS (
+         |  SELECT c.a, c.b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
+         |  FROM cand c JOIN sh_t sa ON sa.id = c.a JOIN sh_t sb ON sb.id = c.b)
+         |SELECT a, b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.6
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "ngram_jaccard" ->
+      s"""WITH sh_t AS (SELECT doc_id, ${shinglesSql("text")} AS sa,
+         |  ${shinglesSql("substring(text, 1, length(text) - 8)")} AS sb
+         |  FROM documents)
+         |SELECT doc_id, ROUND(
+         |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE), 4) AS jaccard
+         |FROM sh_t ORDER BY doc_id""".stripMargin,
+
+    "simhash_text" -> {
+      val bits = (0 until 32).map { j =>
+        val votes = s"list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)"
+        s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), $votes), (a, b) -> a + b) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH hs_t AS (SELECT doc_id,
+         |  list_transform($wordsSql, t -> ${h60("'0'", "t")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM hs_t ORDER BY doc_id""".stripMargin
+    },
+
+    "rolling_fingerprint" ->
+      s"""SELECT doc_id, substring(md5(text), 1, 16) AS fp,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % ${TextAnalysis.RollMod}) AS roll
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val scores = TextAnalysis.langWords.map { case (l, ws) => l -> s"s_$l" }
+      val defs = TextAnalysis.langWords
+        .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(",\n  ")
+      val cases = TextAnalysis.langWords.map { case (l, _) =>
+        val geAll = scores.map { case (_, o) => s"s_$l >= $o" }.mkString(" AND ")
+        s"WHEN s_$l > 0 AND $geAll THEN '$l'"
+      }.mkString("\n  ")
+      s"""WITH sc AS (SELECT doc_id,
+         |  $defs
+         |  FROM documents)
+         |SELECT doc_id, CASE
+         |  $cases
+         |  ELSE 'unknown' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" -> {
+      val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  ROUND(CAST(len(list_filter($wordsSql, w -> w IN ($stopList))) AS DOUBLE)
+         |    / len($wordsSql), 4) AS stop_ratio,
+         |  ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / greatest(length(text), 1), 4) AS punct_ratio,
+         |  ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split_regex(trim(text), '\\s+'),
+         |        w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+         |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+         |    AS mean_wlen
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "embed_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${cosSql("embedding", "qv")} AS cos
+         |  FROM embeddings, q WHERE vec_id <> 0)
+         |SELECT vec_id, ROUND(cos, 6) AS cos6 FROM c WHERE cos >= 0.2
+         |ORDER BY vec_id""".stripMargin,
+
+    "embed_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${cosSql("embedding", "qv")} AS cos
+         |  FROM embeddings, q WHERE vec_id <> 0)
+         |SELECT vec_id, ROUND(cos, 6) AS cos6 FROM c
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "embed_lsh_buckets" ->
+      s"""SELECT ${bucketSql("embedding")} AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ann_bucketed" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(${cosSql("embedding", "qv")}, 6) AS cos6
+         |FROM b, q WHERE b.bucket = q.qb AND vec_id <> 0
+         |ORDER BY vec_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substring(md5(text), 1, 16) AS content_hash,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'jpeg'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'png'
+        |       ELSE 'webp' END AS format
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

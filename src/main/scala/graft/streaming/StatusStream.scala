@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.GroupState
+import graft.core.Schemas
+
+/** One observed job-status event (what each poll of the external batch
+  * service yields — auto_translate.py:362-374 polls every 300 s).
+  */
+case class StatusEvent(job_id: String, status: String, ts: Long)
+
+/** Persisted per-job state (T2): the current status plus bookkeeping the
+  * tracking table wants (BATCH_TRACKING_GUIDE.md:170-182 vocabulary).
+  */
+case class JobState(job_id: String, status: String, since: Long,
+                    transitions: Int, terminal: Boolean)
+
+/** T1/T2 — the poll-until-terminal loop re-expressed as Structured
+  * Streaming (SURVEY.md §2.9): a stream of status observations keyed by
+  * job_id drives a `mapGroupsWithState` state machine; the output stream
+  * is the tracking-table upsert feed (S10). The reference's blocking
+  * driver loop becomes `Trigger.ProcessingTime(300s)` on the source side;
+  * the state machine itself is trigger-agnostic.
+  *
+  * Semantics (modeled on the reference's transition writes at
+  * auto_translate.py:1821-1855 + T4 late/partial tolerance):
+  *  - events apply in ts order within a micro-batch;
+  *  - a terminal status (completed/failed/download_failed) absorbs — later
+  *    events never change it;
+  *  - late events (ts older than the current state) are ignored;
+  *  - an unknown status string is recorded as "unknown_<status>", matching
+  *    the reference's unknown_* vocabulary.
+  */
+object StatusStream {
+
+  private val known: Set[String] =
+    Schemas.statusOrder.toSet ++ Schemas.terminalStatuses
+
+  def normalize(status: String): String =
+    if (known.contains(status)) status else s"unknown_$status"
+
+  /** Fold one micro-batch of events for one job into the persisted state. */
+  def updateJob(jobId: String, events: Iterator[StatusEvent],
+                state: GroupState[JobState]): JobState = {
+    var cur = state.getOption.orNull
+    events.toSeq.sortBy(e => (e.ts, e.status)).foreach { e =>
+      val s = normalize(e.status)
+      if (cur == null) {
+        cur = JobState(jobId, s, e.ts, 0, Schemas.terminalStatuses.contains(s))
+      } else if (!cur.terminal && e.ts >= cur.since && s != cur.status) {
+        cur = JobState(jobId, s, e.ts, cur.transitions + 1,
+          Schemas.terminalStatuses.contains(s))
+      }
+    }
+    state.update(cur)
+    cur
+  }
+
+  /** Wire the state machine over a (possibly streaming) event Dataset.
+    * On a stream use output mode Update; each micro-batch emits the
+    * refreshed state row per touched job — exactly the S10 upsert feed.
+    */
+  def trackJobs(events: Dataset[StatusEvent]): Dataset[JobState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.job_id).mapGroupsWithState(updateJob _)
+  }
+
+  /** T1's stop condition as a predicate over the state stream: rows whose
+    * job reached a terminal status (poll loop exit,
+    * auto_translate.py:362-374).
+    */
+  def terminalOnly(states: Dataset[JobState]): Dataset[JobState] =
+    states.filter(_.terminal)
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{MinHashLSH, Multimodal, Similarity, TextAnalysis}
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "completely different sentence about spark catalyst optimizer internals"),
+      (2L, "a third document mentioning shuffle partitions and broadcast joins"),
+      (3L, "yet another unrelated line of text with its own vocabulary entirely"))
+    // planted near-dups: same text with a small suffix change
+    val dups = base.map { case (id, t) => (id + 100, t.dropRight(5) + " end") }
+    (base ++ dups).toDF("id", "text")
+  }
+
+  test("minhash LSH finds every planted near-dup pair and nothing else") {
+    val pairs = MinHashLSH.nearDupPairs(corpus, "id", "text", threshold = 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L)))
+  }
+
+  test("jaccard of identical text is 1.0, of disjoint text is low") {
+    val j = corpus.filter($"id" === 0)
+      .select(
+        MinHashLSH.jaccard(MinHashLSH.shingles($"text"), MinHashLSH.shingles($"text"))
+          .as("same"),
+        MinHashLSH.jaccard(MinHashLSH.shingles($"text"),
+          MinHashLSH.shingles(lit("zzzz qqqq wwww xxxx vvvv"))).as("diff"))
+      .as[(Double, Double)].collect()(0)
+    assert(j._1 === 1.0)
+    assert(j._2 < 0.2)
+  }
+
+  test("signature is stable and 8 wide") {
+    val sigs = corpus.select(
+      MinHashLSH.signature(MinHashLSH.shingles($"text")).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs.forall(_.length === 8))
+    // deterministic: recompute equals
+    val again = corpus.select(
+      MinHashLSH.signature(MinHashLSH.shingles($"text")).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs.toSeq === again.toSeq)
+  }
+
+  test("simhash of near-identical text is hamming-close, unrelated text far") {
+    val sims = corpus
+      .withColumn("sh", TextAnalysis.simhash32($"text"))
+      .select("id", "sh").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0L), sims(100L)) <= 6)
+    assert(ham(sims(1L), sims(101L)) <= 6)
+    assert(ham(sims(0L), sims(1L)) > 6)
+  }
+
+  test("langId picks the language with the most function-word hits") {
+    val rows = Seq(
+      ("the cat is in the house and it is warm", "en"),
+      ("der hund ist nicht das problem und die katze", "de"),
+      ("le chat est dans la maison pour les enfants", "fr"),
+      ("el perro es una mascota que vive con los gatos", "es"),
+      ("zzz qqq www", "unknown")).toDF("text", "expected")
+    val got = rows.select(TextAnalysis.langId($"text").as("p"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (p, e) => assert(p === e) }
+  }
+
+  test("rolling hash is deterministic and order-sensitive") {
+    val h = Seq(("abc def"), ("def abc")).toDF("text")
+      .select(TextAnalysis.rollingHash($"text")).as[Long].collect()
+    assert(h(0) !== h(1))
+    assert(h(0) > 0)
+  }
+
+  test("bucketed ANN search returns a subset of brute force, query bucket only") {
+    val emb = (0L until 40L).map { i =>
+      // deterministic synthetic vectors: two obvious clusters
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.tabulate(64)(j => base * (1.0f + 0.01f * ((i + j) % 7))))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.cosineToQuery(emb, 0L)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    val bucketed = Similarity.bucketedSearch(emb, 0L)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    assert(bucketed.keySet.subsetOf(brute.keySet))
+    bucketed.foreach { case (k, v) => assert(math.abs(v - brute(k)) < 1e-12) }
+    // same-cluster vectors (even ids, cosine ~1) must share the bucket
+    assert(bucketed.keySet.contains(2L))
+    // cross-cluster vectors (cosine ~-1) must not
+    assert(!bucketed.keySet.contains(1L))
+  }
+
+  test("topK returns k best by cosine desc") {
+    val emb = (0L until 20L).map { i =>
+      (i, Array.tabulate(64)(j => (1.0f + i * 0.05f * (j % 3))))
+    }.toDF("vec_id", "embedding")
+    val top = Similarity.topK(emb, 0L, 5).select("vec_id").as[Long].collect()
+    assert(top.length === 5)
+    val all = Similarity.cosineToQuery(emb, 0L)
+      .select("vec_id", "cos").as[(Long, Double)].collect()
+      .sortBy { case (id, c) => (-c, id) }.map(_._1).take(5)
+    assert(top.toSeq === all.toSeq)
+  }
+
+  test("multimodal meta + batched decode stub") {
+    val media = Multimodal.withMeta(
+      corpus.select($"id", $"text".cast("binary").as("blob")), "id", "blob")
+    val metaRows = media.select("media_id", "meta.n_bytes", "meta.format")
+      .as[(Long, Long, String)].collect()
+    assert(metaRows.length === 8)
+    assert(metaRows.forall { case (_, n, f) => n > 0 && Seq("jpeg", "png", "webp").contains(f) })
+    val feats = Multimodal.decodeFeatures(media, batchSize = 3)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(feats.size === 8)
+    assert(feats.values.forall(_.length === Multimodal.featureDim))
+    // deterministic across runs
+    val again = Multimodal.decodeFeatures(media, batchSize = 5)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(feats === again)
+  }
+}

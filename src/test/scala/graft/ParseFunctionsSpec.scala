@@ -90,6 +90,33 @@ class ParseFunctionsSpec extends SparkSpec {
       Seq("parsed_json", "parsed_json", "repaired", "fallback_lines", "unparseable"))
   }
 
+  test("11: F4 — prose around a fenced block, only inside lines kept") {
+    val content =
+      s"Sure! Here is the translation you asked for:\n```\n{\"21\": \"$telugu\"}\n```\nLet me know if you need more."
+    assert(parse(content) == Map("21" -> telugu))
+  }
+
+  test("12: F4 — multi-line JSON inside the fence survives") {
+    val content =
+      "intro text\n```json\n{\"21\": \"value one here\",\n\"27\": \"value two here\"}\n```\ntrailing text"
+    assert(parse(content) == Map("21" -> "value one here", "27" -> "value two here"))
+  }
+
+  test("13: F5 — JSON wrapped in stray quotes") {
+    assert(parse("\"{\"21\": \"quoted wrapper value\"}\"") ==
+      Map("21" -> "quoted wrapper value"))
+  }
+
+  test("14: F4 falls back to basic strip when nothing is inside fences") {
+    // no fence lines at all → keepInsideFences must not eat the content
+    assert(parse(s"""{"21": "$telugu"}""") == Map("21" -> telugu))
+  }
+
+  test("15: indented json-ish lines reach the line fallback (ADVICE r1)") {
+    assert(parse("  \"21\": \"indented line value\",\n  \"27\": \"second indented value\",") ==
+      Map("21" -> "indented line value", "27" -> "second indented value"))
+  }
+
   test("truncation detection (F8)") {
     val df = Seq("{\"a\": \"b\"", "```json\n{}", "{\"a\": \"b\"}").toDF("c")
       .select(TextFunctions.isTruncated(col("c")).as("t"))
