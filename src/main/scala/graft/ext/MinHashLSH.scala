@@ -45,16 +45,24 @@ object MinHashLSH {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** (band, bandHash) rows: the signature cut into `bands` bands of
-    * `rowsPerBand` values, each band hashed to one bucket key.
+  /** (band, bandHash, id) rows: the signature cut into `bands` bands of
+    * `rowsPerBand` values, each band hashed to one bucket key. Shingle
+    * arrays are NOT carried — only the 3 join columns — so the band
+    * shuffle moves ~50 bytes per row regardless of document size.
+    *
+    * Parameter choice matters for skew: with few rows per band, low-
+    * entropy corpora (small vocabularies) make unrelated documents share
+    * the corpus-wide minimum shingle hash and collapse into giant buckets
+    * (quadratic pair blowup). 4 rows per band keeps the false-candidate
+    * probability at j^4 per band, so buckets stay near-dup-only.
     */
   def bandRows(df: DataFrame, idCol: String, textCol: String,
-               numHashes: Int = 8, bands: Int = 4, shingleK: Int = 5): DataFrame = {
+               numHashes: Int = 16, bands: Int = 4, shingleK: Int = 7): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     df.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", signature(col("sh"), numHashes))
-      .select(col(idCol), col("sh"),
+      .select(col(idCol),
         posexplode(array((0 until bands).map { b =>
           md5(concat_ws("-",
             (0 until rowsPerBand).map(r =>
@@ -64,26 +72,35 @@ object MinHashLSH {
       .withColumnRenamed("col", "band_hash")
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH bucket. */
+  /** Candidate pairs (a < b) sharing at least one LSH bucket — id pairs
+    * only; verification re-joins the shingles afterwards.
+    */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-                     numHashes: Int = 8, bands: Int = 4,
-                     shingleK: Int = 5): DataFrame = {
-    val left = bandRows(df, idCol, textCol, numHashes, bands, shingleK)
-      .select(col("band"), col("band_hash"), col(idCol).as("a"), col("sh").as("sh_a"))
-    val right = bandRows(df, idCol, textCol, numHashes, bands, shingleK)
-      .select(col("band"), col("band_hash"), col(idCol).as("b"), col("sh").as("sh_b"))
+                     numHashes: Int = 16, bands: Int = 4,
+                     shingleK: Int = 7): DataFrame = {
+    val rows = bandRows(df, idCol, textCol, numHashes, bands, shingleK)
+    val left = rows.select(col("band"), col("band_hash"), col(idCol).as("a"))
+    val right = rows.select(col("band"), col("band_hash"), col(idCol).as("b"))
     left.join(right, Seq("band", "band_hash"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sh_a", "sh_b")
-      .dropDuplicates("a", "b")
+      .select("a", "b")
+      .distinct()
   }
 
-  /** Near-duplicate pairs: LSH candidates verified by exact Jaccard. */
+  /** Near-duplicate pairs: LSH candidates verified by exact Jaccard.
+    * Only candidate pairs ever touch full shingle sets (two id-keyed
+    * joins), so the expensive comparison is linear in candidates, not in
+    * corpus size squared.
+    */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, numHashes: Int = 8, bands: Int = 4,
-                   shingleK: Int = 5): DataFrame =
+                   threshold: Double, numHashes: Int = 16, bands: Int = 4,
+                   shingleK: Int = 7): DataFrame = {
+    val sh = df.select(col(idCol).as("_sid"), shingles(col(textCol), shingleK).as("_sh"))
     candidatePairs(df, idCol, textCol, numHashes, bands, shingleK)
+      .join(sh.select(col("_sid").as("a"), col("_sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("_sid").as("b"), col("_sh").as("sh_b")), Seq("b"))
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jaccard"))
+  }
 }

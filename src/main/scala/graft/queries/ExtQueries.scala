@@ -129,13 +129,13 @@ object ExtQueries {
   private def h60(seed: String, e: String): String =
     s"CAST(('0x' || substring(md5($seed || ':' || $e), 1, 15)) AS BIGINT)"
 
-  /** DuckDB: distinct 5-shingle list of a text expression. */
-  private def shinglesSql(e: String): String =
-    s"list_distinct([substring($e, i, 5) for i in range(1, greatest(length($e) - 4, 1) + 1)])"
+  /** DuckDB: distinct k-shingle list of a text expression. */
+  private def shinglesSql(e: String, k: Int = 5): String =
+    s"list_distinct([substring($e, i, $k) for i in range(1, greatest(length($e) - ${k - 1}, 1) + 1)])"
 
-  /** DuckDB: 8-hash minhash signature (list) over shingle list `sh`. */
-  private def sigSql(sh: String): String =
-    "[" + (0 until 8).map(i =>
+  /** DuckDB: n-hash minhash signature (list) over shingle list `sh`. */
+  private def sigSql(sh: String, n: Int = 8): String =
+    "[" + (0 until n).map(i =>
       s"list_min(list_transform($sh, s -> ${h60(s"'$i'", "s")}))").mkString(", ") + "]"
 
   private def dfold(items: String): String =
@@ -169,17 +169,17 @@ object ExtQueries {
     },
 
     "near_dup_pairs" -> {
+      val bandHash = "md5(" + (1 to 4).map(r => s"CAST(g[b.band * 4 + $r] AS VARCHAR)")
+        .mkString(" || '-' || ") + ")"
       s"""WITH docs AS (
          |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
          |  UNION ALL
          |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, length(text) - 8)
          |  FROM documents),
-         |sh_t AS (SELECT id, ${shinglesSql("text")} AS sh FROM docs),
-         |sig_t AS (SELECT id, sh, ${sigSql("sh")} AS g FROM sh_t),
+         |sh_t AS (SELECT id, ${shinglesSql("text", 7)} AS sh FROM docs),
+         |sig_t AS (SELECT id, ${sigSql("sh", 16)} AS g FROM sh_t),
          |bands AS (
-         |  SELECT id, b.band,
-         |    md5(CAST(g[b.band * 2 + 1] AS VARCHAR) || '-' ||
-         |        CAST(g[b.band * 2 + 2] AS VARCHAR)) AS bh
+         |  SELECT id, b.band, $bandHash AS bh
          |  FROM sig_t, (SELECT unnest(range(0, 4)) AS band) b),
          |cand AS (
          |  SELECT DISTINCT l.id AS a, r.id AS b
