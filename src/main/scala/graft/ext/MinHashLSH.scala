@@ -30,15 +30,55 @@ object MinHashLSH {
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
 
+  /** Distinct word n-gram shingles. For word-based text these are ~7×
+    * fewer per document than character shingles at equal-or-better
+    * selectivity, which directly divides the per-document hashing cost.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
   /** Portable 60-bit hash: first 15 hex chars of md5("<seed>:<s>"). */
   def hash60(seed: Int, s: Column): Column =
     conv(substring(md5(concat(lit(seed.toString), lit(":"), s)), 1, 15), 16, 10)
       .cast("long")
 
-  /** MinHash signature: for each seed, the min hash over the shingle set. */
+  /** Universal-hash family over a Mersenne prime: h_i(x) = (a_i·x+b_i)
+    * mod (2^31−1). One md5 per SHINGLE (28-bit base), then each of the n
+    * signature rows is integer multiply-add-mod — 16× fewer md5 calls
+    * than hashing every (seed, shingle) pair, and every op is plain
+    * 64-bit arithmetic any SQL engine replays exactly (x < 2^28 and
+    * a_i < 2^31 keep products under 2^59, no overflow).
+    */
+  val HashP: Long = 2147483647L
+  def aCoef(i: Int): Long = (2654435761L + i.toLong * 40503L) % HashP
+  def bCoef(i: Int): Long = i.toLong * 1000003L % HashP
+
+  /** 28-bit base hash of one shingle: first 7 hex chars of its md5. */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** Base-hash array of a shingle array (computed once per document). */
+  def baseHashes(sh: Column): Column = transform(sh, s => baseHash(s))
+
+  /** MinHash signature over precomputed base hashes: for each permutation
+    * i, the min of (a_i·h + b_i) mod P over the shingle hashes. Each row
+    * is an `aggregate` fold (running min) rather than
+    * array_min(transform(...)), which would materialize a boxed
+    * intermediate array per permutation per document.
+    */
+  def signatureFromHashes(hb: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      aggregate(hb, lit(Long.MaxValue),
+        (m, h) => least(m, (h * aCoef(i) + bCoef(i)) % HashP))
+    }: _*)
+
+  /** MinHash signature of a shingle-set column. */
   def signature(sh: Column, numHashes: Int = 8): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(sh, s => hash60(i, s)))): _*)
+    signatureFromHashes(baseHashes(sh), numHashes)
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -57,10 +97,11 @@ object MinHashLSH {
     * probability at j^4 per band, so buckets stay near-dup-only.
     */
   def bandRows(df: DataFrame, idCol: String, textCol: String,
-               numHashes: Int = 16, bands: Int = 4, shingleK: Int = 7): DataFrame = {
+               numHashes: Int = 16, bands: Int = 4,
+               shingleFn: Column => Column = wordShingles(_, 3)): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    df.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+    df.select(col(idCol), shingleFn(col(textCol)).as("sh"))
       .withColumn("sig", signature(col("sh"), numHashes))
       .select(col(idCol),
         posexplode(array((0 until bands).map { b =>
@@ -72,20 +113,26 @@ object MinHashLSH {
       .withColumnRenamed("col", "band_hash")
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH bucket — id pairs
-    * only; verification re-joins the shingles afterwards.
+  /** Candidate pairs (a < b) sharing at least one LSH bucket. Instead of
+    * a self-join (which would execute the signature subplan twice), docs
+    * are grouped per bucket and the within-bucket pairs are expanded from
+    * the collected id list — one shuffle on the band key, signatures
+    * computed once. Buckets are near-dup clusters by construction (4-row
+    * bands), so the in-bucket quadratic expansion is bounded; a cap can
+    * be added via `filter(size(ids) <= N)` for adversarial corpora.
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 16, bands: Int = 4,
-                     shingleK: Int = 7): DataFrame = {
-    val rows = bandRows(df, idCol, textCol, numHashes, bands, shingleK)
-    val left = rows.select(col("band"), col("band_hash"), col(idCol).as("a"))
-    val right = rows.select(col("band"), col("band_hash"), col(idCol).as("b"))
-    left.join(right, Seq("band", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+                     shingleFn: Column => Column = wordShingles(_, 3)): DataFrame =
+    bandRows(df, idCol, textCol, numHashes, bands, shingleFn)
+      .groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-  }
 
   /** Near-duplicate pairs: LSH candidates verified by exact Jaccard.
     * Only candidate pairs ever touch full shingle sets (two id-keyed
@@ -94,9 +141,9 @@ object MinHashLSH {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 16, bands: Int = 4,
-                   shingleK: Int = 7): DataFrame = {
-    val sh = df.select(col(idCol).as("_sid"), shingles(col(textCol), shingleK).as("_sh"))
-    candidatePairs(df, idCol, textCol, numHashes, bands, shingleK)
+                   shingleFn: Column => Column = wordShingles(_, 3)): DataFrame = {
+    val sh = df.select(col(idCol).as("_sid"), shingleFn(col(textCol)).as("_sh"))
+    candidatePairs(df, idCol, textCol, numHashes, bands, shingleFn)
       .join(sh.select(col("_sid").as("a"), col("_sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("_sid").as("b"), col("_sh").as("sh_b")), Seq("b"))
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))

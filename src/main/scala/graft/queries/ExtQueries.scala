@@ -133,10 +133,20 @@ object ExtQueries {
   private def shinglesSql(e: String, k: Int = 5): String =
     s"list_distinct([substring($e, i, $k) for i in range(1, greatest(length($e) - ${k - 1}, 1) + 1)])"
 
-  /** DuckDB: n-hash minhash signature (list) over shingle list `sh`. */
-  private def sigSql(sh: String, n: Int = 8): String =
+  /** DuckDB: distinct word n-gram list over a `toks` list binding. */
+  private def wordShinglesSql(toks: String, n: Int = 3): String =
+    s"list_distinct([array_to_string($toks[i:i+${n - 1}], ' ') for i in range(1, greatest(len($toks) - ${n - 1}, 1) + 1)])"
+
+  /** DuckDB: n-hash minhash signature (list) over shingle list `sh` —
+    * one 28-bit md5 base hash per shingle, then the universal-hash
+    * permutations (a_i·h + b_i) mod P, mirroring MinHashLSH exactly.
+    */
+  private def sigSql(sh: String, n: Int = 8): String = {
+    val hb = s"list_transform($sh, s -> CAST(('0x' || substring(md5(s), 1, 7)) AS BIGINT))"
     "[" + (0 until n).map(i =>
-      s"list_min(list_transform($sh, s -> ${h60(s"'$i'", "s")}))").mkString(", ") + "]"
+      s"list_min(list_transform($hb, h -> (h * ${MinHashLSH.aCoef(i)} + ${MinHashLSH.bCoef(i)}) % ${MinHashLSH.HashP}))"
+    ).mkString(", ") + "]"
+  }
 
   private def dfold(items: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $items), (a, b) -> a + b)"
@@ -176,7 +186,8 @@ object ExtQueries {
          |  UNION ALL
          |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, length(text) - 8)
          |  FROM documents),
-         |sh_t AS (SELECT id, ${shinglesSql("text", 7)} AS sh FROM docs),
+         |tok_t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM docs),
+         |sh_t AS (SELECT id, ${wordShinglesSql("toks", 3)} AS sh FROM tok_t),
          |sig_t AS (SELECT id, ${sigSql("sh", 16)} AS g FROM sh_t),
          |bands AS (
          |  SELECT id, b.band, $bandHash AS bh

@@ -7,18 +7,30 @@ class ExtSpec extends SparkSpec {
   import spark.implicits._
 
   private def corpus = {
+    // realistic document lengths (~30 words): a one-word suffix mutation
+    // keeps word-trigram jaccard ~0.9, squarely in the LSH S-curve's
+    // high-recall region
     val base = Seq(
-      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
-      (1L, "completely different sentence about spark catalyst optimizer internals"),
-      (2L, "a third document mentioning shuffle partitions and broadcast joins"),
-      (3L, "yet another unrelated line of text with its own vocabulary entirely"))
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today " +
+        "while the morning sun rises slowly above the quiet green valley floor below"),
+      (1L, "completely different sentence about spark catalyst optimizer internals " +
+        "covering predicate pushdown column pruning join reordering and whole stage " +
+        "code generation across physical plan boundaries"),
+      (2L, "a third document mentioning shuffle partitions and broadcast joins " +
+        "together with adaptive query execution skew handling dynamic coalescing " +
+        "and the exchange reuse machinery inside the engine"),
+      (3L, "yet another unrelated line of text with its own vocabulary entirely " +
+        "speaking of gardens rivers mountains forests meadows and long winding " +
+        "roads that cross the countryside at dawn"))
     // planted near-dups: same text with a small suffix change
     val dups = base.map { case (id, t) => (id + 100, t.dropRight(5) + " end") }
     (base ++ dups).toDF("id", "text")
   }
 
   test("minhash LSH finds every planted near-dup pair and nothing else") {
-    val pairs = MinHashLSH.nearDupPairs(corpus, "id", "text", threshold = 0.6)
+    // word-trigram shingles: a ~1-word suffix mutation on a 10-13 word
+    // doc keeps jaccard well above 0.4 while unrelated docs sit at ~0
+    val pairs = MinHashLSH.nearDupPairs(corpus, "id", "text", threshold = 0.4)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L)))
   }
