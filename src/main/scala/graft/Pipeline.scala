@@ -54,4 +54,40 @@ object Pipeline {
       outDir)
     r
   }
+
+  /** T3 — folder fan-out (`batch_auto_translate.py <in_dir> <lang>
+    * <out_dir>`) as ONE DataFrame pass: every CSV in the folder flows
+    * through the same plan with `source_stem` as a key column, batches are
+    * packed and numbered per file (stem-prefixed custom ids), and the
+    * output carries per-file lineage. The reference's ThreadPool +
+    * subprocess + stdout-regex IPC disappears into task parallelism and
+    * ordinary columns.
+    */
+  def runFolder(spark: SparkSession, inDir: String, translator: Translator,
+                budget: Long = Schemas.TokenBudget,
+                systemPrompt: String = DefaultSystemPrompt): DataFrame = {
+    val input = CsvIO.withPos(CsvIO.readInputDir(spark, inDir))
+      .withColumn("tokens", TextFunctions.approxTokenCount(col("english_sentence")))
+    val baseCost = math.ceil(systemPrompt.length / 4.0).toLong
+    val assigned = Batching.assignBatchesPerKey(input, "source_stem", budget, baseCost)
+    val requests = Batching.buildRequests(assigned, systemPrompt)
+    val responses = translator.translate(requests)
+    val tr = Reconcile.translations(responses)
+    val expected = assigned.select("custom_id", "pos", "description_id",
+      "english_sentence", "source_stem")
+    Reconcile.reconcile(expected, tr)
+      .select("source_stem", "pos", "description_id", "english_sentence",
+        "translated_sentence")
+  }
+
+  /** S12 — the reference's side-channel reports (missing-translations log
+    * auto_translate.py:909-953, error log 1203-1208, summary 1069-1134) as
+    * first-class table sinks: each report is just a DataFrame written
+    * under `dir`.
+    */
+  def writeReports(r: Result, dir: String): Unit = {
+    r.missing.write.mode("overwrite").option("header", "true").csv(s"$dir/missing")
+    r.extra.write.mode("overwrite").option("header", "true").csv(s"$dir/extra")
+    r.summary.write.mode("overwrite").json(s"$dir/summary")
+  }
 }

@@ -91,6 +91,50 @@ object Batching {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** T3-flavored batching: greedy token packing PER KEY (one key = one
+    * input file of the reference's folder mode), with per-key 1-based
+    * batch numbering and stem-prefixed custom ids
+    * (jsonl_convertor.py:76-79; folder fan-out batch_auto_translate
+    * .py:189-229). One shuffle co-locates each key's rows, then a single
+    * sequential pack per key — no global offsets needed because
+    * numbering restarts per key, which is exactly the reference's
+    * per-file semantics. Replaces the reference's ThreadPool-of-
+    * subprocesses with ordinary task parallelism.
+    *
+    * @param df must contain keyCol, `pos` (ordering within key), `tokens`
+    */
+  def assignBatchesPerKey(df: DataFrame, keyCol: String,
+                          budget: Long = Schemas.TokenBudget,
+                          baseCost: Long = 0L,
+                          outputFactor: Double = Schemas.OutputFactor): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df.repartition(parts, col(keyCol))
+      .sortWithinPartitions(keyCol, "pos")
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tokIdx = schema.fieldIndex("tokens")
+    val outSchema = StructType(schema.fields :+
+      StructField("batch_index", LongType, nullable = false) :+
+      StructField("custom_id", StringType, nullable = false))
+    val rdd = sorted.rdd.mapPartitions { it =>
+      var curKey: String = null
+      var batch = -1L
+      var running = 0L
+      var open = false
+      it.map { r =>
+        val k = r.getString(keyIdx)
+        if (k != curKey) { curKey = k; batch = -1; open = false; running = 0L }
+        val cost = rowCost(r.getLong(tokIdx), outputFactor)
+        if (!open || running + cost > budget) {
+          batch += 1; running = baseCost + cost; open = true
+        } else running += cost
+        Row.fromSeq(r.toSeq :+ batch :+ f"$k%s-batch-${batch + 1}%04d")
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Build the OpenAI-shaped batch-request table from batch-assigned rows
     * (auto_translate.py:303-332): one request per custom_id; the user
     * message is the {description_id: sentence} JSON map in batch order.

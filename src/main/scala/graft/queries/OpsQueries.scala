@@ -107,12 +107,11 @@ object OpsQueries {
       .orderBy("custom_id")
   }
 
-  /** S5 — directory-of-CSVs scan with per-file stem lineage
-    * (batch_auto_translate.py:199-209): documents split into two CSV
-    * files by doc_id parity, scanned back as one table.
+  /** Write documents as a folder of two CSVs (even.csv / odd.csv by
+    * doc_id parity) — the shared fixture for the S5 dir scan and the T3
+    * folder pipeline.
     */
-  def s5DirScan(s: SparkSession, d: String): DataFrame = {
-    val root = "/tmp/graft_fix/s5_dir"
+  private def writeDocFolder(s: SparkSession, d: String, root: String): Unit = {
     cleanDir(root)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
@@ -130,7 +129,29 @@ object OpsQueries {
       fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/$stem.csv"))
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
+  }
+
+  /** S5 — directory-of-CSVs scan with per-file stem lineage
+    * (batch_auto_translate.py:199-209): documents split into two CSV
+    * files by doc_id parity, scanned back as one table.
+    */
+  def s5DirScan(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/s5_dir"
+    writeDocFolder(s, d, root)
     CsvIO.readInputDir(s, root)
+      .orderBy("source_stem", "description_id")
+  }
+
+  /** T3 — the whole folder pipeline with the clean mock translator: every
+    * file's rows batch, translate, and reconcile in one DataFrame pass;
+    * the reverse-words mock keeps the result DuckDB-replayable.
+    */
+  def t3FolderE2E(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/t3_dir"
+    writeDocFolder(s, d, root)
+    graft.Pipeline.runFolder(s, root,
+      new graft.translate.MockTranslator(injectFaults = false), budget = 3000)
+      .select("source_stem", "description_id", "english_sentence", "translated_sentence")
       .orderBy("source_stem", "description_id")
   }
 
@@ -493,6 +514,7 @@ object OpsQueries {
     "s3_response_roundtrip" -> (s3ResponseRoundtrip(_, _)),
     "s4_request_roundtrip" -> (s4RequestRoundtrip(_, _)),
     "s5_dir_scan" -> (s5DirScan(_, _)),
+    "t3_folder_e2e" -> (t3FolderE2E(_, _)),
     "s8_repaired_roundtrip" -> (s8RepairedRoundtrip(_, _)),
     "s9_tracking_append" -> (s9TrackingAppend(_, _)),
     "s10_tracking_upsert" -> (s10TrackingUpsert(_, _)),
@@ -549,6 +571,13 @@ object OpsQueries {
     "s5_dir_scan" ->
       """SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS source_stem,
         |  CAST(doc_id AS VARCHAR) AS description_id, text AS english_sentence
+        |FROM documents ORDER BY source_stem, description_id""".stripMargin,
+
+    "t3_folder_e2e" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS source_stem,
+        |  CAST(doc_id AS VARCHAR) AS description_id, text AS english_sentence,
+        |  upper(array_to_string(list_reverse(string_split(text, ' ')), ' '))
+        |    AS translated_sentence
         |FROM documents ORDER BY source_stem, description_id""".stripMargin,
 
     "s8_repaired_roundtrip" ->

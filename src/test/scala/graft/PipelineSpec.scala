@@ -66,6 +66,51 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == "ఓపెన్ సర్క్యూట్ యాక్ట్ రన్ ఇగ్నిషన్")
   }
 
+  test("T3 folder fan-out: per-file batching, lineage, one pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-folder").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/alpha.csv"),
+      "description_id,english_sentence\nA1,first alpha sentence here\nA2,second alpha sentence here\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/beta.csv"),
+      "description_id,english_sentence\nB1,only beta sentence here\n")
+    val out = Pipeline.runFolder(spark, dir, new MockTranslator(), budget = 2000)
+      .collect()
+    assert(out.length == 3)
+    val byStem = out.groupBy(_.getAs[String]("source_stem"))
+    assert(byStem.keySet == Set("alpha", "beta"))
+    assert(byStem("alpha").length == 2 && byStem("beta").length == 1)
+    val b1 = out.find(_.getAs[String]("description_id") == "B1").get
+    assert(b1.getAs[String]("translated_sentence") == "HERE SENTENCE BETA ONLY")
+  }
+
+  test("per-key batcher numbers batches per key with stem-prefixed ids") {
+    val df = Seq(
+      ("f1", 0L, "a", 400L), ("f1", 1L, "b", 400L), ("f1", 2L, "c", 400L),
+      ("f2", 3L, "d", 400L))
+      .toDF("source_stem", "pos", "description_id", "tokens")
+    val assigned = graft.operators.Batching
+      .assignBatchesPerKey(df, "source_stem", budget = 2300)
+      .select("source_stem", "description_id", "batch_index", "custom_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._2)
+    // rowCost(400) = ceil(400*2.8)+1 = 1121; two fit in 2300, third opens batch 1
+    assert(assigned(0) == ("f1", "a", 0L, "f1-batch-0001"))
+    assert(assigned(1) == ("f1", "b", 0L, "f1-batch-0001"))
+    assert(assigned(2) == ("f1", "c", 1L, "f1-batch-0002"))
+    // f2 restarts numbering at batch-0001
+    assert(assigned(3) == ("f2", "d", 0L, "f2-batch-0001"))
+  }
+
+  test("S12 report sinks write missing/extra/summary tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reports").toString
+    val r = Pipeline.run(input(100), new MockTranslator(injectFaults = true),
+      budget = 500, numPartitions = 2)
+    Pipeline.writeReports(r, dir)
+    val missing = spark.read.option("header", "true").csv(s"$dir/missing")
+    assert(missing.count() == r.missing.count())
+    val summary = spark.read.json(s"$dir/summary")
+    assert(summary.count() == 1)
+  }
+
   test("csv round trip with BOM sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val csv = s"$dir/in.csv"
