@@ -25,13 +25,22 @@ object Pipeline {
 
   /** Run the full pipeline on a cleaned (pos, description_id,
     * english_sentence) DataFrame.
+    *
+    * @param tokenizer F1 seam (auto_translate.py:259-260 uses a BPE
+    *                  tokenizer): any deterministic Column→Column token
+    *                  counter; batch boundaries follow whatever counter
+    *                  is plugged in. Default is the ~4-chars/token
+    *                  approximation; TextFunctions.regexTokenCount is the
+    *                  BPE-ish alternative.
     */
   def run(input: DataFrame, translator: Translator,
           budget: Long = Schemas.TokenBudget,
           systemPrompt: String = DefaultSystemPrompt,
-          numPartitions: Int = 0): Result = {
+          numPartitions: Int = 0,
+          tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+            TextFunctions.approxTokenCount): Result = {
     val withTokens = input.withColumn("tokens",
-      TextFunctions.approxTokenCount(col("english_sentence")))
+      tokenizer(col("english_sentence")).cast("long"))
     val baseCost = math.ceil(systemPrompt.length / 4.0).toLong
     val assigned = Batching.assignBatches(withTokens, budget, baseCost,
       numPartitions = numPartitions)

@@ -111,6 +111,17 @@ class PipelineSpec extends SparkSpec {
     assert(summary.count() == 1)
   }
 
+  test("F1 tokenizer is pluggable at the pipeline seam") {
+    val r1 = Pipeline.run(input(40), new MockTranslator(), budget = 1000, numPartitions = 1)
+    val r2 = Pipeline.run(input(40), new MockTranslator(), budget = 1000, numPartitions = 1,
+      tokenizer = graft.functions.TextFunctions.regexTokenCount)
+    // a different token counter moves batch boundaries but never changes
+    // the translated content
+    assert(r2.output.count() == 40)
+    assert(r1.output.select("translated_sentence").collect().map(_.getString(0)).toSet ==
+      r2.output.select("translated_sentence").collect().map(_.getString(0)).toSet)
+  }
+
   test("csv round trip with BOM sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val csv = s"$dir/in.csv"
