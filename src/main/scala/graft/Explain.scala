@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: dumps `explain("formatted")` for the headline
+  * queries so the partitioning/pushdown/broadcast/codegen choices can be
+  * reviewed (and regression-checked) without a debugger. Output goes to
+  * the path in args(1) (default PLANS.md).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val outPath = if (args.length > 1) args(1) else "PLANS.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val headline = Seq(
+      "q1_pricing_summary", "j1_reconcile", "dedup_exact", "w1_shift_lead",
+      "f6_json_extract", "near_dup_pairs", "embed_cosine", "embed_topk",
+      "s10_tracking_upsert", "a4_error_rollup", "w4_batcher")
+    val sb = new StringBuilder
+    sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
+    sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
+    sb.append("per plan: filters/projections reach the parquet scan\n")
+    sb.append("(PushedFilters / ReadSchema), small sides broadcast, no\n")
+    sb.append("redundant exchanges, WholeStageCodegen spans cover the\n")
+    sb.append("expression-heavy stages.\n")
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        sb.append(s"\n## $name\n\n```\n")
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          sb.append(plan)
+        } catch {
+          case e: Throwable => sb.append(s"explain failed: ${e.getMessage}")
+        }
+        sb.append("```\n")
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
+    println(s"wrote $outPath")
+    spark.stop()
+  }
+}
