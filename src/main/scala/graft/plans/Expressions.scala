@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot scalar functions (SURVEY.md §7
+  * "custom Expression (optional, perf/codegen)"): these run inside
+  * whole-stage codegen with no UDF boxing, and SQL callers reach them via
+  * GraftFunctions/GraftExtensions.
+  */
+
+/** F1 — approximate token count (~4 chars/token, 0 for empty), with a
+  * hand-written doGenCode so the counter inlines into generated code:
+  * `n == 0 ? 0 : (n + 3) / 4` over the UTF8 character count. Matches
+  * TextFunctions.approxTokenCount exactly (ceil(n/4.0) == (n+3)/4 for
+  * non-negative ints).
+  */
+case class TokenCountApprox(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_token_count expects STRING, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val n = input.asInstanceOf[UTF8String].numChars()
+    if (n == 0) 0L else ((n + 3) / 4).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"($c.numChars() == 0) ? 0L : (long)(($c.numChars() + 3) / 4)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** P3 — is_suspicious_translation (auto_translate.py:649-672) as a
+  * RuntimeReplaceable: the analyzer swaps it for a tree of built-in
+  * expressions (trim/lower/in/rlike/length), so it inherits their codegen
+  * while presenting one named function to SQL and the optimizer.
+  */
+case class IsSuspiciousTranslation(input: Expression, replacement: Expression)
+    extends RuntimeReplaceable with InheritAnalysisRules {
+
+  def this(input: Expression) = this(input, {
+    val t = StringTrim(input)
+    val denylist = graft.functions.TextFunctions.suspiciousDenylist
+      .map(s => Literal(UTF8String.fromString(s), StringType))
+    Seq[Expression](
+      IsNull(input),
+      In(Lower(t), denylist),
+      RLike(t, Literal("^(```|<|\\{|\\[)")),
+      LessThan(Length(t), Literal(3)),
+      RLike(t, Literal("^[0-9]+$"))
+    ).reduce(Or(_, _))
+  })
+
+  override def parameters: Seq[Expression] = Seq(input)
+  override def prettyName: String = "graft_is_suspicious"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(replacement = newChild)
+}

@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of the graft function surface so SQL and DataFrame callers
+  * share one implementation (SURVEY.md §7 build plan item 3).
+  *
+  * Two entry points:
+  *  - `GraftExtensions` for the builder path:
+  *    `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.plans.GraftExtensions`;
+  *  - `GraftFunctions.register(spark)` for a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** (name, info, builder) for every injected function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_token_count",
+      info("graft_token_count", "approximate token count (~4 chars/token)"),
+      (args: Seq[Expression]) => TokenCountApprox(args.head)),
+    ("graft_is_suspicious",
+      info("graft_is_suspicious", "true when a translation value looks like a failure artifact"),
+      (args: Seq[Expression]) => new IsSuspiciousTranslation(args.head)))
+
+  /** Register the expression-backed functions plus the UDF-backed parse
+    * helpers on a live session.
+    */
+  def register(spark: SparkSession): Unit = {
+    all.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+    // non-expressible helpers go through the regular UDF registry
+    spark.udf.register("graft_repair_json",
+      (s: String) => graft.functions.ParseFunctions.repairJsonS(s))
+    spark.udf.register("graft_parse_fallback",
+      (s: String) => graft.functions.ParseFunctions.parseFallbackS(s))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.plans.{GraftFunctions, TokenCountApprox}
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TokenCountApprox matches the Column-expression token counter") {
+    GraftFunctions.register(spark)
+    val texts = Seq("", "a", "abcd", "abcde", "exactly sixteen.",
+      "a much longer sentence with many characters in it")
+    val df = texts.toDF("t")
+    val got = df.selectExpr("graft_token_count(t)").as[Long].collect().toSeq
+    val want = df.select(TextFunctions.approxTokenCount($"t")).as[Long].collect().toSeq
+    assert(got === want)
+  }
+
+  test("TokenCountApprox survives both codegen and interpreted eval") {
+    val e = TokenCountApprox(org.apache.spark.sql.catalyst.expressions.Literal("abcdefgh"))
+    assert(e.eval(null) === 2L)
+    // via SQL (codegen path)
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_token_count('abcdefgh')").as[Long].head() === 2L)
+    assert(spark.sql("SELECT graft_token_count('')").as[Long].head() === 0L)
+    assert(spark.sql("SELECT graft_token_count(NULL)").head().isNullAt(0))
+  }
+
+  test("IsSuspiciousTranslation matches the P3 Column predicate in SQL") {
+    GraftFunctions.register(spark)
+    val vals = Seq("null", "error", "ok", "42", "a proper value", "```json",
+      "<tag>", "ab", "healthy text")
+    val df = vals.toDF("v")
+    df.createOrReplaceTempView("p3v")
+    val viaSql = spark.sql("SELECT v, graft_is_suspicious(v) AS s FROM p3v")
+      .as[(String, Boolean)].collect().toMap
+    val viaCol = df.select($"v", TextFunctions.isSuspicious($"v").as("s"))
+      .as[(String, Boolean)].collect().toMap
+    assert(viaSql === viaCol)
+  }
+
+  test("UDF-backed repair helper is SQL-callable") {
+    GraftFunctions.register(spark)
+    val repaired = spark.sql(
+      """SELECT graft_repair_json('{"a": "good value here"') AS r""")
+      .as[String].head()
+    assert(repaired === """{"a": "good value here"}""")
+  }
+
+  test("extensions class injects the same functions at builder time") {
+    // the shared session already exists, so just verify the injection list
+    // wires every function name GraftFunctions.register provides
+    assert(graft.plans.GraftFunctions.all.map(_._1).toSet ===
+      Set("graft_token_count", "graft_is_suspicious"))
+    // and the class instantiates cleanly for spark.sql.extensions use
+    new graft.plans.GraftExtensions
+  }
+}
