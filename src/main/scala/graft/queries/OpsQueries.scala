@@ -366,6 +366,13 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Event-time tumbling-window counts (batch form of the streaming agg —
+    * same expression tree as EventWindows.tumblingCountsStream).
+    */
+  def wTumblingCounts(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventWindows.tumblingCounts(t(s, d, "events"))
+      .orderBy("w_start", "event_type")
+
   // ------------------------------------------------------------ O series
 
   /** O2 — first-N per class (auto_translate.py:1576-1617 `[:10]`). */
@@ -535,6 +542,7 @@ object OpsQueries {
     "w3_sequence_gap" -> (w3SequenceGap(_, _)),
     "w4_batcher" -> (w4Batcher(_, _)),
     "o2_first_n_per_class" -> (o2FirstNPerClass(_, _)),
+    "w_tumbling_counts" -> (wTumblingCounts(_, _)),
     "f2_fence_strip" -> (f2FenceStrip(_, _)),
     "f3_fence_aggressive" -> (f3FenceAggressive(_, _)),
     "f4_multiline_fences" -> (f4MultilineFences(_, _)),
@@ -746,6 +754,11 @@ object OpsQueries {
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
         |  FROM events) x
         |WHERE rn <= 10 ORDER BY event_type, event_id""".stripMargin,
+
+    "w_tumbling_counts" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS w_start,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "f2_fence_strip" ->
       "SELECT doc_id, text AS cleaned FROM documents ORDER BY doc_id",
