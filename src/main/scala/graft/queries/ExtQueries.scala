@@ -109,7 +109,16 @@ object ExtQueries {
         col("meta.format").as("format"))
       .orderBy("media_id")
 
+  /** Salted two-stage aggregation produces exactly the plain groupBy
+    * result (the oracle is the unsalted SQL) while spreading hot keys
+    * over many reducers.
+    */
+  def skewSaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.ext.Skew.saltedCount(t(s, d, "lineitem"), Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_agg" -> (skewSaltedAgg(_, _)),
     "minhash_signature" -> (minhashSignature(_, _)),
     "near_dup_pairs" -> (nearDupPairs(_, _)),
     "ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -171,6 +180,9 @@ object ExtQueries {
     s"len(list_filter($wordsSql, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   def oracleSql: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "minhash_signature" -> {
       val sig = sigSql("sh")
       s"""WITH sh_t AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents)

@@ -118,6 +118,20 @@ class ExtSpec extends SparkSpec {
     assert(top.toSeq === all.toSeq)
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    val big = (0L until 500L).map(i => (if (i < 450) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H"), ("k451", "A"), ("k499", "B"), ("absent", "Z"))
+      .toDF("k", "label")
+    val plain = big.join(small, Seq("k")).select("k", "v", "label")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val salted = graft.ext.Skew.saltedJoin(big, small, Seq("k"), buckets = 8)
+      .select("k", "v", "label")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(plain.count(_._1 == "hot") === 450)
+  }
+
   test("multimodal meta + batched decode stub") {
     val media = Multimodal.withMeta(
       corpus.select($"id", $"text".cast("binary").as("blob")), "id", "blob")
