@@ -1,0 +1,78 @@
+package graft
+
+import scala.util.Random
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import graft.functions.ParseFunctions
+import graft.operators.Batching
+
+/** Property-style invariants (SURVEY.md §5 item 3) with deterministic
+  * seeded generators — every run exercises the same cases.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private def randomWords(rnd: Random, n: Int): String =
+    Seq.fill(n)(Seq.fill(3 + rnd.nextInt(6))(
+      ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+
+  test("F9 property: any truncation of a valid JSON map repairs to a subset") {
+    val rnd = new Random(42)
+    var repairedCount = 0
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val entries = (0 until n).map(i => s"k$i" -> randomWords(rnd, 1 + rnd.nextInt(4)))
+      val json = entries.map { case (k, v) => s""""$k": "$v"""" }
+        .mkString("{", ", ", "}")
+      val cut = 1 + rnd.nextInt(json.length - 1)
+      val repaired = ParseFunctions.repairJsonS(json.substring(0, cut))
+      if (repaired != null) {
+        repairedCount += 1
+        val node = mapper.readTree(repaired)
+        assert(node.isObject, s"repair produced non-object: $repaired")
+        val orig = entries.toMap
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          assert(orig.get(e.getKey).contains(e.getValue.asText()),
+            s"repair invented or corrupted a pair: ${e.getKey} in $repaired")
+        }
+      }
+    }
+    // the repair must actually recover a substantial share, not bail to null
+    assert(repairedCount > 100, s"only $repairedCount/200 truncations repaired")
+  }
+
+  test("W4 property: batches respect the budget, order, and multiset") {
+    val rnd = new Random(7)
+    (1 to 8).foreach { _ =>
+      val n = 20 + rnd.nextInt(120)
+      val budget = 800L + rnd.nextInt(1200)
+      val parts = 1 + rnd.nextInt(4)
+      val rows = (0 until n).map(i => (i.toLong, s"id$i", 1L + rnd.nextInt(300)))
+      val df = rows.toDF("pos", "description_id", "tokens")
+      val assigned = Batching.assignBatches(df, budget, baseCost = 25,
+        numPartitions = parts)
+        .select("pos", "tokens", "batch_index")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+
+      // multiset + order preserved
+      assert(assigned.map(_._1).toSeq === rows.map(_._1))
+      // batch ids non-decreasing in pos order and contiguous from 0
+      val ids = assigned.map(_._3)
+      assert(ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 },
+        "batch ids must be non-decreasing and gap-free in input order")
+      assert(ids.head === 0L)
+      // every multi-row batch stays within budget
+      assigned.groupBy(_._3).foreach { case (_, batchRows) =>
+        val cost = 25 + batchRows.map(r => Batching.rowCost(r._2)).sum
+        if (batchRows.length > 1)
+          assert(cost <= budget,
+            s"batch of ${batchRows.length} rows exceeds budget: $cost > $budget")
+      }
+    }
+  }
+}
