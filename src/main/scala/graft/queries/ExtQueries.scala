@@ -292,7 +292,7 @@ object ExtQueries {
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "embed_lsh_buckets" ->
-      s"""SELECT ${bucketSql("embedding")} AS bucket,
+      s"""SELECT CAST(${bucketSql("embedding")} AS BIGINT) AS bucket,
          |  CAST(COUNT(*) AS BIGINT) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
 

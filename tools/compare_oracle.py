@@ -53,6 +53,10 @@ def main():
             print(f"FAIL {name}: columns spark={sorted(got.columns)} oracle={sorted(expected.columns)}")
             n_fail += 1
             continue
+        for c in got.columns:
+            a, b = str(got[c].dtype), str(expected[c].dtype)
+            if a != b and {a, b} != {"object", "string"}:
+                print(f"  WARN {name}.{c}: dtype spark={a} oracle={b}")
         g, e = norm(got), norm(expected)
         if g == e:
             print(f"PASS {name} ({len(g)} rows)")
