@@ -64,17 +64,22 @@ object MinHashLSH {
   /** Base-hash array of a shingle array (computed once per document). */
   def baseHashes(sh: Column): Column = transform(sh, s => baseHash(s))
 
-  /** MinHash signature over precomputed base hashes: for each permutation
-    * i, the min of (a_i·h + b_i) mod P over the shingle hashes. Each row
-    * is an `aggregate` fold (running min) rather than
-    * array_min(transform(...)), which would materialize a boxed
-    * intermediate array per permutation per document.
+  /** MinHash signature over precomputed base hashes: ONE fold over the
+    * shingle hashes with the n running minima as the accumulator array —
+    * each element updates all n rows via an indexed transform (the a_i/b_i
+    * coefficients are computed from the index with the same formulas as
+    * aCoef/bCoef). One traversal of the hash array instead of n.
     */
   def signatureFromHashes(hb: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      aggregate(hb, lit(Long.MaxValue),
-        (m, h) => least(m, (h * aCoef(i) + bCoef(i)) % HashP))
-    }: _*)
+    aggregate(
+      hb,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => transform(acc, (m, i) => {
+        val iL = i.cast("long")
+        val a = (lit(2654435761L) + iL * 40503L) % HashP
+        val b = (iL * 1000003L) % HashP
+        least(m, (h * a + b) % HashP)
+      }))
 
   /** MinHash signature of a shingle-set column. */
   def signature(sh: Column, numHashes: Int = 8): Column =
