@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup so the first measured query doesn't absorb JVM/codegen
+    // startup (r1's first-query number was ~10x its steady-state cost)
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
