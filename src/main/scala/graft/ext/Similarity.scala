@@ -73,6 +73,56 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
 
+  /** Left-to-right squared L2 distance in doubles (SQL-replayable). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * centroid (squared L2, centroid id breaks ties). The first k vectors
+    * serve as fixed centroids — a deterministic stand-in for k-means
+    * training; the index mechanics (broadcast centroids, one scan, cell
+    * assignment as a persistable partition column) are the real thing.
+    *
+    * Scale: centroids broadcast (k rows), assignment is one scan +
+    * k-way comparison per row — no shuffle; the cell column then drives
+    * partitioned/bucketed layout so queries touch 1/k of the corpus.
+    */
+  def ivfAssign(embeddings: DataFrame, k: Int = 16,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val centroids = embeddings.filter(col(idCol) < k)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("dist2"), col("centroid_id"))
+    embeddings.join(broadcast(centroids))
+      .withColumn("dist2", l2sq(col(vecCol), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** IVF search with nprobe=1: cosine against every vector in the query's
+    * cell only.
+    */
+  def ivfSearch(embeddings: DataFrame, queryId: Long, k: Int = 16): DataFrame = {
+    val assign = ivfAssign(embeddings, k)
+    val qCell = assign.filter(col("vec_id") === queryId)
+      .select(col("centroid_id").as("q_cell"))
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_vec"))
+    embeddings.join(assign, "vec_id")
+      .join(broadcast(qCell)).filter(col("centroid_id") === col("q_cell"))
+      .join(broadcast(qVec))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosine(col("embedding"), col("q_vec")).as("cos"))
+  }
+
   /** Bucket-restricted search: probe only the query's LSH bucket. */
   def bucketedSearch(embeddings: DataFrame, queryId: Long,
                      bits: Int = 6, dims: Int = 64): DataFrame = {

@@ -95,6 +95,14 @@ object ExtQueries {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  def ivfAssignQ(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfAssign(t(s, d, "embeddings")).orderBy("vec_id")
+
+  def ivfSearchQ(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfSearch(t(s, d, "embeddings"), queryId = 0L)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
+      .orderBy("vec_id")
+
   def annBucketed(s: SparkSession, d: String): DataFrame =
     Similarity.bucketedSearch(t(s, d, "embeddings"), queryId = 0L)
       .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
@@ -130,6 +138,8 @@ object ExtQueries {
     "embed_topk" -> (embedTopK(_, _)),
     "embed_lsh_buckets" -> (embedLshBuckets(_, _)),
     "ann_bucketed" -> (annBucketed(_, _)),
+    "ivf_assign" -> (ivfAssignQ(_, _)),
+    "ivf_search" -> (ivfSearchQ(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)))
 
   // ------------------------------------------------- oracle SQL builders
@@ -166,6 +176,19 @@ object ExtQueries {
 
   private def cosSql(e: String, q: String): String =
     s"(${dotSql(e, q)} / (sqrt(${dotSql(e, e)}) * sqrt(${dotSql(q, q)})))"
+
+  /** DuckDB: left-to-right squared L2 of two 64-dim list exprs. */
+  private def l2Sql(a: String, b: String): String =
+    dfold(s"[(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) for i in range(1, 65)]")
+
+  /** DuckDB: the IVF assignment CTE chain (centroids = vec_id < k). */
+  private def ivfAssignSql(k: Int = 16): String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $k),
+       |d AS (SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cv")} AS dist2
+       |  FROM embeddings e, c),
+       |r AS (SELECT vec_id, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d),
+       |assign AS (SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1)""".stripMargin
 
   /** DuckDB: hyperplane-LSH bucket of a 64-dim embedding expression. */
   private def bucketSql(v: String, bits: Int = 6): String =
@@ -295,6 +318,19 @@ object ExtQueries {
       s"""SELECT CAST(${bucketSql("embedding")} AS BIGINT) AS bucket,
          |  CAST(COUNT(*) AS BIGINT) AS n
          |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ivf_assign" ->
+      s"""WITH ${ivfAssignSql()}
+         |SELECT vec_id, centroid_id FROM assign ORDER BY vec_id""".stripMargin,
+
+    "ivf_search" ->
+      s"""WITH ${ivfAssignSql()},
+         |q AS (SELECT centroid_id AS q_cell FROM assign WHERE vec_id = 0),
+         |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND(${cosSql("e.embedding", "q_vec")}, 6) AS cos6
+         |FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id, q, qv
+         |WHERE a.centroid_id = q.q_cell AND e.vec_id <> 0
+         |ORDER BY e.vec_id""".stripMargin,
 
     "ann_bucketed" ->
       s"""WITH b AS (SELECT vec_id, embedding,

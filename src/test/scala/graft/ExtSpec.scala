@@ -118,6 +118,31 @@ class ExtSpec extends SparkSpec {
     assert(top.toSeq === all.toSeq)
   }
 
+  test("IVF assignment picks the true nearest centroid; search stays in-cell") {
+    val raw = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(j => ((i * 7 + j * 3) % 13).toFloat / 13f))
+    }
+    val emb = raw.toDF("vec_id", "embedding")
+    val assign = Similarity.ivfAssign(emb, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.size === 30)
+    // brute-force nearest centroid (tiebreak: lowest centroid id)
+    val centroids = raw.take(4)
+    raw.foreach { case (id, v) =>
+      val best = centroids.map { case (cid, c) =>
+        val d = v.zip(c).map { case (x, y) =>
+          (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+        (d, cid)
+      }.min._2
+      assert(assign(id) === best, s"vec $id assigned ${assign(id)}, nearest is $best")
+    }
+    // search returns only vectors sharing the query's cell
+    val inCell = Similarity.ivfSearch(emb, queryId = 5L, k = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val qCell = assign(5L)
+    assert(inCell === assign.filter { case (id, c) => c == qCell && id != 5L }.keySet)
+  }
+
   test("salted join equals the plain join on a skewed key") {
     val big = (0L until 500L).map(i => (if (i < 450) "hot" else s"k$i", i))
       .toDF("k", "v")
