@@ -159,12 +159,13 @@ object SparkEntry {
         .filter(col("k") > 50)
         .orderBy("event_id")),
 
-    // Exact dedup, scale-safe: group by a 16-hex md5 fingerprint instead of
-    // the full document text so the shuffle key is 8 bytes, not the whole
-    // document (VERDICT r1: "weak at 100 TB" for the text-keyed variant).
+    // Exact dedup, scale-safe: group by the full 128-bit md5 of the text —
+    // a 32-byte shuffle key instead of the whole document, with collision
+    // probability ~2^-128 so no resolve step is needed (a 64-bit prefix
+    // would see birthday collisions at 1e11 documents).
     "dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
-        .groupBy(fingerprint(col("text")).as("fp"))
+        .groupBy(md5(col("text")).as("fp"))
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
         .select("doc_id", "dup_count")
         .orderBy("doc_id")),
@@ -258,7 +259,7 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
-        |FROM documents GROUP BY SUBSTRING(md5(text), 1, 16) ORDER BY doc_id""".stripMargin,
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
     // ws_tokens counts \s+-separated runs (not just ' ' chars) and
     // re_tokens uses the exact \s class — semantically equal to the Spark

@@ -315,7 +315,7 @@ object OpsQueries {
   /** A8 — rows-removed count around a dedup (duplicate_remove.py:7-18). */
   def a8RowsRemoved(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").agg(
-      (count(lit(1)) - countDistinct(fingerprint(col("text")))).as("removed"))
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("removed"))
 
   /** A9 — last-wins distinct by key (auto_translate.py:514-518,583). */
   def a9LastWins(s: SparkSession, d: String): DataFrame =
@@ -700,7 +700,7 @@ object OpsQueries {
         |FROM customer""".stripMargin,
 
     "a8_rows_removed" ->
-      """SELECT CAST(COUNT(*) - COUNT(DISTINCT SUBSTRING(md5(text), 1, 16)) AS BIGINT)
+      """SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
         |  AS removed FROM documents""".stripMargin,
 
     "a9_last_wins" ->
