@@ -14,9 +14,14 @@ object Bench {
     // startup (r1's first-query number was ~10x its steady-state cost)
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional args: run only the named queries (dev loop); full run when empty.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      graft.core.Caches.release() // drop operator-persisted intermediates
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -26,7 +31,8 @@ object Bench {
     // stdout line may get wrapped in sbt's "[info] " prefix; also write a
     // bare JSON file so parsers never depend on log scraping.
     println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    if (args.isEmpty)  // a filtered dev run must not clobber the full ledger
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     spark.stop()
   }
 }

@@ -103,6 +103,11 @@ object ExtQueries {
       .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
       .orderBy("vec_id")
 
+  def ivfSearchNprobe2(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfSearch(t(s, d, "embeddings"), queryId = 0L, nprobe = 2)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
+      .orderBy("vec_id")
+
   def annBucketed(s: SparkSession, d: String): DataFrame =
     Similarity.bucketedSearch(t(s, d, "embeddings"), queryId = 0L)
       .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
@@ -140,6 +145,7 @@ object ExtQueries {
     "ann_bucketed" -> (annBucketed(_, _)),
     "ivf_assign" -> (ivfAssignQ(_, _)),
     "ivf_search" -> (ivfSearchQ(_, _)),
+    "ivf_search_nprobe2" -> (ivfSearchNprobe2(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)))
 
   // ------------------------------------------------- oracle SQL builders
@@ -330,6 +336,19 @@ object ExtQueries {
          |SELECT e.vec_id, ROUND(${cosSql("e.embedding", "q_vec")}, 6) AS cos6
          |FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id, q, qv
          |WHERE a.centroid_id = q.q_cell AND e.vec_id <> 0
+         |ORDER BY e.vec_id""".stripMargin,
+
+    "ivf_search_nprobe2" ->
+      s"""WITH ${ivfAssignSql()},
+         |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+         |cd AS (SELECT cid AS centroid_id, ${l2Sql("cv", "q_vec")} AS dist2
+         |  FROM c, qv),
+         |qcells AS (SELECT centroid_id FROM cd ORDER BY dist2, centroid_id
+         |  LIMIT 2)
+         |SELECT e.vec_id, ROUND(${cosSql("e.embedding", "q_vec")}, 6) AS cos6
+         |FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN qcells q ON a.centroid_id = q.centroid_id, qv
+         |WHERE e.vec_id <> 0
          |ORDER BY e.vec_id""".stripMargin,
 
     "ann_bucketed" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.ParseFunctions
-import graft.operators.{Analysis, Batching, Tracking}
+import graft.operators.{Analysis, Batching, Reconcile, Tracking}
 import graft.sources.{CsvIO, JsonlIO}
 
 /** Oracle-checked queries for the SURVEY.md §2 operators that round 1 left
@@ -248,6 +248,29 @@ object OpsQueries {
       .select("p_partkey", "p_name").orderBy("p_partkey")
   }
 
+  /** J3 — extra-translations anti-join (auto_translate.py:1007-1009) over
+    * a fixture with PLANTED extras: every doc yields its own translation
+    * row; docs with doc_id % 5 == 0 additionally yield a translation for
+    * an id (`x<doc_id>`) the batch never requested. `Reconcile.extra`
+    * must return exactly the planted rows.
+    */
+  def j3ExtraAnti(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val expected = docs.select(
+      customId(col("doc_id") % 20 + 1).as("custom_id"),
+      col("doc_id").cast("string").as("description_id"))
+    val normal = docs.select(
+      customId(col("doc_id") % 20 + 1).as("custom_id"),
+      col("doc_id").cast("string").as("description_id"),
+      col("text").as("translation"))
+    val planted = docs.filter(col("doc_id") % 5 === 0).select(
+      customId(col("doc_id") % 20 + 1).as("custom_id"),
+      concat(lit("x"), col("doc_id")).as("description_id"),
+      col("text").as("translation"))
+    Reconcile.extra(expected, normal.unionByName(planted))
+      .orderBy("custom_id", "description_id")
+  }
+
   /** J5 — filename-stem equi-join (batch_translator.py:164-201): pair
     * x.jsonl with x.csv across two folders by stem.
     */
@@ -329,15 +352,19 @@ object OpsQueries {
   private def liWindow = Window.partitionBy("l_orderkey")
     .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
 
-  /** W2 — last-row shift check via lag (auto_translate.py:1023-1032). */
+  /** W2 — last-row shift check via lag (auto_translate.py:1023-1032).
+    * The last row is `rn === count(*) over partition` on the SAME
+    * ascending window as the lag — one sort pass, mirroring the
+    * production path Reconcile.shiftFlags (the r2 version added a second
+    * descending-sort window just to find the last row — VERDICT r2 #3).
+    */
   def w2LastRowLag(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .withColumn("prev_qty", lag("l_quantity", 1).over(liWindow))
-      .withColumn("rn_desc", row_number().over(
-        Window.partitionBy("l_orderkey").orderBy(
-          col("l_linenumber").desc, col("l_partkey").desc, col("l_suppkey").desc,
-          col("l_quantity").desc, col("l_extendedprice").desc)))
-      .filter(col("rn_desc") === 1 && col("l_quantity") < 3 && col("prev_qty") >= 25)
+      .withColumn("rn", row_number().over(liWindow))
+      .withColumn("n_rows", count(lit(1)).over(Window.partitionBy("l_orderkey")))
+      .filter(col("rn") === col("n_rows") &&
+        col("l_quantity") < 3 && col("prev_qty") >= 25)
       .select("l_orderkey", "l_quantity", "prev_qty")
       .orderBy("l_orderkey")
 
@@ -530,6 +557,7 @@ object OpsQueries {
     "p7_map_value_filter" -> (p7MapValueFilter(_, _)),
     "p8_numbered_pred" -> (p8NumberedPred(_, _)),
     "j2_anti_dedup" -> (j2AntiDedup(_, _)),
+    "j3_extra_anti" -> (j3ExtraAnti(_, _)),
     "j5_stem_join" -> (j5StemJoin(_, _)),
     "a4_error_rollup" -> (a4ErrorRollup(_, _)),
     "a4_summary" -> (a4Summary(_, _)),
@@ -638,6 +666,12 @@ object OpsQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
         |ORDER BY p_partkey""".stripMargin,
 
+    "j3_extra_anti" ->
+      """SELECT printf('batch-%04d', doc_id % 20 + 1) AS custom_id,
+        |  'x' || doc_id AS description_id, text AS translation
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY custom_id, description_id""".stripMargin,
+
     "j5_stem_join" ->
       """SELECT DISTINCT 'doc' || (doc_id % 40) AS stem FROM documents
         |WHERE (doc_id % 40) IN (SELECT DISTINCT p_partkey % 25 FROM part)
@@ -712,13 +746,12 @@ object OpsQueries {
       """SELECT l_orderkey, l_quantity, prev_qty FROM (
         |  SELECT l_orderkey, l_quantity,
         |    LAG(l_quantity, 1) OVER w AS prev_qty,
-        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC,
-        |      l_partkey DESC, l_suppkey DESC, l_quantity DESC,
-        |      l_extendedprice DESC) AS rn_desc
+        |    ROW_NUMBER() OVER w AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_orderkey) AS n_rows
         |  FROM lineitem
         |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey,
         |    l_suppkey, l_quantity, l_extendedprice)) x
-        |WHERE rn_desc = 1 AND l_quantity < 3 AND prev_qty >= 25
+        |WHERE rn = n_rows AND l_quantity < 3 AND prev_qty >= 25
         |ORDER BY l_orderkey""".stripMargin,
 
     "w3_sequence_gap" ->
