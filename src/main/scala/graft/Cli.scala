@@ -35,16 +35,17 @@ object Cli {
     "usage: translate <csv> <outDir> | analyze <respDir> <outDir> | " +
       "folder <inDir> <outDir> | track <logDir>"
 
-  /** Dispatch (separated from main for spec-level invocation). */
-  def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
-    case "translate" =>
-      val Array(_, in, out) = args
+  /** Dispatch (separated from main for spec-level invocation). Arity is
+    * matched per mode so a wrong argument count fails with the usage
+    * string instead of a bare MatchError (ADVICE r2).
+    */
+  def run(spark: SparkSession, args: Array[String]): Unit = args match {
+    case Array("translate", in, out) =>
       val r = Pipeline.runCsv(spark, in, s"$out/translated",
         new graft.translate.MockTranslator())
       Pipeline.writeReports(r, s"$out/reports")
 
-    case "analyze" =>
-      val Array(_, respDir, out) = args
+    case Array("analyze", respDir, out) =>
       val flat = sources.JsonlIO.readResponses(spark, respDir)
       operators.Analysis.rollup(flat)
         .write.mode("overwrite").option("header", "true").csv(s"$out/rollup")
@@ -52,14 +53,12 @@ object Cli {
         .write.mode("overwrite").json(s"$out/summary")
       sources.JsonlIO.writeRepaired(flat, s"$out/repaired")
 
-    case "folder" =>
-      val Array(_, in, out) = args
+    case Array("folder", in, out) =>
       Pipeline.runFolder(spark, in, new graft.translate.MockTranslator())
         .write.mode("overwrite").partitionBy("source_stem")
         .option("header", "true").csv(s"$out/translated")
 
-    case "track" =>
-      val Array(_, logDir) = args
+    case Array("track", logDir) =>
       val state = operators.Tracking.latestState(
         operators.Tracking.readLog(spark, logDir), col("timestamp"))
       // the reference's status report: counts by status/language + 5 most
@@ -68,6 +67,7 @@ object Cli {
       state.groupBy("target_language").count().orderBy("target_language").show(false)
       state.orderBy(col("timestamp").desc).limit(5).show(false)
 
-    case other => throw new IllegalArgumentException(s"unknown mode $other; $usage")
+    case _ => throw new IllegalArgumentException(
+      s"bad arguments '${args.mkString(" ")}'; $usage")
   }
 }

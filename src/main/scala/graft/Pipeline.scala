@@ -31,7 +31,9 @@ object Pipeline {
     *                  counter; batch boundaries follow whatever counter
     *                  is plugged in. Default is the ~4-chars/token
     *                  approximation; TextFunctions.regexTokenCount is the
-    *                  BPE-ish alternative.
+    *                  BPE-ish alternative and TextFunctions.bpeTokenCount
+    *                  is REAL BPE over the committed merges table (needs
+    *                  GraftFunctions.register on the session).
     */
   def run(input: DataFrame, translator: Translator,
           budget: Long = Schemas.TokenBudget,
@@ -71,6 +73,14 @@ object Pipeline {
     * output carries per-file lineage. The reference's ThreadPool +
     * subprocess + stdout-regex IPC disappears into task parallelism and
     * ordinary columns.
+    *
+    * Timeout semantics: the reference kills a file's subprocess after
+    * 7,200 s (batch_auto_translate.py:130). Here the unit of work is the
+    * folder job; bound it with
+    * `JobControl.withTimeout(spark, "folder", 7200000) { df.write... }`
+    * around the consuming action (see [[graft.core.JobControl]]) — or run
+    * one `runFolder` per stem, each under its own group, for the
+    * reference's literal per-file isolation.
     */
   def runFolder(spark: SparkSession, inDir: String, translator: Translator,
                 budget: Long = Schemas.TokenBudget,

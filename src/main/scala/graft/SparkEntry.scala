@@ -177,7 +177,18 @@ object SparkEntry {
           wsTokenCount(col("text")).as("ws_tokens"),
           regexTokenCount(col("text")).as("re_tokens"),
           approxTokenCount(col("text")).as("approx_bpe"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // F1 — REAL BPE token counting (graft.functions.Bpe): tiktoken-style
+    // merge walk over the committed merges table, replayed exactly by the
+    // DuckDB oracle's recursive CTE.
+    "text_bpe_tokens" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] =
@@ -270,6 +281,17 @@ object SparkEntry {
         |  CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 'x', 'g'))
         |    - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS re_tokens,
         |  CAST(CASE WHEN LENGTH(text) = 0 THEN 0 ELSE CEIL(LENGTH(text) / 4.0) END AS BIGINT) AS approx_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays graft.functions.Bpe exactly: one recursive-CTE step = one
+    // tiktoken merge (minimum-rank adjacent pair, leftmost on ties).
+    "text_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         |${graft.functions.Bpe.oracleCte("documents", "doc_id", "text")},
+         |agg AS (SELECT d.doc_id, SUM(t.n) AS n
+         |  FROM bpe_doc_tok d JOIN bpe_wtok t USING (w) GROUP BY d.doc_id)
+         |SELECT doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS bpe_tokens
+         |FROM documents LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -31,6 +31,17 @@ object TextFunctions {
   def wsTokenCount(c: Column): Column =
     size(split(trim(c), "\\s+")).cast("long")
 
+  /** F1 — real BPE token count over the committed merges table (see
+    * [[graft.functions.Bpe]]); closes the reference's BPE-counting gap
+    * (auto_translate.py:259-260) with a native codegen expression. The
+    * column resolves through the function registry (public
+    * `call_function` API), so the session must have
+    * `graft.plans.GraftFunctions.register` applied — all graft entry
+    * points do this.
+    */
+  def bpeTokenCount(c: Column): Column =
+    call_function("graft_bpe_token_count", c)
+
   /** P3 — is_suspicious_translation (auto_translate.py:649-672):
     * null, denylisted token, starts with a fence/markup char, too short,
     * or purely numeric.

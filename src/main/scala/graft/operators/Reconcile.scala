@@ -26,10 +26,16 @@ object Reconcile {
     * occurrence; duplicate custom_id response rows keep the last response
     * in scan order (resp_ord breaks the tie BEFORE entry_pos so entries of
     * different responses never interleave non-deterministically).
+    *
+    * If `responses` already carries a `resp_ord` column it is used as-is —
+    * JsonlIO.readResponses stamps one directly over the file scan, which
+    * is the reproducible choice (ADVICE r2: an id minted here is only
+    * stable when `responses` is a deterministic scan with no upstream
+    * exchange; sources should stamp their own sequence).
     */
   def translations(responses: DataFrame): DataFrame = {
-    responses
-      .withColumn("resp_ord", monotonically_increasing_id())
+    (if (responses.columns.contains("resp_ord")) responses
+     else responses.withColumn("resp_ord", monotonically_increasing_id()))
       .select(col("custom_id"), col("resp_ord"),
         ParseFunctions.parseCascade(col("content")).as("tmap"))
       .filter(col("tmap").isNotNull)

@@ -69,3 +69,34 @@ case class IsSuspiciousTranslation(input: Expression, replacement: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(replacement = newChild)
 }
+
+/** F1 — real BPE token count over the committed merges table
+  * (graft/bpe_merges.txt; see [[graft.functions.Bpe]]). The generated
+  * code is a single static-style call into the JVM encoder — the same
+  * shape Spark uses for its own regexp/JSON expressions — so the
+  * expression stays inside whole-stage codegen with no UDF boxing, and
+  * the memoized piece cache makes the steady-state cost one hash lookup
+  * per pre-token.
+  */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_token_count expects STRING, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Bpe.countTokensDefault(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Bpe.countTokensDefault($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

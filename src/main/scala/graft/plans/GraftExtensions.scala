@@ -32,7 +32,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => TokenCountApprox(args.head)),
     ("graft_is_suspicious",
       info("graft_is_suspicious", "true when a translation value looks like a failure artifact"),
-      (args: Seq[Expression]) => new IsSuspiciousTranslation(args.head)))
+      (args: Seq[Expression]) => new IsSuspiciousTranslation(args.head)),
+    ("graft_bpe_token_count",
+      info("graft_bpe_token_count", "BPE token count over the committed merges table"),
+      (args: Seq[Expression]) => BpeTokenCount(args.head)))
 
   /** Register the expression-backed functions plus the UDF-backed parse
     * helpers on a live session.

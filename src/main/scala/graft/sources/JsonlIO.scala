@@ -38,8 +38,15 @@ object JsonlIO {
         col("col.value").as("english_sentence"))
 
   /** S3 — response scan: nested envelope → flat (custom_id, status_code,
-    * content, error); a missing content path yields null, not an error
-    * (auto_translate.py:392-407).
+    * content, error, resp_ord); a missing content path yields null, not an
+    * error (auto_translate.py:392-407).
+    *
+    * `resp_ord` is the scan-order sequence, stamped HERE — directly over
+    * the file scan, before any exchange can reorder rows — so downstream
+    * last-wins resolution (A9, Reconcile.translations) ties back to
+    * stable file order: a retried scan task re-reads its split in the
+    * same order, whereas an id minted after a shuffle would not be
+    * reproducible (ADVICE r2).
     */
   def readResponses(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.response).json(path)
@@ -48,7 +55,8 @@ object JsonlIO {
         col("response.status_code").as("status_code"),
         element_at(col("response.body.choices"), 1)
           .getField("message").getField("content").as("content"),
-        col("error"))
+        col("error"),
+        monotonically_increasing_id().as("resp_ord"))
 
   /** Wrap a flat (custom_id, status_code, content, error) table back into
     * the nested response envelope (for S8 repaired-JSONL round-trips).

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, StreamingQuery, Trigger}
 import graft.core.Schemas
 
 /** One observed job-status event (what each poll of the external batch
@@ -72,4 +73,42 @@ object StatusStream {
     */
   def terminalOnly(states: Dataset[JobState]): Dataset[JobState] =
     states.filter(_.terminal)
+
+  /** A refreshed-state batch as S10 partial tracking records (only
+    * job_id/status/timestamp set; null = "unchanged", exactly the
+    * Tracking.statusUpdate shape).
+    */
+  def toTrackingRecords(states: Dataset[JobState]): DataFrame =
+    states.toDF().select(
+      lit(null).cast("string").as("batch_id"),
+      lit(null).cast("string").as("input_file"),
+      col("job_id"), col("status"),
+      col("since").as("timestamp"),
+      lit(null).cast("string").as("target_language"),
+      lit(null).cast("string").as("output_file"))
+
+  /** T1 wired end-to-end (VERDICT r2 "Next round" #8): the reference's
+    * blocking poll loop (sleep 300 s, check status, update tracking CSV —
+    * auto_translate.py:362-374) as ONE streaming query: status events →
+    * [[trackJobs]] state machine → per-micro-batch `foreachBatch` append
+    * into the S9 tracking log. `Tracking.latestState` over that log is
+    * then the oracle-checked S10 upsert view.
+    *
+    * Production wiring keeps the reference's cadence via the default
+    * `Trigger.ProcessingTime(300s)`; specs drive it with a scripted
+    * MemoryStream source and `processAllAvailable`, which fires
+    * immediately regardless of trigger cadence.
+    */
+  def pollToTracking(events: Dataset[StatusEvent], logPath: String,
+                     trigger: Trigger = Trigger.ProcessingTime("300 seconds"),
+                     checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = trackJobs(events).writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[JobState], _: Long) =>
+        graft.operators.Tracking.append(toTrackingRecords(batch), logPath)
+      }
+    checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
 }

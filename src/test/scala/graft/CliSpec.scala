@@ -51,4 +51,15 @@ class CliSpec extends SparkSpec {
     assert(Files.list(Paths.get(s"$dir/out/translated")).toArray
       .map(_.toString).exists(_.contains("source_stem=a")))
   }
+
+  test("bad arity fails with the usage string, not a MatchError (ADVICE r2)") {
+    val ex = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("translate", "only-one-path"))
+    }
+    assert(ex.getMessage.contains("usage:"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("nonsense", "a", "b"))
+    }
+    assert(ex2.getMessage.contains("usage:"))
+  }
 }

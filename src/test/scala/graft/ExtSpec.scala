@@ -173,4 +173,24 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Seq[Float])].collect().toMap
     assert(feats === again)
   }
+
+  test("bucket cap bounds pair expansion on a degenerate all-identical corpus") {
+    // adversarial shape: every document identical -> one bucket per band
+    // holding the whole corpus -> quadratic pair expansion unless capped
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, "same text words repeated exactly alike every single time here"))
+      .toDF("id", "text")
+    val uncapped = MinHashLSH.candidatePairs(docs, "id", "text")
+    assert(uncapped.count() === 40L * 39 / 2) // the quadratic blowup, distinct'd
+    val capped = MinHashLSH.candidatePairs(docs, "id", "text", maxBucketSize = 10)
+    assert(capped.count() === 0L) // oversized buckets dropped before expansion
+    // ...and the drop is auditable, not silent
+    val dropped = MinHashLSH.droppedBuckets(docs, "id", "text", maxBucketSize = 10)
+      .collect()
+    assert(dropped.nonEmpty)
+    assert(dropped.forall(_.getAs[Long]("n_ids") === 40L))
+    // a cap that fits the corpus drops nothing
+    assert(MinHashLSH.candidatePairs(docs, "id", "text", maxBucketSize = 40)
+      .count() === 40L * 39 / 2)
+  }
 }

@@ -79,4 +79,33 @@ class StatusStreamSpec extends SparkSpec {
     assert(s.status === "completed")
     assert(s.transitions === 2)
   }
+
+  test("T1 end-to-end: poll stream feeds the tracking log; latestState converges") {
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-poll").toString
+    val source = MemoryStream[StatusEvent]
+    // spec trigger is fast; production default keeps the reference's 300 s
+    // cadence (auto_translate.py:362-374)
+    val q = StatusStream.pollToTracking(source.toDS(), s"$dir/log",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+      checkpointDir = Some(s"$dir/cp"))
+
+    source.addData(StatusEvent("j1", "submitted", 1), StatusEvent("j2", "submitted", 1))
+    q.processAllAvailable()
+    source.addData(StatusEvent("j1", "in_progress", 2),
+      StatusEvent("j1", "completed", 3), StatusEvent("j2", "failed", 2))
+    q.processAllAvailable()
+    source.addData(StatusEvent("j1", "in_progress", 9)) // post-terminal: absorbed
+    q.processAllAvailable()
+    q.stop()
+
+    // the append-only S9 log compacts (S10) to exactly the final states
+    val latest = graft.operators.Tracking.latestState(
+      graft.operators.Tracking.readLog(spark, s"$dir/log"), col("timestamp"))
+    val byJob = latest.collect().map(r =>
+      r.getAs[String]("job_id") -> ((r.getAs[String]("status"), r.getAs[Long]("timestamp")))).toMap
+    assert(byJob("j1") === (("completed", 3L)))
+    assert(byJob("j2") === (("failed", 2L)))
+  }
 }
