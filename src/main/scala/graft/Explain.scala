@@ -22,7 +22,8 @@ object Explain {
     val headline = Seq(
       "q1_pricing_summary", "j1_reconcile", "dedup_exact", "w1_shift_lead",
       "f6_json_extract", "near_dup_pairs", "embed_cosine", "embed_topk",
-      "s10_tracking_upsert", "a4_error_rollup", "w4_batcher")
+      "s10_tracking_upsert", "a4_error_rollup", "w4_batcher",
+      "text_bpe_tokens", "ivf_search_nprobe2")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")

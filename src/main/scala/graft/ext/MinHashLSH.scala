@@ -81,9 +81,58 @@ object MinHashLSH {
         least(m, (h * a + b) % HashP)
       }))
 
-  /** MinHash signature of a shingle-set column. */
-  def signature(sh: Column, numHashes: Int = 8): Column =
-    signatureFromHashes(baseHashes(sh), numHashes)
+  /** MinHash signature of a shingle-set column, via the native
+    * [[graft.plans.MinHashSignature]] expression: Spark's higher-order
+    * functions (`aggregate`/`transform`) evaluate interpreted per
+    * element, which made the signature the floor of the near-dup bench;
+    * the expression runs the identical math (md5 28-bit base hash +
+    * universal-hash minima) as ONE tight JVM loop per row inside
+    * whole-stage codegen. [[signatureFromHashes]] remains the
+    * SQL-replayable specification — the `minhash_signature` oracle row
+    * proves the two agree bit-for-bit.
+    */
+  def signature(sh: Column, numHashes: Int = 8): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_minhash_sig", sh, lit(numHashes))
+  }
+
+  /** The exact per-row computation of [[MinHashSignature]]; shared by its
+    * interpreted and codegen paths.
+    */
+  def signatureJvm(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+                   numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val minima = new Array[Long](numHashes)
+    java.util.Arrays.fill(minima, Long.MaxValue)
+    val aArr = new Array[Long](numHashes)
+    val bArr = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { aArr(i) = aCoef(i); bArr(i) = bCoef(i); i += 1 }
+    val md = md5Digest.get()
+    var j = 0
+    val n = shingles.numElements()
+    while (j < n) {
+      md.reset()
+      val d = md.digest(shingles.getUTF8String(j).getBytes)
+      // first 7 hex chars of the md5 == the top 28 bits of the digest —
+      // identical to conv(substring(md5(s),1,7),16,10) in baseHash
+      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      i = 0
+      while (i < numHashes) {
+        val v = (h * aArr(i) + bArr(i)) % HashP
+        if (v < minima(i)) minima(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(minima)
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =

@@ -100,3 +100,46 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** MinHash signature (array of universal-hash minima over a shingle
+  * array) as a native expression. The composed Column form
+  * (MinHashLSH.signatureFromHashes — an `aggregate` over a `transform`)
+  * is the SQL-replayable specification, but Spark evaluates higher-order
+  * functions interpreted per element, which made signatures the dominant
+  * cost of the near-dup pipeline; this expression runs the identical
+  * arithmetic as one tight JVM loop (thread-local MD5, hoisted
+  * coefficients) callable from whole-stage codegen. `numHashes` must be
+  * a foldable integer.
+  */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private lazy val numHashes: Int = right.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash_sig numHashes must be a foldable integer, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_minhash_sig expects (ARRAY<STRING>, foldable INT)")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(arr: Any, n: Any): Any =
+    graft.ext.MinHashLSH.signatureJvm(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (arr, _) =>
+      s"graft.ext.MinHashLSH.signatureJvm($arr, $numHashes)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

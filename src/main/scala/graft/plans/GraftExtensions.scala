@@ -35,7 +35,19 @@ object GraftFunctions {
       (args: Seq[Expression]) => new IsSuspiciousTranslation(args.head)),
     ("graft_bpe_token_count",
       info("graft_bpe_token_count", "BPE token count over the committed merges table"),
-      (args: Seq[Expression]) => BpeTokenCount(args.head)))
+      (args: Seq[Expression]) => BpeTokenCount(args.head)),
+    ("graft_minhash_sig",
+      info("graft_minhash_sig", "MinHash signature of a shingle array (numHashes minima)"),
+      (args: Seq[Expression]) => MinHashSignature(args(0), args(1))))
+
+  /** [[register]] at most once per session — the idempotent form library
+    * code calls internally (plain register logs a "replaced function"
+    * warning per call).
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("graft_minhash_sig")))
+      register(spark)
 
   /** Register the expression-backed functions plus the UDF-backed parse
     * helpers on a live session.

@@ -52,7 +52,8 @@ class ExpressionsSpec extends SparkSpec {
     // the shared session already exists, so just verify the injection list
     // wires every function name GraftFunctions.register provides
     assert(graft.plans.GraftFunctions.all.map(_._1).toSet ===
-      Set("graft_token_count", "graft_is_suspicious", "graft_bpe_token_count"))
+      Set("graft_token_count", "graft_is_suspicious", "graft_bpe_token_count",
+        "graft_minhash_sig"))
     // and the class instantiates cleanly for spark.sql.extensions use
     new graft.plans.GraftExtensions
   }

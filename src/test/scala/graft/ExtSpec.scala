@@ -193,4 +193,15 @@ class ExtSpec extends SparkSpec {
     assert(MinHashLSH.candidatePairs(docs, "id", "text", maxBucketSize = 40)
       .count() === 40L * 39 / 2)
   }
+
+  test("native signature expression matches the Column-composed specification") {
+    val docs = corpus
+    val sh = MinHashLSH.wordShingles(col("text"), 3)
+    val got = docs.select(MinHashLSH.signature(sh, 8).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val spec = docs.select(
+      MinHashLSH.signatureFromHashes(MinHashLSH.baseHashes(sh), 8).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(got.toSeq === spec.toSeq)
+  }
 }
