@@ -23,8 +23,11 @@ object Tables {
     if (name == "events")
       // `ts_ns` keeps exact nanosecond epoch (safe for ordering/compares
       // against a ns-native oracle); `ts` is the usable micros timestamp.
+      // `div` is INTEGRAL division — Column `/` is double division, and a
+      // ~1.7e18 nanosecond epoch exceeds a double's 53-bit mantissa, so
+      // the float path lands ±1 µs off the true floor(ns / 1000)
       df.withColumn("ts_ns", col("ts").cast("long"))
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -104,6 +104,50 @@ object Similarity {
       .agg(collect_list(struct(col(idCol).as("cid"), col(vecCol).as("cv")))
         .as("cents"))
 
+  /** Distributed Lloyd (k-means) training for the IVF coarse quantizer:
+    * init = the first k vectors, then `iters` rounds of
+    * (broadcast-assign projection → per-(cell, dim) mean). Each round is
+    * ONE shuffle keyed by (cid, dim) with map-side partial aggregation —
+    * at 100 TB the shuffle carries k×dims running sums per map task, not
+    * vectors.
+    *
+    * Determinism/oracle: every mean is rounded to 4 decimals, far above
+    * the ~1-ulp order sensitivity of a double group-sum, so the trained
+    * centroids are exactly SQL-replayable by unrolling the iterations
+    * (see ExtQueries.ivf_kmeans_centroids). A cell that captures no
+    * vectors drops out of the next round (standard empty-cluster
+    * shrinkage) on both engines alike.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    var cents = embeddings.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"),
+        transform(col(vecCol), x => round(x.cast("double"), 4)).as("cv"))
+    (0 until iters).foreach { _ =>
+      cents = assignTo(embeddings, cents, vecCol)
+        .select(col("centroid_id").as("cid"), posexplode(col(vecCol)))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 4).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cv"))
+    }
+    cents
+  }
+
+  /** embeddings + `centroid_id` against an explicit (cid, cv) centroid
+    * frame — the same broadcast-projection shape as [[withCell]], with
+    * trained centroids instead of the fixed seed.
+    */
+  def assignTo(embeddings: DataFrame, centroids: DataFrame,
+               vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .join(broadcast(centroids
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))))
+      .withColumn("centroid_id", nearestCentroid(col(vecCol), col("cents")))
+      .drop("cents")
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (squared L2, centroid id breaks ties). The index mechanics
     * (broadcast centroids, one scan, cell assignment as a persistable

@@ -103,6 +103,20 @@ object ExtQueries {
       .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
       .orderBy("vec_id")
 
+  /** Trained k-means centroids, flattened to (cid, pos, m) rows. */
+  def ivfKmeansCentroids(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansCentroids(t(s, d, "embeddings"), k = 8, iters = 2)
+      .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "m")))
+      .orderBy("cid", "pos")
+
+  /** Cell population after k-means training (k=8, 2 Lloyd rounds). */
+  def ivfKmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    Similarity.assignTo(e, Similarity.kmeansCentroids(e, k = 8, iters = 2))
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .orderBy("centroid_id")
+  }
+
   def ivfSearchNprobe2(s: SparkSession, d: String): DataFrame =
     Similarity.ivfSearch(t(s, d, "embeddings"), queryId = 0L, nprobe = 2)
       .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
@@ -146,6 +160,8 @@ object ExtQueries {
     "ivf_assign" -> (ivfAssignQ(_, _)),
     "ivf_search" -> (ivfSearchQ(_, _)),
     "ivf_search_nprobe2" -> (ivfSearchNprobe2(_, _)),
+    "ivf_kmeans_centroids" -> (ivfKmeansCentroids(_, _)),
+    "ivf_kmeans_assign" -> (ivfKmeansAssign(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)))
 
   // ------------------------------------------------- oracle SQL builders
@@ -195,6 +211,33 @@ object ExtQueries {
        |r AS (SELECT vec_id, cid,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d),
        |assign AS (SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1)""".stripMargin
+
+  /** DuckDB: unrolled Lloyd iterations replaying Similarity.kmeansCentroids
+    * (init = first k vectors rounded to 4 dp; per round: argmin assign,
+    * then per-(cid, dim) mean rounded to 4 dp). Yields CTEs `km_m<iters>`
+    * (cid, pos, m) and `km_c<iters>` (cid, cv).
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val init =
+      s"""km_c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+         |  [round(CAST(x AS DOUBLE), 4) + 0 for x in embedding] AS cv
+         |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+    val rounds = (1 to iters).map { it =>
+      val prev = s"km_c${it - 1}"
+      s"""km_d$it AS (SELECT e.vec_id, e.embedding, c.cid,
+         |  ${l2Sql("e.embedding", "c.cv")} AS dist2 FROM embeddings e, $prev c),
+         |km_a$it AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |  FROM km_d$it) WHERE rn = 1),
+         |km_m$it AS (SELECT cid, i - 1 AS pos,
+         |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0 AS m
+         |  FROM km_a$it, range(1, 65) t(i) GROUP BY cid, i),
+         |km_c$it AS (SELECT cid, list(m ORDER BY pos) AS cv
+         |  FROM km_m$it GROUP BY cid)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
 
   /** DuckDB: hyperplane-LSH bucket of a 64-dim embedding expression. */
   private def bucketSql(v: String, bits: Int = 6): String =
@@ -337,6 +380,22 @@ object ExtQueries {
          |FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id, q, qv
          |WHERE a.centroid_id = q.q_cell AND e.vec_id <> 0
          |ORDER BY e.vec_id""".stripMargin,
+
+    "ivf_kmeans_centroids" ->
+      s"""WITH ${kmeansSql(8, 2)}
+         |SELECT cid, CAST(pos AS INTEGER) AS pos, m FROM km_m2
+         |ORDER BY cid, pos""".stripMargin,
+
+    "ivf_kmeans_assign" ->
+      s"""WITH ${kmeansSql(8, 2)},
+         |fin_d AS (SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cv")} AS dist2
+         |  FROM embeddings e, km_c2 c),
+         |fin_a AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |  FROM fin_d) WHERE rn = 1)
+         |SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM fin_a GROUP BY cid ORDER BY centroid_id""".stripMargin,
 
     "ivf_search_nprobe2" ->
       s"""WITH ${ivfAssignSql()},

@@ -271,6 +271,26 @@ object OpsQueries {
       .orderBy("custom_id", "description_id")
   }
 
+  /** J7 — bucketed co-located join (SURVEY.md §4): both sides persisted
+    * bucketed+sorted on the key, then equi-joined with NO exchange on
+    * either side (BucketingSpec asserts the plan shape); this oracle row
+    * checks the join SEMANTICS against a plain DuckDB join.
+    */
+  def j7BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/j7_buckets"
+    cleanDir(root)
+    graft.ext.Bucketing.writeBucketed(
+      t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      "j7_cust", s"$root/cust", "c_custkey")
+    graft.ext.Bucketing.writeBucketed(
+      t(s, d, "orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      "j7_ord", s"$root/ord", "c_custkey")
+    graft.ext.Bucketing.bucketedEquiJoin(s, "j7_cust", "j7_ord", "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   /** J5 — filename-stem equi-join (batch_translator.py:164-201): pair
     * x.jsonl with x.csv across two folders by stem.
     */
@@ -399,6 +419,13 @@ object OpsQueries {
   def wTumblingCounts(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventWindows.tumblingCounts(t(s, d, "events"))
       .orderBy("w_start", "event_type")
+
+  /** W5 — gap-based session windows per user (session_window; the oracle
+    * replays the same semantics as gaps-and-islands).
+    */
+  def w5SessionStats(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventWindows.sessionStats(t(s, d, "events"))
+      .orderBy("user_id", "first_us")
 
   // ------------------------------------------------------------ O series
 
@@ -559,6 +586,7 @@ object OpsQueries {
     "j2_anti_dedup" -> (j2AntiDedup(_, _)),
     "j3_extra_anti" -> (j3ExtraAnti(_, _)),
     "j5_stem_join" -> (j5StemJoin(_, _)),
+    "j7_bucketed_join" -> (j7BucketedJoin(_, _)),
     "a4_error_rollup" -> (a4ErrorRollup(_, _)),
     "a4_summary" -> (a4Summary(_, _)),
     "a5_per_batch_count" -> (a5PerBatchCount(_, _)),
@@ -571,6 +599,7 @@ object OpsQueries {
     "w4_batcher" -> (w4Batcher(_, _)),
     "o2_first_n_per_class" -> (o2FirstNPerClass(_, _)),
     "w_tumbling_counts" -> (wTumblingCounts(_, _)),
+    "w5_session_stats" -> (w5SessionStats(_, _)),
     "f2_fence_strip" -> (f2FenceStrip(_, _)),
     "f3_fence_aggressive" -> (f3FenceAggressive(_, _)),
     "f4_multiline_fences" -> (f4MultilineFences(_, _)),
@@ -671,6 +700,12 @@ object OpsQueries {
         |  'x' || doc_id AS description_id, text AS translation
         |FROM documents WHERE doc_id % 5 = 0
         |ORDER BY custom_id, description_id""".stripMargin,
+
+    "j7_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS total
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "j5_stem_join" ->
       """SELECT DISTINCT 'doc' || (doc_id % 40) AS stem FROM documents
@@ -792,6 +827,25 @@ object OpsQueries {
       """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS w_start,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // gaps-and-islands: a session breaks only when the gap EXCEEDS 30 min
+    // (session_window merges an event arriving exactly gap after the last)
+    "w5_session_stats" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, first_us""".stripMargin,
 
     "f2_fence_strip" ->
       "SELECT doc_id, text AS cleaned FROM documents ORDER BY doc_id",

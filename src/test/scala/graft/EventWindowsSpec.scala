@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.hash
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventWindows
@@ -60,5 +61,58 @@ class EventWindowsSpec extends SparkSpec {
     // the dropped late event produced no update
     assert(rows.filter(_._1 == hour0).map(_._3).max === 1L)
     assert(rows.filter(_._1 == hour4).map(_._3).max === 1L)
+  }
+
+  test("W5 session windows split exactly at the gap, merge under it") {
+    val rows = Seq(
+      // user 1: three events with gaps <= 30 min -> ONE session (an exact
+      // 30-min gap still merges: the interval is closed)
+      (1L, at(0, 0)), (1L, at(0, 20)), (1L, at(0, 50)),
+      // then a gap of 31 min -> NEW session
+      (1L, at(1, 21)),
+      // user 2: single event -> its own session
+      (2L, at(5, 0)))
+      .toDF("user_id", "ts")
+    val got = EventWindows.sessionStats(rows, "30 minutes")
+      .orderBy("user_id", "first_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def us(h: Int, m: Int) = at(h, m).getTime * 1000L
+    assert(got === Seq(
+      (1L, us(0, 0), us(0, 50), 3L),
+      (1L, us(1, 21), us(1, 21), 1L),
+      (2L, us(5, 0), us(5, 0), 1L)))
+  }
+
+  test("W5 streaming sessionization equals the batch aggregation") {
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      Ev(at(0), "view"), Ev(at(0, 10), "view"), Ev(at(1), "view"),
+      Ev(at(1, 20), "click"), Ev(at(3), "view"))
+    // key sessions by event_type for this spec (sessionStats groups on
+    // user_id; rename to reuse the operator unchanged)
+    val batchIn = events.toDF().withColumnRenamed("event_type", "user_id_s")
+      .withColumn("user_id", hash($"user_id_s").cast("long")).drop("user_id_s")
+    val batch = EventWindows.sessionStats(batchIn, "30 minutes")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val source = MemoryStream[Ev]
+    val streamIn = source.toDS().toDF()
+      .withColumnRenamed("event_type", "user_id_s")
+      .withColumn("user_id", hash($"user_id_s").cast("long")).drop("user_id_s")
+    val q = EventWindows.sessionStatsStream(streamIn, "30 minutes",
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("sess_stats")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(events: _*)
+    q.processAllAvailable()
+    // append mode emits a session only once the watermark passes its end;
+    // a far-future sentinel closes every real session (its own session
+    // stays open and is deliberately never emitted)
+    source.addData(Ev(at(20), "sentinel"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_stats")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
   }
 }

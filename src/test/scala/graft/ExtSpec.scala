@@ -204,4 +204,20 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0))
     assert(got.toSeq === spec.toSeq)
   }
+
+  test("kmeans refines centroids to the assigned-cluster means") {
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 10f)),
+      (2L, Array(1f, 1f)), (3L, Array(11f, 9f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.kmeansCentroids(vecs, k = 2, iters = 1)
+      .orderBy("cid").collect()
+    // seed cells {0,2} and {1,3} -> means (0.5, 0.5) and (10.5, 9.5)
+    assert(c.map(_.getSeq[Double](1)).toSeq === Seq(Seq(0.5, 0.5), Seq(10.5, 9.5)))
+    // assignment against the trained centroids keeps the two clusters
+    val assigned = Similarity.assignTo(vecs, Similarity.kmeansCentroids(vecs, 2, 1))
+      .select("vec_id", "centroid_id").orderBy("vec_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(assigned === Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)))
+  }
 }
