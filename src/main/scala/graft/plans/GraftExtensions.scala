@@ -47,7 +47,13 @@ object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit =
     if (!spark.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("graft_minhash_sig")))
-      register(spark)
+      // expressions only: the UDF helpers need Scala-lambda reflection,
+      // which fails in REPL-loader environments and is not needed by
+      // library internals (they resolve call_function against `all`)
+      all.foreach { case (name, i, builder) =>
+        spark.sessionState.functionRegistry
+          .registerFunction(FunctionIdentifier(name), i, builder)
+      }
 
   /** Register the expression-backed functions plus the UDF-backed parse
     * helpers on a live session.

@@ -31,6 +31,19 @@ object ExtQueries {
     docs.unionByName(mutated)
   }
 
+  /** documents ∪ two mutation levels — the clustered near-dup corpus:
+    * each doc_id yields a 3-clique of near-duplicates (drop 8 / drop 16
+    * trailing chars), so components must merge transitively.
+    */
+  private def plantedDocs3(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    def mut(off: Int, drop: Int) = t(s, d, "documents")
+      .select((col("doc_id") + off).cast("long").as("id"),
+        expr(s"substring(text, 1, length(text) - $drop)").as("text"))
+    docs.unionByName(mut(100000, 8)).unionByName(mut(200000, 16))
+  }
+
   // ----------------------------------------------------------- queries
 
   def minhashSignature(s: SparkSession, d: String): DataFrame =
@@ -127,6 +140,17 @@ object ExtQueries {
       .select(col("vec_id"), round(col("cos"), 6).as("cos6"))
       .orderBy("vec_id")
 
+  /** Near-dup clusters as (id, rep) via min-label connected components. */
+  def nearDupComponents(s: SparkSession, d: String): DataFrame =
+    graft.ext.Components.components(
+      MinHashLSH.nearDupPairs(plantedDocs3(s, d), "id", "text", threshold = 0.6))
+      .orderBy("id")
+
+  /** End-to-end near-dup dedup: one representative per cluster kept. */
+  def dedupNearKeep(s: SparkSession, d: String): DataFrame =
+    graft.ext.Components.nearDupKeep(plantedDocs3(s, d), "id", "text", 0.6)
+      .select("id").orderBy("id")
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.withMeta(
       t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
@@ -162,6 +186,8 @@ object ExtQueries {
     "ivf_search_nprobe2" -> (ivfSearchNprobe2(_, _)),
     "ivf_kmeans_centroids" -> (ivfKmeansCentroids(_, _)),
     "ivf_kmeans_assign" -> (ivfKmeansAssign(_, _)),
+    "near_dup_components" -> (nearDupComponents(_, _)),
+    "dedup_near_keep" -> (dedupNearKeep(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)))
 
   // ------------------------------------------------- oracle SQL builders
@@ -177,6 +203,51 @@ object ExtQueries {
   /** DuckDB: distinct word n-gram list over a `toks` list binding. */
   private def wordShinglesSql(toks: String, n: Int = 3): String =
     s"list_distinct([array_to_string($toks[i:i+${n - 1}], ' ') for i in range(1, greatest(len($toks) - ${n - 1}, 1) + 1)])"
+
+  /** DuckDB: the planted 2-level near-dup corpus (doc + drop-8 mutation). */
+  private def twoLevelDocsSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, length(text) - 8)
+      |  FROM documents""".stripMargin
+
+  /** DuckDB: the 3-level corpus (adds a drop-16 mutation → 3-cliques). */
+  private def threeLevelDocsSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, length(text) - 8)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 200000 AS BIGINT), substring(text, 1, length(text) - 16)
+      |  FROM documents""".stripMargin
+
+  /** DuckDB: the full near-dup CTE chain over a docs query — shingles,
+    * 16-hash signature, 4-row bands, bucket-join candidates, exact
+    * Jaccard — ending in `pairs(a, b, j)` at threshold 0.6. Mirrors
+    * MinHashLSH.nearDupPairs exactly.
+    */
+  private def nearDupCtes(docsSql: String): String = {
+    val bandHash = "md5(" + (1 to 4).map(r => s"CAST(g[b.band * 4 + $r] AS VARCHAR)")
+      .mkString(" || '-' || ") + ")"
+    s"""docs AS (
+       |  $docsSql),
+       |tok_t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM docs),
+       |sh_t AS (SELECT id, ${wordShinglesSql("toks", 3)} AS sh FROM tok_t),
+       |sig_t AS (SELECT id, ${sigSql("sh", 16)} AS g FROM sh_t),
+       |bands AS (
+       |  SELECT id, b.band, $bandHash AS bh
+       |  FROM sig_t, (SELECT unnest(range(0, 4)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS a, r.id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+       |    AND l.id < r.id),
+       |jac AS (
+       |  SELECT c.a, c.b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
+       |  FROM cand c JOIN sh_t sa ON sa.id = c.a JOIN sh_t sb ON sb.id = c.b),
+       |pairs AS (SELECT a, b, j FROM jac WHERE j >= 0.6)""".stripMargin
+  }
 
   /** DuckDB: n-hash minhash signature (list) over shingle list `sh` —
     * one 28-bit md5 base hash per shingle, then the universal-hash
@@ -262,32 +333,34 @@ object ExtQueries {
          |FROM sh_t ORDER BY doc_id""".stripMargin
     },
 
-    "near_dup_pairs" -> {
-      val bandHash = "md5(" + (1 to 4).map(r => s"CAST(g[b.band * 4 + $r] AS VARCHAR)")
-        .mkString(" || '-' || ") + ")"
-      s"""WITH docs AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
-         |  UNION ALL
-         |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, length(text) - 8)
-         |  FROM documents),
-         |tok_t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM docs),
-         |sh_t AS (SELECT id, ${wordShinglesSql("toks", 3)} AS sh FROM tok_t),
-         |sig_t AS (SELECT id, ${sigSql("sh", 16)} AS g FROM sh_t),
-         |bands AS (
-         |  SELECT id, b.band, $bandHash AS bh
-         |  FROM sig_t, (SELECT unnest(range(0, 4)) AS band) b),
-         |cand AS (
-         |  SELECT DISTINCT l.id AS a, r.id AS b
-         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
-         |    AND l.id < r.id),
-         |jac AS (
-         |  SELECT c.a, c.b,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
-         |  FROM cand c JOIN sh_t sa ON sa.id = c.a JOIN sh_t sb ON sb.id = c.b)
-         |SELECT a, b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.6
-         |ORDER BY a, b""".stripMargin
-    },
+    "near_dup_pairs" ->
+      s"""WITH ${nearDupCtes(twoLevelDocsSql)}
+         |SELECT a, b, ROUND(j, 4) AS jaccard FROM pairs
+         |ORDER BY a, b""".stripMargin,
+
+    "near_dup_components" ->
+      s"""WITH RECURSIVE ${nearDupCtes(threeLevelDocsSql)},
+         |und AS (SELECT a AS x, b AS y FROM pairs
+         |        UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT x, y FROM und
+         |  UNION
+         |  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x)
+         |SELECT x AS id, least(x, MIN(y)) AS rep FROM reach
+         |GROUP BY x ORDER BY id""".stripMargin,
+
+    "dedup_near_keep" ->
+      s"""WITH RECURSIVE ${nearDupCtes(threeLevelDocsSql)},
+         |und AS (SELECT a AS x, b AS y FROM pairs
+         |        UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT x, y FROM und
+         |  UNION
+         |  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+         |comp AS (SELECT x AS id, least(x, MIN(y)) AS rep FROM reach GROUP BY x)
+         |SELECT d.id FROM docs d
+         |WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.id = d.id AND c.rep <> c.id)
+         |ORDER BY d.id""".stripMargin,
 
     "ngram_jaccard" ->
       s"""WITH sh_t AS (SELECT doc_id, ${shinglesSql("text")} AS sa,

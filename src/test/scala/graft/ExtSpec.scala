@@ -220,4 +220,23 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(assigned === Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)))
   }
+
+  test("connected components label every node with its component minimum") {
+    val edges = Seq((5L, 3L), (3L, 9L), (9L, 11L), (20L, 21L)).toDF("a", "b")
+    val comp = graft.ext.Components.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 5-3-9-11 collapses to min 3 (multi-hop propagation)
+    assert(comp === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 11L -> 3L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("nearDupKeep keeps one representative per near-dup cluster") {
+    val dup = corpus.filter($"id" < 100)
+      .select(($"id" + 500).as("id"), $"text") // exact copies of the 4 base docs
+    val all = corpus.unionByName(dup)
+    val kept = graft.ext.Components.nearDupKeep(all, "id", "text", 0.4)
+      .select("id").as[Long].collect().toSet
+    // each cluster {i, i+100, i+500} keeps only i
+    assert(kept === Set(0L, 1L, 2L, 3L))
+  }
 }
