@@ -33,12 +33,53 @@ object MinHashLSH {
   /** Distinct word n-gram shingles. For word-based text these are ~7×
     * fewer per document than character shingles at equal-or-better
     * selectivity, which directly divides the per-document hashing cost.
+    *
+    * Runs as the native [[graft.plans.WordShingles]] expression (one JVM
+    * loop per row); [[wordShinglesSpec]] is the equivalent composed
+    * Column form kept as the SQL-replayable specification.
     */
   def wordShingles(text: Column, n: Int = 3): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_word_shingles", text, lit(n))
+  }
+
+  /** The composed-Column specification of [[wordShingles]] (interpreted
+    * higher-order functions — correct but per-element slow; the oracle
+    * and the parity spec pin the native expression against it).
+    */
+  def wordShinglesSpec(text: Column, n: Int = 3): Column = {
     val toks = split(trim(text), "\\s+")
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** The exact per-row computation of [[graft.plans.WordShingles]]:
+    * whitespace-split the trimmed text, emit the `max(len - n + 1, 1)`
+    * n-gram windows (short texts yield their single sub-n window), keep
+    * first-occurrence-distinct — identical to the composed form.
+    */
+  def wordShinglesJvm(text: org.apache.spark.unsafe.types.UTF8String,
+                      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toString.trim.split("\\s+", -1)
+    val m = math.max(toks.length - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(Array.empty[AnyRef]))
   }
 
   /** Portable 60-bit hash: first 15 hex chars of md5("<seed>:<s>"). */

@@ -209,4 +209,36 @@ object Similarity {
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), cosine(col("embedding"), col("q_vec")).as("cos"))
   }
+
+  /** Embedding-cosine near-duplicate pairs (north-star brief: the
+    * embedding variant of the dedup family): hyperplane-LSH bucket
+    * self-join generates candidates, exact cosine >= minCos verifies.
+    * Each vector hashes to exactly one bucket, so a pair is generated at
+    * most once — no distinct pass. Emits (id_a, id_b, cos4) with
+    * id_a < id_b.
+    *
+    * Scale: candidate generation shuffles the corpus once on the bucket
+    * id (vectors travel with their bucket row — one 2^bits-way hash
+    * partition, no all-pairs); per-bucket pair count is (n/2^bits)^2 in
+    * expectation, tuned by `bits`. Recall per planted pair is the LSH
+    * collision probability (1 - theta/pi)^bits for angle theta — raise it
+    * with fewer bits or by unioning rotated tables; the exact-cosine
+    * verify keeps precision at 1 regardless.
+    */
+  def embedNearDup(vecs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding", minCos: Double = 0.9,
+                   bits: Int = 6, dims: Int = 64): DataFrame = {
+    val withBucket = vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", bucket(col("v"), bits, dims))
+    val left = withBucket
+      .select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val right = withBucket
+      .select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos4"))
+  }
 }

@@ -71,4 +71,54 @@ object TextAnalysis {
     (0 until 32).map { j =>
       shiftright(a.bitwiseXOR(b), j).bitwiseAND(1)
     }.reduce(_ + _)
+
+  /** SimHash-banded near-duplicate pairs (north-star brief: SimHash
+    * dedup): the 32-bit simhash splits into `bands` equal bit-slices and
+    * documents sharing any slice value become candidates. By pigeonhole,
+    * hamming(a,b) <= bands-1 forces at least one identical slice, so at
+    * the default (bands=4, maxHamming=3) candidate generation is EXACT —
+    * no near-dup under the verify threshold can be missed. Candidates are
+    * then verified with the exact [[hammingDist32]].
+    *
+    * Scale: one simhash projection over the corpus, then a self-join that
+    * shuffles only (band, slice-value, sh, id) rows — 4 rows of a few
+    * dozen bytes per document, never text — and per-bucket width is
+    * corpus/2^8 in expectation per band; the verify runs on candidate
+    * rows only (the 8-byte signatures travel with the band rows, so no
+    * second join back to the corpus — same shape as
+    * [[MinHashLSH.nearDupPairs]] after the r2 verdict fix). A pair whose
+    * slices agree in several bands would be emitted once per band; since
+    * both full signatures ride on the joined row, keeping only the FIRST
+    * agreeing band dedups exactly-once as a stateless per-row filter — no
+    * distinct() exchange over the (quadratic) candidate set.
+    */
+  def simhashNearDup(docs: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     bands: Int = 4, maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(32 % bands == 0, s"bands must divide 32, got $bands")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    def slice(sh: Column, b: Int): Column =
+      shiftright(sh, b * width).bitwiseAND(mask)
+    val bandRows = docs
+      .select(col(idCol).cast("long").as("id"),
+        simhash32(col(textCol)).as("sh"))
+      .select(col("id"), col("sh"),
+        explode(array((0 until bands).map(b => struct(
+          lit(b).as("band"), slice(col("sh"), b).as("bval"))): _*))
+          .as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val left = bandRows
+      .select(col("band"), col("bval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = bandRows
+      .select(col("band"), col("bval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val firstAgreeingBand = (0 until bands).foldRight(lit(bands)) { (b, rest) =>
+      when(slice(col("sh_a"), b) === slice(col("sh_b"), b), lit(b)).otherwise(rest)
+    }
+    left.join(right, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b") && col("band") === firstAgreeingBand)
+      .withColumn("hamming", hammingDist32(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
 }

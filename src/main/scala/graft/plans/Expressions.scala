@@ -143,3 +143,41 @@ case class MinHashSignature(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Distinct word n-gram shingles of a text column, as a native
+  * expression: the composed form (split → sequence → transform →
+  * concat_ws → array_distinct) is four interpreted higher-order passes
+  * per row; this is one JVM loop (MinHashLSH.wordShinglesJvm), callable
+  * from whole-stage codegen, with the composed form retained as the
+  * SQL-replayable specification. `n` must be a foldable integer.
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private lazy val n: Int = right.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_word_shingles n must be a foldable integer, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case StringType if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_word_shingles expects (STRING, foldable INT)")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(text: Any, nn: Any): Any =
+    graft.ext.MinHashLSH.wordShinglesJvm(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, _) =>
+      s"graft.ext.MinHashLSH.wordShinglesJvm($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -38,7 +38,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => BpeTokenCount(args.head)),
     ("graft_minhash_sig",
       info("graft_minhash_sig", "MinHash signature of a shingle array (numHashes minima)"),
-      (args: Seq[Expression]) => MinHashSignature(args(0), args(1))))
+      (args: Seq[Expression]) => MinHashSignature(args(0), args(1))),
+    ("graft_word_shingles",
+      info("graft_word_shingles", "distinct word n-gram shingles of a text column"),
+      (args: Seq[Expression]) => WordShingles(args(0), args(1))))
 
   /** [[register]] at most once per session — the idempotent form library
     * code calls internally (plain register logs a "replaced function"

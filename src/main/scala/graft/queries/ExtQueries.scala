@@ -72,6 +72,33 @@ object ExtQueries {
       .select(col("doc_id"), TextAnalysis.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** SimHash-banded near-dup pairs over the planted 2-level corpus. */
+  def simhashNearDupQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.simhashNearDup(plantedDocs(s, d), "id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** embeddings ∪ deterministically perturbed copies — the planted
+    * near-dup vector corpus: component j of the copy of vec_id v gets
+    * +0.01*((j%3)-1), a nudge of norm ~0.065 against the unit-normalized
+    * testdata vectors, so cosine(original, copy) ≈ 0.998 — near but not
+    * exactly 1 (the arithmetic is a double cast + one literal
+    * multiply-add, so a SQL oracle replays it bit-for-bit).
+    */
+  private def plantedVecs(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val base = e.select(col("vec_id").cast("long").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val mut = e.select((col("vec_id") + 100000).cast("long").as("id"),
+      zip_with(col("embedding"), sequence(lit(0L), lit(63L)),
+        (x, j) => x.cast("double") + lit(0.01) * ((j % 3) - 1).cast("double")).as("v"))
+    base.unionByName(mut)
+  }
+
+  /** Embedding-cosine near-dup pairs over the planted vector corpus. */
+  def embedNearDupQ(s: SparkSession, d: String): DataFrame =
+    Similarity.embedNearDup(plantedVecs(s, d), "id", "v")
+      .orderBy("id_a", "id_b")
+
   def rollingFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -174,6 +201,8 @@ object ExtQueries {
     "near_dup_pairs" -> (nearDupPairs(_, _)),
     "ngram_jaccard" -> (ngramJaccard(_, _)),
     "simhash_text" -> (simhashText(_, _)),
+    "simhash_near_dup" -> (simhashNearDupQ(_, _)),
+    "embed_near_dup" -> (embedNearDupQ(_, _)),
     "rolling_fingerprint" -> (rollingFingerprint(_, _)),
     "lang_id" -> (langId(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -319,6 +348,25 @@ object ExtQueries {
 
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
+  /** DuckDB: the 32-bit SimHash bit-vote sum over an `hs` hash list. */
+  private def simhashBitsSql: String =
+    (0 until 32).map { j =>
+      val votes = s"list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)"
+      s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), $votes), (a, b) -> a + b) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB: the planted near-dup vector corpus (double cast + one
+    * literal multiply-add perturbation — mirrors plantedVecs exactly).
+    */
+  private def plantedVecsSql: String =
+    """SELECT CAST(vec_id AS BIGINT) AS id,
+      |  [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT CAST(vec_id + 100000 AS BIGINT),
+      |  [CAST(embedding[j + 1] AS DOUBLE) + 0.01 * CAST((j % 3) - 1 AS DOUBLE)
+      |   for j in range(0, 64)]
+      |  FROM embeddings""".stripMargin
+
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter($wordsSql, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -371,17 +419,40 @@ object ExtQueries {
          |  CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE), 4) AS jaccard
          |FROM sh_t ORDER BY doc_id""".stripMargin,
 
-    "simhash_text" -> {
-      val bits = (0 until 32).map { j =>
-        val votes = s"list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)"
-        s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), $votes), (a, b) -> a + b) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+    "simhash_text" ->
       s"""WITH hs_t AS (SELECT doc_id,
          |  list_transform($wordsSql, t -> ${h60("'0'", "t")}) AS hs
          |  FROM documents)
-         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
-         |FROM hs_t ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
+         |FROM hs_t ORDER BY doc_id""".stripMargin,
+
+    "simhash_near_dup" -> {
+      val ham = (0 until 32)
+        .map(j => s"((xor(sh_a, sh_b) >> $j) & 1)").mkString("(", " + ", ")")
+      def slice(sh: String, b: Int) = s"(($sh >> ${8 * b}) & 255)"
+      val firstBand = (0 until 4).foldRight("4") { (b, rest) =>
+        s"(CASE WHEN ${slice("sh_a", b)} = ${slice("sh_b", b)} THEN $b ELSE $rest END)"
+      }
+      s"""WITH corpus AS ($twoLevelDocsSql),
+         |hs_t AS (SELECT id,
+         |  list_transform($wordsSql, t -> ${h60("'0'", "t")}) AS hs FROM corpus),
+         |sh_t AS (SELECT id, CAST($simhashBitsSql AS BIGINT) AS sh FROM hs_t),
+         |bands AS (SELECT id, sh, b, (sh >> CAST(8 * b AS INTEGER)) & 255 AS bval
+         |  FROM sh_t, range(4) r(b)),
+         |cand AS (SELECT x.id AS id_a, y.id AS id_b, x.sh AS sh_a, y.sh AS sh_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bval = y.bval
+         |    AND x.id < y.id WHERE x.b = $firstBand)
+         |SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
+         |FROM cand WHERE $ham <= 3 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "embed_near_dup" ->
+      s"""WITH corpus AS ($plantedVecsSql),
+         |wb AS (SELECT id, v, ${bucketSql("v")} AS bucket FROM corpus),
+         |p AS (SELECT x.id AS id_a, y.id AS id_b, ${cosSql("x.v", "y.v")} AS cos
+         |  FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.id < y.id)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos4 FROM p WHERE cos >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "rolling_fingerprint" ->
       s"""SELECT doc_id, substring(md5(text), 1, 16) AS fp,
