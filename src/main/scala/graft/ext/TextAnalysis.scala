@@ -56,14 +56,67 @@ object TextAnalysis {
     * bit position; the sign of each bit-sum sets the output bit
     * (Charikar '02). Uses the portable 60-bit md5 hash so a SQL oracle
     * replays it bit-for-bit.
+    *
+    * Runs as the native [[graft.plans.SimHash32]] expression — the
+    * composed form is 32 interpreted `aggregate` folds over the token
+    * hashes PER ROW, which made the signature projection the dominant
+    * cost of simhash dedup (~1.4 ms/doc); the expression is one JVM loop
+    * (one md5 per token, 32 int votes). [[simhash32Spec]] stays as the
+    * SQL-replayable specification pinned by a parity test.
     */
   def simhash32(text: Column): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_simhash32", text)
+  }
+
+  /** The composed-Column specification of [[simhash32]]. */
+  def simhash32Spec(text: Column): Column = {
     val hashes = transform(words(text), t => MinHashLSH.hash60(0, t))
     (0 until 32).map { j =>
       val bitSum = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
       when(bitSum > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
+  }
+
+  /** The exact per-row computation of [[graft.plans.SimHash32]]: trim
+    * spaces, lowercase, whitespace-split (Java regex semantics, identical
+    * to Spark's `split`), then one md5 per token with the top 60 bits as
+    * the hash (== first 15 hex chars, exactly [[MinHashLSH.hash60]] at
+    * seed 0) voting ±1 per bit position.
+    */
+  def simhash32Jvm(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val toks = text.trim().toLowerCase.toString.split("\\s+", -1)
+    val votes = new Array[Int](32)
+    val md = md5Digest.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(("0:" + toks(i)).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars of the md5 == the top 60 bits of the digest —
+      // identical to conv(substring(md5('0:'||t),1,15),16,10) in hash60
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+      var j = 0
+      while (j < 32) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
   /** Hamming distance between two simhash values (for near-dup banding). */
@@ -80,17 +133,24 @@ object TextAnalysis {
     * no near-dup under the verify threshold can be missed. Candidates are
     * then verified with the exact [[hammingDist32]].
     *
-    * Scale: one simhash projection over the corpus, then a self-join that
-    * shuffles only (band, slice-value, sh, id) rows — 4 rows of a few
-    * dozen bytes per document, never text — and per-bucket width is
-    * corpus/2^8 in expectation per band; the verify runs on candidate
-    * rows only (the 8-byte signatures travel with the band rows, so no
-    * second join back to the corpus — same shape as
-    * [[MinHashLSH.nearDupPairs]] after the r2 verdict fix). A pair whose
-    * slices agree in several bands would be emitted once per band; since
-    * both full signatures ride on the joined row, keeping only the FIRST
-    * agreeing band dedups exactly-once as a stateless per-row filter — no
-    * distinct() exchange over the (quadratic) candidate set.
+    * Scale: the corpus collapses to its DISTINCT signatures first
+    * (`groupBy(sh)` — one shuffle of (8-byte sh, id) rows), and ONLY the
+    * distinct signatures enter the band self-join, with each signature's
+    * id list riding along. A corpus of near-identical documents — the
+    * common case that motivates dedup — therefore joins over a frame
+    * orders of magnitude smaller than the corpus, and identical-signature
+    * clusters (which would otherwise be quadratic hot buckets in the
+    * join) become intra-group pair expansions of the id lists, which is
+    * output-sized work by definition. Hamming is evaluated once per
+    * signature PAIR, not per document pair. A signature pair agreeing in
+    * several bands would be emitted once per band; since both full
+    * signatures ride on the joined row, keeping only the FIRST agreeing
+    * band dedups exactly-once as a stateless per-row filter — no
+    * distinct() exchange. The one degenerate case is a single group
+    * holding most of the corpus (e.g. billions of byte-identical rows):
+    * its id list — and the output itself — is quadratic in that cluster;
+    * cap or exact-dedup such corpora upstream
+    * ([[graft.queries.OpsQueries]] `dedup_exact`) before pairing.
     */
   def simhashNearDup(docs: org.apache.spark.sql.DataFrame,
                      idCol: String, textCol: String,
@@ -98,27 +158,52 @@ object TextAnalysis {
     require(32 % bands == 0, s"bands must divide 32, got $bands")
     val width = 32 / bands
     val mask = (1L << width) - 1
-    def slice(sh: Column, b: Int): Column =
+    def bitSlice(sh: Column, b: Int): Column =
       shiftright(sh, b * width).bitwiseAND(mask)
-    val bandRows = docs
-      .select(col(idCol).cast("long").as("id"),
-        simhash32(col(textCol)).as("sh"))
-      .select(col("id"), col("sh"),
-        explode(array((0 until bands).map(b => struct(
-          lit(b).as("band"), slice(col("sh"), b).as("bval"))): _*))
-          .as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val left = bandRows
-      .select(col("band"), col("bval"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = bandRows
-      .select(col("band"), col("bval"), col("id").as("id_b"), col("sh").as("sh_b"))
+
+    // the only corpus-sized pass: simhash every document, group by the
+    // signature (null signatures — null text — never pair; drop them)
+    val groups = graft.core.Caches.track(
+      docs.select(col(idCol).cast("long").as("id"),
+          simhash32(col(textCol)).as("sh"))
+        .filter(col("sh").isNotNull)
+        .groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
+    // identical signatures: hamming 0, pairs expanded from the sorted list
+    val intra = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
+        lit(0L).as("hamming"))
+
+    // distinct signatures: banded candidate join, exact-hamming verify,
+    // then expand each surviving signature pair to its id cross product
+    val bandRows = groups.select(col("sh"), col("ids"),
+      explode(array((0 until bands).map(b => struct(
+        lit(b).as("band"), bitSlice(col("sh"), b).as("bval"))): _*)).as("bb"))
+      .select(col("sh"), col("ids"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
     val firstAgreeingBand = (0 until bands).foldRight(lit(bands)) { (b, rest) =>
-      when(slice(col("sh_a"), b) === slice(col("sh_b"), b), lit(b)).otherwise(rest)
+      when(bitSlice(col("sh_a"), b) === bitSlice(col("sh_b"), b), lit(b))
+        .otherwise(rest)
     }
-    left.join(right, Seq("band", "bval"))
-      .filter(col("id_a") < col("id_b") && col("band") === firstAgreeingBand)
+    val inter = bandRows
+      .select(col("band"), col("bval"), col("sh").as("sh_a"), col("ids").as("ids_a"))
+      .join(bandRows
+        .select(col("band"), col("bval"), col("sh").as("sh_b"), col("ids").as("ids_b")),
+        Seq("band", "bval"))
+      .filter(col("sh_a") < col("sh_b") && col("band") === firstAgreeingBand)
       .withColumn("hamming", hammingDist32(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"),
+        col("hamming").cast("long").as("hamming"))
+
+    intra.unionByName(inter)
   }
 }

@@ -144,6 +144,36 @@ case class MinHashSignature(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 32-bit text SimHash as a native expression: the composed form
+  * (TextAnalysis.simhash32Spec) folds the token-hash array 32 times per
+  * row with interpreted higher-order functions, which made the signature
+  * projection the dominant cost of simhash near-dup detection; this is
+  * one JVM loop per row (TextAnalysis.simhash32Jvm — one md5 per token,
+  * 32 int votes) callable from whole-stage codegen.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash32 expects STRING, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.ext.TextAnalysis.simhash32Jvm(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ext.TextAnalysis.simhash32Jvm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram shingles of a text column, as a native
   * expression: the composed form (split → sequence → transform →
   * concat_ws → array_distinct) is four interpreted higher-order passes

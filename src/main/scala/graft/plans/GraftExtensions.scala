@@ -41,7 +41,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashSignature(args(0), args(1))),
     ("graft_word_shingles",
       info("graft_word_shingles", "distinct word n-gram shingles of a text column"),
-      (args: Seq[Expression]) => WordShingles(args(0), args(1))))
+      (args: Seq[Expression]) => WordShingles(args(0), args(1))),
+    ("graft_simhash32",
+      info("graft_simhash32", "32-bit SimHash of a text column"),
+      (args: Seq[Expression]) => SimHash32(args.head)))
 
   /** [[register]] at most once per session — the idempotent form library
     * code calls internally (plain register logs a "replaced function"

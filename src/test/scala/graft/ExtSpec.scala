@@ -294,6 +294,16 @@ class ExtSpec extends SparkSpec {
     assert(found.forall { case (a, b) => b != 900L && a != 900L })
   }
 
+  test("native simhash matches the Column-composed specification") {
+    val fixtures = corpus.select($"text")
+      .union(Seq("", "one", "Mixed CASE  tokens", " padded\ttabs \n").toDF("text"))
+    val got = fixtures.select(TextAnalysis.simhash32($"text"))
+      .as[Long].collect().toSeq
+    val spec = fixtures.select(TextAnalysis.simhash32Spec($"text"))
+      .as[Long].collect().toSeq
+    assert(got === spec)
+  }
+
   test("native word shingles match the Column-composed specification") {
     val fixtures = corpus.select($"text")
       .union(Seq("", "one", "one two", "a  b   c", " padded  text ").toDF("text"))
