@@ -210,6 +210,39 @@ object Similarity {
       .select(col("vec_id"), cosine(col("embedding"), col("q_vec")).as("cos"))
   }
 
+  /** k-nearest-neighbor join (ANN graph construction — the input to
+    * graph-based dedup/clustering): every vector's k most cosine-similar
+    * neighbors among the vectors sharing its IVF cell. Emits one row per
+    * (vector, neighbor) with a 1-based rank by (cosine desc, id asc).
+    *
+    * Scale: one broadcast-projection cell assignment over the corpus,
+    * one shuffle on the cell id for the self-join, so the pair work is
+    * sum over cells of |cell|^2 ≈ corpus²/cells — the classic IVF
+    * recall/cost dial (raise `cells` to cut cost; neighbors in other
+    * cells are missed, exactly as in ivfSearch at nprobe=1). The top-k
+    * cut is an aggregate (sorted-list slice), not a rank window: the
+    * shuffle after the join carries k-element lists per vector, and no
+    * per-cell sort materializes the full pair set.
+    */
+  def knnJoin(embeddings: DataFrame, k: Int = 4, cells: Int = 16,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val wc = withCell(embeddings, cells, idCol, vecCol)
+      .select(col("centroid_id"), col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"))
+    wc.select(col("centroid_id"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(wc.select(col("centroid_id"), col("id").as("id_b"), col("v").as("v_b")),
+        Seq("centroid_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"),
+        struct((-cosine(col("v_a"), col("v_b"))).as("nc"), col("id_b").as("nid"))
+          .as("p"))
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(slice(sort_array(collect_list(col("p"))), 1, k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("nn_rank"),
+        col("col.nid").as("nn_id"), round(-col("col.nc"), 4).as("cos4"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (north-star brief: the
     * embedding variant of the dedup family): hyperplane-LSH bucket
     * self-join generates candidates, exact cosine >= minCos verifies.

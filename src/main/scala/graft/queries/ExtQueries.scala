@@ -99,6 +99,11 @@ object ExtQueries {
     Similarity.embedNearDup(plantedVecs(s, d), "id", "v")
       .orderBy("id_a", "id_b")
 
+  /** k-NN join over the embeddings table (IVF cells, k=4). */
+  def annKnnJoinQ(s: SparkSession, d: String): DataFrame =
+    Similarity.knnJoin(t(s, d, "embeddings"))
+      .orderBy("vec_id", "nn_rank")
+
   def rollingFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -203,6 +208,7 @@ object ExtQueries {
     "simhash_text" -> (simhashText(_, _)),
     "simhash_near_dup" -> (simhashNearDupQ(_, _)),
     "embed_near_dup" -> (embedNearDupQ(_, _)),
+    "ann_knn_join" -> (annKnnJoinQ(_, _)),
     "rolling_fingerprint" -> (rollingFingerprint(_, _)),
     "lang_id" -> (langId(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -445,6 +451,19 @@ object ExtQueries {
          |SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
          |FROM cand WHERE $ham <= 3 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "ann_knn_join" ->
+      s"""WITH ${ivfAssignSql(16)},
+         |wc AS (SELECT a.vec_id AS id, e.embedding AS v, a.centroid_id
+         |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+         |p AS (SELECT x.id AS id_a, y.id AS id_b, ${cosSql("x.v", "y.v")} AS cos
+         |  FROM wc x JOIN wc y ON x.centroid_id = y.centroid_id AND x.id <> y.id),
+         |rk AS (SELECT id_a, id_b, cos,
+         |  row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+         |  FROM p)
+         |SELECT CAST(id_a AS BIGINT) AS vec_id, CAST(rn AS BIGINT) AS nn_rank,
+         |  CAST(id_b AS BIGINT) AS nn_id, ROUND(cos, 4) AS cos4
+         |FROM rk WHERE rn <= 4 ORDER BY vec_id, nn_rank""".stripMargin,
 
     "embed_near_dup" ->
       s"""WITH corpus AS ($plantedVecsSql),

@@ -294,6 +294,35 @@ class ExtSpec extends SparkSpec {
     assert(found.forall { case (a, b) => b != 900L && a != 900L })
   }
 
+  test("knn join equals in-cell brute force with deterministic rank order") {
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, (0 until 64).map(j => math.sin((i * 7 + j) * 0.3)).toArray)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.knnJoin(vecs, k = 3, cells = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // brute-force reference over the same cell assignment
+    val cells = Similarity.withCell(vecs, 4)
+      .select($"vec_id".cast("long"), $"centroid_id".cast("long"), $"embedding")
+      .as[(Long, Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCell = cells.groupBy(_._2)
+    cells.foreach { case (id, cell, v) =>
+      val expect = byCell(cell).filter(_._1 != id)
+        .map { case (nid, _, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(3)
+      val g = got.getOrElse(id, Seq.empty)
+      assert(g.map(_._3) === expect.map(_._1), s"neighbor ids for $id")
+      // ranks are contiguous from 1 and cosines agree to the rounding
+      assert(g.map(_._2) === (1L to g.size.toLong))
+      g.map(_._4).zip(expect.map(_._2)).foreach { case (a, e) =>
+        assert(math.abs(a - e) < 5e-4) }
+    }
+  }
+
   test("native simhash matches the Column-composed specification") {
     val fixtures = corpus.select($"text")
       .union(Seq("", "one", "Mixed CASE  tokens", " padded\ttabs \n").toDF("text"))
