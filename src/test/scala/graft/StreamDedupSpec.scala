@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamDedup
+
+case class SDoc(ts: Timestamp, text: String)
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def at(hour: Int, min: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+
+  test("streaming exact dedup keeps first arrival, drops repeats in horizon") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[SDoc]
+    val q = StreamDedup.dedupExactStream(source.toDS().toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: an in-batch duplicate of "alpha"
+    source.addData(SDoc(at(0), "alpha"), SDoc(at(0, 10), "beta"),
+      SDoc(at(0, 20), "alpha"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate (within the horizon) + a new doc
+    source.addData(SDoc(at(0, 30), "alpha"), SDoc(at(0, 40), "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sdedup")
+      .select($"text", $"ts").as[(String, Timestamp)].collect().toSeq
+    assert(rows.map(_._1).sorted === Seq("alpha", "beta", "gamma"))
+    // the SURVIVING alpha is the first arrival
+    assert(rows.filter(_._1 == "alpha").map(_._2) === Seq(at(0)))
+  }
+
+  test("streaming dedup matches the batch first-per-fingerprint result") {
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      SDoc(at(1), "x"), SDoc(at(1, 5), "y"), SDoc(at(1, 10), "x"),
+      SDoc(at(1, 15), "z"), SDoc(at(1, 20), "y"), SDoc(at(1, 25), "w"))
+    val batch = docs.groupBy(_.text).map { case (_, ds) => ds.minBy(_.ts.getTime) }
+      .map(d => (d.text, d.ts)).toSet
+    val source = MemoryStream[SDoc]
+    val q = StreamDedup.dedupExactStream(source.toDS().toDF())
+      .writeStream.format("memory").queryName("sdedup2")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sdedup2")
+      .select($"text", $"ts").as[(String, Timestamp)].collect().toSet
+    assert(streamed === batch)
+  }
+}
