@@ -23,7 +23,8 @@ object Explain {
       "q1_pricing_summary", "j1_reconcile", "dedup_exact", "w1_shift_lead",
       "f6_json_extract", "near_dup_pairs", "embed_cosine", "embed_topk",
       "s10_tracking_upsert", "a4_error_rollup", "w4_batcher",
-      "text_bpe_tokens", "ivf_search_nprobe2")
+      "text_bpe_tokens", "ivf_search_nprobe2",
+      "simhash_near_dup", "embed_near_dup", "ann_knn_join")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
