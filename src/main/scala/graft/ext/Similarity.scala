@@ -47,9 +47,12 @@ object Similarity {
 
   /** LSH bucket id: `bits` hyperplane sign bits packed into a long.
     * 2^bits buckets; cosine-close vectors collide with high probability.
+    * `planeOffset` selects an independent hyperplane family (table t of a
+    * multi-table index uses offset t*bits), so extra tables boost recall.
     */
-  def bucket(v: Column, bits: Int = 6, dims: Int = 64): Column =
-    (0 until bits).map(i => planeBit(v, i, dims) * (1L << i))
+  def bucket(v: Column, bits: Int = 6, dims: Int = 64,
+             planeOffset: Int = 0): Column =
+    (0 until bits).map(i => planeBit(v, planeOffset + i, dims) * (1L << i))
       .reduce(_ + _)
 
   /** Exact cosine of every row against one query vector (brute force).
@@ -250,26 +253,38 @@ object Similarity {
     * most once — no distinct pass. Emits (id_a, id_b, cos4) with
     * id_a < id_b.
     *
-    * Scale: candidate generation shuffles the corpus once on the bucket
-    * id (vectors travel with their bucket row — one 2^bits-way hash
-    * partition, no all-pairs); per-bucket pair count is (n/2^bits)^2 in
-    * expectation, tuned by `bits`. Recall per planted pair is the LSH
-    * collision probability (1 - theta/pi)^bits for angle theta — raise it
-    * with fewer bits or by unioning rotated tables; the exact-cosine
-    * verify keeps precision at 1 regardless.
+    * Scale: candidate generation shuffles the corpus once on the
+    * (table, bucket) key (vectors travel with their bucket rows — one
+    * tables×2^bits-way hash partition, no all-pairs); per-bucket pair
+    * count is (n/2^bits)^2 in expectation, tuned by `bits`. Recall per
+    * planted pair is 1 - (1 - (1 - theta/pi)^bits)^tables for angle
+    * theta — the `tables` dial buys recall at `tables`× candidate cost;
+    * the exact-cosine verify keeps precision at 1 regardless. Each
+    * vector carries its full bucket array, so a pair colliding in
+    * several tables is kept only in the FIRST agreeing table — a
+    * stateless per-row filter, no distinct() over the candidate set
+    * (the same dedup shape as [[TextAnalysis.simhashNearDup]]'s
+    * first-agreeing band).
     */
   def embedNearDup(vecs: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding", minCos: Double = 0.9,
-                   bits: Int = 6, dims: Int = 64): DataFrame = {
-    val withBucket = vecs
+                   bits: Int = 6, dims: Int = 64, tables: Int = 1): DataFrame = {
+    val withBuckets = vecs
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", bucket(col("v"), bits, dims))
-    val left = withBucket
-      .select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val right = withBucket
-      .select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    left.join(right, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .withColumn("bks", array((0 until tables).map(t =>
+        bucket(col("v"), bits, dims, planeOffset = t * bits)): _*))
+    val rows = withBuckets
+      .select(col("id"), col("v"), col("bks"), posexplode(col("bks")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bk")
+    val firstAgreeingTable = (0 until tables).foldRight(lit(tables)) { (t, rest) =>
+      when(col("bks_a").getItem(t) === col("bks_b").getItem(t), lit(t))
+        .otherwise(rest)
+    }
+    rows.select(col("tbl"), col("bk"), col("id").as("id_a"),
+        col("v").as("v_a"), col("bks").as("bks_a"))
+      .join(rows.select(col("tbl"), col("bk"), col("id").as("id_b"),
+        col("v").as("v_b"), col("bks").as("bks_b")), Seq("tbl", "bk"))
+      .filter(col("id_a") < col("id_b") && col("tbl") === firstAgreeingTable)
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos4"))

@@ -99,6 +99,13 @@ object ExtQueries {
     Similarity.embedNearDup(plantedVecs(s, d), "id", "v")
       .orderBy("id_a", "id_b")
 
+  /** Two-table LSH variant: same corpus, recall boosted by a second
+    * independent hyperplane family, first-agreeing-table dedup.
+    */
+  def embedNearDupT2Q(s: SparkSession, d: String): DataFrame =
+    Similarity.embedNearDup(plantedVecs(s, d), "id", "v", tables = 2)
+      .orderBy("id_a", "id_b")
+
   /** k-NN join over the embeddings table (IVF cells, k=4). */
   def annKnnJoinQ(s: SparkSession, d: String): DataFrame =
     Similarity.knnJoin(t(s, d, "embeddings"))
@@ -208,6 +215,7 @@ object ExtQueries {
     "simhash_text" -> (simhashText(_, _)),
     "simhash_near_dup" -> (simhashNearDupQ(_, _)),
     "embed_near_dup" -> (embedNearDupQ(_, _)),
+    "embed_near_dup_t2" -> (embedNearDupT2Q(_, _)),
     "ann_knn_join" -> (annKnnJoinQ(_, _)),
     "rolling_fingerprint" -> (rollingFingerprint(_, _)),
     "lang_id" -> (langId(_, _)),
@@ -345,10 +353,13 @@ object ExtQueries {
     (init +: rounds).mkString(",\n")
   }
 
-  /** DuckDB: hyperplane-LSH bucket of a 64-dim embedding expression. */
-  private def bucketSql(v: String, bits: Int = 6): String =
+  /** DuckDB: hyperplane-LSH bucket of a 64-dim embedding expression
+    * (`off` = plane-family offset; table t of a multi-table index uses
+    * off = t*bits, mirroring Similarity.bucket's planeOffset).
+    */
+  private def bucketSql(v: String, bits: Int = 6, off: Int = 0): String =
     (0 until bits).map { i =>
-      val prods = s"[CAST($v[j + 1] AS DOUBLE) * CAST(((j * 2654435761 + $i * 40503) % 1009 - 504) AS DOUBLE) for j in range(0, 64)]"
+      val prods = s"[CAST($v[j + 1] AS DOUBLE) * CAST(((j * 2654435761 + ${off + i} * 40503) % 1009 - 504) AS DOUBLE) for j in range(0, 64)]"
       s"(CASE WHEN ${dfold(prods)} > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -470,6 +481,20 @@ object ExtQueries {
          |wb AS (SELECT id, v, ${bucketSql("v")} AS bucket FROM corpus),
          |p AS (SELECT x.id AS id_a, y.id AS id_b, ${cosSql("x.v", "y.v")} AS cos
          |  FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.id < y.id)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos4 FROM p WHERE cos >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "embed_near_dup_t2" ->
+      s"""WITH corpus AS ($plantedVecsSql),
+         |wb AS (SELECT id, v,
+         |  [${bucketSql("v")}, ${bucketSql("v", off = 6)}] AS bks FROM corpus),
+         |brows AS (SELECT id, v, bks, t, bks[t + 1] AS bk
+         |  FROM wb, range(2) r(t)),
+         |p AS (SELECT x.id AS id_a, y.id AS id_b, ${cosSql("x.v", "y.v")} AS cos
+         |  FROM brows x JOIN brows y ON x.t = y.t AND x.bk = y.bk
+         |    AND x.id < y.id
+         |  WHERE x.t = (CASE WHEN x.bks[1] = y.bks[1] THEN 0 ELSE
+         |    (CASE WHEN x.bks[2] = y.bks[2] THEN 1 ELSE 2 END) END))
          |SELECT id_a, id_b, ROUND(cos, 4) AS cos4 FROM p WHERE cos >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
 

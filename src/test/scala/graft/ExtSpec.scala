@@ -294,6 +294,26 @@ class ExtSpec extends SparkSpec {
     assert(found.forall { case (a, b) => b != 900L && a != 900L })
   }
 
+  test("multi-table embed near-dup is a duplicate-free superset of one table") {
+    val base = (0 until 16).map { i =>
+      (i.toLong, (0 until 64).map(j =>
+        math.sin((i * 64 + j) * 0.7) + (if (j % 8 == i % 8) 2.0 else 0.0)).toArray)
+    }
+    val near = base.map { case (id, v) =>
+      (id + 100, v.zipWithIndex.map { case (x, j) => x + 0.02 * ((j % 3) - 1) })
+    }
+    val vecs = (base ++ near).toDF("vec_id", "embedding")
+    val one = Similarity.embedNearDup(vecs, minCos = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    val two = Similarity.embedNearDup(vecs, minCos = 0.95, tables = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    // table 0 of the 2-table index is exactly the 1-table index, so every
+    // 1-table pair must re-appear; extra tables only ADD candidates
+    assert(one.toSet.subsetOf(two.toSet))
+    // first-agreeing-table dedup: no pair is emitted twice
+    assert(two.size === two.toSet.size)
+  }
+
   test("knn join equals in-cell brute force with deterministic rank order") {
     val vecs = (0 until 24).map { i =>
       (i.toLong, (0 until 64).map(j => math.sin((i * 7 + j) * 0.3)).toArray)
