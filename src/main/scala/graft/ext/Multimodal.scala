@@ -44,6 +44,28 @@ object Multimodal {
           .when(length(col(blobCol)) % 3 === 1, "png")
           .otherwise("webp").as("format")).as("meta"))
 
+  /** Frame sampling for video-ish blobs: every `stride`-th byte offset
+    * starts a `frameSize`-byte frame, one output row per sampled frame.
+    * Pure Column ops (sequence → posexplode → binary substr): codegen'd,
+    * no UDF, blobs never leave the executors, and the expansion is lazy —
+    * a downstream filter on frame_idx prunes before any slicing runs. A
+    * real video pipeline swaps the byte-window slicing for a keyframe
+    * index lookup; the (media_id, frame_idx, frame) contract stays.
+    *
+    * A blob shorter than `frameSize` yields its single truncated frame
+    * (same closed-world convention as the text shingles).
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int = 16,
+                   stride: Int = 64): DataFrame =
+    media
+      .select(col("media_id"), col("blob"),
+        posexplode(sequence(
+          lit(1L),
+          greatest(length(col("blob")).cast("long") - (frameSize - 1), lit(1L)),
+          lit(stride.toLong))))
+      .select(col("media_id"), col("pos").cast("long").as("frame_idx"),
+        col("blob").substr(col("col").cast("int"), lit(frameSize)).as("frame"))
+
   val featureDim = 8
 
   /** Deterministic fake "decode + feature extract" for one blob: a tiny

@@ -190,6 +190,20 @@ object ExtQueries {
     graft.ext.Components.nearDupKeep(plantedDocs3(s, d), "id", "text", 0.6)
       .select("id").orderBy("id")
 
+  /** Frame sampling over the documents-as-blobs fixture: one row per
+    * sampled frame with the frame's own hash and byte length (the ASCII
+    * fixture makes the byte windows SQL-replayable in text space).
+    */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("media_id"),
+          col("text").cast("binary").as("blob")))
+      .select(col("media_id"), col("frame_idx"),
+        substring(md5(col("frame")), 1, 16).as("frame_hash"),
+        length(col("frame")).cast("long").as("n_frame_bytes"))
+      .orderBy("media_id", "frame_idx")
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.withMeta(
       t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("blob")),
@@ -231,7 +245,8 @@ object ExtQueries {
     "ivf_kmeans_assign" -> (ivfKmeansAssign(_, _)),
     "near_dup_components" -> (nearDupComponents(_, _)),
     "dedup_near_keep" -> (dedupNearKeep(_, _)),
-    "multimodal_meta" -> (multimodalMeta(_, _)))
+    "multimodal_meta" -> (multimodalMeta(_, _)),
+    "multimodal_frames" -> (multimodalFrames(_, _)))
 
   // ------------------------------------------------- oracle SQL builders
 
@@ -613,5 +628,14 @@ object ExtQueries {
         |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'jpeg'
         |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'png'
         |       ELSE 'webp' END AS format
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH offs AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+        |  unnest(range(1, greatest(length(text) - 15, 1) + 1, 64)) AS off
+        |  FROM documents)
+        |SELECT media_id, CAST((off - 1) // 64 AS BIGINT) AS frame_idx,
+        |  substring(md5(substring(text, CAST(off AS INTEGER), 16)), 1, 16) AS frame_hash,
+        |  CAST(length(substring(text, CAST(off AS INTEGER), 16)) AS BIGINT) AS n_frame_bytes
+        |FROM offs ORDER BY media_id, frame_idx""".stripMargin)
 }

@@ -294,6 +294,25 @@ class ExtSpec extends SparkSpec {
     assert(found.forall { case (a, b) => b != 900L && a != 900L })
   }
 
+  test("frame sampling slices the expected byte windows, short blobs kept") {
+    val media = Seq(
+      (1L, ("abcdefgh" * 20).getBytes("UTF-8")),   // 160 bytes
+      (2L, "tiny".getBytes("UTF-8")))              // < frameSize
+      .toDF("media_id", "blob")
+    val frames = Multimodal.sampleFrames(media, frameSize = 16, stride = 64)
+      .select($"media_id", $"frame_idx", $"frame")
+      .as[(Long, Long, Array[Byte])].collect().toSeq
+      .sortBy(f => (f._1, f._2))
+    // blob 1: offsets 1, 65, 129 -> 3 frames; the last is 160-129+1 = 32 > 16 so full
+    val b1 = frames.filter(_._1 == 1L)
+    assert(b1.map(_._2) === Seq(0L, 1L, 2L))
+    assert(b1.forall(_._3.length == 16))
+    assert(new String(b1.head._3, "UTF-8") === "abcdefghabcdefgh")
+    // blob 2 yields its single truncated frame
+    val b2 = frames.filter(_._1 == 2L)
+    assert(b2.map(f => new String(f._3, "UTF-8")) === Seq("tiny"))
+  }
+
   test("multi-table embed near-dup is a duplicate-free superset of one table") {
     val base = (0 until 16).map { i =>
       (i.toLong, (0 until 64).map(j =>
