@@ -29,7 +29,63 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, via the native [[graft.plans.CosineSim]]
+    * expression: the composed form is three interpreted `aggregate` folds
+    * per pair (dot + both norms), which dominated every verify stage of
+    * the ANN family; the expression runs the identical left-to-right
+    * double arithmetic in one JVM loop. [[cosineSpec]] stays as the
+    * SQL-replayable specification pinned by a parity test.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_cosine", a, b)
+  }
+
+  /** The composed-Column specification of [[cosine]]. */
+  def cosineSpec(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** The exact per-row computation of [[graft.plans.CosineSim]]: one pass
+    * accumulating dot(a,b), dot(a,a), dot(b,b) left-to-right in doubles —
+    * each accumulator bit-identical to its composed `aggregate` fold —
+    * then dot / (sqrt * sqrt) in the composed form's operation order.
+    * Unequal lengths yield null, as `zip_with`'s null padding does.
+    */
+  def cosineJvm(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                b: org.apache.spark.sql.catalyst.util.ArrayData,
+                aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+  }
+
+  /** The exact per-row computation of [[graft.plans.L2Sq]] (same contract
+    * as [[cosineJvm]]).
+    */
+  def l2sqJvm(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData,
+              aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
 
   /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
     * an LCG-ish integer formula both Spark and any SQL engine evaluate
@@ -76,8 +132,18 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
 
-  /** Left-to-right squared L2 distance in doubles (SQL-replayable). */
-  def l2sq(a: Column, b: Column): Column =
+  /** Left-to-right squared L2 distance in doubles, via the native
+    * [[graft.plans.L2Sq]] expression ([[l2sqSpec]] is the SQL-replayable
+    * composed form).
+    */
+  def l2sq(a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_l2sq", a, b)
+  }
+
+  /** The composed-Column specification of [[l2sq]]. */
+  def l2sqSpec(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")

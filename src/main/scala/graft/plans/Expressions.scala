@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot scalar functions (SURVEY.md §7
@@ -139,6 +139,86 @@ case class MinHashSignature(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (arr, _) =>
       s"graft.ext.MinHashLSH.signatureJvm($arr, $numHashes)")
 
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared shape of the native vector-math expressions (cosine, squared
+  * L2): two float/double array children, a DOUBLE result, and a boxed
+  * JVM helper whose null return (unequal lengths — matching zip_with's
+  * null padding in the composed specification) becomes SQL null. The
+  * element-type flags are resolved once from the children's types and
+  * baked into the generated code.
+  */
+abstract class VectorMathExpression extends BinaryExpression {
+
+  /** Fully qualified JVM helper, e.g. "graft.ext.Similarity.cosineJvm". */
+  protected def helper: String
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected lazy val aFloat: Boolean = isFloatArray(left.dataType)
+  protected lazy val bFloat: Boolean = isFloatArray(right.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.ArrayType(FloatType | DoubleType, _),
+          org.apache.spark.sql.types.ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<FLOAT|DOUBLE> arguments")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def evalJvm(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalJvm(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("boxed")
+      s"""java.lang.Double $tmp = $helper($a, $b, $aFloat, $bFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+}
+
+/** Cosine similarity of two vectors as a native expression: the composed
+  * form (Similarity.cosineSpec) is three interpreted `aggregate` folds
+  * per pair, which dominated the verify stages of the ANN family; this
+  * runs the identical left-to-right double arithmetic in one JVM loop.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends VectorMathExpression {
+  override protected def helper: String = "graft.ext.Similarity.cosineJvm"
+  override def prettyName: String = "graft_cosine"
+  override protected def evalJvm(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double =
+    graft.ext.Similarity.cosineJvm(a, b, aFloat, bFloat)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance of two vectors as a native expression (the IVF
+  * assignment/search hot loop; composed spec: Similarity.l2sqSpec).
+  */
+case class L2Sq(left: Expression, right: Expression)
+    extends VectorMathExpression {
+  override protected def helper: String = "graft.ext.Similarity.l2sqJvm"
+  override def prettyName: String = "graft_l2sq"
+  override protected def evalJvm(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double =
+    graft.ext.Similarity.l2sqJvm(a, b, aFloat, bFloat)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

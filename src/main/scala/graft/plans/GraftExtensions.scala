@@ -44,7 +44,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => WordShingles(args(0), args(1))),
     ("graft_simhash32",
       info("graft_simhash32", "32-bit SimHash of a text column"),
-      (args: Seq[Expression]) => SimHash32(args.head)))
+      (args: Seq[Expression]) => SimHash32(args.head)),
+    ("graft_cosine",
+      info("graft_cosine", "cosine similarity of two float/double vectors"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("graft_l2sq",
+      info("graft_l2sq", "squared L2 distance of two float/double vectors"),
+      (args: Seq[Expression]) => L2Sq(args(0), args(1))))
 
   /** [[register]] at most once per session — the idempotent form library
     * code calls internally (plain register logs a "replaced function"

@@ -53,7 +53,8 @@ class ExpressionsSpec extends SparkSpec {
     // wires every function name GraftFunctions.register provides
     assert(graft.plans.GraftFunctions.all.map(_._1).toSet ===
       Set("graft_token_count", "graft_is_suspicious", "graft_bpe_token_count",
-        "graft_minhash_sig", "graft_word_shingles", "graft_simhash32"))
+        "graft_minhash_sig", "graft_word_shingles", "graft_simhash32",
+        "graft_cosine", "graft_l2sq"))
     // and the class instantiates cleanly for spark.sql.extensions use
     new graft.plans.GraftExtensions
   }

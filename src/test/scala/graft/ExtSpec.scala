@@ -362,6 +362,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("native cosine and l2sq match the composed specification exactly") {
+    // float vectors (the embeddings shape) and double vectors (derived
+    // corpora) — bit-exact equality, same as the oracle requires
+    val fvecs = (0 until 6).map(i => (i.toLong,
+      (0 until 64).map(j => (math.sin(i * 64 + j) * 3).toFloat).toArray)).toDF("id", "v")
+    val dvecs = (0 until 6).map(i => (i.toLong,
+      (0 until 64).map(j => math.cos(i * 31 + j) * 2).toArray)).toDF("id", "v")
+    Seq(fvecs, dvecs).foreach { vecs =>
+      val pairs = vecs.as("x").join(vecs.as("y"), $"x.id" < $"y.id")
+      val got = pairs.select(
+        Similarity.cosine($"x.v", $"y.v"), Similarity.l2sq($"x.v", $"y.v"))
+        .as[(Double, Double)].collect().toSeq
+      val spec = pairs.select(
+        Similarity.cosineSpec($"x.v", $"y.v"), Similarity.l2sqSpec($"x.v", $"y.v"))
+        .as[(Double, Double)].collect().toSeq
+      assert(got === spec)
+    }
+  }
+
   test("native simhash matches the Column-composed specification") {
     val fixtures = corpus.select($"text")
       .union(Seq("", "one", "Mixed CASE  tokens", " padded\ttabs \n").toDF("text"))
