@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{MinHashLSH, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{MinHashLSH, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions.TextFunctions
 
 /** Oracle-checked queries for the north-star LLM-data-pipeline operators
@@ -190,6 +190,29 @@ object ExtQueries {
     graft.ext.Components.nearDupKeep(plantedDocs3(s, d), "id", "text", 0.6)
       .select("id").orderBy("id")
 
+  /** The canonical splits used by the sampling queries (weights are
+    * normalized by splitByHash; bounds derived via Sampling.splitBounds
+    * on BOTH the query and oracle side so the doubles are identical).
+    */
+  private val canonicalSplits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val stratRates = Seq("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
+
+  /** Deterministic train/val/test assignment of every document. */
+  def sampleSplitQ(s: SparkSession, d: String): DataFrame =
+    Sampling.splitByHash(
+      t(s, d, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", canonicalSplits)
+      .select(col("doc_id"), col("lang"),
+        round(Sampling.hashFraction(col("doc_id")), 6).as("frac6"), col("split"))
+      .orderBy("doc_id")
+
+  /** Stratified (per-language) deterministic downsampling. */
+  def sampleStratifiedQ(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(
+      t(s, d, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", stratRates.toMap, default = 0.1)
+      .orderBy("doc_id")
+
   /** Frame sampling over the documents-as-blobs fixture: one row per
     * sampled frame with the frame's own hash and byte length (the ASCII
     * fixture makes the byte windows SQL-replayable in text space).
@@ -246,7 +269,9 @@ object ExtQueries {
     "near_dup_components" -> (nearDupComponents(_, _)),
     "dedup_near_keep" -> (dedupNearKeep(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)),
-    "multimodal_frames" -> (multimodalFrames(_, _)))
+    "multimodal_frames" -> (multimodalFrames(_, _)),
+    "sample_split" -> (sampleSplitQ(_, _)),
+    "sample_stratified" -> (sampleStratifiedQ(_, _)))
 
   // ------------------------------------------------- oracle SQL builders
 
@@ -629,6 +654,25 @@ object ExtQueries {
         |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'png'
         |       ELSE 'webp' END AS format
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "sample_split" -> {
+      val bounds = Sampling.splitBounds(canonicalSplits)
+      val frac = s"CAST(${h60("'0'", "CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 1152921504606846976.0"
+      s"""WITH f AS (SELECT doc_id, lang, $frac AS frac FROM documents)
+         |SELECT doc_id, lang, ROUND(frac, 6) AS frac6,
+         |  CASE WHEN frac < ${bounds(0)} THEN 'train'
+         |       WHEN frac < ${bounds(1)} THEN 'val' ELSE 'test' END AS split
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_stratified" -> {
+      val rate = stratRates.foldRight("0.1") { case ((cls, r), rest) =>
+        s"(CASE WHEN lang = '$cls' THEN $r ELSE $rest END)"
+      }
+      val frac = s"CAST(${h60("'0'", "CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 1152921504606846976.0"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $frac < $rate ORDER BY doc_id""".stripMargin
+    },
 
     "multimodal_frames" ->
       """WITH offs AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,

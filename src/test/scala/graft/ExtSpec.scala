@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{MinHashLSH, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{MinHashLSH, Multimodal, Sampling, Similarity, TextAnalysis}
 
 class ExtSpec extends SparkSpec {
   import spark.implicits._
@@ -292,6 +292,34 @@ class ExtSpec extends SparkSpec {
     val planted = (0 until 8).map(i => (i.toLong, i + 100L)).toSet
     assert((found intersect planted).size >= 5)
     assert(found.forall { case (a, b) => b != 900L && a != 900L })
+  }
+
+  test("hash sampling and splits are deterministic, exhaustive, stratified") {
+    val rows = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "en" else "xx"))
+      .toDF("id", "cls")
+    // splits: every row gets exactly one label; rerun is identical
+    val split = Sampling.splitByHash(rows, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val labels = split.select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(labels.size === 400)
+    assert(labels.values.toSet.subsetOf(Set("train", "val", "test")))
+    val again = Sampling.splitByHash(rows, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    assert(again === labels)
+    // rough proportions (hash-uniform): train is the large split
+    val byLabel = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel("train") > byLabel.getOrElse("val", 0))
+    assert(byLabel("train") > byLabel.getOrElse("test", 0))
+    // sampling: rate 1 keeps all, rate 0 (via default) drops all of a class
+    val strat = Sampling.stratifiedSample(rows, "id", "cls",
+      Map("en" -> 1.0), default = 0.0)
+      .select($"id", $"cls").as[(Long, String)].collect()
+    assert(strat.forall(_._2 == "en") && strat.length === 200)
+    // plain sample keeps ~rate and is a subset of the full key set
+    val kept = Sampling.hashSample(rows, "id", 0.25)
+      .select($"id").as[Long].collect().toSet
+    assert(kept.size > 50 && kept.size < 150)
   }
 
   test("frame sampling slices the expected byte windows, short blobs kept") {
