@@ -267,6 +267,42 @@ object Similarity {
       .select(col("vec_id"), cosine(col("embedding"), col("q_vec")).as("cos"))
   }
 
+  /** Batched IVF search: top-k cosine neighbors for EVERY query in a
+    * (qid, q_vec) frame at once — the retrieval-workload shape, where
+    * running [[ivfSearch]] per query would rescan the corpus per query.
+    *
+    * Scale: the query batch (typically ≪ corpus) broadcasts twice — once
+    * against the 1-row centroid array to pick each query's `nprobe`
+    * nearest cells as a pure array expression (no shuffle, no window),
+    * then as (qid, q_vec, cell) probe rows into the SINGLE corpus scan,
+    * which carries its cell assignment as a projection. Each corpus row
+    * meets only the queries probing its cell, so the pair work is
+    * corpus × queries × (nprobe/cells); the top-k cut is a sorted-list
+    * slice aggregate keyed by qid, same as [[knnJoin]].
+    */
+  def ivfSearchMany(embeddings: DataFrame, queries: DataFrame, k: Int = 4,
+                    cells: Int = 16, nprobe: Int = 1): DataFrame = {
+    val qCells = queries
+      .join(broadcast(centroidArray(embeddings, cells, "vec_id", "embedding")))
+      .withColumn("probe", slice(transform(array_sort(
+        transform(col("cents"), ce =>
+          struct(l2sq(col("q_vec"), ce.getField("cv")).as("d"),
+            ce.getField("cid").cast("long").as("cid")))),
+        x => x.getField("cid")), 1, nprobe))
+      .select(col("qid"), col("q_vec"), explode(col("probe")).as("centroid_id"))
+    withCell(embeddings, cells)
+      .join(broadcast(qCells), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        struct((-cosine(col("embedding"), col("q_vec"))).as("nc"),
+          col("vec_id").cast("long").as("nid")).as("p"))
+      .groupBy("qid")
+      .agg(slice(sort_array(collect_list(col("p"))), 1, k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("nn_rank"),
+        col("col.nid").as("nn_id"), round(-col("col.nc"), 4).as("cos4"))
+  }
+
   /** Bucket-restricted search: probe only the query's LSH bucket. */
   def bucketedSearch(embeddings: DataFrame, queryId: Long,
                      bits: Int = 6, dims: Int = 64): DataFrame = {

@@ -111,6 +111,15 @@ object ExtQueries {
     Similarity.knnJoin(t(s, d, "embeddings"))
       .orderBy("vec_id", "nn_rank")
 
+  /** Batched IVF search: every 100th vector queries the index, nprobe=2. */
+  def ivfSearchManyQ(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val queries = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").cast("long").as("qid"), col("embedding").as("q_vec"))
+    Similarity.ivfSearchMany(e, queries, k = 3, nprobe = 2)
+      .orderBy("qid", "nn_rank")
+  }
+
   def rollingFingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -254,6 +263,7 @@ object ExtQueries {
     "embed_near_dup" -> (embedNearDupQ(_, _)),
     "embed_near_dup_t2" -> (embedNearDupT2Q(_, _)),
     "ann_knn_join" -> (annKnnJoinQ(_, _)),
+    "ivf_search_many" -> (ivfSearchManyQ(_, _)),
     "rolling_fingerprint" -> (rollingFingerprint(_, _)),
     "lang_id" -> (langId(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -502,6 +512,27 @@ object ExtQueries {
          |SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
          |FROM cand WHERE $ham <= 3 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "ivf_search_many" ->
+      s"""WITH ${ivfAssignSql(16)},
+         |q AS (SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS q_vec
+         |  FROM embeddings WHERE vec_id % 100 = 7),
+         |qc AS (SELECT qid, q_vec, cid,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY ${l2Sql("q_vec", "c.cv")}, cid) AS crn
+         |  FROM q, c),
+         |probe AS (SELECT qid, q_vec, cid AS centroid_id FROM qc WHERE crn <= 2),
+         |pairs AS (SELECT p.qid, e.vec_id,
+         |  ${cosSql("e.embedding", "p.q_vec")} AS cos
+         |  FROM probe p JOIN assign a ON p.centroid_id = a.centroid_id
+         |  JOIN embeddings e ON a.vec_id = e.vec_id
+         |  WHERE e.vec_id <> p.qid),
+         |rk AS (SELECT qid, vec_id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  FROM pairs)
+         |SELECT qid, CAST(rn AS BIGINT) AS nn_rank,
+         |  CAST(vec_id AS BIGINT) AS nn_id, ROUND(cos, 4) AS cos4
+         |FROM rk WHERE rn <= 3 ORDER BY qid, nn_rank""".stripMargin,
 
     "ann_knn_join" ->
       s"""WITH ${ivfAssignSql(16)},

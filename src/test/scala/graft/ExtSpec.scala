@@ -390,6 +390,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("batched IVF search agrees with the single-query search") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 64).map(j => (math.sin((i * 13 + j) * 0.41) * 2).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val qid = 37L
+    val single = Similarity.ivfSearch(vecs, qid, k = 16, nprobe = 1)
+      .select($"vec_id", round($"cos", 4)).as[(Long, Double)].collect().toSet
+    val queries = vecs.filter($"vec_id" === qid)
+      .select($"vec_id".cast("long").as("qid"), $"embedding".as("q_vec"))
+    // k >= corpus: the batched search returns the SAME neighbor set
+    val many = Similarity.ivfSearchMany(vecs, queries, k = 100, nprobe = 1)
+      .select($"nn_id", $"cos4").as[(Long, Double)].collect().toSet
+    assert(many === single)
+    // ranks are contiguous and cosines non-increasing
+    val ranked = Similarity.ivfSearchMany(vecs, queries, k = 5, nprobe = 1)
+      .orderBy("nn_rank").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(ranked.map(_._2) === (1L to ranked.size.toLong))
+    assert(ranked.map(_._4).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
+  }
+
   test("native cosine and l2sq match the composed specification exactly") {
     // float vectors (the embeddings shape) and double vectors (derived
     // corpora) — bit-exact equality, same as the oracle requires
