@@ -1,6 +1,27 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark harness. Prints ONE JSON line and (full runs only) writes it to
+  * BENCH.json.
+  *
+  * Measurement rules (each earned the hard way in earlier rounds):
+  *   - Queries run in sorted-name order, so run order is stable as queries are
+  *     added. A Scala `Map`'s hash order reshuffled every round and parked the
+  *     one-off JVM/Janino warmup on whichever queries happened to come first,
+  *     manufacturing phantom 5-18x regressions.
+  *   - Each query runs twice: an untimed warm pass (JIT + codegen compile),
+  *     then the timed pass. Both numbers are published (`queries` = warm,
+  *     `cold` = first pass) so warmup is visible instead of misattributed.
+  *   - The action is a noop-sink write, not `count()`: count() lets Catalyst
+  *     prune the final projection and drop top-level sorts, so
+  *     projection-heavy queries timed as if they computed nothing.
+  *   - Operator-persisted intermediates are dropped between passes, so the
+  *     timed pass measures the query (warm JIT, cold data), not a cache hit.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -10,24 +31,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup so the first measured query doesn't absorb JVM/codegen
-    // startup (r1's first-query number was ~10x its steady-state cost)
+    // One untimed scan so the very first cold number isn't session startup.
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => }
     // Optional args: run only the named queries (dev loop); full run when empty.
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      (if (args.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.view.filterKeys(args.toSet).toMap)
+        .toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      graft.core.Caches.release() // drop operator-persisted intermediates
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir))
+        catch { case _: Throwable => return -1.0 }
+        finally graft.core.Caches.release()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      val warm = if (cold < 0) cold else once()
+      (name, cold, warm)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jsonMap(f: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + f(r) }
+        .mkString("{", ",", "}")
+    val qs = jsonMap(_._3)
+    val colds = jsonMap(_._2)
+    val total = results.map(_._3).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
     // stdout line may get wrapped in sbt's "[info] " prefix; also write a
     // bare JSON file so parsers never depend on log scraping.
     println(line)

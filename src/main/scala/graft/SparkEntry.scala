@@ -290,7 +290,8 @@ object SparkEntry {
          |${graft.functions.Bpe.oracleCte("documents", "doc_id", "text")},
          |agg AS (SELECT d.doc_id, SUM(t.n) AS n
          |  FROM bpe_doc_tok d JOIN bpe_wtok t USING (w) GROUP BY d.doc_id)
-         |SELECT doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS bpe_tokens
+         |SELECT doc_id, CAST(CASE WHEN text IS NULL THEN NULL
+         |                         ELSE COALESCE(a.n, 0) END AS BIGINT) AS bpe_tokens
          |FROM documents LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin
   )

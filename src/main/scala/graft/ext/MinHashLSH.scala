@@ -153,6 +153,11 @@ object MinHashLSH {
     var j = 0
     val n = shingles.numElements()
     while (j < n) {
+      // null elements are skipped, matching the composed spec: a null
+      // shingle gives a null base hash, and the least(m, null) fold step
+      // in signatureFromHashes keeps the accumulator (ADVICE r3).
+      if (shingles.isNullAt(j)) { j += 1 }
+      else {
       md.reset()
       val d = md.digest(shingles.getUTF8String(j).getBytes)
       // first 7 hex chars of the md5 == the top 28 bits of the digest —
@@ -166,6 +171,7 @@ object MinHashLSH {
         i += 1
       }
       j += 1
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(minima)
   }

@@ -16,6 +16,16 @@ object Skew {
     * partials combine on the key alone. For algebraic aggregates
     * (count/sum/min/max) the result is identical to the direct groupBy;
     * the second shuffle moves only `buckets` rows per key.
+    *
+    * The salt is `monotonically_increasing_id`-based, which is
+    * retry-UNSTABLE: a recomputed partition can deal the same row to a
+    * different salt bucket. That is deliberate — the salt must vary
+    * WITHIN a key (a hash of the key columns is constant per key and
+    * spreads nothing, and fully identical hot rows would collapse a
+    * whole-row hash too), and for the algebraic aggregates this helper
+    * targets the regrouped result is identical whichever bucket a row
+    * lands in. Do not reuse this salt for non-algebraic aggregates
+    * (collect_list, first) where per-bucket composition shows through.
     */
   def saltedCount(df: DataFrame, keyCols: Seq[String],
                   buckets: Int = 16): DataFrame = {

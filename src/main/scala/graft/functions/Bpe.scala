@@ -212,7 +212,7 @@ object Bpe {
        |  FROM (SELECT unnest(regexp_extract_all($textCol, $pretok)) AS tok FROM $table)
        |),
        |enc AS (
-       |  SELECT w, regexp_extract_all(w, '.') AS parts, false AS done FROM words
+       |  SELECT w, regexp_extract_all(w, '(?s).') AS parts, false AS done FROM words
        |  UNION ALL
        |  SELECT w,
        |    CASE WHEN struct_extract(b, 'r') >= 2000000000 THEN parts

@@ -32,10 +32,16 @@ object TrainBpe {
     import spark.implicits._
 
     try {
+      // Pre-tokens containing newlines (whitespace-run pieces like "\n\n")
+      // are excluded from training: a merge over such a symbol would
+      // corrupt the newline-delimited `left right` merges format that
+      // Bpe.defaultMerges parses back (ADVICE r3). Untrained pieces still
+      // encode fine — they just never merge past characters.
       val pieceFreq: Map[String, Long] =
         spark.read.parquet(s"$sfDir/documents.parquet")
           .select("text").as[String]
           .flatMap(Bpe.preTokenize)
+          .filter(p => !p.exists(c => c == '\n' || c == '\r'))
           .groupByKey(identity).count()
           .collect().toMap
       val merges = Bpe.train(pieceFreq, numMerges)
