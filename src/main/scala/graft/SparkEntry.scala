@@ -23,15 +23,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     pipelineE2E(spark, "/root/testdata/sf0.001")
 
-  /** End-to-end engine pass over the documents table (rows-only check:
-    * the reconcile join guarantees exactly one output row per input row).
+  /** End-to-end engine pass over the documents table WITH fault
+    * injection, fully hash-checked (VERDICT r3 "Next round" #3): pos is
+    * window-derived and the batcher runs single-partition so batch
+    * composition — which the faults depend on — is the sequential
+    * reference packing the oracle's recursive CTE replays; the mock's
+    * fault routing is a portable md5-derived mode, so the DuckDB oracle
+    * derives per-entry outcomes (dropped first key, truncation cut
+    * position, clean recovery) with modular arithmetic. The parallel
+    * batcher path stays exercised by `e2e_clean` (boundary-insensitive
+    * output) and the batching specs.
     */
   def pipelineE2E(s: SparkSession, d: String): DataFrame = {
     val input = t(s, d, "documents")
-      .select(col("doc_id").cast("string").as("description_id"),
+      .select(
+        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("pos"),
+        col("doc_id").cast("string").as("description_id"),
         col("text").as("english_sentence"))
-    val r = Pipeline.run(graft.sources.CsvIO.withPos(input),
-      new graft.translate.MockTranslator(injectFaults = true), budget = 3000)
+    val r = Pipeline.run(input,
+      new graft.translate.MockTranslator(injectFaults = true), budget = 3000,
+      numPartitions = 1)
     r.output
   }
 
@@ -193,6 +204,54 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     graft.queries.OpsQueries.oracleSql ++ graft.queries.ExtQueries.oracleSql ++ Map(
+    // Full replay of the FAULT-INJECTING pipeline: the w4 recursive-CTE
+    // walk rebuilds the sequential batch packing, each batch's fault mode
+    // is the portable md5 hash mod 10 (MockTranslator's routing), and the
+    // per-entry outcome reduces to arithmetic over the batch's JSON
+    // geometry: mode 2 drops the batch's first entry; mode 0 truncates the
+    // response at greatest(12, floor(0.6*len)) chars, and the brace-repair
+    // path (F9) recovers exactly the entries whose complete `"id":"tr"`
+    // pair lies inside the cut — pair_end is that pair's closing-quote
+    // position inside to_json's `{"k":"v","k2":"v2"}` layout. Modes 1/4
+    // (fence, line fallback) and 3 (ghost extra) recover every entry.
+    "pipeline_e2e" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id AS VARCHAR) AS description_id,
+         |    text AS english_sentence,
+         |    upper(array_to_string(list_reverse(string_split(text, ' ')), ' ')) AS tr,
+         |    CAST(CEIL(CEIL(LENGTH(text) / 4.0) * 2.8) + 1 AS BIGINT) AS cost,
+         |    row_number() OVER (ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |walk(rn, batch, running) AS (
+         |  SELECT 1, CAST(0 AS BIGINT), ${math.ceil(Pipeline.DefaultSystemPrompt.length / 4.0).toLong} + cost FROM base WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.rn,
+         |    CASE WHEN w.running + b.cost > 3000 THEN w.batch + 1 ELSE w.batch END,
+         |    CASE WHEN w.running + b.cost > 3000 THEN ${math.ceil(Pipeline.DefaultSystemPrompt.length / 4.0).toLong} + b.cost
+         |         ELSE w.running + b.cost END
+         |  FROM walk w JOIN base b ON b.rn = w.rn + 1),
+         |asg AS (
+         |  SELECT b.rn, b.description_id, b.english_sentence, b.tr, w.batch,
+         |    printf('batch-%04d', w.batch + 1) AS custom_id,
+         |    row_number() OVER (PARTITION BY w.batch ORDER BY b.rn) AS r,
+         |    1 + SUM(LENGTH(b.description_id) + LENGTH(b.tr) + 6)
+         |          OVER (PARTITION BY w.batch ORDER BY b.rn ROWS UNBOUNDED PRECEDING)
+         |      + row_number() OVER (PARTITION BY w.batch ORDER BY b.rn) - 1 AS pair_end
+         |  FROM base b JOIN walk w ON b.rn = w.rn),
+         |bat AS (
+         |  SELECT batch,
+         |    ('0x' || substring(md5(custom_id), 1, 15))::BIGINT % 10 AS mode,
+         |    2 + SUM(LENGTH(description_id) + LENGTH(tr) + 6) + COUNT(*) - 1 AS json_len
+         |  FROM asg GROUP BY batch, custom_id)
+         |SELECT CAST(a.rn - 1 AS BIGINT) AS pos, a.description_id, a.english_sentence,
+         |  CASE WHEN (t.mode = 0 AND a.pair_end >
+         |               GREATEST(12, CAST(floor(t.json_len * 0.6) AS BIGINT)))
+         |         OR (t.mode = 2 AND a.r = 1)
+         |       THEN '[TRANSLATION_FAILED]' ELSE a.tr END AS translated_sentence
+         |FROM asg a JOIN bat t USING (batch)
+         |ORDER BY pos""".stripMargin,
+
     "e2e_clean" ->
       """SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos,
         |  CAST(doc_id AS VARCHAR) AS description_id,

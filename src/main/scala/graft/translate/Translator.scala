@@ -23,8 +23,11 @@ trait Translator {
   * reversed and uppercased — deterministic, unicode-safe, and visibly
   * distinct from the input.
   *
-  * Fault routing is keyed on xxhash64(custom_id) so a given batch always
-  * gets the same pathology:
+  * Fault routing is keyed on the portable 60-bit md5 hash of custom_id
+  * (the same `conv(substring(md5(x),1,15),16,10)` construction the oracle
+  * fixtures use) so a given batch always gets the same pathology AND any
+  * SQL engine can replay the routing exactly — the `pipeline_e2e` oracle
+  * derives each batch's fault mode from this hash:
   *   0 → truncated JSON (repair path, auto_translate.py:725-793)
   *   1 → markdown-fenced JSON (fence cleanup, auto_translate.py:410-440)
   *   2 → one id dropped (missing path, auto_translate.py:977-992)
@@ -48,7 +51,9 @@ class MockTranslator(injectFaults: Boolean = false) extends Translator {
 
     val cleanJson = to_json(translatedMap)
     val mode =
-      if (injectFaults) pmod(xxhash64(col("custom_id")), lit(10))
+      if (injectFaults)
+        pmod(conv(substring(md5(col("custom_id")), 1, 15), 16, 10).cast("long"),
+          lit(10L))
       else lit(-1)
 
     val firstKey = element_at(map_keys(col("m")), 1)
