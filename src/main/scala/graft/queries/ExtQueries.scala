@@ -112,11 +112,23 @@ object ExtQueries {
       .orderBy("vec_id", "nn_rank")
 
   /** Batched IVF search: every 100th vector queries the index, nprobe=2. */
-  def ivfSearchManyQ(s: SparkSession, d: String): DataFrame = {
+  def ivfSearchManyQ(s: SparkSession, d: String): DataFrame =
+    ivfSearchManyAt(s, d, nprobe = 2)
+
+  /** The same batch at nprobe=1 — paired with `ivf_search_many` so the
+    * batched path's recall/cost dial is pinned by BOTH oracle rows (the
+    * np1 result is the np2 result minus the neighbors living outside each
+    * query's nearest cell), and by the planted-neighbor recall spec in
+    * ExtSpec (VERDICT r3 "Next round" #6).
+    */
+  def ivfSearchManyNp1Q(s: SparkSession, d: String): DataFrame =
+    ivfSearchManyAt(s, d, nprobe = 1)
+
+  private def ivfSearchManyAt(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = t(s, d, "embeddings")
     val queries = e.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").cast("long").as("qid"), col("embedding").as("q_vec"))
-    Similarity.ivfSearchMany(e, queries, k = 3, nprobe = 2)
+    Similarity.ivfSearchMany(e, queries, k = 3, nprobe = nprobe)
       .orderBy("qid", "nn_rank")
   }
 
@@ -264,6 +276,7 @@ object ExtQueries {
     "embed_near_dup_t2" -> (embedNearDupT2Q(_, _)),
     "ann_knn_join" -> (annKnnJoinQ(_, _)),
     "ivf_search_many" -> (ivfSearchManyQ(_, _)),
+    "ivf_search_many_np1" -> (ivfSearchManyNp1Q(_, _)),
     "rolling_fingerprint" -> (rollingFingerprint(_, _)),
     "lang_id" -> (langId(_, _)),
     "text_quality" -> (textQuality(_, _)),
@@ -366,6 +379,30 @@ object ExtQueries {
   /** DuckDB: left-to-right squared L2 of two 64-dim list exprs. */
   private def l2Sql(a: String, b: String): String =
     dfold(s"[(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) for i in range(1, 65)]")
+
+  /** DuckDB replay of [[Similarity.ivfSearchMany]] at a given nprobe —
+    * shared by the `ivf_search_many` / `ivf_search_many_np1` dial pair.
+    */
+  private def ivfSearchManySql(nprobe: Int): String =
+    s"""WITH ${ivfAssignSql(16)},
+       |q AS (SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id % 100 = 7),
+       |qc AS (SELECT qid, q_vec, cid,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY ${l2Sql("q_vec", "c.cv")}, cid) AS crn
+       |  FROM q, c),
+       |probe AS (SELECT qid, q_vec, cid AS centroid_id FROM qc WHERE crn <= $nprobe),
+       |pairs AS (SELECT p.qid, e.vec_id,
+       |  ${cosSql("e.embedding", "p.q_vec")} AS cos
+       |  FROM probe p JOIN assign a ON p.centroid_id = a.centroid_id
+       |  JOIN embeddings e ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id <> p.qid),
+       |rk AS (SELECT qid, vec_id, cos,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM pairs)
+       |SELECT qid, CAST(rn AS BIGINT) AS nn_rank,
+       |  CAST(vec_id AS BIGINT) AS nn_id, ROUND(cos, 4) AS cos4
+       |FROM rk WHERE rn <= 3 ORDER BY qid, nn_rank""".stripMargin
 
   /** DuckDB: the IVF assignment CTE chain (centroids = vec_id < k). */
   private def ivfAssignSql(k: Int = 16): String =
@@ -513,26 +550,8 @@ object ExtQueries {
          |FROM cand WHERE $ham <= 3 ORDER BY id_a, id_b""".stripMargin
     },
 
-    "ivf_search_many" ->
-      s"""WITH ${ivfAssignSql(16)},
-         |q AS (SELECT CAST(vec_id AS BIGINT) AS qid, embedding AS q_vec
-         |  FROM embeddings WHERE vec_id % 100 = 7),
-         |qc AS (SELECT qid, q_vec, cid,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY ${l2Sql("q_vec", "c.cv")}, cid) AS crn
-         |  FROM q, c),
-         |probe AS (SELECT qid, q_vec, cid AS centroid_id FROM qc WHERE crn <= 2),
-         |pairs AS (SELECT p.qid, e.vec_id,
-         |  ${cosSql("e.embedding", "p.q_vec")} AS cos
-         |  FROM probe p JOIN assign a ON p.centroid_id = a.centroid_id
-         |  JOIN embeddings e ON a.vec_id = e.vec_id
-         |  WHERE e.vec_id <> p.qid),
-         |rk AS (SELECT qid, vec_id, cos,
-         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-         |  FROM pairs)
-         |SELECT qid, CAST(rn AS BIGINT) AS nn_rank,
-         |  CAST(vec_id AS BIGINT) AS nn_id, ROUND(cos, 4) AS cos4
-         |FROM rk WHERE rn <= 3 ORDER BY qid, nn_rank""".stripMargin,
+    "ivf_search_many" -> ivfSearchManySql(nprobe = 2),
+    "ivf_search_many_np1" -> ivfSearchManySql(nprobe = 1),
 
     "ann_knn_join" ->
       s"""WITH ${ivfAssignSql(16)},

@@ -230,6 +230,41 @@ class ExtSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("ivfSearchMany nprobe dial: planted cross-cell neighbor needs nprobe=2") {
+    // centroids = first 2 vectors: c0=(1,0), c1=(0,1). The query (0.8,0.6)
+    // sits in c0's cell, but its TRUE nearest neighbor id=2 (0.6,0.8) is
+    // assigned to c1 — invisible at nprobe=1, recovered at nprobe=2.
+    val e = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.6f, 0.8f)), (3L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(0.8f, 0.6f))).toDF("qid", "q_vec")
+    def top1(nprobe: Int): Long =
+      graft.ext.Similarity.ivfSearchMany(e, q, k = 1, cells = 2, nprobe = nprobe)
+        .filter($"nn_rank" === 1).select("nn_id").as[Long].head()
+    assert(top1(1) === 3L, "nprobe=1 sees only the query's own cell")
+    assert(top1(2) === 2L, "nprobe=2 recovers the planted cross-cell neighbor")
+  }
+
+  test("components of a 1000-node chain converge in O(log n) rounds") {
+    // worst case for plain label propagation (diameter 999 → 999 rounds);
+    // pointer jumping must close it in ~log2(1000) rounds
+    val edges = spark.range(999).select($"id".as("a"), ($"id" + 1).as("b"))
+    val (labels, rounds) =
+      graft.ext.Components.componentsWithRounds(edges, maxIters = 15)
+    assert(rounds <= 10, s"chain took $rounds rounds; pointer jumping broken?")
+    val reps = labels.select("rep").distinct().as[Long].collect()
+    assert(reps.toSeq === Seq(0L), "every node must label to the chain minimum")
+    assert(labels.count() === 1000)
+  }
+
+  test("components throws instead of returning split labels at the cap") {
+    val edges = spark.range(99).select($"id".as("a"), ($"id" + 1).as("b"))
+    intercept[IllegalStateException] {
+      graft.ext.Components.componentsWithRounds(edges, maxIters = 2)
+    }
+  }
+
   test("nearDupKeep keeps one representative per near-dup cluster") {
     val dup = corpus.filter($"id" < 100)
       .select(($"id" + 500).as("id"), $"text") // exact copies of the 4 base docs
