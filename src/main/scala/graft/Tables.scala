@@ -31,6 +31,21 @@ object Tables {
     else df
   }
 
+  /** Rebalance a SMALL scan to the session's parallelism before CPU-heavy
+    * per-row work (shingling, hashing, signatures). A tiny parquet file is
+    * one row group, so Spark's split logic gives it ONE input partition no
+    * matter how many cores the session has — and a per-row-expensive
+    * projection then runs single-threaded. The repartition is conditional:
+    * at production scale the scan already has >= parallelism splits and
+    * this is the identity (no shuffle is ever added to a big input); on a
+    * small input the round-robin exchange moves only the small input once
+    * and buys full-core parallelism for everything downstream.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

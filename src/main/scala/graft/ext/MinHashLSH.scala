@@ -24,11 +24,47 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** Distinct character k-shingles of a text column. */
-  def shingles(text: Column, k: Int = 5): Column =
+  /** Distinct character k-shingles of a text column.
+    *
+    * Runs as the native [[graft.plans.CharShingles]] expression (one JVM
+    * loop per row): the composed form below materializes an interpreted
+    * `transform` element per CHARACTER of text — ~7× more elements than
+    * word shingles — which made `ngram_jaccard` (two shingle sides per
+    * row) the slowest query of the whole bench. [[shinglesSpec]] stays as
+    * the SQL-replayable specification, pinned by a parity test.
+    */
+  def shingles(text: Column, k: Int = 5): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_char_shingles", text, lit(k))
+  }
+
+  /** The composed-Column specification of [[shingles]]. */
+  def shinglesSpec(text: Column, k: Int = 5): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
+
+  /** The exact per-row computation of [[graft.plans.CharShingles]]:
+    * every k-character window at positions 1..max(len−k+1, 1) (SQL
+    * substr semantics, so texts shorter than k yield their single
+    * truncated window and "" yields [""]), first-occurrence-distinct —
+    * identical to the composed form.
+    */
+  def charShinglesJvm(text: org.apache.spark.unsafe.types.UTF8String,
+                      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = text.numChars()
+    val m = math.max(len - k + 1, 1)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < m) {
+      // substringSQL is 1-based and clamps at the end — exactly substr(i, k)
+      seen.add(text.substringSQL(i + 1, k))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(Array.empty[AnyRef]))
+  }
 
   /** Distinct word n-gram shingles. For word-based text these are ~7×
     * fewer per document than character shingles at equal-or-better

@@ -254,6 +254,46 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct character k-shingles of a text column, as a native
+  * expression: the composed form (sequence → transform(substr) →
+  * array_distinct) evaluates one interpreted transform element per
+  * CHARACTER of text, which made the exact-Jaccard and signature
+  * queries the bench's slowest; this is one JVM loop
+  * (MinHashLSH.charShinglesJvm) callable from whole-stage codegen, with
+  * the composed form retained as the SQL-replayable specification
+  * (MinHashLSH.shinglesSpec). `k` must be a foldable integer.
+  */
+case class CharShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private lazy val k: Int = right.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_char_shingles k must be a foldable integer, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case StringType if right.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_char_shingles expects (STRING, foldable INT)")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_shingles"
+
+  override def nullSafeEval(text: Any, kk: Any): Any =
+    graft.ext.MinHashLSH.charShinglesJvm(text.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, _) =>
+      s"graft.ext.MinHashLSH.charShinglesJvm($t, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct word n-gram shingles of a text column, as a native
   * expression: the composed form (split → sequence → transform →
   * concat_ws → array_distinct) is four interpreted higher-order passes

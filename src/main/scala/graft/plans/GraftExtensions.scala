@@ -39,6 +39,9 @@ object GraftFunctions {
     ("graft_minhash_sig",
       info("graft_minhash_sig", "MinHash signature of a shingle array (numHashes minima)"),
       (args: Seq[Expression]) => MinHashSignature(args(0), args(1))),
+    ("graft_char_shingles",
+      info("graft_char_shingles", "distinct character k-shingles of a text column"),
+      (args: Seq[Expression]) => CharShingles(args(0), args(1))),
     ("graft_word_shingles",
       info("graft_word_shingles", "distinct word n-gram shingles of a text column"),
       (args: Seq[Expression]) => WordShingles(args(0), args(1))),

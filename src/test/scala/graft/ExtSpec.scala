@@ -474,6 +474,16 @@ class ExtSpec extends SparkSpec {
     assert(got === spec)
   }
 
+  test("native char shingles match the Column-composed specification") {
+    val fixtures = corpus.select($"text")
+      .union(Seq("", "abc", "abcde", "abcdefgh", " sp  aces ").toDF("text"))
+    val got = fixtures.select(MinHashLSH.shingles($"text", 5))
+      .as[Seq[String]].collect().toSeq
+    val spec = fixtures.select(MinHashLSH.shinglesSpec($"text", 5))
+      .as[Seq[String]].collect().toSeq
+    assert(got === spec)
+  }
+
   test("native word shingles match the Column-composed specification") {
     val fixtures = corpus.select($"text")
       .union(Seq("", "one", "one two", "a  b   c", " padded  text ").toDF("text"))
