@@ -19,7 +19,7 @@ object Tables {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by default;
     // read nanos as long and normalize below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spread(spark.read.parquet(s"$sfDir/$name.parquet"))
     if (name == "events")
       // `ts_ns` keeps exact nanosecond epoch (safe for ordering/compares
       // against a ns-native oracle); `ts` is the usable micros timestamp.
@@ -33,17 +33,33 @@ object Tables {
 
   /** Rebalance a SMALL scan to the session's parallelism before CPU-heavy
     * per-row work (shingling, hashing, signatures). A tiny parquet file is
-    * one row group, so Spark's split logic gives it ONE input partition no
-    * matter how many cores the session has — and a per-row-expensive
-    * projection then runs single-threaded. The repartition is conditional:
-    * at production scale the scan already has >= parallelism splits and
-    * this is the identity (no shuffle is ever added to a big input); on a
-    * small input the round-robin exchange moves only the small input once
-    * and buys full-core parallelism for everything downstream.
+    * typically one row group, so only the split containing the row-group
+    * start does any work — a per-row-expensive projection then runs
+    * single-threaded no matter how many cores the session has.
+    *
+    * The repartition is conditional on PLAN-TIME stats (logical-plan
+    * `sizeInBytes`, i.e. the relation's file size — no physical planning,
+    * no job, unlike `df.rdd.getNumPartitions`): inputs under the threshold
+    * (default 128 MiB = the default `spark.sql.files.maxPartitionBytes`,
+    * the size below which the scan cannot produce even one full split) get
+    * a round-robin
+    * exchange that moves only the small input once and buys full-core
+    * parallelism for everything downstream. At production scale relations
+    * are orders of magnitude over the threshold and this is the identity —
+    * no shuffle is ever added to a big input (pinned by TablesSpec).
+    * Filters and column pruning still push through the exchange to the
+    * scan, so the plan stays pushdown-clean either way.
+    *
+    * Tunable via `graft.spread.threshold` (bytes; 0 disables).
     */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val threshold = spark.conf.getOption("graft.spread.threshold")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < threshold)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -274,9 +274,15 @@ case class CharShingles(left: Expression, right: Expression)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case StringType if right.foldable => TypeCheckResult.TypeCheckSuccess
+    // require an integral, non-null k at ANALYSIS time: a merely-foldable
+    // k (lit("5"), lit(null)) would otherwise pass here and blow up later
+    // in eval/codegen (ADVICE r5)
+    case StringType if right.foldable &&
+        (right.dataType == IntegerType || right.dataType == LongType) &&
+        right.eval(null) != null =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_char_shingles expects (STRING, foldable INT)")
+      "graft_char_shingles expects (STRING, foldable non-null INT)")
   }
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
@@ -312,9 +318,13 @@ case class WordShingles(left: Expression, right: Expression)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case StringType if right.foldable => TypeCheckResult.TypeCheckSuccess
+    // analysis-time integral/non-null check, same rationale as CharShingles
+    case StringType if right.foldable &&
+        (right.dataType == IntegerType || right.dataType == LongType) &&
+        right.eval(null) != null =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_word_shingles expects (STRING, foldable INT)")
+      "graft_word_shingles expects (STRING, foldable non-null INT)")
   }
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)

