@@ -9,9 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     added. A Scala `Map`'s hash order reshuffled every round and parked the
   *     one-off JVM/Janino warmup on whichever queries happened to come first,
   *     manufacturing phantom 5-18x regressions.
-  *   - Each query runs twice: an untimed warm pass (JIT + codegen compile),
-  *     then the timed pass. Both numbers are published (`queries` = warm,
-  *     `cold` = first pass) so warmup is visible instead of misattributed.
+  *   - Each query runs four times: a first pass (JIT + codegen compile,
+  *     published as `cold`), then three timed passes whose MEDIAN is
+  *     published as `queries`. A single warm sample proved untrustworthy
+  *     (round 5 recorded a warm pass 16x its own cold pass — a GC/compiler
+  *     hiccup, not the query); the median of three absorbs one outlier.
   *   - The action is a noop-sink write, not `count()`: count() lets Catalyst
   *     prune the final projection and drop top-level sorts, so
   *     projection-heavy queries timed as if they computed nothing.
@@ -48,7 +50,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
-      val warm = if (cold < 0) cold else once()
+      val warm =
+        if (cold < 0) cold
+        else {
+          val samples = Seq.fill(3)(once())
+          if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1)
+        }
       (name, cold, warm)
     }
     def jsonMap(f: ((String, Double, Double)) => Double): String =

@@ -58,7 +58,12 @@ object MinHashLSH {
     val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
     var i = 0
     while (i < m) {
-      // substringSQL is 1-based and clamps at the end — exactly substr(i, k)
+      // substringSQL is 1-based and clamps at the end — exactly substr(i, k).
+      // Each window SHARES the input UTF8String's backing buffer (no copy —
+      // that's most of this loop's speed vs the composed form). Safe under
+      // Spark's contract that consumers copy into UnsafeRow before the
+      // source row is recycled; a consumer holding the array across rows
+      // without copying would need .clone() per window here.
       seen.add(text.substringSQL(i + 1, k))
       i += 1
     }

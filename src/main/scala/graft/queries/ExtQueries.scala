@@ -77,6 +77,23 @@ object ExtQueries {
     TextAnalysis.simhashNearDup(plantedDocs(s, d), "id", "text")
       .orderBy("id_a", "id_b")
 
+  /** Batch replay of the streaming near-dup probe
+    * ([[graft.streaming.StreamNearDup]]): index = documents, probes = the
+    * drop-8 mutations (doc_id + 100000) — the exact code path the stream
+    * runs per microbatch, applied to a batch frame so DuckDB can replay
+    * it.
+    */
+  def streamNearDupReplay(s: SparkSession, d: String): DataFrame = {
+    val corpus = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val probes = t(s, d, "documents")
+      .select((col("doc_id") + 100000).cast("long").as("id"),
+        expr("substring(text, 1, length(text) - 8)").as("text"))
+    val idx = graft.streaming.StreamNearDup.buildIndex(corpus, "id", "text")
+    graft.streaming.StreamNearDup.probe(probes, idx, "id", "text")
+      .orderBy("probe_id", "corpus_id")
+  }
+
   /** embeddings ∪ deterministically perturbed copies — the planted
     * near-dup vector corpus: component j of the copy of vec_id v gets
     * +0.01*((j%3)-1), a nudge of norm ~0.065 against the unit-normalized
@@ -272,6 +289,7 @@ object ExtQueries {
     "ngram_jaccard" -> (ngramJaccard(_, _)),
     "simhash_text" -> (simhashText(_, _)),
     "simhash_near_dup" -> (simhashNearDupQ(_, _)),
+    "stream_near_dup_replay" -> (streamNearDupReplay(_, _)),
     "embed_near_dup" -> (embedNearDupQ(_, _)),
     "embed_near_dup_t2" -> (embedNearDupT2Q(_, _)),
     "ann_knn_join" -> (annKnnJoinQ(_, _)),
@@ -548,6 +566,32 @@ object ExtQueries {
          |    AND x.id < y.id WHERE x.b = $firstBand)
          |SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
          |FROM cand WHERE $ham <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "stream_near_dup_replay" -> {
+      val ham = (0 until 32)
+        .map(j => s"((xor(sh_p, sh_c) >> $j) & 1)").mkString("(", " + ", ")")
+      def slice(sh: String, b: Int) = s"(($sh >> ${8 * b}) & 255)"
+      val firstBand = (0 until 4).foldRight("4") { (b, rest) =>
+        s"(CASE WHEN ${slice("sh_p", b)} = ${slice("sh_c", b)} THEN $b ELSE $rest END)"
+      }
+      def shCtes(pfx: String, src: String) =
+        s"""${pfx}hs AS (SELECT id,
+           |  list_transform($wordsSql, t -> ${h60("'0'", "t")}) AS hs FROM $src),
+           |${pfx}sh AS (SELECT id, CAST($simhashBitsSql AS BIGINT) AS sh FROM ${pfx}hs),
+           |${pfx}b AS (SELECT id, sh, b, (sh >> CAST(8 * b AS INTEGER)) & 255 AS bval
+           |  FROM ${pfx}sh, range(4) r(b))""".stripMargin
+      s"""WITH corpus AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+         |probe AS (SELECT CAST(doc_id + 100000 AS BIGINT) AS id,
+         |  substring(text, 1, length(text) - 8) AS text FROM documents),
+         |${shCtes("c", "corpus")},
+         |${shCtes("p", "probe")},
+         |cand AS (SELECT p.id AS probe_id, c.id AS corpus_id,
+         |    p.sh AS sh_p, c.sh AS sh_c
+         |  FROM pb p JOIN cb c ON p.b = c.b AND p.bval = c.bval
+         |  WHERE p.b = $firstBand)
+         |SELECT probe_id, corpus_id, CAST($ham AS BIGINT) AS hamming
+         |FROM cand WHERE $ham <= 3 ORDER BY probe_id, corpus_id""".stripMargin
     },
 
     "ivf_search_many" -> ivfSearchManySql(nprobe = 2),

@@ -111,7 +111,19 @@ object OpsQueries {
     * doc_id parity) — the shared fixture for the S5 dir scan and the T3
     * folder pipeline.
     */
-  private def writeDocFolder(s: SparkSession, d: String, root: String): Unit = {
+  // Fixture construction is setup, not query (VERDICT r6 #4, same rule as
+  // j7Fixture below): build each CSV folder once per (session, sfDir) so
+  // the timed body of s5/t3 measures the scan/pipeline, not fixture I/O.
+  private val docFolderBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def writeDocFolder(s: SparkSession, d: String, root: String): Unit =
+    synchronized {
+      if (docFolderBuilt.get(root).contains(d)) return
+      writeDocFolderUncached(s, d, root)
+      docFolderBuilt(root) = d
+    }
+
+  private def writeDocFolderUncached(s: SparkSession, d: String, root: String): Unit = {
     cleanDir(root)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)

@@ -48,6 +48,27 @@ class ExpressionsSpec extends SparkSpec {
     assert(repaired === """{"a": "good value here"}""")
   }
 
+  test("shingle k argument is type-checked at analysis time, not eval time") {
+    GraftFunctions.register(spark)
+    // a merely-foldable non-integral k (string literal, NULL) must fail
+    // ANALYSIS, not blow up later inside eval/codegen (ADVICE r6)
+    Seq("graft_char_shingles('abcdef', '5')",
+        "graft_char_shingles('abcdef', NULL)",
+        "graft_word_shingles('a b c', '2')",
+        "graft_word_shingles('a b c', NULL)").foreach { bad =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $bad").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("foldable non-null int"),
+        s"$bad: wrong error: ${e.getMessage}")
+    }
+    // integral k still works, INT or LONG
+    assert(spark.sql("SELECT size(graft_char_shingles('abcdef', 5))")
+      .as[Int].head() === 2)
+    assert(spark.sql("SELECT size(graft_char_shingles('abcdef', CAST(5 AS BIGINT)))")
+      .as[Int].head() === 2)
+  }
+
   test("extensions class injects the same functions at builder time") {
     // derive the expected set from the registry itself (single source of
     // truth — a hard-coded name list here desynced in r5 when

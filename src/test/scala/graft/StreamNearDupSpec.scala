@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamNearDup
+
+class StreamNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Word-rich texts so the 32-bit simhash has signal; `mut` drops one
+  // trailing word — a hamming-small mutation, not a guarantee, so the
+  // fixture asserts against the BATCH probe (same code path), plus the
+  // planted pairs that banding provably catches (exact dup → hamming 0).
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "pack my box with five dozen liquor jugs for the long trip home"),
+    (3L, "how vexingly quick daft zebras jump over fences in the old zoo"),
+    (4L, "sphinx of black quartz judge my vow said the tired museum guide"))
+
+  private val probes = Seq(
+    (101L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (102L, "pack my box with five dozen liquor jugs for the long trip"),       // near dup of 2
+    (103L, "completely unrelated telemetry payload about orbital mechanics data"))
+
+  test("stream probe flags near-dups of the indexed corpus; exact dup at hamming 0") {
+    implicit val sq = spark.sqlContext
+    val index = StreamNearDup.buildIndex(corpus.toDF("id", "text"), "id", "text")
+      .persist()
+    val source = MemoryStream[(Long, String)]
+    val q = StreamNearDup.probe(
+        source.toDS().toDF("id", "text"), index, "id", "text")
+      .writeStream.format("memory").queryName("sneardup")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(probes: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sneardup")
+      .as[(Long, Long, Long)].collect().toSet
+    // the exact duplicate is provably caught, at hamming 0
+    assert(streamed.contains((101L, 1L, 0L)))
+    // each flagged pair is within the verify threshold
+    assert(streamed.forall(_._3 <= 3))
+    // stream == batch replay of the identical probe function
+    val batch = StreamNearDup.probe(
+        probes.toDF("id", "text"), index, "id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    index.unpersist()
+  }
+
+  test("probe emits one row per (probe, corpus) pair even when all bands agree") {
+    val index = StreamNearDup.buildIndex(corpus.toDF("id", "text"), "id", "text")
+    val allBandsAgree = StreamNearDup.probe(
+        Seq((9L, corpus.head._2)).toDF("id", "text"), index, "id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(allBandsAgree === Seq((9L, 1L, 0L)))
+  }
+
+  test("probe rejects a maxHamming the banding cannot certify") {
+    val index = StreamNearDup.buildIndex(corpus.toDF("id", "text"), "id", "text")
+    intercept[IllegalArgumentException] {
+      StreamNearDup.probe(probes.toDF("id", "text"), index, "id", "text",
+        bands = 4, maxHamming = 4)
+    }
+  }
+}
