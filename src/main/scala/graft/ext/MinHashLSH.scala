@@ -315,29 +315,37 @@ object MinHashLSH {
 
   /** Near-duplicate pairs: LSH candidates verified by exact Jaccard.
     *
-    * Plan shape (VERDICT r2 "What's wrong" #2): the (id, sh) shingle frame
-    * is computed ONCE and persisted — bands derive from it and both verify
-    * joins read it back instead of re-shingling; and the verify sides are
-    * first semi-joined down to the distinct candidate ids, so the
-    * shingle-array shuffle carries only candidate documents (≈ output
-    * size), not the whole corpus. At 100 TB the band shuffle stays ~50
-    * bytes/row and the only corpus-sized materialization is the cached
-    * shingle frame itself, which partitions with the scan.
+    * Plan shape (reworked in r7): the corpus-sized pass is band-row
+    * generation alone — shingle → signature → 4 band rows of ~50 bytes,
+    * streaming through whole-stage codegen with NOTHING corpus-sized ever
+    * persisted (the previous shape cached the full shingle frame, a
+    * 5-10x blowup of the text itself — the single biggest memory/IO cost
+    * at scale). Only the candidate-pair frame (≈ output size) persists;
+    * the verify step then re-shingles JUST the candidate documents by
+    * semi-joining the input down to candidate ids first, so the repeated
+    * shingling work — like the shingle-array shuffle — is output-sized,
+    * not corpus-sized. Shingling a candidate doc twice costs microseconds
+    * (one native-codegen loop); caching every doc's shingles costs a
+    * second copy of the corpus.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 16, bands: Int = 4,
                    shingleFn: Column => Column = wordShingles(_, 3),
                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sh = graft.core.Caches.track(
-      shingleFrame(df, idCol, textCol, shingleFn)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val cand = graft.core.Caches.track(
-      candidatePairsFromBands(bandRowsFromShingles(sh, idCol, numHashes, bands),
+      candidatePairsFromBands(
+        bandRows(df, idCol, textCol, numHashes, bands, shingleFn),
         idCol, maxBucketSize)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val candIds = cand.select(col("a").as(idCol))
       .union(cand.select(col("b").as(idCol))).distinct()
-    val shCand = sh.join(candIds, Seq(idCol), "left_semi")
+    // candidate-only shingles, used by BOTH verify sides: persisting this
+    // output-sized frame keeps the corpus at two column-pruned scans total
+    // (bands + the one semi-join pass) instead of three
+    val shCand = graft.core.Caches.track(
+      shingleFrame(df.join(candIds, Seq(idCol), "left_semi"),
+        idCol, textCol, shingleFn)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     cand
       .join(shCand.select(col(idCol).as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(shCand.select(col(idCol).as("b"), col("sh").as("sh_b")), Seq("b"))

@@ -163,10 +163,18 @@ object TextAnalysis {
 
     // the only corpus-sized pass: simhash every document, group by the
     // signature (null signatures — null text — never pair; drop them)
+    // Null text never pairs: filter the CHEAP column (pushes into the
+    // parquet scan) rather than the signature — any isnotnull(sh) filter,
+    // explicit or inferred by InferFiltersFromConstraints from the
+    // group/join keys, gets substituted through the projection and
+    // re-evaluates simhash per row in its own stage (PLANS.md showed the
+    // doubled eval before this fix). simhash is null only for null text,
+    // so the coalesce sentinel never fires; it exists to make the column
+    // NON-NULLABLE so no isnotnull constraint is inferred at all.
     val groups = graft.core.Caches.track(
-      docs.select(col(idCol).cast("long").as("id"),
-          simhash32(col(textCol)).as("sh"))
-        .filter(col("sh").isNotNull)
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"),
+          coalesce(simhash32(col(textCol)), lit(0L)).as("sh"))
         .groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
 

@@ -51,10 +51,18 @@ object StreamNearDup {
                  bands: Int = 4): DataFrame = {
     require(32 % bands == 0, s"bands must divide 32, got $bands")
     val width = 32 / bands
+    // Null text never pairs: filter the CHEAP column (pushes into the
+    // parquet scan), not the computed signature — any isnotnull(sh)
+    // filter, explicit or constraint-inferred, gets substituted through
+    // the projection and re-evaluates simhash on every row in a second
+    // stage. simhash is null only for null text, so post-filter the
+    // coalesce sentinel can never fire; its job is to make the column
+    // NON-NULLABLE so InferFiltersFromConstraints has nothing to infer
+    // from the join/group keys (observed in PLANS.md before this fix).
     corpus
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
-        TextAnalysis.simhash32(col(textCol)).as("sh_idx"))
-      .filter(col("sh_idx").isNotNull)
+        coalesce(TextAnalysis.simhash32(col(textCol)), lit(0L)).as("sh_idx"))
       .groupBy("sh_idx").agg(sort_array(collect_list(col("id"))).as("ids"))
       .select(col("sh_idx"), col("ids"),
         explode(bandStructs(col("sh_idx"), bands, width)).as("bb"))
@@ -74,10 +82,13 @@ object StreamNearDup {
     require(maxHamming <= bands - 1,
       s"banding is only exact for maxHamming <= bands-1 (got $maxHamming/$bands)")
     val width = 32 / bands
+    // Cheap-column null filter + non-nullable signature, same rationale
+    // as buildIndex: keep constraint inference from rebuilding an
+    // expensive isnotnull(simhash(text)) filter stage.
     val probes = docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("probe_id"),
-        TextAnalysis.simhash32(col(textCol)).as("sh_p"))
-      .filter(col("sh_p").isNotNull)
+        coalesce(TextAnalysis.simhash32(col(textCol)), lit(0L)).as("sh_p"))
       .select(col("probe_id"), col("sh_p"),
         explode(bandStructs(col("sh_p"), bands, width)).as("bb"))
       .select(col("probe_id"), col("sh_p"),
