@@ -35,9 +35,12 @@ object SparkEntry {
     * output) and the batching specs.
     */
   def pipelineE2E(s: SparkSession, d: String): DataFrame = {
-    val input = t(s, d, "documents")
+    // global sequential pos via the two-pass Ordinal, not a global window
+    // (same values; a partition-less Window would single-thread the scan)
+    val input = graft.ext.Ordinal.withGlobalPos(
+        t(s, d, "documents"), "doc_id")
       .select(
-        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("pos"),
+        col("pos"),
         col("doc_id").cast("string").as("description_id"),
         col("text").as("english_sentence"))
     val r = Pipeline.run(input,
@@ -52,9 +55,10 @@ object SparkEntry {
     * (VERDICT r1 "Next round" #6 — a real hash check for the flagship).
     */
   def pipelineE2EClean(s: SparkSession, d: String): DataFrame = {
-    val input = t(s, d, "documents")
+    val input = graft.ext.Ordinal.withGlobalPos(
+        t(s, d, "documents"), "doc_id")
       .select(
-        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("pos"),
+        col("pos"),
         col("doc_id").cast("string").as("description_id"),
         col("text").as("english_sentence"))
     Pipeline.run(input, new graft.translate.MockTranslator(injectFaults = false),

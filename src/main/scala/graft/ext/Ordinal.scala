@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Global contiguous 0-based ordinal, ordered by a key — the scalable
+  * replacement for `row_number().over(Window.orderBy(key))`, which moves
+  * EVERY row into one partition (Spark itself warns "No Partition
+  * Defined for Window operation") and caps the operator at one core and
+  * one executor's memory no matter the cluster size.
+  *
+  * The reference enumerates file rows sequentially (enumerate() in
+  * auto_translate.py) to mint positions; this reproduces those exact
+  * values distributively in two passes, the same shape as a global sort:
+  *
+  *  1. `repartitionByRange(key)` + `sortWithinPartitions(key)` — the
+  *     ordinary total-order exchange (range bounds come from sampling,
+  *     but the RESULT order, and therefore every position, is
+  *     bound-independent for a unique key);
+  *  2. `zipWithIndex` — one tiny job collects per-partition COUNTS
+  *     (numPartitions longs to the driver, not data), then each
+  *     partition stamps offset + local index.
+  *
+  * The sorted frame is evaluated twice (count pass + stamp pass) — the
+  * standard zipWithIndex cost, cheaper at any scale than single-
+  * threading the corpus. This is one of the rare per-partition
+  * imperative cases where dropping to the RDD API is the right tool; the
+  * result comes straight back to a DataFrame with the ordinal appended.
+  */
+object Ordinal {
+
+  def withGlobalPos(df: DataFrame, orderCol: String,
+                    posCol: String = "pos"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed,
+      sorted.schema.add(posCol, LongType, nullable = false))
+  }
+}

@@ -427,9 +427,13 @@ object OpsQueries {
     * scan with a recursive CTE.
     */
   def w4Batcher(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents").select(
+    // sequential pos from the two-pass Ordinal (identical values to the
+    // reference's enumerate()); only the greedy batch SCAN itself needs
+    // the single partition below
+    val docs = graft.ext.Ordinal.withGlobalPos(
+        t(s, d, "documents"), "doc_id").select(
       col("doc_id"),
-      (row_number().over(Window.orderBy("doc_id")) - 1).cast("long").as("pos"),
+      col("pos"),
       approxTokenCount(col("text")).as("tokens"))
     Batching.assignBatches(docs, budget = 500L, baseCost = 25L, numPartitions = 1)
       .select("doc_id", "batch_index", "custom_id")
