@@ -109,11 +109,57 @@ object Similarity {
     * 2^bits buckets; cosine-close vectors collide with high probability.
     * `planeOffset` selects an independent hyperplane family (table t of a
     * multi-table index uses offset t*bits), so extra tables boost recall.
+    *
+    * Runs as the native [[graft.plans.HyperplaneBucket]] expression: the
+    * composed form ([[bucketSpec]], kept as the SQL-replayable
+    * specification) evaluates `bits` interpreted zip_with+aggregate folds
+    * per VECTOR — the corpus-sized projection of every bucketed ANN /
+    * embedding near-dup query; the expression runs the identical
+    * left-to-right double arithmetic as one JVM loop inside whole-stage
+    * codegen.
     */
   def bucket(v: Column, bits: Int = 6, dims: Int = 64,
-             planeOffset: Int = 0): Column =
+             planeOffset: Int = 0): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_hyperplane_bucket", v,
+      lit(bits), lit(dims), lit(planeOffset))
+  }
+
+  /** The composed-Column specification of [[bucket]]. */
+  def bucketSpec(v: Column, bits: Int = 6, dims: Int = 64,
+                 planeOffset: Int = 0): Column =
     (0 until bits).map(i => planeBit(v, planeOffset + i, dims) * (1L << i))
       .reduce(_ + _)
+
+  /** The exact per-row computation of [[graft.plans.HyperplaneBucket]]:
+    * per plane, the left-to-right double fold of element × LCG
+    * coefficient, bit-identical to [[bucketSpec]]'s aggregate — including
+    * its null algebra: a vector whose length differs from `dims`
+    * (zip_with null padding) or containing a null element nulls the whole
+    * bucket.
+    */
+  def hyperplaneBucketJvm(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                          vFloat: Boolean, bits: Int, dims: Int,
+                          off: Int): java.lang.Long = {
+    if (v.numElements() != dims) return null
+    var b = 0L
+    var i = 0
+    while (i < bits) {
+      var acc = 0.0
+      var j = 0
+      while (j < dims) {
+        if (v.isNullAt(j)) return null
+        val x = if (vFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        acc += x *
+          (((j.toLong * 2654435761L + (off + i).toLong * 40503L) % 1009L) - 504L).toDouble
+        j += 1
+      }
+      if (acc > 0) b |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(b)
+  }
 
   /** Exact cosine of every row against one query vector (brute force).
     * The 1-row query side is broadcast — no shuffle of the corpus.

@@ -224,6 +224,68 @@ case class L2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hyperplane-LSH bucket id of a vector as a native expression: the
+  * composed form (Similarity.bucketSpec) evaluates `bits` interpreted
+  * zip_with + aggregate folds per vector — the corpus-sized projection
+  * of every bucketed-ANN and embedding-near-dup query; this runs the
+  * identical left-to-right double arithmetic (LCG plane coefficients,
+  * sign-bit packing) as one JVM loop callable from whole-stage codegen.
+  * `bits`, `dims`, and `planeOffset` must be foldable non-null integers.
+  */
+case class HyperplaneBucket(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  private def foldInt(e: Expression, what: String): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_hyperplane_bucket $what must be a foldable integer, got $other")
+  }
+  private lazy val bits = foldInt(second, "bits")
+  private lazy val dims = foldInt(third, "dims")
+  private lazy val off = foldInt(fourth, "planeOffset")
+
+  private lazy val vFloat: Boolean = first.dataType match {
+    case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
+    case org.apache.spark.sql.types.ArrayType(FloatType | DoubleType, _)
+        if Seq(second, third, fourth).forall(e => e.foldable &&
+          (e.dataType == IntegerType || e.dataType == LongType) &&
+          e.eval(null) != null) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_hyperplane_bucket expects (ARRAY<FLOAT|DOUBLE>, " +
+        "foldable non-null INT bits, dims, planeOffset)")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  override def nullSafeEval(v: Any, b: Any, d: Any, o: Any): Any =
+    graft.ext.Similarity.hyperplaneBucketJvm(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vFloat, bits, dims, off)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _, _) => {
+      val tmp = ctx.freshName("boxed")
+      s"""java.lang.Long $tmp =
+         |  graft.ext.Similarity.hyperplaneBucketJvm($v, $vFloat, $bits, $dims, $off);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 /** 32-bit text SimHash as a native expression: the composed form
   * (TextAnalysis.simhash32Spec) folds the token-hash array 32 times per
   * row with interpreted higher-order functions, which made the signature

@@ -53,7 +53,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
     ("graft_l2sq",
       info("graft_l2sq", "squared L2 distance of two float/double vectors"),
-      (args: Seq[Expression]) => L2Sq(args(0), args(1))))
+      (args: Seq[Expression]) => L2Sq(args(0), args(1))),
+    ("graft_hyperplane_bucket",
+      info("graft_hyperplane_bucket",
+        "hyperplane-LSH bucket id of a float/double vector"),
+      (args: Seq[Expression]) =>
+        HyperplaneBucket(args(0), args(1), args(2), args(3))))
 
   /** [[register]] at most once per session — the idempotent form library
     * code calls internally (plain register logs a "replaced function"

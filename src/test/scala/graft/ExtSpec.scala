@@ -464,6 +464,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("native hyperplane bucket matches the composed specification") {
+    val fvecs = (0 until 8).map(i => (i.toLong,
+      (0 until 64).map(j => (math.sin(i * 64 + j) * 3).toFloat).toArray)).toDF("id", "v")
+    val dvecs = (0 until 8).map(i => (i.toLong,
+      (0 until 64).map(j => math.cos(i * 31 + j) * 2).toArray)).toDF("id", "v")
+    Seq(fvecs, dvecs).foreach { vecs =>
+      // default family and an offset family (the multi-table recall dial)
+      val got = vecs.select(
+        Similarity.bucket($"v"), Similarity.bucket($"v", planeOffset = 6))
+        .as[(Long, Long)].collect().toSeq
+      val spec = vecs.select(
+        Similarity.bucketSpec($"v"), Similarity.bucketSpec($"v", planeOffset = 6))
+        .as[(Long, Long)].collect().toSeq
+      assert(got === spec)
+    }
+    // null algebra: wrong length (zip_with padding) nulls the bucket
+    val short = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    assert(short.select(Similarity.bucket($"v")).collect().head.isNullAt(0))
+    assert(short.select(Similarity.bucketSpec($"v")).collect().head.isNullAt(0))
+  }
+
   test("native simhash matches the Column-composed specification") {
     val fixtures = corpus.select($"text")
       .union(Seq("", "one", "Mixed CASE  tokens", " padded\ttabs \n").toDF("text"))
