@@ -60,16 +60,18 @@ object Components {
       .withColumn("rep", col("id"))
       .localCheckpoint(true)
 
-    // one pointer jump: rep := min(rep, rep(rep)). Checkpointed so the
-    // second jump (and the convergence count) reads a flat scan instead
-    // of re-running the upstream join tree.
+    // one pointer jump: rep := min(rep, rep(rep)). NOT checkpointed
+    // individually: only the round boundary truncates lineage (below), so
+    // a round costs ONE materialization job instead of three. The second
+    // jump therefore re-executes the first jump's join on both sides of
+    // its self-join — label-frame-sized work over cached flat scans,
+    // cheaper than two extra eager-checkpoint jobs at every round.
     def jump(l: DataFrame): DataFrame =
       l.join(l.select(col("id").as("_jid"), col("rep").as("_jrep")),
           col("rep") === col("_jid"), "left_outer")
         .select(col("id"),
           least(col("rep"), coalesce(col("_jrep"), col("rep"))).as("rep"),
           col("prev"))
-        .localCheckpoint(true)
 
     var converged = false
     var it = 0
@@ -83,7 +85,7 @@ object Components {
           least(col("rep"), coalesce(col("cand"), col("rep"))).as("rep"),
           col("rep").as("prev"))
         .localCheckpoint(true)
-      val next = jump(jump(stepped))
+      val next = jump(jump(stepped)).localCheckpoint(true)
       converged = next.filter(col("rep") < col("prev")).count() == 0
       labels = next.select("id", "rep")
       it += 1
