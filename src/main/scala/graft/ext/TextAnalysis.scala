@@ -46,11 +46,43 @@ object TextAnalysis {
     */
   val RollMod: Long = 1000000000000037L
 
-  def rollingHash(text: Column): Column =
+  /** Runs as the native [[graft.plans.RollingHash]] expression: the
+    * composed form ([[rollingHashSpec]], the SQL-replayable
+    * specification) splits every row into a PER-CHARACTER string array
+    * and folds it with two more interpreted higher-order passes; the
+    * expression is one JVM loop over the code points.
+    */
+  def rollingHash(text: Column): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_rolling_hash", text)
+  }
+
+  /** The composed-Column specification of [[rollingHash]]. */
+  def rollingHashSpec(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
       (acc, code) => (acc * 31 + code) % RollMod)
+
+  /** The exact per-row computation of [[graft.plans.RollingHash]]:
+    * left-to-right (acc * 31 + codepoint) % RollMod over the text's code
+    * points — identical to the composed fold (split("") keeps surrogate
+    * pairs whole, ascii() is the first code point; an EMPTY string folds
+    * one ascii("") = 0 element, which equals the empty fold's 0).
+    */
+  def rollingHashJvm(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % RollMod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 
   /** 32-bit text SimHash over whitespace tokens: token hashes vote ±1 per
     * bit position; the sign of each bit-sum sets the output bit

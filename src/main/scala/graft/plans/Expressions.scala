@@ -224,6 +224,35 @@ case class L2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Karp-Rabin rolling hash of a text column as a native expression: the
+  * composed form (TextAnalysis.rollingHashSpec) splits each row into a
+  * per-character string ARRAY and folds it with two interpreted
+  * higher-order passes — allocation-bound on document-sized text; this
+  * is one JVM loop over the code points (TextAnalysis.rollingHashJvm),
+  * callable from whole-stage codegen.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_rolling_hash expects a STRING argument")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(text: Any): Any =
+    graft.ext.TextAnalysis.rollingHashJvm(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.ext.TextAnalysis.rollingHashJvm($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Hyperplane-LSH bucket id of a vector as a native expression: the
   * composed form (Similarity.bucketSpec) evaluates `bits` interpreted
   * zip_with + aggregate folds per vector — the corpus-sized projection

@@ -58,7 +58,11 @@ object GraftFunctions {
       info("graft_hyperplane_bucket",
         "hyperplane-LSH bucket id of a float/double vector"),
       (args: Seq[Expression]) =>
-        HyperplaneBucket(args(0), args(1), args(2), args(3))))
+        HyperplaneBucket(args(0), args(1), args(2), args(3))),
+    ("graft_rolling_hash",
+      info("graft_rolling_hash",
+        "Karp-Rabin rolling hash over a text column's code points"),
+      (args: Seq[Expression]) => RollingHash(args.head)))
 
   /** [[register]] at most once per session — the idempotent form library
     * code calls internally (plain register logs a "replaced function"

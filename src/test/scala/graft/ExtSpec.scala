@@ -485,6 +485,17 @@ class ExtSpec extends SparkSpec {
     assert(short.select(Similarity.bucketSpec($"v")).collect().head.isNullAt(0))
   }
 
+  test("native rolling hash matches the Column-composed specification") {
+    val fixtures = corpus.select($"text")
+      .union(Seq("", "a", "abc", "Mixed CASE ünïcode", " padded\ttabs \n")
+        .toDF("text"))
+    val got = fixtures.select(TextAnalysis.rollingHash($"text"))
+      .as[Long].collect().toSeq
+    val spec = fixtures.select(TextAnalysis.rollingHashSpec($"text"))
+      .as[Long].collect().toSeq
+    assert(got === spec)
+  }
+
   test("native simhash matches the Column-composed specification") {
     val fixtures = corpus.select($"text")
       .union(Seq("", "one", "Mixed CASE  tokens", " padded\ttabs \n").toDF("text"))
