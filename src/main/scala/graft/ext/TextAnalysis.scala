@@ -30,13 +30,62 @@ object TextAnalysis {
 
   /** Heuristic language ID: argmax of function-word hits with a fixed
     * tiebreak order (en > de > fr > es); no hits → "unknown".
+    *
+    * Runs as the native [[graft.plans.LangId]] expression: the composed
+    * form ([[langIdSpec]], the SQL-replayable specification) re-splits
+    * the text once per LANGUAGE and filters each token array
+    * interpreted; the expression tokenizes once and counts all four
+    * lists via hash lookups in one JVM pass.
     */
   def langId(text: Column): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_lang_id", text)
+  }
+
+  /** The composed-Column specification of [[langId]]. */
+  def langIdSpec(text: Column): Column = {
     val scores = langWords.map { case (l, _) => l -> langScore(text, l) }
     val all = scores.map(_._2)
     scores.foldRight(lit("unknown")) { case ((l, s), rest) =>
       when(s > 0 && all.map(o => s >= o).reduce(_ && _), lit(l)).otherwise(rest)
     }
+  }
+
+  private lazy val langSets: Array[(String, java.util.HashSet[String])] =
+    langWords.map { case (l, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (l, s)
+    }.toArray
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** The exact per-row computation of [[graft.plans.LangId]]: tokenize
+    * lower(trim(text)) by whitespace once, count hits per language, take
+    * the first language in declaration order whose positive score ties
+    * the maximum — identical to the composed when-chain.
+    */
+  def langIdJvm(text: org.apache.spark.unsafe.types.UTF8String)
+  : org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.trim().toLowerCase.toString
+    val toks = wsPattern.split(s, -1)
+    val scores = new Array[Int](langSets.length)
+    var t = 0
+    while (t < toks.length) {
+      var i = 0
+      while (i < langSets.length) {
+        if (langSets(i)._2.contains(toks(t))) scores(i) += 1
+        i += 1
+      }
+      t += 1
+    }
+    var max = 0
+    var i = 0
+    while (i < scores.length) { if (scores(i) > max) max = scores(i); i += 1 }
+    if (max == 0) return org.apache.spark.unsafe.types.UTF8String.fromString("unknown")
+    i = 0
+    while (scores(i) != max) i += 1
+    org.apache.spark.unsafe.types.UTF8String.fromString(langSets(i)._1)
   }
 
   /** Karp-Rabin-style rolling hash over the character stream:

@@ -224,6 +224,34 @@ case class L2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Heuristic language ID of a text column as a native expression: the
+  * composed form (TextAnalysis.langIdSpec) re-splits the text once per
+  * language and filters each token array with interpreted lambdas; this
+  * tokenizes once and scores all four function-word lists via hash
+  * lookups in one JVM pass (TextAnalysis.langIdJvm).
+  */
+case class LangId(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_lang_id expects a STRING argument")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lang_id"
+
+  override def nullSafeEval(text: Any): Any =
+    graft.ext.TextAnalysis.langIdJvm(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.ext.TextAnalysis.langIdJvm($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Karp-Rabin rolling hash of a text column as a native expression: the
   * composed form (TextAnalysis.rollingHashSpec) splits each row into a
   * per-character string ARRAY and folds it with two interpreted

@@ -62,7 +62,11 @@ object GraftFunctions {
     ("graft_rolling_hash",
       info("graft_rolling_hash",
         "Karp-Rabin rolling hash over a text column's code points"),
-      (args: Seq[Expression]) => RollingHash(args.head)))
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    ("graft_lang_id",
+      info("graft_lang_id",
+        "heuristic function-word language ID (en/de/fr/es/unknown)"),
+      (args: Seq[Expression]) => LangId(args.head)))
 
   /** [[register]] at most once per session — the idempotent form library
     * code calls internally (plain register logs a "replaced function"

@@ -485,6 +485,18 @@ class ExtSpec extends SparkSpec {
     assert(short.select(Similarity.bucketSpec($"v")).collect().head.isNullAt(0))
   }
 
+  test("native lang id matches the Column-composed specification") {
+    val fixtures = corpus.select($"text")
+      .union(Seq("", "le chat est dans la maison", "der hund ist nicht da",
+        "el perro es una mascota", "the cat and the dog",
+        "xyzzy plugh", "  THE   Der le el  ").toDF("text"))
+    val got = fixtures.select(TextAnalysis.langId($"text"))
+      .as[String].collect().toSeq
+    val spec = fixtures.select(TextAnalysis.langIdSpec($"text"))
+      .as[String].collect().toSeq
+    assert(got === spec)
+  }
+
   test("native rolling hash matches the Column-composed specification") {
     val fixtures = corpus.select($"text")
       .union(Seq("", "a", "abc", "Mixed CASE ünïcode", " padded\ttabs \n")
