@@ -135,7 +135,9 @@ object TextFunctions {
   }
 
   def punctRatio(c: Column): Column =
-    round(size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    // regexp_count, not size(regexp_extract_all(...)): same number, no
+    // per-row array of every punctuation match materialized just to count
+    round(regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double")
       / greatest(length(c), lit(1)), 4)
 
   def meanWordLen(c: Column): Column = {
