@@ -94,6 +94,23 @@ object ExtQueries {
       .orderBy("probe_id", "corpus_id")
   }
 
+  /** Batch replay of the MinHash streaming probe
+    * ([[graft.streaming.StreamNearDup.probeMinHash]]): signature-band
+    * candidates, MinHash-estimate verify — the Jaccard-based sibling of
+    * `stream_near_dup_replay`'s hamming probe, over the same planted
+    * drop-8 corpus.
+    */
+  def streamMinHashProbeReplay(s: SparkSession, d: String): DataFrame = {
+    val corpus = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val probes = t(s, d, "documents")
+      .select((col("doc_id") + 100000).cast("long").as("id"),
+        expr("substring(text, 1, length(text) - 8)").as("text"))
+    val idx = graft.streaming.StreamNearDup.buildMinHashIndex(corpus, "id", "text")
+    graft.streaming.StreamNearDup.probeMinHash(probes, idx, "id", "text")
+      .orderBy("probe_id", "corpus_id")
+  }
+
   /** embeddings ∪ deterministically perturbed copies — the planted
     * near-dup vector corpus: component j of the copy of vec_id v gets
     * +0.01*((j%3)-1), a nudge of norm ~0.065 against the unit-normalized
@@ -290,6 +307,7 @@ object ExtQueries {
     "simhash_text" -> (simhashText(_, _)),
     "simhash_near_dup" -> (simhashNearDupQ(_, _)),
     "stream_near_dup_replay" -> (streamNearDupReplay(_, _)),
+    "stream_minhash_probe_replay" -> (streamMinHashProbeReplay(_, _)),
     "embed_near_dup" -> (embedNearDupQ(_, _)),
     "embed_near_dup_t2" -> (embedNearDupT2Q(_, _)),
     "ann_knn_join" -> (annKnnJoinQ(_, _)),
@@ -592,6 +610,35 @@ object ExtQueries {
          |  WHERE p.b = $firstBand)
          |SELECT probe_id, corpus_id, CAST($ham AS BIGINT) AS hamming
          |FROM cand WHERE $ham <= 3 ORDER BY probe_id, corpus_id""".stripMargin
+    },
+
+    "stream_minhash_probe_replay" -> {
+      val bandHash = "md5(" + (1 to 4).map(r =>
+        s"CAST(g[b.band * 4 + $r] AS VARCHAR)").mkString(" || '-' || ") + ")"
+      def bandsFor(pfx: String) =
+        s"""${pfx}tok AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM ${pfx}docs),
+           |${pfx}sh AS (SELECT id, ${wordShinglesSql("toks", 3)} AS sh FROM ${pfx}tok),
+           |${pfx}sig AS (SELECT id, ${sigSql("sh", 16)} AS g FROM ${pfx}sh),
+           |${pfx}bands AS (SELECT id, g, b.band, $bandHash AS bh
+           |  FROM ${pfx}sig, (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+      val firstBand = (0 until 4).foldRight("4") { (b, rest) =>
+        s"(CASE WHEN pg[${b * 4 + 1}:${b * 4 + 4}] = cg[${b * 4 + 1}:${b * 4 + 4}] THEN $b ELSE $rest END)"
+      }
+      s"""WITH pdocs AS (SELECT CAST(doc_id + 100000 AS BIGINT) AS id,
+         |  substring(text, 1, length(text) - 8) AS text FROM documents),
+         |cdocs AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+         |${bandsFor("p")},
+         |${bandsFor("c")},
+         |cand AS (SELECT p.id AS probe_id, c.id AS corpus_id,
+         |    p.g AS pg, c.g AS cg
+         |  FROM pbands p JOIN cbands c ON p.band = c.band AND p.bh = c.bh
+         |  WHERE p.band = $firstBand)
+         |SELECT probe_id, corpus_id,
+         |  CAST(len([i for i in range(1, 17) if pg[i] = cg[i]]) AS DOUBLE) / 16.0
+         |    AS est_jaccard
+         |FROM cand
+         |WHERE CAST(len([i for i in range(1, 17) if pg[i] = cg[i]]) AS DOUBLE) / 16.0 >= 0.5
+         |ORDER BY probe_id, corpus_id""".stripMargin
     },
 
     "ivf_search_many" -> ivfSearchManySql(nprobe = 2),

@@ -109,4 +109,90 @@ object StreamNearDup {
       .select(col("probe_id"), explode(col("ids")).as("corpus_id"),
         col("hamming").cast("long").as("hamming"))
   }
+
+  // ------------------------------------------------- MinHash variant
+
+  /** (id, sig, band, band_hash) rows — signature banding shared by the
+    * MinHash index and probe sides; band_hash mirrors
+    * [[graft.ext.MinHashLSH.bandRowsFromShingles]] exactly (md5 over the
+    * '-'-joined signature slice). concat_ws skips nulls, so the band key
+    * is NON-nullable by construction — no isnotnull(signature(...))
+    * constraint can be inferred into a second evaluation stage, and a
+    * null-signature row (null text) emits real-looking band hashes whose
+    * matches are then dropped by the slice-equality filter in
+    * [[probeMinHash]].
+    */
+  private def minhashBandRows(docs: DataFrame, idCol: String,
+                              textCol: String, numHashes: Int, bands: Int,
+                              shingleFn: Column => Column): DataFrame = {
+    val rpb = numHashes / bands
+    require(bands * rpb == numHashes, "bands must divide numHashes")
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.ext.MinHashLSH.signature(shingleFn(col(textCol)), numHashes)
+          .as("sig"))
+      .select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("-", (0 until rpb).map(r =>
+              col("sig").getItem(b * rpb + r).cast("string")): _*))
+              .as("band_hash"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Build the static MinHash band index over a batch corpus: one row per
+    * (document, band) carrying the full signature (~8 bytes × numHashes
+    * per doc — bounded; no shingles, no text). Columns:
+    * (band, band_hash, corpus_id, sig_idx).
+    */
+  def buildMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        shingleFn: Column => Column =
+                          graft.ext.MinHashLSH.wordShingles(_, 3)): DataFrame =
+    minhashBandRows(corpus, idCol, textCol, numHashes, bands, shingleFn)
+      .select(col("band"), col("band_hash"),
+        col("id").as("corpus_id"), col("sig").as("sig_idx"))
+
+  /** Probe `docs` — streaming (stream-static join) or batch (oracle
+    * replay) — against a [[buildMinHashIndex]] index built with the same
+    * parameters. Candidates come from signature-band equality (for any
+    * pair with true Jaccard ≥ (1/bands)-probability banding bound, the
+    * standard LSH guarantee); verification is the classic MinHash
+    * ESTIMATE — the fraction of agreeing signature positions, an
+    * unbiased estimator of Jaccard — computed from the two signatures
+    * already on the joined row, so the stream side never needs shingles
+    * or corpus text. Multi-band agreements dedup via the
+    * first-agreeing-SLICE filter (stateless, cf. [[probe]]); a band-hash
+    * md5 collision between unequal slices fails every slice comparison
+    * and self-filters. Emits (probe_id, corpus_id, est_jaccard).
+    */
+  def probeMinHash(docs: DataFrame, index: DataFrame, idCol: String,
+                   textCol: String, numHashes: Int = 16, bands: Int = 4,
+                   minEstJaccard: Double = 0.5,
+                   shingleFn: Column => Column =
+                     graft.ext.MinHashLSH.wordShingles(_, 3)): DataFrame = {
+    val rpb = numHashes / bands
+    require(bands * rpb == numHashes, "bands must divide numHashes")
+    val probes =
+      minhashBandRows(docs, idCol, textCol, numHashes, bands, shingleFn)
+        .select(col("id").as("probe_id"), col("sig").as("sig_p"),
+          col("band"), col("band_hash"))
+    def sliceEq(b: Int): Column =
+      slice(col("sig_p"), b * rpb + 1, rpb) ===
+        slice(col("sig_idx"), b * rpb + 1, rpb)
+    val firstAgreeingSlice = (0 until bands).foldRight(lit(bands)) { (b, rest) =>
+      when(sliceEq(b), lit(b)).otherwise(rest)
+    }
+    val agreeing = (0 until numHashes).map(i =>
+      when(col("sig_p").getItem(i) === col("sig_idx").getItem(i), 1)
+        .otherwise(0)).reduce(_ + _)
+    probes
+      .join(index, Seq("band", "band_hash"))
+      .filter(col("band") === firstAgreeingSlice)
+      .withColumn("est_jaccard", agreeing / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("probe_id"), col("corpus_id"), col("est_jaccard"))
+  }
 }

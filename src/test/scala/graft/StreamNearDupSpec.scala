@@ -56,6 +56,33 @@ class StreamNearDupSpec extends SparkSpec {
     assert(allBandsAgree === Seq((9L, 1L, 0L)))
   }
 
+  test("minhash stream probe flags near-dups; exact dup estimates 1.0") {
+    implicit val sq = spark.sqlContext
+    val index = StreamNearDup.buildMinHashIndex(
+        corpus.toDF("id", "text"), "id", "text")
+      .persist()
+    val source = MemoryStream[(Long, String)]
+    val q = StreamNearDup.probeMinHash(
+        source.toDS().toDF("id", "text"), index, "id", "text")
+      .writeStream.format("memory").queryName("smhprobe")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(probes: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("smhprobe")
+      .as[(Long, Long, Double)].collect().toSet
+    // the exact duplicate agrees in every signature position
+    assert(streamed.contains((101L, 1L, 1.0)))
+    // every emitted estimate clears the verify threshold
+    assert(streamed.forall(_._3 >= 0.5))
+    // stream == batch replay of the identical probe function
+    val batch = StreamNearDup.probeMinHash(
+        probes.toDF("id", "text"), index, "id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    index.unpersist()
+  }
+
   test("probe rejects a maxHamming the banding cannot certify") {
     val index = StreamNearDup.buildIndex(corpus.toDF("id", "text"), "id", "text")
     intercept[IllegalArgumentException] {
