@@ -111,6 +111,20 @@ object ExtQueries {
       .orderBy("probe_id", "corpus_id")
   }
 
+  /** Batch replay of the corpus-probe exact dedup
+    * ([[graft.streaming.StreamDedup.dedupAgainstIndex]]): the indexed
+    * corpus is the even doc_ids, the probe stream is every document —
+    * survivors are exactly the odd ids.
+    */
+  def streamDedupIndexReplay(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val idx = graft.streaming.StreamDedup.fingerprintIndex(corpus)
+    graft.streaming.StreamDedup.dedupAgainstIndex(docs, idx)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   /** embeddings ∪ deterministically perturbed copies — the planted
     * near-dup vector corpus: component j of the copy of vec_id v gets
     * +0.01*((j%3)-1), a nudge of norm ~0.065 against the unit-normalized
@@ -308,6 +322,7 @@ object ExtQueries {
     "simhash_near_dup" -> (simhashNearDupQ(_, _)),
     "stream_near_dup_replay" -> (streamNearDupReplay(_, _)),
     "stream_minhash_probe_replay" -> (streamMinHashProbeReplay(_, _)),
+    "stream_dedup_index_replay" -> (streamDedupIndexReplay(_, _)),
     "embed_near_dup" -> (embedNearDupQ(_, _)),
     "embed_near_dup_t2" -> (embedNearDupT2Q(_, _)),
     "ann_knn_join" -> (annKnnJoinQ(_, _)),
@@ -640,6 +655,12 @@ object ExtQueries {
          |WHERE CAST(len([i for i in range(1, 17) if pg[i] = cg[i]]) AS DOUBLE) / 16.0 >= 0.5
          |ORDER BY probe_id, corpus_id""".stripMargin
     },
+
+    "stream_dedup_index_replay" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE md5(text) NOT IN (
+        |  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
 
     "ivf_search_many" -> ivfSearchManySql(nprobe = 2),
     "ivf_search_many_np1" -> ivfSearchManySql(nprobe = 1),

@@ -29,4 +29,28 @@ object StreamDedup {
       .withColumn("fp", md5(col(textCol)))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Distinct content fingerprints of an already-ingested batch corpus —
+    * the static index for [[dedupAgainstIndex]]. One 16-byte-hex row per
+    * distinct document; persist it so per-microbatch joins don't rescan
+    * the corpus.
+    */
+  def fingerprintIndex(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.select(md5(col(textCol)).as("fp")).distinct()
+
+  /** Drop documents (streaming OR batch) whose content fingerprint
+    * already exists in a batch corpus — backfill-aware ingest dedup, the
+    * stream-vs-CORPUS complement of [[dedupExactStream]]'s
+    * stream-vs-itself horizon. A stateless stream-static left-anti join
+    * on the same md5 key as batch `dedup_exact`, so corpus backfill,
+    * in-stream dedup, and corpus-probe dedup all agree on what counts as
+    * a duplicate; nothing is held in the state store, so the stream side
+    * never grows with corpus or stream size.
+    */
+  def dedupAgainstIndex(docs: DataFrame, index: DataFrame,
+                        textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", md5(col(textCol)))
+      .join(index, Seq("fp"), "left_anti")
+      .drop("fp")
 }

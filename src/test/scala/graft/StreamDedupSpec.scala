@@ -34,6 +34,31 @@ class StreamDedupSpec extends SparkSpec {
     assert(rows.filter(_._1 == "alpha").map(_._2) === Seq(at(0)))
   }
 
+  test("stream dedup against a batch corpus index drops known content") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq("alpha", "beta").toDF("text")
+    val index = StreamDedup.fingerprintIndex(corpus).persist()
+    val source = MemoryStream[SDoc]
+    val q = StreamDedup.dedupAgainstIndex(source.toDS().toDF(), index)
+      .writeStream.format("memory").queryName("sidxdedup")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(SDoc(at(2), "alpha"), SDoc(at(2, 5), "gamma"),
+      SDoc(at(2, 10), "beta"), SDoc(at(2, 15), "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sidxdedup").select(col("text"))
+      .as[String].collect().toSeq.sorted
+    assert(kept === Seq("delta", "gamma"))
+    // batch replay of the identical function agrees
+    val batch = StreamDedup.dedupAgainstIndex(
+        Seq(SDoc(at(2), "alpha"), SDoc(at(2, 5), "gamma"),
+          SDoc(at(2, 10), "beta"), SDoc(at(2, 15), "delta")).toDF(), index)
+      .select(col("text")).as[String].collect().toSeq.sorted
+    assert(batch === kept)
+    index.unpersist()
+  }
+
   test("streaming dedup matches the batch first-per-fingerprint result") {
     implicit val sq = spark.sqlContext
     val docs = Seq(
