@@ -305,6 +305,24 @@ object ExtQueries {
         col("meta.format").as("format"))
       .orderBy("media_id")
 
+  /** Token-count distribution per detected language — the token-length
+    * percentile report a training-data pipeline runs before sizing
+    * batches. EXACT interpolated percentiles (Spark `percentile`, the
+    * same type-7 interpolation as SQL `quantile_cont`) rather than a
+    * sketch, so the oracle matches bit-for-bit; Spark computes it
+    * distributively with a per-group map-side merge.
+    */
+  def tokenPercentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(TextAnalysis.langId(col("text")).as("lang"),
+        TextFunctions.approxTokenCount(col("text")).as("tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(tokens, 0.5)"), 4).as("p50"),
+        round(expr("percentile(tokens, 0.9)"), 4).as("p90"),
+        round(expr("percentile(tokens, 0.99)"), 4).as("p99"))
+      .orderBy("lang")
+
   /** Salted two-stage aggregation produces exactly the plain groupBy
     * result (the oracle is the unsalted SQL) while spreading hot keys
     * over many reducers.
@@ -330,6 +348,7 @@ object ExtQueries {
     "ivf_search_many_np1" -> (ivfSearchManyNp1Q(_, _)),
     "rolling_fingerprint" -> (rollingFingerprint(_, _)),
     "lang_id" -> (langId(_, _)),
+    "token_percentiles" -> (tokenPercentiles(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
     "embed_topk" -> (embedTopK(_, _)),
@@ -722,6 +741,30 @@ object ExtQueries {
          |  $cases
          |  ELSE 'unknown' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "token_percentiles" -> {
+      val scores = TextAnalysis.langWords.map { case (l, _) => l -> s"s_$l" }
+      val defs = TextAnalysis.langWords
+        .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(",\n  ")
+      val cases = TextAnalysis.langWords.map { case (l, _) =>
+        val geAll = scores.map { case (_, o) => s"s_$l >= $o" }.mkString(" AND ")
+        s"WHEN s_$l > 0 AND $geAll THEN '$l'"
+      }.mkString("\n  ")
+      s"""WITH sc AS (SELECT doc_id, text,
+         |  $defs
+         |  FROM documents),
+         |lang_t AS (SELECT CASE
+         |  $cases
+         |  ELSE 'unknown' END AS lang,
+         |  CASE WHEN LENGTH(text) = 0 THEN 0
+         |    ELSE CEIL(LENGTH(text) / 4.0) END AS tokens
+         |  FROM sc)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ROUND(quantile_cont(tokens, 0.5), 4) AS p50,
+         |  ROUND(quantile_cont(tokens, 0.9), 4) AS p90,
+         |  ROUND(quantile_cont(tokens, 0.99), 4) AS p99
+         |FROM lang_t GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "text_quality" -> {
