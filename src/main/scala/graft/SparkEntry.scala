@@ -25,9 +25,10 @@ object SparkEntry {
 
   /** End-to-end engine pass over the documents table WITH fault
     * injection, fully hash-checked (VERDICT r3 "Next round" #3): pos is
-    * window-derived and the batcher runs single-partition so batch
-    * composition — which the faults depend on — is the sequential
-    * reference packing the oracle's recursive CTE replays; the mock's
+    * the Ordinal two-pass global rank and the batcher runs
+    * single-partition so batch composition — which the faults depend
+    * on — is the sequential reference packing the oracle's recursive
+    * CTE replays; the mock's
     * fault routing is a portable md5-derived mode, so the DuckDB oracle
     * derives per-entry outcomes (dropped first key, truncation cut
     * position, clean recovery) with modular arithmetic. The parallel
@@ -50,9 +51,10 @@ object SparkEntry {
   }
 
   /** The same end-to-end pass with the clean (fault-free) mock translator
-    * and a window-derived pos, so the whole pipeline is DuckDB-replayable:
-    * the mock's reverse-words + uppercase transform is SQL-expressible
-    * (VERDICT r1 "Next round" #6 — a real hash check for the flagship).
+    * and the Ordinal-derived pos, so the whole pipeline is
+    * DuckDB-replayable: the mock's reverse-words + uppercase transform is
+    * SQL-expressible (VERDICT r1 "Next round" #6 — a real hash check for
+    * the flagship).
     */
   def pipelineE2EClean(s: SparkSession, d: String): DataFrame = {
     val input = graft.ext.Ordinal.withGlobalPos(

@@ -36,7 +36,14 @@ object Ordinal {
     val sorted = df
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(orderCol)
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    // Persist the sorted RDD so the range shuffle + reduce-side sort run
+    // ONCE: zipWithIndex's eager count pass materializes it, the stamp
+    // pass (and every downstream action) reads the cached blocks — the
+    // same two-pass persist rule Batching.assignBatches earned in r1.
+    // Cleanup defers to ContextCleaner / Caches.release().
+    val rdd = graft.core.Caches.track(
+      sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val indexed = rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(indexed,

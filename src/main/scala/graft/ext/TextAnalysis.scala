@@ -52,6 +52,14 @@ object TextAnalysis {
     }
   }
 
+  private val langUnknown =
+    org.apache.spark.unsafe.types.UTF8String.fromString("unknown")
+
+  /** "unknown" as a shared UTF8String — the null-input result of
+    * [[graft.plans.LangId]] (callable from generated code).
+    */
+  def langIdUnknown(): org.apache.spark.unsafe.types.UTF8String = langUnknown
+
   private lazy val langSets: Array[(String, java.util.HashSet[String])] =
     langWords.map { case (l, ws) =>
       val s = new java.util.HashSet[String]()

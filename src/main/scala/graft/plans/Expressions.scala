@@ -241,12 +241,29 @@ case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_lang_id"
 
-  override def nullSafeEval(text: Any): Any =
-    graft.ext.TextAnalysis.langIdJvm(text.asInstanceOf[UTF8String])
+  // NULL text classifies as "unknown", never as NULL — the composed
+  // when-chain's ELSE branch fires for null input (every condition is
+  // null), and both DuckDB oracles (CASE ... ELSE 'unknown') agree; a
+  // default null-intolerant eval would silently diverge on null rows.
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t =>
-      s"graft.ext.TextAnalysis.langIdJvm($t)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) graft.ext.TextAnalysis.langIdUnknown()
+    else graft.ext.TextAnalysis.langIdJvm(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = childGen.code +
+        code"""
+          UTF8String ${ev.value} = ${childGen.isNull} ?
+            graft.ext.TextAnalysis.langIdUnknown() :
+            graft.ext.TextAnalysis.langIdJvm(${childGen.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

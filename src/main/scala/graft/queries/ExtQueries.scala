@@ -675,10 +675,14 @@ object ExtQueries {
          |ORDER BY probe_id, corpus_id""".stripMargin
     },
 
+    // NOT EXISTS, not NOT IN: a single NULL text in the corpus would make
+    // NOT IN return zero rows, while Spark's left_anti keeps every
+    // non-matching row — NOT EXISTS has exactly the anti-join's semantics
     "stream_dedup_index_replay" ->
-      """SELECT doc_id, text FROM documents
-        |WHERE md5(text) NOT IN (
-        |  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+      """SELECT d.doc_id, d.text FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 2 = 0 AND md5(c.text) = md5(d.text))
         |ORDER BY doc_id""".stripMargin,
 
     "ivf_search_many" -> ivfSearchManySql(nprobe = 2),

@@ -128,6 +128,11 @@ object StreamNearDup {
     val rpb = numHashes / bands
     require(bands * rpb == numHashes, "bands must divide numHashes")
     docs
+      // cheap source-column filter (pushes into the scan): without it,
+      // every null-text row — null signature, concat_ws('') — collapses
+      // onto the single md5('') band hash, a quadratic hot key in the
+      // probe join that the slice filter only discards AFTER the shuffle
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         graft.ext.MinHashLSH.signature(shingleFn(col(textCol)), numHashes)
           .as("sig"))

@@ -495,6 +495,14 @@ class ExtSpec extends SparkSpec {
     val spec = fixtures.select(TextAnalysis.langIdSpec($"text"))
       .as[String].collect().toSeq
     assert(got === spec)
+    // null text classifies as "unknown" on BOTH paths (the composed
+    // when-chain falls through to its ELSE; the native expression must
+    // not null-shortcircuit) — and the native column is non-nullable
+    val nulls = Seq(Option.empty[String], Some("the cat")).toDF("text")
+    assert(nulls.select(TextAnalysis.langId($"text"))
+      .as[String].collect().toSeq === Seq("unknown", "en"))
+    assert(nulls.select(TextAnalysis.langIdSpec($"text"))
+      .as[String].collect().toSeq === Seq("unknown", "en"))
   }
 
   test("native rolling hash matches the Column-composed specification") {
