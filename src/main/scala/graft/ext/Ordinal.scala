@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.LongType
   */
 object Ordinal {
 
+  /** PRECONDITION: `orderCol` must be UNIQUE. Positions are deterministic
+    * only for a unique key — with duplicates, tie order after
+    * `sortWithinPartitions` depends on shuffle arrival, so recomputation
+    * after cache eviction can stamp DIFFERENT pos values on tied rows
+    * across downstream actions. Callers with non-unique keys must add a
+    * tie-breaking column to `orderCol`'s table first (e.g. a composite
+    * key projected to one column), not rely on arrival order.
+    */
   def withGlobalPos(df: DataFrame, orderCol: String,
                     posCol: String = "pos"): DataFrame = {
     val spark = df.sparkSession

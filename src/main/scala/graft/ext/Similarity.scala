@@ -251,6 +251,14 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cv"))
+        // Eager localCheckpoint per Lloyd round — the Components.scala
+        // pattern: each round's plan embeds the previous round's
+        // assign-join, so without lineage truncation training depth grows
+        // the logical plan geometrically and Catalyst analysis dominates
+        // past ~10 iterations. The checkpoint materializes k tiny rows
+        // (cid, cv) and replaces their plan with a flat scan, keeping
+        // every round O(corpus scan + k×dims shuffle).
+        .localCheckpoint(true)
     }
     cents
   }

@@ -27,7 +27,7 @@ object ExtQueries {
       .select(col("doc_id").cast("long").as("id"), col("text"))
     val mutated = t(s, d, "documents")
       .select((col("doc_id") + 100000).cast("long").as("id"),
-        expr("substring(text, 1, length(text) - 8)").as("text"))
+        expr("substring(text, 1, greatest(length(text) - 8, 0))").as("text"))
     docs.unionByName(mutated)
   }
 
@@ -63,7 +63,7 @@ object ExtQueries {
       .select(col("doc_id"),
         round(MinHashLSH.jaccard(
           MinHashLSH.shingles(col("text")),
-          MinHashLSH.shingles(expr("substring(text, 1, length(text) - 8)"))), 4)
+          MinHashLSH.shingles(expr("substring(text, 1, greatest(length(text) - 8, 0))"))), 4)
           .as("jaccard"))
       .orderBy("doc_id")
 
@@ -88,7 +88,7 @@ object ExtQueries {
       .select(col("doc_id").cast("long").as("id"), col("text"))
     val probes = t(s, d, "documents")
       .select((col("doc_id") + 100000).cast("long").as("id"),
-        expr("substring(text, 1, length(text) - 8)").as("text"))
+        expr("substring(text, 1, greatest(length(text) - 8, 0))").as("text"))
     val idx = graft.streaming.StreamNearDup.buildIndex(corpus, "id", "text")
     graft.streaming.StreamNearDup.probe(probes, idx, "id", "text")
       .orderBy("probe_id", "corpus_id")
@@ -105,7 +105,7 @@ object ExtQueries {
       .select(col("doc_id").cast("long").as("id"), col("text"))
     val probes = t(s, d, "documents")
       .select((col("doc_id") + 100000).cast("long").as("id"),
-        expr("substring(text, 1, length(text) - 8)").as("text"))
+        expr("substring(text, 1, greatest(length(text) - 8, 0))").as("text"))
     val idx = graft.streaming.StreamNearDup.buildMinHashIndex(corpus, "id", "text")
     graft.streaming.StreamNearDup.probeMinHash(probes, idx, "id", "text")
       .orderBy("probe_id", "corpus_id")
@@ -384,14 +384,14 @@ object ExtQueries {
   private def twoLevelDocsSql: String =
     """SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
       |  UNION ALL
-      |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, length(text) - 8)
+      |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, greatest(length(text) - 8, 0))
       |  FROM documents""".stripMargin
 
   /** DuckDB: the 3-level corpus (adds a drop-16 mutation → 3-cliques). */
   private def threeLevelDocsSql: String =
     """SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
       |  UNION ALL
-      |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, length(text) - 8)
+      |  SELECT CAST(doc_id + 100000 AS BIGINT), substring(text, 1, greatest(length(text) - 8, 0))
       |  FROM documents
       |  UNION ALL
       |  SELECT CAST(doc_id + 200000 AS BIGINT), substring(text, 1, length(text) - 16)
@@ -586,7 +586,7 @@ object ExtQueries {
 
     "ngram_jaccard" ->
       s"""WITH sh_t AS (SELECT doc_id, ${shinglesSql("text")} AS sa,
-         |  ${shinglesSql("substring(text, 1, length(text) - 8)")} AS sb
+         |  ${shinglesSql("substring(text, 1, greatest(length(text) - 8, 0))")} AS sb
          |  FROM documents)
          |SELECT doc_id, ROUND(
          |  CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
@@ -635,7 +635,7 @@ object ExtQueries {
            |  FROM ${pfx}sh, range(4) r(b))""".stripMargin
       s"""WITH corpus AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
          |probe AS (SELECT CAST(doc_id + 100000 AS BIGINT) AS id,
-         |  substring(text, 1, length(text) - 8) AS text FROM documents),
+         |  substring(text, 1, greatest(length(text) - 8, 0)) AS text FROM documents),
          |${shCtes("c", "corpus")},
          |${shCtes("p", "probe")},
          |cand AS (SELECT p.id AS probe_id, c.id AS corpus_id,
@@ -659,7 +659,7 @@ object ExtQueries {
         s"(CASE WHEN pg[${b * 4 + 1}:${b * 4 + 4}] = cg[${b * 4 + 1}:${b * 4 + 4}] THEN $b ELSE $rest END)"
       }
       s"""WITH pdocs AS (SELECT CAST(doc_id + 100000 AS BIGINT) AS id,
-         |  substring(text, 1, length(text) - 8) AS text FROM documents),
+         |  substring(text, 1, greatest(length(text) - 8, 0)) AS text FROM documents),
          |cdocs AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
          |${bandsFor("p")},
          |${bandsFor("c")},

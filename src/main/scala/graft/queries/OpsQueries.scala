@@ -117,13 +117,18 @@ object OpsQueries {
   // Like j7Fixture's tableExists re-check, the guard re-validates the
   // folder on DISK — a tmp cleaner or external delete must trigger a
   // rebuild, not a missing-path failure.
+  // The on-disk re-validation checks EVERY file the fixture writes (ADVICE
+  // r7: an even.csv-only check let a partial cleanup that kept even.csv but
+  // dropped odd.csv pass, silently running s5/t3 on half a fixture).
   private val docFolderBuilt = scala.collection.mutable.Map.empty[String, String]
+  private val docFolderFiles = Seq("even.csv", "odd.csv")
   private def writeDocFolder(s: SparkSession, d: String, root: String): Unit =
     synchronized {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(root), s.sparkContext.hadoopConfiguration)
       if (docFolderBuilt.get(root).contains(d) &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"$root/even.csv"))) return
+          docFolderFiles.forall(f =>
+            fs.exists(new org.apache.hadoop.fs.Path(s"$root/$f")))) return
       writeDocFolderUncached(s, d, root)
       docFolderBuilt(root) = d
     }

@@ -17,9 +17,11 @@ import graft.ext.TextAnalysis
   * agreements with the same first-agreeing-band filter as the batch
   * `simhashNearDup` (both signatures ride on the joined row, so the
   * filter is per-row — no distinct(), no state store). Because no
-  * operator holds state, any output mode works and nothing grows with
-  * stream length; the same `probe` function applied to a batch frame is
-  * the replay oracle (`stream_near_dup_replay`).
+  * operator holds state, nothing grows with stream length; run in
+  * Append (or Update) output mode — Complete requires an aggregation
+  * and Spark rejects it for stateless stream-static joins. The same
+  * `probe` function applied to a batch frame is the replay oracle
+  * (`stream_near_dup_replay`).
   *
   * Scale notes: the index holds one row per (distinct signature, band) —
   * 4 rows of ~30 bytes per distinct signature at the default — so a
@@ -117,10 +119,11 @@ object StreamNearDup {
     * [[graft.ext.MinHashLSH.bandRowsFromShingles]] exactly (md5 over the
     * '-'-joined signature slice). concat_ws skips nulls, so the band key
     * is NON-nullable by construction — no isnotnull(signature(...))
-    * constraint can be inferred into a second evaluation stage, and a
-    * null-signature row (null text) emits real-looking band hashes whose
-    * matches are then dropped by the slice-equality filter in
-    * [[probeMinHash]].
+    * constraint can be inferred into a second evaluation stage. The
+    * isnotnull(text) filter below fully removes the null-signature case
+    * (signature is null only for null text); the slice-equality filter
+    * in [[probeMinHash]] is defense-in-depth only, not a load-bearing
+    * guard.
     */
   private def minhashBandRows(docs: DataFrame, idCol: String,
                               textCol: String, numHashes: Int, bands: Int,

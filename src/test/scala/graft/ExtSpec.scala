@@ -221,6 +221,27 @@ class ExtSpec extends SparkSpec {
     assert(assigned === Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("kmeans trains at iters=10 in bounded time (per-round lineage truncation)") {
+    // Without the per-round localCheckpoint, each round's plan embeds the
+    // previous round's assign-join and Catalyst analysis goes geometric —
+    // iters=10 would hang in the optimizer, not in execution. 60 s is an
+    // order of magnitude above the expected runtime, tight enough to fail
+    // on a geometric regression (r7 measured minutes at depth ~10).
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 10f)),
+      (2L, Array(1f, 1f)), (3L, Array(11f, 9f)),
+      (4L, Array(0.5f, 0.2f)), (5L, Array(9.5f, 10.5f)))
+      .toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val c = Similarity.kmeansCentroids(vecs, k = 2, iters = 10)
+      .orderBy("cid").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, s"kmeans iters=10 took $secs s — lineage growing?")
+    // converged means: cluster {0,2,4} -> (0.5, 0.4), {1,3,5} -> (10.1667, 9.8333)
+    assert(c.map(_.getSeq[Double](1)).toSeq ===
+      Seq(Seq(0.5, 0.4), Seq(10.1667, 9.8333)))
+  }
+
   test("connected components label every node with its component minimum") {
     val edges = Seq((5L, 3L), (3L, 9L), (9L, 11L), (20L, 21L)).toDF("a", "b")
     val comp = graft.ext.Components.components(edges)
