@@ -103,9 +103,12 @@ object Components {
     */
   def nearDupKeep(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double,
-                  shingleFn: Column => Column = MinHashLSH.wordShingles(_, 3)): DataFrame = {
+                  shingleFn: Column => Column = MinHashLSH.wordShingles(_, 3),
+                  maxBucketSize: Int = MinHashLSH.DefaultMaxBucketSize,
+                  droppedSink: DataFrame => Unit = MinHashLSH.logDroppedSink): DataFrame = {
     val pairs = MinHashLSH.nearDupPairs(df, idCol, textCol, threshold,
-      shingleFn = shingleFn)
+      shingleFn = shingleFn, maxBucketSize = maxBucketSize,
+      droppedSink = droppedSink)
     val drop = components(pairs)
       .filter(col("rep") =!= col("id"))
       .select(col("id").as(idCol))

@@ -267,6 +267,38 @@ object MinHashLSH {
       .withColumnRenamed("col", "band_hash")
   }
 
+  /** Production default for `maxBucketSize` on the [[nearDupPairs]] /
+    * [[graft.ext.Components.nearDupKeep]] paths: a 10 000-id bucket
+    * expands to ~5×10⁷ in-bucket pairs — already hours of verify work if
+    * it recurs — while real near-dup CLUSTERS (boilerplate, templates,
+    * mirrored sites) routinely exceed it and are exactly the degenerate
+    * quadratic an adversarial 100 TB corpus would exploit. Dropped
+    * buckets are reported through the audit sink, never silent.
+    */
+  val DefaultMaxBucketSize = 10000
+
+  /** Colliding LSH buckets — one row per (band, band_hash) holding ≥ 2
+    * documents, ids sorted. Output-scale, not corpus-scale: singleton
+    * buckets (the vast majority) are filtered before this frame exists,
+    * so persisting it is cheap and lets candidate pairs AND the dropped-
+    * bucket audit derive from one band-row pass.
+    */
+  def collidingBuckets(bandRows: DataFrame, idCol: String): DataFrame =
+    bandRows
+      .groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+
+  private def pairsFromBuckets(buckets: DataFrame,
+                               maxBucketSize: Int): DataFrame =
+    buckets
+      .filter(size(col("ids")) <= maxBucketSize)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+
   /** Candidate pairs (a < b) sharing at least one LSH bucket. Instead of
     * a self-join (which would execute the signature subplan twice), docs
     * are grouped per bucket and the within-bucket pairs are expanded from
@@ -283,15 +315,7 @@ object MinHashLSH {
     */
   def candidatePairsFromBands(bandRows: DataFrame, idCol: String,
                               maxBucketSize: Int = Int.MaxValue): DataFrame =
-    bandRows
-      .groupBy("band", "band_hash")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    pairsFromBuckets(collidingBuckets(bandRows, idCol), maxBucketSize)
 
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 16, bands: Int = 4,
@@ -313,6 +337,24 @@ object MinHashLSH {
       .agg(count(lit(1)).as("n_ids"))
       .filter(col("n_ids") > maxBucketSize)
 
+  /** Default audit sink for capped runs: one job over the (cached,
+    * output-scale) colliding-bucket frame; logs a WARN with the dropped
+    * bucket/member counts when anything was discarded, stays silent
+    * otherwise. Swap in a custom sink to persist the audit frame
+    * (`_.write.parquet(...)`) or to throw on any drop.
+    */
+  val logDroppedSink: DataFrame => Unit = { dropped =>
+    val r = dropped
+      .agg(count(lit(1)).as("n"), coalesce(sum("n_ids"), lit(0L)).as("ids"))
+      .head()
+    if (r.getLong(0) > 0)
+      org.slf4j.LoggerFactory.getLogger(MinHashLSH.getClass).warn(
+        s"nearDupPairs: dropped ${r.getLong(0)} hot LSH bucket(s) holding " +
+          s"${r.getLong(1)} member ids (over maxBucketSize); pairs inside " +
+          "them are NOT emitted — raise maxBucketSize or pre-collapse " +
+          "exact duplicates if these clusters matter")
+  }
+
   /** Near-duplicate pairs: LSH candidates verified by exact Jaccard.
     *
     * Plan shape (reworked in r7): the corpus-sized pass is band-row
@@ -320,22 +362,38 @@ object MinHashLSH {
     * streaming through whole-stage codegen with NOTHING corpus-sized ever
     * persisted (the previous shape cached the full shingle frame, a
     * 5-10x blowup of the text itself — the single biggest memory/IO cost
-    * at scale). Only the candidate-pair frame (≈ output size) persists;
-    * the verify step then re-shingles JUST the candidate documents by
-    * semi-joining the input down to candidate ids first, so the repeated
-    * shingling work — like the shingle-array shuffle — is output-sized,
-    * not corpus-sized. Shingling a candidate doc twice costs microseconds
-    * (one native-codegen loop); caching every doc's shingles costs a
-    * second copy of the corpus.
+    * at scale). Only output-scale frames persist: the colliding-bucket
+    * frame (singleton buckets filtered out before it materializes) and
+    * the candidate pairs derived from it; the verify step then
+    * re-shingles JUST the candidate documents by semi-joining the input
+    * down to candidate ids first, so the repeated shingling work — like
+    * the shingle-array shuffle — is output-sized, not corpus-sized.
+    * Shingling a candidate doc twice costs microseconds (one
+    * native-codegen loop); caching every doc's shingles costs a second
+    * copy of the corpus.
+    *
+    * The bucket cap defaults ON ([[DefaultMaxBucketSize]]; r7 verdict #3:
+    * a production path must not quadratic on an adversarial corpus unless
+    * explicitly told to) and anything it discards is reported through
+    * `droppedSink` — eagerly, one cheap job over the cached bucket frame,
+    * so a capped run is never silently incomplete. Pass
+    * `maxBucketSize = Int.MaxValue` to disable the cap.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 16, bands: Int = 4,
                    shingleFn: Column => Column = wordShingles(_, 3),
-                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   maxBucketSize: Int = DefaultMaxBucketSize,
+                   droppedSink: DataFrame => Unit = logDroppedSink): DataFrame = {
+    val buckets = graft.core.Caches.track(
+      collidingBuckets(
+        bandRows(df, idCol, textCol, numHashes, bands, shingleFn), idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    droppedSink(buckets
+      .filter(size(col("ids")) > maxBucketSize)
+      .select(col("band"), col("band_hash"),
+        size(col("ids")).cast("long").as("n_ids")))
     val cand = graft.core.Caches.track(
-      candidatePairsFromBands(
-        bandRows(df, idCol, textCol, numHashes, bands, shingleFn),
-        idCol, maxBucketSize)
+      pairsFromBuckets(buckets, maxBucketSize)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val candIds = cand.select(col("a").as(idCol))
       .union(cand.select(col("b").as(idCol))).distinct()

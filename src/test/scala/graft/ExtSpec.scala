@@ -194,6 +194,40 @@ class ExtSpec extends SparkSpec {
       .count() === 40L * 39 / 2)
   }
 
+  test("production near-dup paths cap hot buckets by default and report the drop") {
+    // one giant duplicate cluster (60 identical docs) + one small planted
+    // near-dup pair: the capped run must COMPLETE, emit the small pair,
+    // skip the giant cluster's quadratic expansion, and surface the
+    // dropped bucket through the audit sink
+    val giant = Seq.tabulate(60)(i =>
+      (i.toLong, "boilerplate template text repeated verbatim on every page " +
+        "of the crawled site including header footer and navigation chrome"))
+    val small = Seq(
+      (1000L, "a genuinely unique document about spark shuffle internals and " +
+        "the adaptive execution machinery that replans stages at runtime"),
+      (1001L, "a genuinely unique document about spark shuffle internals and " +
+        "the adaptive execution machinery that replans stages at runtime too"))
+    val docs = (giant ++ small).toDF("id", "text")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val pairs = MinHashLSH.nearDupPairs(docs, "id", "text", threshold = 0.4,
+      maxBucketSize = 10,
+      droppedSink = d => seen ++= d.select("band", "n_ids")
+        .as[(Long, Long)].collect())
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1000L, 1001L)))
+    // all 4 bands of the 60-doc cluster reported, none silent
+    assert(seen.nonEmpty && seen.forall(_._2 === 60L))
+    // nearDupKeep threads the same cap: the giant cluster survives intact
+    // (its pairs were dropped, auditably), the small near-dup collapses
+    val kept = graft.ext.Components.nearDupKeep(docs, "id", "text", 0.4,
+      maxBucketSize = 10, droppedSink = _ => ())
+      .select("id").as[Long].collect().toSet
+    assert(kept === (0L until 60L).toSet + 1000L)
+    // the default sink (no override) completes without error on a capped run
+    assert(MinHashLSH.nearDupPairs(docs, "id", "text", threshold = 0.4,
+      maxBucketSize = 10).count() === 1L)
+  }
+
   test("native signature expression matches the Column-composed specification") {
     val docs = corpus
     val sh = MinHashLSH.wordShingles(col("text"), 3)
