@@ -58,7 +58,52 @@ object Batching {
     val sorted = graft.core.Caches.track(
       df.repartitionByRange(parts, col("pos")).sortWithinPartitions("pos")
         .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    packAndStitch(df.sparkSession, sorted, df.schema, budget, baseCost,
+      outputFactor)
+  }
+
+  /** [[assignBatches]] over an EXPLICIT contiguous partition column:
+    * partition `i` packs exactly the rows with `partCol == i`, ordered by
+    * `pos`. Same two-pass pack-and-stitch as the range path; the
+    * difference is that partition CONTENTS are a pure function of the
+    * data (range bounds from `repartitionByRange` come from sampling —
+    * deterministic for a fixed input layout but opaque to an external
+    * replayer), so the multi-partition offset/stitching logic is exactly
+    * SQL-replayable — the `w4_batcher_par` oracle row.
+    *
+    * @param partCol 0-based integral partition index, contiguous ranges
+    *        of `pos` (e.g. `floor(pos * parts / n)`); values outside
+    *        [0, numParts) throw in the shuffle.
+    */
+  def assignBatchesByPart(df: DataFrame, partCol: String, numParts: Int,
+                          budget: Long = Schemas.TokenBudget,
+                          baseCost: Long = 0L,
+                          outputFactor: Double = Schemas.OutputFactor): DataFrame = {
     val schema = df.schema
+    val pIdx = schema.fieldIndex(partCol)
+    val posIdx = schema.fieldIndex("pos")
+    val partitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = numParts
+      def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
+    }
+    val sorted = graft.core.Caches.track(
+      df.rdd.map(r => ((r.getAs[Number](pIdx).intValue(), r.getLong(posIdx)), r))
+        .repartitionAndSortWithinPartitions(partitioner)
+        .map(_._2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    packAndStitch(df.sparkSession, sorted, schema, budget, baseCost,
+      outputFactor)
+  }
+
+  /** The shared two-pass core: pass 1 greedy-packs each partition and
+    * collects ONE batch count per partition; pass 2 re-packs with the
+    * scanned global offsets. `sorted` must be persisted by the caller so
+    * the passes share one materialization.
+    */
+  private def packAndStitch(spark: org.apache.spark.sql.SparkSession,
+                            sorted: org.apache.spark.rdd.RDD[Row],
+                            schema: StructType, budget: Long, baseCost: Long,
+                            outputFactor: Double): DataFrame = {
     val tokIdx = schema.fieldIndex("tokens")
 
     // pass 1: number of batches each partition produces (one long each)

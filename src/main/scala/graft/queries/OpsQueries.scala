@@ -450,6 +450,32 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** W4 (parallel path) — the multi-partition pack-and-stitch under a
+    * hash check (VERDICT r7 #4: `w4_batcher` pins numPartitions=1, so the
+    * offset/stitching logic was spec-only). An explicit 4-way pos-range
+    * split (`part = pos * 4 / n`, integer division — exactly replayable
+    * in SQL, unlike sampled repartitionByRange bounds) drives
+    * [[Batching.assignBatchesByPart]]; the oracle replays the per-part
+    * greedy walk and stitches with the same cumulative-count offsets.
+    */
+  def w4BatcherPar(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ext.Ordinal.withGlobalPos(
+        t(s, d, "documents"), "doc_id").select(
+      col("doc_id"),
+      col("pos"),
+      approxTokenCount(col("text")).as("tokens"))
+    // pos is contiguous 0..n-1 (Ordinal), so integer-division parts are
+    // exact equal ranges; n via count() is one cheap pre-job, the same
+    // count the oracle's COUNT(*) OVER () replays.
+    val n = t(s, d, "documents").count()
+    val withPart = docs.withColumn("part",
+      expr(s"CAST((pos * 4) DIV $n AS INT)"))
+    Batching.assignBatchesByPart(withPart, "part", numParts = 4,
+      budget = 500L, baseCost = 25L)
+      .select("doc_id", "batch_index", "custom_id")
+      .orderBy("doc_id")
+  }
+
   /** Event-time tumbling-window counts (batch form of the streaming agg —
     * same expression tree as EventWindows.tumblingCountsStream).
     */
@@ -634,6 +660,7 @@ object OpsQueries {
     "w2_last_row_lag" -> (w2LastRowLag(_, _)),
     "w3_sequence_gap" -> (w3SequenceGap(_, _)),
     "w4_batcher" -> (w4Batcher(_, _)),
+    "w4_batcher_par" -> (w4BatcherPar(_, _)),
     "o2_first_n_per_class" -> (o2FirstNPerClass(_, _)),
     "w_tumbling_counts" -> (wTumblingCounts(_, _)),
     "w5_session_stats" -> (w5SessionStats(_, _)),
@@ -852,6 +879,42 @@ object OpsQueries {
         |SELECT b.doc_id, w.batch AS batch_index,
         |  printf('batch-%04d', w.batch + 1) AS custom_id
         |FROM base b JOIN walk w ON b.rn = w.rn ORDER BY b.doc_id""".stripMargin,
+
+    // parallel W4: greedy walk PER 4-way pos-range part (the recursion
+    // steps every part at once), then global ids = per-part batch +
+    // cumulative earlier-part batch counts — the same stitching as
+    // Batching.packAndStitch pass 1 + 2
+    "w4_batcher_par" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, cost,
+        |    ((rn - 1) * 4) // n AS part,
+        |    row_number() OVER (PARTITION BY ((rn - 1) * 4) // n
+        |      ORDER BY rn) AS prn
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(CEIL(CEIL(LENGTH(text) / 4.0) * 2.8) + 1 AS BIGINT) AS cost,
+        |      row_number() OVER (ORDER BY doc_id) AS rn,
+        |      COUNT(*) OVER () AS n
+        |    FROM documents)),
+        |walk(part, prn, batch, running) AS (
+        |  SELECT part, CAST(1 AS BIGINT), CAST(0 AS BIGINT), 25 + cost
+        |  FROM base WHERE prn = 1
+        |  UNION ALL
+        |  SELECT b.part, b.prn,
+        |    CASE WHEN w.running + b.cost > 500 THEN w.batch + 1 ELSE w.batch END,
+        |    CASE WHEN w.running + b.cost > 500 THEN 25 + b.cost
+        |         ELSE w.running + b.cost END
+        |  FROM walk w JOIN base b ON b.part = w.part AND b.prn = w.prn + 1),
+        |offs AS (
+        |  SELECT part, CAST(COALESCE(SUM(nb) OVER (ORDER BY part
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM (SELECT part, MAX(batch) + 1 AS nb FROM walk GROUP BY part))
+        |SELECT b.doc_id, w.batch + o.off AS batch_index,
+        |  printf('batch-%04d', w.batch + o.off + 1) AS custom_id
+        |FROM base b
+        |JOIN walk w ON b.part = w.part AND b.prn = w.prn
+        |JOIN offs o ON b.part = o.part
+        |ORDER BY b.doc_id""".stripMargin,
 
     "o2_first_n_per_class" ->
       """SELECT event_type, event_id FROM (

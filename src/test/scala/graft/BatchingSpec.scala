@@ -50,6 +50,27 @@ class BatchingSpec extends SparkSpec {
     }
   }
 
+  test("explicit-part packing: per-part sequential semantics, stitched globally") {
+    val tokens = (1 to 200).map(i => (i * 53 % 400 + 1).toLong)
+    val parts = 4
+    val n = tokens.length
+    val withPart = mkInput(tokens)
+      .withColumn("part", expr(s"CAST((pos * $parts) DIV $n AS INT)"))
+    val got = Batching.assignBatchesByPart(withPart, "part", parts,
+      budget = 1200, baseCost = 25)
+      .orderBy("pos").select("batch_index").as[Long].collect().toSeq
+    // expected: pack each contiguous quarter with the sequential reference,
+    // then offset by the cumulative batch counts of earlier quarters
+    val quarters = tokens.zipWithIndex.groupBy { case (_, i) => i * parts / n }
+      .toSeq.sortBy(_._1).map(_._2.map(_._1))
+    val perPart = quarters.map(q => sequentialBatches(q, 1200, 25))
+    val offs = perPart.map(_.distinct.length.toLong).scanLeft(0L)(_ + _)
+    val expected = perPart.zip(offs).flatMap { case (b, o) => b.map(_ + o) }
+    assert(got == expected)
+    // contiguous ids from 0, nothing lost
+    assert(got.distinct.sorted == (0L until got.distinct.length).toSeq)
+  }
+
   test("an oversized row still gets its own batch") {
     val got = Batching.assignBatches(mkInput(Seq(10L, 99999L, 10L)),
       budget = 100, baseCost = 0, numPartitions = 1)
