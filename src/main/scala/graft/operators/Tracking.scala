@@ -74,4 +74,61 @@ object Tracking {
   /** P4 — status filter over the compacted view (batch_tracker.py:66-80). */
   def withStatus(state: DataFrame, status: String): DataFrame =
     state.filter(col("status") === status)
+
+  // ------------------------------------------------ incremental upsert
+
+  /** S10 as an INCREMENTAL MERGE-equivalent (SURVEY §1.1 row 6 names
+    * Delta-style MERGE as the idiomatic target; this is the same
+    * semantics without a table-format dependency): fold one batch of
+    * (possibly partial, null = "unchanged") tracking records into a
+    * compacted parquet state table at `statePath/current`, one row per
+    * job_id.
+    *
+    * Semantics: identical to [[latestState]] over the full change log —
+    * the state table is the fold's accumulator, so each upsert touches
+    * state-size + batch-size rows instead of recompacting an ever-growing
+    * log. Ordering inside the fold is (timestamp, is-update): at equal
+    * timestamps the incoming record wins over the accumulated row, which
+    * makes RE-applying a batch a no-op — exactly the idempotence a
+    * foreachBatch sink needs, since Structured Streaming replays the last
+    * uncommitted micro-batch after a crash. Like MERGE, each batch
+    * resolves against the CURRENT state row, not the full history: with
+    * batches arriving in non-decreasing timestamp order (a streaming
+    * sink's arrival order) the result is identical to [[latestState]]
+    * over the whole log; an out-of-order batch loses to the newer
+    * accumulated row, which is what an upsert should do. Updates must
+    * carry a non-null timestamp.
+    *
+    * Durability: the new state is fully written to a stage directory
+    * before a rename swap (stage → current), so readers never see a
+    * half-written table; the swap itself is two renames, not one atomic
+    * commit — a production deployment on object storage would put a real
+    * table format (Delta/Iceberg) under this same foreachBatch seam.
+    */
+  def upsert(updates: DataFrame, statePath: String): Unit = {
+    val spark = updates.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$statePath/current")
+    val stage = new org.apache.hadoop.fs.Path(s"$statePath/_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$statePath/_old")
+    val existing =
+      if (fs.exists(cur)) spark.read.parquet(cur.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.tracking)
+    val merged = latestState(
+      existing.withColumn("_upd", lit(0))
+        .unionByName(updates.select(cols.map(col): _*).withColumn("_upd", lit(1))),
+      struct(col("timestamp"), col("_upd")))
+    fs.delete(stage, true)
+    merged.write.parquet(stage.toString)
+    fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
+    fs.rename(stage, cur)
+    fs.delete(old, true)
+  }
+
+  /** The compacted state table maintained by [[upsert]]. */
+  def readState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/current")
 }

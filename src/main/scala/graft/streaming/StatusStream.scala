@@ -111,4 +111,25 @@ object StatusStream {
     checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
   }
+
+  /** [[pollToTracking]]'s MERGE-shaped sibling (VERDICT r7 #6): instead
+    * of appending to the change log and compacting on read, each
+    * micro-batch of refreshed job states upserts directly into the
+    * compacted state table via [[graft.operators.Tracking.upsert]] —
+    * the foreachBatch MERGE-equivalent. Upsert is idempotent per batch
+    * (equal-timestamp updates win ties deterministically), so the
+    * replayed micro-batch after a crash re-applies harmlessly.
+    */
+  def pollToState(events: Dataset[StatusEvent], statePath: String,
+                  trigger: Trigger = Trigger.ProcessingTime("300 seconds"),
+                  checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = trackJobs(events).writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[JobState], _: Long) =>
+        graft.operators.Tracking.upsert(toTrackingRecords(batch), statePath)
+      }
+    checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
 }

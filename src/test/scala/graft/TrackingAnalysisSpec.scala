@@ -43,6 +43,37 @@ class TrackingAnalysisSpec extends SparkSpec {
     assert(j2.getAs[String]("output_file") === null)
   }
 
+  test("S10 incremental upsert folds batches to the full-log compaction, idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups").toString + "/state"
+    // batch 1: seed rows; batch 2: the partial updates — arrival order
+    // follows timestamps, the streaming sink's normal shape
+    Tracking.upsert(trackingRows.filter($"timestamp" < 200), dir)
+    Tracking.upsert(trackingRows.filter($"timestamp" >= 200), dir)
+    def snap() = Tracking.readState(spark, dir).orderBy("job_id")
+      .collect().map(_.toSeq).toSeq
+    val folded = snap()
+    // incremental fold == one-shot compaction of the whole log
+    val oneShot = Tracking.latestState(trackingRows, col("timestamp"))
+      .orderBy("job_id").collect().map(_.toSeq).toSeq
+    assert(folded === oneShot)
+    // seed columns survive partial updates; the update columns won
+    val j1 = Tracking.readState(spark, dir).filter($"job_id" === "batch_1").collect()(0)
+    assert(j1.getAs[String]("status") === "completed")
+    assert(j1.getAs[String]("batch_id") === "b1")
+    assert(j1.getAs[String]("output_file") === "out_1.csv")
+    // idempotent: re-applying the last micro-batch (the post-crash replay
+    // foreachBatch must tolerate) changes nothing
+    Tracking.upsert(trackingRows.filter($"timestamp" >= 200), dir)
+    assert(snap() === folded)
+    // and an upsert of a strictly newer partial record advances the state
+    Tracking.upsert(Tracking.statusUpdate(spark, "batch_2", "completed", 400L,
+      Some("out_2.csv")), dir)
+    val j2 = Tracking.readState(spark, dir).filter($"job_id" === "batch_2").collect()(0)
+    assert(j2.getAs[String]("status") === "completed")
+    assert(j2.getAs[String]("output_file") === "out_2.csv")
+    assert(j2.getAs[String]("batch_id") === "b1")  // kept from the seed
+  }
+
   test("P4 status filter over compacted state") {
     val state = Tracking.latestState(trackingRows, col("timestamp"))
     assert(Tracking.withStatus(state, "completed").count() === 1)
