@@ -24,6 +24,26 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Box-load snapshot for the ledger (VERDICT r7 #1: two same-day runs
+    * of the same suite disagreed 65.9 s vs 97.3 s — uniform deltas across
+    * even trivial queries, i.e. machine noise, not plans; the ledger must
+    * carry the evidence). 1-minute loadavg and MemAvailable, read from
+    * /proc; -1 when unreadable (non-Linux).
+    */
+  private def loadSnapshot(): (Double, Long) = {
+    def readFirstLine(p: String): Option[String] =
+      try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(p)).linesIterator.next())
+      catch { case _: Throwable => None }
+    val load = readFirstLine("/proc/loadavg")
+      .flatMap(_.split(" ").headOption).flatMap(_.toDoubleOption).getOrElse(-1.0)
+    val memKb =
+      (try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/meminfo"))
+          .linesIterator.find(_.startsWith("MemAvailable:"))
+       catch { case _: Throwable => None })
+        .flatMap(_.split("\\s+").lift(1)).flatMap(_.toLongOption).getOrElse(-1L)
+    (load, memKb)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,8 +53,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (loadStart, memStart) = loadSnapshot()
     // One untimed scan so the very first cold number isn't session startup.
     try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => }
+    // Session-memoized fixtures (s5/t3 CSV folders, j7 bucketed tables)
+    // build BEFORE any timing, so the cold column measures the engine's
+    // first execution, not fixture I/O (VERDICT r7 #7).
+    try graft.queries.OpsQueries.prewarmFixtures(spark, sfDir)
     catch { case _: Throwable => }
     // Optional args: run only the named queries (dev loop); full run when empty.
     val selected =
@@ -64,8 +90,12 @@ object Bench {
     val qs = jsonMap(_._3)
     val colds = jsonMap(_._2)
     val total = results.map(_._3).filter(_ >= 0).sum
+    val (loadEnd, memEnd) = loadSnapshot()
+    val env =
+      s""""load":{"loadavg1_start":$loadStart,"loadavg1_end":$loadEnd,""" +
+        s""""mem_available_kb_start":$memStart,"mem_available_kb_end":$memEnd}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,$env,"sf":"$sfDir"}"""
     // stdout line may get wrapped in sbt's "[info] " prefix; also write a
     // bare JSON file so parsers never depend on log scraping.
     println(line)

@@ -26,7 +26,8 @@ object Explain {
       "text_bpe_tokens", "ivf_search_nprobe2",
       "simhash_near_dup", "embed_near_dup", "ann_knn_join",
       "stream_near_dup_replay", "stream_minhash_probe_replay",
-      "stream_dedup_index_replay", "token_percentiles")
+      "stream_dedup_index_replay", "token_percentiles",
+      "w4_batcher_par", "status_stream_replay")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")

@@ -316,6 +316,20 @@ object OpsQueries {
     j7Built = d
   }
 
+  /** Build every SESSION-MEMOIZED fixture (the CSV doc folders for s5/t3
+    * and the j7 bucketed tables) ahead of any timed query. Bench calls
+    * this once before its cold pass (VERDICT r7 #7): without it the first
+    * run of each fixture query times fixture I/O as if it were the
+    * engine, a 5x phantom on s5_dir_scan's cold column. Per-call sink
+    * fixtures (s8/s9 and friends) are NOT prewarmed — there the write is
+    * the operator under test.
+    */
+  def prewarmFixtures(s: SparkSession, d: String): Unit = {
+    writeDocFolder(s, d, "/tmp/graft_fix/s5_dir")
+    writeDocFolder(s, d, "/tmp/graft_fix/t3_dir")
+    j7Fixture(s, d)
+  }
+
   def j7BucketedJoin(s: SparkSession, d: String): DataFrame = {
     j7Fixture(s, d)
     graft.ext.Bucketing.bucketedEquiJoin(s, "j7_cust", "j7_ord", "c_custkey")
