@@ -125,6 +125,27 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Batch replay of the embedding streaming probe
+    * ([[graft.streaming.StreamNearDup.probeEmbed]]): hyperplane-bucket
+    * candidates in two plane families, exact-cosine verify against the
+    * vector riding on the index row — the cosine-family sibling of
+    * `stream_near_dup_replay` (hamming) and `stream_minhash_probe_replay`
+    * (Jaccard). Probes are the planted +0.01-perturbation copies
+    * (cosine ≈ 0.998 to their source vectors) probing the original
+    * corpus.
+    */
+  def streamEmbedProbeReplay(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val corpus = e.select(col("vec_id").cast("long").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val probes = e.select((col("vec_id") + 100000).cast("long").as("id"),
+      zip_with(col("embedding"), sequence(lit(0L), lit(63L)),
+        (x, j) => x.cast("double") + lit(0.01) * ((j % 3) - 1).cast("double")).as("v"))
+    val idx = graft.streaming.StreamNearDup.buildEmbedIndex(corpus, "id", "v")
+    graft.streaming.StreamNearDup.probeEmbed(probes, idx, "id", "v")
+      .orderBy("probe_id", "corpus_id")
+  }
+
   /** Batch replay of the T1/T2 job-status state machine
     * ([[graft.streaming.StatusStream.trackJobs]], mapGroupsWithState —
     * VERDICT r7 #5: it was spec-only). mapGroupsWithState on a BATCH
@@ -369,6 +390,7 @@ object ExtQueries {
     "stream_near_dup_replay" -> (streamNearDupReplay(_, _)),
     "stream_minhash_probe_replay" -> (streamMinHashProbeReplay(_, _)),
     "stream_dedup_index_replay" -> (streamDedupIndexReplay(_, _)),
+    "stream_embed_probe_replay" -> (streamEmbedProbeReplay(_, _)),
     "status_stream_replay" -> (statusStreamReplay(_, _)),
     "embed_near_dup" -> (embedNearDupQ(_, _)),
     "embed_near_dup_t2" -> (embedNearDupT2Q(_, _)),
@@ -713,6 +735,31 @@ object ExtQueries {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 2 = 0 AND md5(c.text) = md5(d.text))
         |ORDER BY doc_id""".stripMargin,
+
+    // probe × corpus hyperplane-bucket join in two plane families,
+    // first-agreeing-table dedup, exact-cosine verify — the replay of
+    // StreamNearDup.probeEmbed over the planted perturbation probes
+    "stream_embed_probe_replay" ->
+      s"""WITH corpus AS (SELECT CAST(vec_id AS BIGINT) AS id,
+         |  [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS v
+         |  FROM embeddings),
+         |probes AS (SELECT CAST(vec_id + 100000 AS BIGINT) AS id,
+         |  [CAST(embedding[j + 1] AS DOUBLE) + 0.01 * CAST((j % 3) - 1 AS DOUBLE)
+         |   for j in range(0, 64)] AS v
+         |  FROM embeddings),
+         |cb AS (SELECT id, v, [${bucketSql("v")}, ${bucketSql("v", off = 6)}] AS bks
+         |  FROM corpus),
+         |pb AS (SELECT id, v, [${bucketSql("v")}, ${bucketSql("v", off = 6)}] AS bks
+         |  FROM probes),
+         |cr AS (SELECT id, v, bks, t, bks[t + 1] AS bk FROM cb, range(2) r(t)),
+         |pr AS (SELECT id, v, bks, t, bks[t + 1] AS bk FROM pb, range(2) r(t)),
+         |p AS (SELECT x.id AS probe_id, y.id AS corpus_id,
+         |    ${cosSql("x.v", "y.v")} AS cos
+         |  FROM pr x JOIN cr y ON x.t = y.t AND x.bk = y.bk
+         |  WHERE x.t = (CASE WHEN x.bks[1] = y.bks[1] THEN 0 ELSE
+         |    (CASE WHEN x.bks[2] = y.bks[2] THEN 1 ELSE 2 END) END))
+         |SELECT probe_id, corpus_id, ROUND(cos, 4) AS cos4 FROM p
+         |WHERE cos >= 0.9 ORDER BY probe_id, corpus_id""".stripMargin,
 
     // recursive walk per job over the (ts, status)-sorted event sequence —
     // the same fold as StatusStream.updateJob: a terminal status absorbs,

@@ -203,4 +203,68 @@ object StreamNearDup {
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("probe_id"), col("corpus_id"), col("est_jaccard"))
   }
+
+  // ------------------------------------------------ embedding variant
+
+  /** (id, v, bks, tbl, bk) rows — each vector's `tables` independent
+    * hyperplane-LSH bucket ids ([[graft.ext.Similarity.bucket]], family
+    * t at planeOffset t*bits), exploded to one row per table. Shared by
+    * the index and probe sides; the full bucket array rides along for
+    * the stateless first-agreeing-table dedup.
+    */
+  private def embedBucketRows(docs: DataFrame, idCol: String, vecCol: String,
+                              bits: Int, dims: Int, tables: Int): DataFrame =
+    docs
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bks", array((0 until tables).map(t =>
+        graft.ext.Similarity.bucket(col("v"), bits, dims,
+          planeOffset = t * bits)): _*))
+      .select(col("id"), col("v"), col("bks"), posexplode(col("bks")))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bk")
+
+  /** Build the static hyperplane-LSH index over a batch vector corpus —
+    * the cosine-family sibling of [[buildIndex]]/[[buildMinHashIndex]],
+    * completing the streaming near-dup family across all three distance
+    * families (hamming, Jaccard, cosine). One row per (vector, table):
+    * the row carries the vector and its bucket array so the stream side
+    * verifies with EXACT cosine and dedups multi-table agreements
+    * without a second corpus join (the MinHash index's
+    * signatures-ride-along principle; ~8·dims B + tables·8 B per row).
+    * Columns: (tbl, bk, corpus_id, v_idx, bks_idx).
+    */
+  def buildEmbedIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      bits: Int = 6, dims: Int = 64,
+                      tables: Int = 2): DataFrame =
+    embedBucketRows(corpus, idCol, vecCol, bits, dims, tables)
+      .select(col("tbl"), col("bk"), col("id").as("corpus_id"),
+        col("v").as("v_idx"), col("bks").as("bks_idx"))
+
+  /** Probe `docs` — streaming (stream-static join) or batch (oracle
+    * replay) — against a [[buildEmbedIndex]] index built with the same
+    * parameters. Candidates come from bucket equality in any of the
+    * `tables` hyperplane families; verification is exact cosine between
+    * the probe vector and the indexed vector already on the joined row;
+    * multi-table agreements dedup via the stateless first-agreeing-table
+    * filter (cf. [[graft.ext.Similarity.embedNearDup]]'s batch form).
+    * Emits (probe_id, corpus_id, cos4).
+    */
+  def probeEmbed(docs: DataFrame, index: DataFrame, idCol: String,
+                 vecCol: String, bits: Int = 6, dims: Int = 64,
+                 tables: Int = 2, minCos: Double = 0.9): DataFrame = {
+    val probes = embedBucketRows(docs, idCol, vecCol, bits, dims, tables)
+      .select(col("id").as("probe_id"), col("v").as("v_p"),
+        col("bks").as("bks_p"), col("tbl"), col("bk"))
+    val firstAgreeingTable = (0 until tables).foldRight(lit(tables)) { (t, rest) =>
+      when(col("bks_p").getItem(t) === col("bks_idx").getItem(t), lit(t))
+        .otherwise(rest)
+    }
+    probes
+      .join(index, Seq("tbl", "bk"))
+      .filter(col("tbl") === firstAgreeingTable)
+      .withColumn("cos", graft.ext.Similarity.cosine(col("v_p"), col("v_idx")))
+      .filter(col("cos") >= minCos)
+      .select(col("probe_id"), col("corpus_id"), round(col("cos"), 4).as("cos4"))
+  }
 }

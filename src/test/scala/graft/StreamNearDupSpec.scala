@@ -83,6 +83,47 @@ class StreamNearDupSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("embedding stream probe flags cosine-close vectors; exact dup at cos 1.0") {
+    implicit val sq = spark.sqlContext
+    // 8-dim vectors, two planted relations: 201 == 1 exactly, 202 ≈ 2
+    // (one component nudged), 203 orthogonal-ish to everything
+    val vecCorpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.5, 0.0, 0.25, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.5, 0.0, 0.25, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0)))
+    val vecProbes = Seq(
+      (201L, Seq(1.0, 0.0, 0.5, 0.0, 0.25, 0.0, 0.0, 0.0)),
+      (202L, Seq(0.0, 1.0, 0.02, 0.5, 0.0, 0.25, 0.0, 0.0)),
+      (203L, Seq(-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)))
+    val index = StreamNearDup.buildEmbedIndex(
+        vecCorpus.toDF("id", "v"), "id", "v", bits = 4, dims = 8)
+      .persist()
+    val source = MemoryStream[(Long, Seq[Double])]
+    val q = StreamNearDup.probeEmbed(
+        source.toDS().toDF("id", "v"), index, "id", "v", bits = 4, dims = 8)
+      .writeStream.format("memory").queryName("sembprobe")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(vecProbes: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sembprobe")
+      .as[(Long, Long, Double)].collect().toSet
+    // the exact duplicate vector is found at cosine exactly 1.0
+    assert(streamed.contains((201L, 1L, 1.0)))
+    // every emitted pair clears the verify threshold; the orthogonal
+    // probe matched nothing
+    assert(streamed.forall(_._3 >= 0.9))
+    assert(!streamed.exists(_._1 == 203L))
+    // one row per (probe, corpus) pair even when both tables agree
+    assert(streamed.toSeq.map(p => (p._1, p._2)).distinct.size === streamed.size)
+    // stream == batch replay of the identical probe function
+    val batch = StreamNearDup.probeEmbed(
+        vecProbes.toDF("id", "v"), index, "id", "v", bits = 4, dims = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    index.unpersist()
+  }
+
   test("probe rejects a maxHamming the banding cannot certify") {
     val index = StreamNearDup.buildIndex(corpus.toDF("id", "text"), "id", "text")
     intercept[IllegalArgumentException] {
