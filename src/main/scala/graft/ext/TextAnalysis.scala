@@ -209,6 +209,32 @@ object TextAnalysis {
   }
 
   /** Hamming distance between two simhash values (for near-dup banding). */
+  // ------------------------------------------------------ PII scrubbing
+
+  /** PII scrub patterns — a standard pre-training redaction pass.
+    * Deliberately RE2-compatible (no lookaround, no backreferences) so
+    * the identical pattern runs under Spark's java.util.regex AND the
+    * DuckDB oracle's RE2; ORDER MATTERS and is fixed by [[scrubPii]]:
+    * emails first (their local parts contain digits a later pass could
+    * shred), then dotted quads, then free-form phone runs (which must
+    * not see the digits inside an unscrubbed IP).
+    */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhoneRe = "\\+?\\d[\\d\\- ]{7,}\\d"
+
+  /** Replace emails / IPv4s / phone-shaped digit runs with typed
+    * placeholders. Three chained regexp_replace projections — fully
+    * codegen'd, no UDF, scan-parallel; at 100 TB this is a pure map over
+    * the text column with zero shuffle.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailRe, "<EMAIL>"),
+        piiIpRe, "<IP>"),
+      piiPhoneRe, "<PHONE>")
+
   def hammingDist32(a: Column, b: Column): Column =
     (0 until 32).map { j =>
       shiftright(a.bitwiseXOR(b), j).bitwiseAND(1)

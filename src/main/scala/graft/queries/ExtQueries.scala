@@ -249,6 +249,21 @@ object ExtQueries {
         TextFunctions.meanWordLen(col("text")).as("mean_wlen"))
       .orderBy("doc_id")
 
+  /** PII scrub over documents with PLANTED identifiers (the synthetic
+    * text has none): each doc gets an email, a phone and an IP derived
+    * from doc_id appended, then the scrub must replace all three with
+    * typed placeholders. The oracle replays the same plant + the same
+    * RE2-compatible patterns.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-"),
+        lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" node 10.0."), col("doc_id") % 256, lit(".7")).as("planted"))
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("planted")).as("scrubbed"))
+      .orderBy("doc_id")
+
   def embedCosine(s: SparkSession, d: String): DataFrame =
     Similarity.cosineToQuery(t(s, d, "embeddings"), queryId = 0L)
       .filter(col("cos") >= 0.2)
@@ -401,6 +416,7 @@ object ExtQueries {
     "lang_id" -> (langId(_, _)),
     "token_percentiles" -> (tokenPercentiles(_, _)),
     "text_quality" -> (textQuality(_, _)),
+    "pii_scrub" -> (piiScrub(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
     "embed_topk" -> (embedTopK(_, _)),
     "embed_lsh_buckets" -> (embedLshBuckets(_, _)),
@@ -903,6 +919,24 @@ object ExtQueries {
          |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
          |    AS mean_wlen
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // same plant, same RE2-compatible patterns, same replace order;
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+    // matches by default)
+    "pii_scrub" -> {
+      import graft.ext.TextAnalysis.{piiEmailRe, piiIpRe, piiPhoneRe}
+      s"""WITH planted AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com or +1 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
+         |  ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS planted
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(planted,
+         |    '$piiEmailRe', '<EMAIL>', 'g'),
+         |    '$piiIpRe', '<IP>', 'g'),
+         |    '$piiPhoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM planted ORDER BY doc_id""".stripMargin
     },
 
     "embed_cosine" ->

@@ -228,6 +228,25 @@ class ExtSpec extends SparkSpec {
       maxBucketSize = 10).count() === 1L)
   }
 
+  test("PII scrub replaces emails, IPs and phones; clean text unchanged") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org for details"),
+      (2L, "server 192.168.001.250 went down again"),
+      (3L, "call +1 555-867-5309 or 040 1234 5678 now"),
+      (4L, "perfectly clean prose with the number 42 in it"),
+      (5L, "mixed: a@b.co then 10.0.0.7 then +49 30-123456"))
+      .toDF("id", "text")
+    val got = rows.select($"id", TextAnalysis.scrubPii($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "reach me at <EMAIL> for details")
+    assert(got(2L) === "server <IP> went down again")
+    assert(got(3L) === "call <PHONE> or <PHONE> now")
+    assert(got(4L) === "perfectly clean prose with the number 42 in it")
+    // order: the email's digits and the IP's digits never leak into a
+    // phone match
+    assert(got(5L) === "mixed: <EMAIL> then <IP> then <PHONE>")
+  }
+
   test("native signature expression matches the Column-composed specification") {
     val docs = corpus
     val sh = MinHashLSH.wordShingles(col("text"), 3)

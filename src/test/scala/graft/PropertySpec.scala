@@ -75,4 +75,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("S10 property: incremental upsert of any in-order batch split equals " +
+    "one-shot compaction, and every prefix replay is idempotent") {
+    val rnd = new Random(11)
+    val statuses = Seq("submitted", "validating", "in_progress", "completed", "failed")
+    (1 to 3).foreach { round =>
+      // a change log: full seed rows then partial updates, timestamps unique
+      val jobs = (0 until 4 + rnd.nextInt(4)).map(j => s"job_$j")
+      val rows = jobs.zipWithIndex.map { case (j, i) =>
+        (s"b$i", s"in_$i.csv", j, "submitted", i.toLong, "te",
+          null.asInstanceOf[String])
+      } ++ (0 until 20 + rnd.nextInt(20)).map { k =>
+        val j = jobs(rnd.nextInt(jobs.length))
+        (null.asInstanceOf[String], null.asInstanceOf[String], j,
+          statuses(rnd.nextInt(statuses.length)), (100 + k).toLong,
+          null.asInstanceOf[String],
+          if (rnd.nextBoolean()) s"out_$k.csv" else null.asInstanceOf[String])
+      }
+      val log = rows.toDF("batch_id", "input_file", "job_id", "status",
+        "timestamp", "target_language", "output_file")
+      val oneShot = graft.operators.Tracking.latestState(log, col("timestamp"))
+        .orderBy("job_id").collect().map(_.toSeq).toSeq
+
+      // split the log at random cut points into timestamp-ordered batches
+      val sorted = rows.sortBy(_._5)
+      val cuts = (Seq(0, sorted.length) ++
+        Seq.fill(2)(rnd.nextInt(sorted.length))).distinct.sorted
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_prop$round")
+        .toString + "/state"
+      cuts.zip(cuts.tail).foreach { case (lo, hi) =>
+        val batch = sorted.slice(lo, hi).toDF("batch_id", "input_file",
+          "job_id", "status", "timestamp", "target_language", "output_file")
+        graft.operators.Tracking.upsert(batch, dir)
+        // replaying the batch just applied must be a no-op
+        val before = graft.operators.Tracking.readState(spark, dir)
+          .orderBy("job_id").collect().map(_.toSeq).toSeq
+        graft.operators.Tracking.upsert(batch, dir)
+        val after = graft.operators.Tracking.readState(spark, dir)
+          .orderBy("job_id").collect().map(_.toSeq).toSeq
+        assert(after === before, "re-applied batch changed state")
+      }
+      val folded = graft.operators.Tracking.readState(spark, dir)
+        .orderBy("job_id").collect().map(_.toSeq).toSeq
+      assert(folded === oneShot,
+        s"fold over ${cuts.length - 1} batches diverged from one-shot compaction")
+    }
+  }
 }
