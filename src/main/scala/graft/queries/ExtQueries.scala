@@ -249,6 +249,19 @@ object ExtQueries {
         TextFunctions.meanWordLen(col("text")).as("mean_wlen"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination flags: every 50th document's text is the
+    * planted "benchmark"; the flag pass must mark exactly the documents
+    * sharing an 8-word n-gram with it (at minimum the benchmark docs
+    * themselves). The oracle replays the shingle sets and the overlap.
+    */
+  def decontaminateFlag(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+    graft.ext.Decontaminate.withContaminationFlag(docs, "text", bench, "text")
+      .select(col("doc_id"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrub over documents with PLANTED identifiers (the synthetic
     * text has none): each doc gets an email, a phone and an IP derived
     * from doc_id appended, then the scrub must replace all three with
@@ -417,6 +430,7 @@ object ExtQueries {
     "token_percentiles" -> (tokenPercentiles(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
+    "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
     "embed_topk" -> (embedTopK(_, _)),
     "embed_lsh_buckets" -> (embedLshBuckets(_, _)),
@@ -920,6 +934,20 @@ object ExtQueries {
          |    AS mean_wlen
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // benchmark = every 50th doc; contaminated = any shared 8-word
+    // n-gram (list_intersect replays arrays_overlap for null-free
+    // string arrays)
+    "decontaminate_flag" ->
+      s"""WITH btok AS (SELECT string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |bsh AS (SELECT flatten(list(${wordShinglesSql("toks", 8)})) AS bench_sh
+         |  FROM btok),
+         |dtok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |dsh AS (SELECT doc_id, ${wordShinglesSql("toks", 8)} AS sh FROM dtok)
+         |SELECT d.doc_id, len(list_intersect(d.sh, b.bench_sh)) > 0 AS contaminated
+         |FROM dsh d, bsh b ORDER BY d.doc_id""".stripMargin,
 
     // same plant, same RE2-compatible patterns, same replace order;
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all

@@ -228,6 +228,24 @@ class ExtSpec extends SparkSpec {
       maxBucketSize = 10).count() === 1L)
   }
 
+  test("decontamination flags exactly the docs sharing a benchmark n-gram") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains the bench 4-gram
+      (2L, "beta gamma delta epsilon entirely new"), // shifted copy, still overlaps
+      (3L, "totally different words in this one"),
+      (4L, "alpha beta gamma x delta epsilon"))      // broken window: no shared 4-gram
+      .toDF("id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val flags = graft.ext.Decontaminate
+      .withContaminationFlag(docs, "text", bench, "text", n = 4)
+      .select("id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(flags === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    val kept = graft.ext.Decontaminate
+      .decontaminate(docs, "text", bench, "text", n = 4)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L))
+  }
+
   test("PII scrub replaces emails, IPs and phones; clean text unchanged") {
     val rows = Seq(
       (1L, "reach me at jane.doe+spam@mail.example.org for details"),
