@@ -277,6 +277,18 @@ object ExtQueries {
       .select(col("doc_id"), TextAnalysis.scrubPii(col("planted")).as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Quality filter audit per document (keep/drop + failing rules). */
+  def qualityFilterQ(s: SparkSession, d: String): DataFrame =
+    graft.ext.QualityFilter.withQualityAudit(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("drop_reasons"), col("keep"))
+      .orderBy("doc_id")
+
+  /** Per-rule drop counts over the same audit. */
+  def qualityReportQ(s: SparkSession, d: String): DataFrame =
+    graft.ext.QualityFilter.reasonReport(
+      graft.ext.QualityFilter.withQualityAudit(t(s, d, "documents"), "text"))
+      .orderBy("reason")
+
   def embedCosine(s: SparkSession, d: String): DataFrame =
     Similarity.cosineToQuery(t(s, d, "embeddings"), queryId = 0L)
       .filter(col("cos") >= 0.2)
@@ -431,6 +443,8 @@ object ExtQueries {
     "text_quality" -> (textQuality(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
+    "quality_filter" -> (qualityFilterQ(_, _)),
+    "quality_report" -> (qualityReportQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
     "embed_topk" -> (embedTopK(_, _)),
     "embed_lsh_buckets" -> (embedLshBuckets(_, _)),
@@ -613,6 +627,34 @@ object ExtQueries {
   /** DuckDB: the planted near-dup vector corpus (double cast + one
     * literal multiply-add perturbation — mirrors plantedVecs exactly).
     */
+  /** DuckDB: the QualityFilter.defaultRules audit over documents — the
+    * same 4-decimal-rounded signals as the text_quality oracle, the same
+    * fixed rule order, concat_ws skipping un-failed rules exactly like
+    * the Spark side.
+    */
+  private def qualityAuditCte: String = {
+    val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""sig AS (SELECT doc_id, text,
+       |  len(string_split_regex(trim(text), '\\s+')) AS wc,
+       |  ROUND(CAST(len(list_filter($wordsSql, w -> w IN ($stopList))) AS DOUBLE)
+       |    / len($wordsSql), 4) AS sr,
+       |  ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |    / greatest(length(text), 1), 4) AS pr,
+       |  ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split_regex(trim(text), '\\s+'),
+       |        w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+       |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS mw
+       |  FROM documents),
+       |audit AS (SELECT doc_id, concat_ws(',',
+       |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 'empty' END,
+       |  CASE WHEN wc < 20 THEN 'too_short' END,
+       |  CASE WHEN wc > 100000 THEN 'too_long' END,
+       |  CASE WHEN sr < 0.04 THEN 'stopword_ratio_low' END,
+       |  CASE WHEN pr > 0.2 THEN 'punct_ratio_high' END,
+       |  CASE WHEN mw < 2.5 OR mw > 5.0 THEN 'mean_word_len_out' END)
+       |  AS drop_reasons FROM sig)""".stripMargin
+  }
+
   private def plantedVecsSql: String =
     """SELECT CAST(vec_id AS BIGINT) AS id,
       |  [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS v FROM embeddings
@@ -948,6 +990,18 @@ object ExtQueries {
          |dsh AS (SELECT doc_id, ${wordShinglesSql("toks", 8)} AS sh FROM dtok)
          |SELECT d.doc_id, len(list_intersect(d.sh, b.bench_sh)) > 0 AS contaminated
          |FROM dsh d, bsh b ORDER BY d.doc_id""".stripMargin,
+
+    "quality_filter" ->
+      s"""WITH $qualityAuditCte
+         |SELECT doc_id, drop_reasons, drop_reasons = '' AS keep
+         |FROM audit ORDER BY doc_id""".stripMargin,
+
+    "quality_report" ->
+      s"""WITH $qualityAuditCte,
+         |r AS (SELECT unnest(string_split(drop_reasons, ',')) AS reason
+         |  FROM audit WHERE drop_reasons <> '')
+         |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n FROM r
+         |GROUP BY reason ORDER BY reason""".stripMargin,
 
     // same plant, same RE2-compatible patterns, same replace order;
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all

@@ -246,6 +246,35 @@ class ExtSpec extends SparkSpec {
     assert(kept === Set(3L, 4L))
   }
 
+  test("quality filter audits every failing rule and keeps clean docs") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a hat and a bat and the rat ran to " +
+        "the red barn door"),                               // clean: 20 words, stopword-rich
+      (2L, "short text here"),                              // too_short
+      (3L, null.asInstanceOf[String]),                      // empty
+      (4L, "zzz " * 25 + "qqq"),                            // stopword_ratio_low
+      (5L, ("supercalifragilistic " * 21).trim))            // stopword_low + wlen_out
+      .toDF("doc_id", "text")
+    val byId = graft.ext.QualityFilter.withQualityAudit(docs, "text")
+      .select("doc_id", "drop_reasons", "keep")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) === (("", true)))
+    assert(byId(2L)._1.contains("too_short") && !byId(2L)._2)
+    assert(byId(3L)._1.startsWith("empty") && !byId(3L)._2)
+    assert(byId(4L)._1 === "stopword_ratio_low")
+    assert(byId(5L)._1 === "stopword_ratio_low,mean_word_len_out")
+    // keepOnly == the keep flags; report counts each rule once per doc
+    assert(graft.ext.QualityFilter.keepOnly(docs, "text")
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+    val report = graft.ext.QualityFilter.reasonReport(
+      graft.ext.QualityFilter.withQualityAudit(docs, "text"))
+      .as[(String, Long)].collect().toMap
+    // docs 2 (no stopwords at all), 4 and 5
+    assert(report("stopword_ratio_low") === 3L)
+    assert(report("mean_word_len_out") === 1L)
+  }
+
   test("PII scrub replaces emails, IPs and phones; clean text unchanged") {
     val rows = Seq(
       (1L, "reach me at jane.doe+spam@mail.example.org for details"),
