@@ -209,6 +209,52 @@ object TextAnalysis {
   }
 
   /** Hamming distance between two simhash values (for near-dup banding). */
+  // ------------------------------------------------- repetition signals
+
+  /** Fraction of non-blank lines that are repeats of an earlier line —
+    * the Gopher-style boilerplate detector (nav bars, footers, chat
+    * logs). Pure array expression per row: no shuffle, no UDF. Empty or
+    * line-less text scores 0.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    when(size(lines) <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines), 4))
+  }
+
+  /** ALL word n-gram windows, NOT deduplicated — the counting sibling of
+    * [[MinHashLSH.wordShingles]] (whose first-occurrence-distinct is
+    * right for set similarity and exactly wrong for repetition
+    * measurement). Short texts yield their single sub-n window.
+    */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Per-document share of n-gram windows taken by the single most
+    * frequent n-gram — near 1/windows for healthy prose, toward 1.0 for
+    * TEMPLATE TEMPLATE TEMPLATE spam. Distributed shape: explode →
+    * count by (doc, gram) → max per doc, two map-side-combining
+    * shuffles; the per-doc mode cannot be a scan-local projection
+    * without quadratic per-row work, so this is a DataFrame op, not a
+    * Column. Returns (idCol, top_ngram_cov).
+    */
+  def topNgramCoverage(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, n: Int = 2)
+  : org.apache.spark.sql.DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(wordNgramsAll(col(textCol), n)).as("gram"))
+      .groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol).agg(
+        round(max(col("cnt")).cast("double") / sum(col("cnt")), 4)
+          .as("top_ngram_cov"))
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII scrub patterns — a standard pre-training redaction pass.

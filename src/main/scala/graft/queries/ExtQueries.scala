@@ -277,6 +277,25 @@ object ExtQueries {
       .select(col("doc_id"), TextAnalysis.scrubPii(col("planted")).as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Repetition signals over planted-repetition documents: every even
+    * doc gets its text duplicated as a second line (dup_line_frac 0.5),
+    * every doc_id % 3 == 0 additionally repeats its text inline (driving
+    * top-bigram coverage up); odd docs get a unique tail line (frac 0).
+    */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val planted = t(s, d, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\n"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(lit("tail "), col("doc_id"))),
+        when(col("doc_id") % 3 === 0, concat(lit(" "), col("text")))
+          .otherwise(lit(""))).as("text"))
+    val lineFrac = planted.select(col("doc_id"),
+      TextAnalysis.dupLineFraction(col("text")).as("dup_line_frac"))
+    lineFrac
+      .join(TextAnalysis.topNgramCoverage(planted, "doc_id", "text"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Quality filter audit per document (keep/drop + failing rules). */
   def qualityFilterQ(s: SparkSession, d: String): DataFrame =
     graft.ext.QualityFilter.withQualityAudit(t(s, d, "documents"), "text")
@@ -445,6 +464,7 @@ object ExtQueries {
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
+    "repetition_signals" -> (repetitionSignals(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
     "embed_topk" -> (embedTopK(_, _)),
     "embed_lsh_buckets" -> (embedLshBuckets(_, _)),
@@ -976,6 +996,37 @@ object ExtQueries {
          |    AS mean_wlen
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // planted repetition (dup second line on evens, inline repeat on %3,
+    // unique tail otherwise), then line-dedup fraction + top-bigram
+    // coverage — non-distinct n-gram windows, unlike the shingle oracles
+    "repetition_signals" ->
+      """WITH planted AS (SELECT doc_id,
+        |  text || chr(10) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN text
+        |       ELSE 'tail ' || CAST(doc_id AS VARCHAR) END ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' ' || text ELSE '' END AS text
+        |  FROM documents),
+        |lf AS (SELECT doc_id,
+        |  CASE WHEN len(lines) <= 0 THEN 0.0 ELSE
+        |    ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
+        |  END AS dup_line_frac
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0)
+        |      AS lines FROM planted)),
+        |gr AS (SELECT doc_id, unnest(ngrams) AS gram FROM (
+        |  SELECT doc_id,
+        |    [array_to_string(toks[i:i+1], ' ')
+        |     for i in range(1, greatest(len(toks) - 1, 1) + 1)] AS ngrams
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM planted))),
+        |cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM gr GROUP BY doc_id, gram),
+        |cov AS (SELECT doc_id,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4)
+        |    AS top_ngram_cov FROM cnt GROUP BY doc_id)
+        |SELECT l.doc_id, l.dup_line_frac, c.top_ngram_cov
+        |FROM lf l JOIN cov c ON l.doc_id = c.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
 
     // benchmark = every 50th doc; contaminated = any shared 8-word
     // n-gram (list_intersect replays arrays_overlap for null-free

@@ -246,6 +246,23 @@ class ExtSpec extends SparkSpec {
     assert(kept === Set(3L, 4L))
   }
 
+  test("repetition signals: duplicate lines and dominant n-grams score high") {
+    val docs = Seq(
+      (1L, "nav home\nnav home\nnav home\nactual content line"),  // 3 dup lines of 4
+      (2L, "alpha beta\ngamma delta"),                            // all lines unique
+      (3L, "spam spam spam spam spam"),                           // one bigram, 4 windows
+      (4L, "the quick brown fox jumps"))                          // all bigrams distinct
+      .toDF("id", "text")
+    val lf = docs.select($"id", TextAnalysis.dupLineFraction($"text").as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(lf(1L) === 0.5)   // 4 lines, 2 distinct
+    assert(lf(2L) === 0.0)
+    val cov = TextAnalysis.topNgramCoverage(docs, "id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(cov(3L) === 1.0)  // "spam spam" is every window
+    assert(cov(4L) === 0.25) // 4 distinct windows
+  }
+
   test("quality filter audits every failing rule and keeps clean docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat with a hat and a bat and the rat ran to " +
