@@ -27,7 +27,9 @@ object Explain {
       "simhash_near_dup", "embed_near_dup", "ann_knn_join",
       "stream_near_dup_replay", "stream_minhash_probe_replay",
       "stream_dedup_index_replay", "token_percentiles",
-      "w4_batcher_par", "status_stream_replay")
+      "w4_batcher_par", "status_stream_replay",
+      "decontaminate_flag", "quality_filter", "pii_scrub",
+      "repetition_signals", "stream_embed_probe_replay")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
