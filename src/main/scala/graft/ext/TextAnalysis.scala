@@ -255,6 +255,50 @@ object TextAnalysis {
         round(max(col("cnt")).cast("double") / sum(col("cnt")), 4)
           .as("top_ngram_cov"))
 
+  // --------------------------------------------------- corpus statistics
+
+  /** Corpus-wide top-k n-grams by frequency — the "what is this corpus
+    * made of" report. explode → count → TakeOrdered: the groupBy
+    * partial-aggregates map-side and only k rows reach the driver;
+    * deterministic tie order (count desc, gram asc) keeps the report
+    * oracle-checkable.
+    */
+  def topNgrams(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                n: Int = 2, k: Int = 20): org.apache.spark.sql.DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(wordNgramsAll(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+
+  // ------------------------------------------------------ text chunking
+
+  /** Sliding token-window chunking — the training-window prep that turns
+    * long documents into fixed-size overlapping pieces. Windows start at
+    * token 1, 1+stride, 1+2·stride, … for every start ≤ token count, the
+    * final window truncating at the document end (so every token is
+    * covered and short docs yield one window). Whitespace tokens stand
+    * in for tokenizer output; swap the splitter for real BPE offsets in
+    * production. One row per (doc, window): a pure explode projection
+    * over the scan — no shuffle, no UDF. Emits idCol, `chunk_idx`,
+    * `chunk_text`, `n_tokens`.
+    */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, chunkTokens: Int = 32, stride: Int = 24)
+  : org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && chunkTokens > 0, "chunkTokens and stride must be > 0")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), greatest(size(toks), lit(1)), lit(stride)),
+        s => slice(toks, s, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII scrub patterns — a standard pre-training redaction pass.

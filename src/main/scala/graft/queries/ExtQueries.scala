@@ -296,6 +296,15 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus top-20 bigrams (count desc, gram asc tie order). */
+  def topNgramsQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topNgrams(t(s, d, "documents"), "text")
+
+  /** Sliding 32-token/24-stride chunking over documents. */
+  def chunkWindowsQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkWindows(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
   /** Quality filter audit per document (keep/drop + failing rules). */
   def qualityFilterQ(s: SparkSession, d: String): DataFrame =
     graft.ext.QualityFilter.withQualityAudit(t(s, d, "documents"), "text")
@@ -465,6 +474,8 @@ object ExtQueries {
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
     "repetition_signals" -> (repetitionSignals(_, _)),
+    "top_ngrams" -> (topNgramsQ(_, _)),
+    "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
     "embed_topk" -> (embedTopK(_, _)),
     "embed_lsh_buckets" -> (embedLshBuckets(_, _)),
@@ -996,6 +1007,31 @@ object ExtQueries {
          |    AS mean_wlen
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "top_ngrams" ->
+      """WITH gr AS (SELECT unnest(ngrams) AS gram FROM (
+        |  SELECT [array_to_string(toks[i:i+1], ' ')
+        |    for i in range(1, greatest(len(toks) - 1, 1) + 1)] AS ngrams
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents WHERE text IS NOT NULL)))
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM gr
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    // window starts 1, 1+24, 1+48, … for every start <= token count;
+    // the final window truncates at the doc end — same coverage rule as
+    // TextAnalysis.chunkWindows
+    "chunk_windows" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |wl AS (SELECT doc_id,
+        |  [{'chunk_idx': CAST((s - 1) // 24 AS BIGINT),
+        |    'chunk_text': array_to_string(toks[s:s+31], ' '),
+        |    'n_tokens': CAST(len(toks[s:s+31]) AS BIGINT)}
+        |   for s in range(1, greatest(len(toks), 1) + 1, 24)] AS cs
+        |  FROM tok),
+        |w AS (SELECT doc_id, unnest(cs, recursive := true) FROM wl)
+        |SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM w
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // planted repetition (dup second line on evens, inline repeat on %3,
     // unique tail otherwise), then line-dedup fraction + top-bigram

@@ -263,6 +263,27 @@ class ExtSpec extends SparkSpec {
     assert(cov(4L) === 0.25) // 4 distinct windows
   }
 
+  test("chunk windows cover every token with stride overlap; short docs get one window") {
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")),  // 80 tokens
+      (2L, "tiny doc"))                                // 2 tokens
+      .toDF("id", "text")
+    val chunks = TextAnalysis.chunkWindows(docs, "id", "text",
+      chunkTokens = 32, stride = 24)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    val d1 = chunks(1L)
+    // starts 1, 25, 49, 73 -> sizes 32, 32, 32, 8
+    assert(d1.map(_._4).toSeq === Seq(32L, 32L, 32L, 8L))
+    assert(d1.head._3.startsWith("w1 w2 ") && d1.last._3 === (73 to 80).map("w" + _).mkString(" "))
+    // overlap: window 1 begins 8 tokens before window 0 ends
+    assert(d1(1)._3.startsWith("w25 "))
+    // every token appears in at least one chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 80).map("w" + _).toSet)
+    assert(chunks(2L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0L, "tiny doc", 2L)))
+  }
+
   test("quality filter audits every failing rule and keeps clean docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat with a hat and a bat and the rat ran to " +
