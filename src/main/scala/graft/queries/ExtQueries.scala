@@ -262,20 +262,39 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
-  /** PII scrub over documents with PLANTED identifiers (the synthetic
-    * text has none): each doc gets an email, a phone and an IP derived
-    * from doc_id appended, then the scrub must replace all three with
-    * typed placeholders. The oracle replays the same plant + the same
-    * RE2-compatible patterns.
+  /** documents with PLANTED PII (the synthetic text has none): each doc
+    * gets an email, a phone and an IP derived from doc_id appended.
+    * Shared by `pii_scrub` and the `ingest_pipeline` composition.
     */
-  def piiScrub(s: SparkSession, d: String): DataFrame =
+  private def plantedPiiDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-"),
         lpad(col("doc_id").cast("string"), 4, "0"),
-        lit(" node 10.0."), col("doc_id") % 256, lit(".7")).as("planted"))
-      .select(col("doc_id"), TextAnalysis.scrubPii(col("planted")).as("scrubbed"))
+        lit(" node 10.0."), col("doc_id") % 256, lit(".7")).as("text"))
+
+  /** PII scrub over the planted-identifier documents: the scrub must
+    * replace all three identifier kinds with typed placeholders. The
+    * oracle replays the same plant + the same RE2-compatible patterns.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    plantedPiiDocs(s, d)
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("scrubbed"))
       .orderBy("doc_id")
+
+  /** The full ingest composition over the planted corpus: evens are
+    * already-ingested (dedup drops them), survivors quality-filter, and
+    * whatever remains is scrubbed — one stateless chain that runs
+    * identically streaming and batch ([[graft.streaming.Ingest]]).
+    */
+  def ingestPipelineQ(s: SparkSession, d: String): DataFrame = {
+    val planted = plantedPiiDocs(s, d)
+    val idx = graft.streaming.StreamDedup.fingerprintIndex(
+      planted.filter(col("doc_id") % 2 === 0))
+    graft.streaming.Ingest.pipeline(planted, idx)
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+  }
 
   /** Repetition signals over planted-repetition documents: every even
     * doc gets its text duplicated as a second line (dup_line_frac 0.5),
@@ -470,6 +489,7 @@ object ExtQueries {
     "token_percentiles" -> (tokenPercentiles(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
+    "ingest_pipeline" -> (ingestPipelineQ(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
@@ -658,12 +678,29 @@ object ExtQueries {
   /** DuckDB: the planted near-dup vector corpus (double cast + one
     * literal multiply-add perturbation — mirrors plantedVecs exactly).
     */
+  /** DuckDB: the planted-PII corpus (mirrors plantedPiiDocs exactly). */
+  private def plantedPiiSql: String =
+    """SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@example.com or +1 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
+      |  ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+      |  FROM documents""".stripMargin
+
+  /** DuckDB: the TextAnalysis.scrubPii chain over a text expression. */
+  private def scrubSql(e: String): String = {
+    import graft.ext.TextAnalysis.{piiEmailRe, piiIpRe, piiPhoneRe}
+    s"""regexp_replace(regexp_replace(regexp_replace($e,
+       |    '$piiEmailRe', '<EMAIL>', 'g'),
+       |    '$piiIpRe', '<IP>', 'g'),
+       |    '$piiPhoneRe', '<PHONE>', 'g')""".stripMargin
+  }
+
   /** DuckDB: the QualityFilter.defaultRules audit over documents — the
     * same 4-decimal-rounded signals as the text_quality oracle, the same
     * fixed rule order, concat_ws skipping un-failed rules exactly like
     * the Spark side.
     */
-  private def qualityAuditCte: String = {
+  private def qualityAuditCte(src: String = "documents"): String = {
     val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
     s"""sig AS (SELECT doc_id, text,
        |  len(string_split_regex(trim(text), '\\s+')) AS wc,
@@ -675,7 +712,7 @@ object ExtQueries {
        |      list_transform(string_split_regex(trim(text), '\\s+'),
        |        w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
        |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS mw
-       |  FROM documents),
+       |  FROM $src),
        |audit AS (SELECT doc_id, concat_ws(',',
        |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 'empty' END,
        |  CASE WHEN wc < 20 THEN 'too_short' END,
@@ -1079,12 +1116,12 @@ object ExtQueries {
          |FROM dsh d, bsh b ORDER BY d.doc_id""".stripMargin,
 
     "quality_filter" ->
-      s"""WITH $qualityAuditCte
+      s"""WITH ${qualityAuditCte()}
          |SELECT doc_id, drop_reasons, drop_reasons = '' AS keep
          |FROM audit ORDER BY doc_id""".stripMargin,
 
     "quality_report" ->
-      s"""WITH $qualityAuditCte,
+      s"""WITH ${qualityAuditCte()},
          |r AS (SELECT unnest(string_split(drop_reasons, ',')) AS reason
          |  FROM audit WHERE drop_reasons <> '')
          |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n FROM r
@@ -1093,20 +1130,24 @@ object ExtQueries {
     // same plant, same RE2-compatible patterns, same replace order;
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all
     // matches by default)
-    "pii_scrub" -> {
-      import graft.ext.TextAnalysis.{piiEmailRe, piiIpRe, piiPhoneRe}
-      s"""WITH planted AS (SELECT doc_id,
-         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-         |  '@example.com or +1 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
-         |  ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS planted
-         |  FROM documents)
-         |SELECT doc_id,
-         |  regexp_replace(regexp_replace(regexp_replace(planted,
-         |    '$piiEmailRe', '<EMAIL>', 'g'),
-         |    '$piiIpRe', '<IP>', 'g'),
-         |    '$piiPhoneRe', '<PHONE>', 'g') AS scrubbed
-         |FROM planted ORDER BY doc_id""".stripMargin
-    },
+    "pii_scrub" ->
+      s"""WITH planted AS ($plantedPiiSql)
+         |SELECT doc_id, ${scrubSql("text")} AS scrubbed
+         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // the composed ingest chain: md5 anti-join vs the even-id corpus
+    // (NOT EXISTS = left_anti), quality audit over the survivors, scrub
+    // on whatever keeps — each piece individually oracle-checked above,
+    // the composition hash-checked here
+    "ingest_pipeline" ->
+      s"""WITH planted AS ($plantedPiiSql),
+         |surv AS (SELECT p.doc_id, p.text FROM planted p WHERE NOT EXISTS (
+         |  SELECT 1 FROM planted c
+         |  WHERE c.doc_id % 2 = 0 AND md5(c.text) = md5(p.text))),
+         |${qualityAuditCte("surv")}
+         |SELECT a.doc_id, ${scrubSql("s.text")} AS text
+         |FROM audit a JOIN surv s ON a.doc_id = s.doc_id
+         |WHERE a.drop_reasons = '' ORDER BY a.doc_id""".stripMargin,
 
     "embed_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -77,4 +77,37 @@ class StreamDedupSpec extends SparkSpec {
       .select($"text", $"ts").as[(String, Timestamp)].collect().toSet
     assert(streamed === batch)
   }
+
+  test("ingest pipeline: dedup -> quality -> scrub runs identically stream and batch") {
+    implicit val sq = spark.sqlContext
+    val already = Seq((100L,
+      "the well formed corpus document that was ingested before with the " +
+        "usual mixture of a the and of to make it pass every quality rule"))
+    val arriving = Seq(
+      (100L, already.head._2),                           // exact dup of the corpus -> dropped
+      (101L, "the fresh document is about a river and a forest with the sun " +
+        "over the hills and a long road to the valley by the old mill"),  // kept, clean
+      (102L, "short junk"),                              // quality-dropped
+      (103L, "the second fresh document is about the sea and the wind in the " +
+        "sails of a boat mail me at sailor@ships.example.net for the log")) // kept, scrubbed
+    val idx = graft.streaming.StreamDedup.fingerprintIndex(
+      already.toDF("id", "text")).persist()
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.pipeline(
+        source.toDS().toDF("id", "text"), idx)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append()).start()
+    source.addData(arriving: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ingest").select("id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(streamed.keySet === Set(101L, 103L))
+    assert(streamed(103L).contains("<EMAIL>") && !streamed(103L).contains("@"))
+    // batch replay of the identical pipeline function
+    val batch = graft.streaming.Ingest.pipeline(arriving.toDF("id", "text"), idx)
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(streamed === batch)
+    idx.unpersist()
+  }
 }
