@@ -272,6 +272,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
 
+  /** Sketch-based corpus statistics — the single-pass scale path for
+    * numbers whose exact forms need a full shuffle of distinct keys:
+    * HyperLogLog++ distinct-document estimate (`approx_count_distinct`,
+    * bounded relative error `rsd`) and Greenwald-Khanna approximate
+    * token-count percentiles (`percentile_approx`, rank error ≤
+    * 1/accuracy). At 100 TB the exact versions ship every distinct
+    * fingerprint / sort every group through the shuffle; the sketches
+    * keep a constant-size summary per partition and merge on the
+    * driver. NOT oracle-checkable — HLL/GK internals differ across
+    * engines — so the contract is pinned by a spec bounding each
+    * estimate against the exact operator instead. One row:
+    * (n_docs, approx_distinct_docs, tok_p50, tok_p90, tok_p99).
+    */
+  def approxCorpusStats(docs: org.apache.spark.sql.DataFrame,
+                        textCol: String, rsd: Double = 0.02,
+                        accuracy: Int = 1000): org.apache.spark.sql.DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(textCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tok"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col(textCol), rsd).as("approx_distinct_docs"),
+        percentile_approx(col("n_tok"), lit(0.5), lit(accuracy)).as("tok_p50"),
+        percentile_approx(col("n_tok"), lit(0.9), lit(accuracy)).as("tok_p90"),
+        percentile_approx(col("n_tok"), lit(0.99), lit(accuracy)).as("tok_p99"))
+
   // ------------------------------------------------------ text chunking
 
   /** Sliding token-window chunking — the training-window prep that turns

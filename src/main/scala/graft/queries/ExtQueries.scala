@@ -315,6 +315,14 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Sketch-based corpus stats (HLL distinct + GK percentiles): NOT in
+    * oracleSql — sketch internals differ across engines — so the driver
+    * records the weaker rows-only check; ExtSpec bounds the estimates
+    * against the exact operators instead.
+    */
+  def approxStatsQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.approxCorpusStats(t(s, d, "documents"), "text")
+
   /** Corpus top-20 bigrams (count desc, gram asc tie order). */
   def topNgramsQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.topNgrams(t(s, d, "documents"), "text")
@@ -495,6 +503,7 @@ object ExtQueries {
     "quality_report" -> (qualityReportQ(_, _)),
     "repetition_signals" -> (repetitionSignals(_, _)),
     "top_ngrams" -> (topNgramsQ(_, _)),
+    "approx_corpus_stats" -> (approxStatsQ(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
     "embed_topk" -> (embedTopK(_, _)),

@@ -263,6 +263,25 @@ class ExtSpec extends SparkSpec {
     assert(cov(4L) === 0.25) // 4 distinct windows
   }
 
+  test("approx corpus stats bound the exact values (HLL rsd, GK rank error)") {
+    // 400 docs, 100 distinct texts, token counts 1..100 heavily skewed
+    val docs = (0 until 400).map { i =>
+      val d = i % 100
+      (i.toLong, (0 to d).map(j => s"tok$j").mkString(" "))
+    }.toDF("id", "text")
+    val r = TextAnalysis.approxCorpusStats(docs, "text", rsd = 0.02).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 400L)
+    // HLL at rsd=0.02: allow 3 sigma around the exact 100 distinct
+    val est = r.getAs[Long]("approx_distinct_docs")
+    assert(est >= 94 && est <= 106, s"HLL estimate $est far from 100")
+    // GK percentiles: token counts are 1..100 each appearing 4 times, so
+    // the value at rank ceil(p*400) is 50 / 90 / 99; rank error at
+    // accuracy=1000 on 400 rows is < 1 rank, so the estimates are exact
+    assert(r.getAs[Long]("tok_p50") === 50L)
+    assert(r.getAs[Long]("tok_p90") === 90L)
+    assert(r.getAs[Long]("tok_p99") === 99L)
+  }
+
   test("chunk windows cover every token with stride overlap; short docs get one window") {
     val docs = Seq(
       (1L, (1 to 80).map(i => s"w$i").mkString(" ")),  // 80 tokens
