@@ -315,6 +315,27 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** AS-OF join: every event enriched with the user's most recent
+    * purchase value at or before the event's timestamp (exact-nanos
+    * ordering via ts_ns). The right side pre-aggregates to one row per
+    * (user, ts) — the [[graft.ext.AsOf]] uniqueness precondition — and
+    * the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the union+window
+    * encoding is checked against an independent first-class
+    * implementation of the operator, not a replay of itself.
+    */
+  def asofJoinQ(s: SparkSession, d: String): DataFrame = {
+    // microsecond epochs on BOTH sides: DuckDB truncates TIMESTAMP_NS
+    // parquet to micros on read, so nanos-side ordering would compare
+    // against values the oracle can never see
+    val ev = t(s, d, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val left = ev.select(col("event_id"), col("user_id"), col("ts_us"))
+    val right = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us").agg(max("value").as("pval"))
+    graft.ext.AsOf.join(left, right, Seq("user_id"), "ts_us", "ts_us")
+      .orderBy("event_id")
+  }
+
   /** Sketch-based corpus stats (HLL distinct + GK percentiles): NOT in
     * oracleSql — sketch internals differ across engines — so the driver
     * records the weaker rows-only check; ExtSpec bounds the estimates
@@ -504,6 +525,7 @@ object ExtQueries {
     "repetition_signals" -> (repetitionSignals(_, _)),
     "top_ngrams" -> (topNgramsQ(_, _)),
     "approx_corpus_stats" -> (approxStatsQ(_, _)),
+    "asof_join" -> (asofJoinQ(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
     "embed_topk" -> (embedTopK(_, _)),
@@ -1053,6 +1075,19 @@ object ExtQueries {
          |    AS mean_wlen
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // DuckDB's native ASOF LEFT JOIN (>= semantics) independently checks
+    // the union+window encoding
+    "asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE ts IS NOT NULL),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS pval
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts_us, r.pval
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+        |ORDER BY l.event_id""".stripMargin,
 
     "top_ngrams" ->
       """WITH gr AS (SELECT unnest(ngrams) AS gram FROM (

@@ -263,6 +263,26 @@ class ExtSpec extends SparkSpec {
     assert(cov(4L) === 0.25) // 4 distinct windows
   }
 
+  test("as-of join picks the latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 25L),
+      (4L, "u2", 10L), (5L, "u3", 50L))
+      .toDF("event_id", "key", "ts")
+    val right = Seq(
+      ("u1", 5L, 1.0), ("u1", 20L, 2.0), ("u1", 30L, 3.0),
+      ("u2", 15L, 9.0))
+      .toDF("key", "ts", "v")
+    val got = graft.ext.AsOf.join(left, right, Seq("key"), "ts", "ts")
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got(1L) === Some(1.0))  // latest at-or-before ts=10 is ts=5
+    assert(got(2L) === Some(2.0))  // equal ts is visible (>= semantics)
+    assert(got(3L) === Some(2.0))  // ts=30 is in the future
+    assert(got(4L) === None)       // no right row at or before ts=10
+    assert(got(5L) === None)       // key with no right rows at all
+  }
+
   test("approx corpus stats bound the exact values (HLL rsd, GK rank error)") {
     // 400 docs, 100 distinct texts, token counts 1..100 heavily skewed
     val docs = (0 until 400).map { i =>
