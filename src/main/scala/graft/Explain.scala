@@ -29,7 +29,8 @@ object Explain {
       "stream_dedup_index_replay", "token_percentiles",
       "w4_batcher_par", "status_stream_replay",
       "decontaminate_flag", "quality_filter", "pii_scrub",
-      "repetition_signals", "stream_embed_probe_replay")
+      "repetition_signals", "stream_embed_probe_replay",
+      "asof_join", "ingest_pipeline", "chunk_windows")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
