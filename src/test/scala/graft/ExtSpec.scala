@@ -263,6 +263,51 @@ class ExtSpec extends SparkSpec {
     assert(cov(4L) === 0.25) // 4 distinct windows
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    // SURVEY claims "AQE for runtime re-plan" handles join skew that the
+    // salting helpers don't; this pins that claim to an executed plan.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // tiny thresholds so the hot key's ~2 MB partition counts as skewed
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+      import org.apache.spark.sql.functions.{col, lit, concat}
+      val pad = "x" * 100
+      // key 0: 20k fat rows in one shuffle partition; keys 1-3: 10 rows each
+      val left = spark.range(0, 20000).select(lit(0L).as("k"),
+          concat(lit(pad), col("id")).as("payload"))
+        .unionByName(spark.range(0, 30).select((col("id") % 3 + 1).as("k"),
+          concat(lit(pad), col("id")).as("payload")))
+      val right = spark.range(0, 8).select((col("id") % 4).as("k"),
+        col("id").as("rv"))
+      val joined = left.join(right, "k")
+      // collect() (not count(), which plans its own query) so THIS
+      // DataFrame's AdaptiveSparkPlan executes and finalizes
+      // key 0 matches 2 right rows, keys 1-3 match 2 each
+      assert(joined.collect().length === 20000 * 2 + 30 * 2)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("as-of join picks the latest right row at or before each left ts") {
     val left = Seq(
       (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 25L),
