@@ -336,6 +336,20 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Small-files compaction roundtrip: documents written as 16 tiny
+    * parquet files, compacted in place to one right-sized file, read
+    * back — content identical (the oracle is the source table), file
+    * count pinned by the spec.
+    */
+  def compactRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val work = "/tmp/graft_fix/compact_work"
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .repartition(16).write.mode("overwrite").parquet(work)
+    graft.ext.Compact.compactParquet(s, work,
+      targetFileBytes = 1024L * 1024 * 1024)
+    s.read.parquet(work).orderBy("doc_id")
+  }
+
   /** Sketch-based corpus stats (HLL distinct + GK percentiles): NOT in
     * oracleSql — sketch internals differ across engines — so the driver
     * records the weaker rows-only check; ExtSpec bounds the estimates
@@ -526,6 +540,7 @@ object ExtQueries {
     "top_ngrams" -> (topNgramsQ(_, _)),
     "approx_corpus_stats" -> (approxStatsQ(_, _)),
     "asof_join" -> (asofJoinQ(_, _)),
+    "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
     "embed_topk" -> (embedTopK(_, _)),
@@ -1075,6 +1090,9 @@ object ExtQueries {
          |    AS mean_wlen
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "compact_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
 
     // DuckDB's native ASOF LEFT JOIN (>= semantics) independently checks
     // the union+window encoding

@@ -308,6 +308,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("compaction shrinks a many-small-files dir, preserving content exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
+    val rows = (0 until 200).map(i => (i.toLong, s"doc $i"))
+    rows.toDF("id", "text").repartition(8).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files() === 8)
+    val (before, after) = graft.ext.Compact.compactParquet(spark, dir,
+      targetFileBytes = 1024L * 1024 * 1024)
+    assert(before === 8 && after === 1)
+    assert(files() === 1)
+    // content identical, nothing lost or duplicated
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq === rows)
+    // a second compaction is a no-op shape-wise
+    assert(graft.ext.Compact.compactParquet(spark, dir,
+      targetFileBytes = 1024L * 1024 * 1024) === ((1, 1)))
+  }
+
   test("as-of join picks the latest right row at or before each left ts") {
     val left = Seq(
       (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 25L),
