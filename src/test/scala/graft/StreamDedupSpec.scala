@@ -110,4 +110,45 @@ class StreamDedupSpec extends SparkSpec {
     assert(streamed === batch)
     idx.unpersist()
   }
+
+  test("self-maintaining corpus: micro-batches dedup against earlier ones; replay appends nothing") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    val docA = (1L, "the first document is about a river and a forest with " +
+      "the sun over the hills and a road to the valley by the old mill")
+    val docB = (2L, "the second document is about the sea and the wind in " +
+      "the sails of a boat on the long way home to the island harbor")
+    val docC = (3L, "the third document is about a market in the town square " +
+      "where the people sell bread and fruit in the morning light so mail " +
+      "a note to trader@mart.io")
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.pipelineToCorpus(
+      source.toDS().toDF("id", "text"), corpus, index,
+      checkpointDir = Some(s"$root/cp"))
+    // batch 1: A and B, plus an in-batch exact duplicate of A
+    source.addData(docA, docB, (10L, docA._2))
+    q.processAllAvailable()
+    // batch 2: a repeat of A (must dedup against batch 1) and fresh C —
+    // C carries PII, so its corpus text differs from its arrival text
+    source.addData((11L, docA._2), docC)
+    q.processAllAvailable()
+    // batch 3: a repeat of PII-bearing C must dedup even though the
+    // CORPUS stores only the scrubbed form (the index keys arrival text)
+    source.addData((12L, docC._2))
+    q.processAllAvailable()
+    q.stop()
+    def corpusTexts() = spark.read.parquet(corpus)
+      .select("text").as[String].collect().sorted.toSeq
+    val after = corpusTexts()
+    assert(after.size === 3, s"expected A,B,C once each, got ${after.size}")
+    assert(after.count(_.contains("<EMAIL>")) === 1)
+    assert(graft.streaming.Ingest.readIndex(spark, index).count() === 3)
+    // post-crash replay of the last micro-batch: its fingerprints are
+    // already in the index, so re-ingesting appends nothing
+    graft.streaming.Ingest.ingestBatch(
+      Seq((11L, docA._2), docC).toDF("id", "text"), corpus, index)
+    assert(corpusTexts() === after)
+    assert(graft.streaming.Ingest.readIndex(spark, index).count() === 3)
+  }
 }
