@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * as any keyed window.
   *
   * Preconditions: right rows must be unique per (key, rightTs) —
-  * pre-aggregate the right side otherwise (the `asof_join` query does) —
-  * and null timestamps never match (filtered on both sides).
+  * pre-aggregate the right side otherwise (the `asof_join` query does);
+  * null timestamps never match (filtered on both sides); and right
+  * payload column names must not collide with left column names (the
+  * output carries both verbatim, the usual equi-join caveat).
   */
 object AsOf {
 
