@@ -333,12 +333,28 @@ object TextAnalysis {
     * the identical pattern runs under Spark's java.util.regex AND the
     * DuckDB oracle's RE2; ORDER MATTERS and is fixed by [[scrubPii]]:
     * emails first (their local parts contain digits a later pass could
-    * shred), then dotted quads, then free-form phone runs (which must
-    * not see the digits inside an unscrubbed IP).
+    * shred), then dotted quads, then phone-shaped digit groups (which
+    * must not see the digits inside an unscrubbed IP).
+    *
+    * The phone pattern is two branches (ADVICE r8: the old "any 9+-char
+    * digit/dash/space run" scrubbed ISO timestamps like
+    * `2026-08-13 10:30` and serial runs): an international form —
+    * `+`, 1-3 digit country code, then 2-4 separator-delimited digit
+    * groups — and a domestic form — a 3-4 digit prefix (optionally
+    * parenthesised 3-digit area code), a separator, then 1-2 more
+    * groups of 3-4 digits. Separators are a SINGLE dash or space, so a
+    * date's `4-2-2` grouping and unseparated ID runs never match.
+    * Residual false-positive class, documented rather than chased:
+    * separator-joined 3/4-digit pairs such as a year range `1990-2010`
+    * are indistinguishable from a 7/8-digit local number by shape
+    * alone — a production scrubber layers checksum/region validation on
+    * top of this regex.
     */
   val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val piiPhoneRe = "\\+?\\d[\\d\\- ]{7,}\\d"
+  val piiPhoneRe =
+    "\\+\\d{1,3}[- ]\\d{1,4}([- ]?\\d{2,6}){1,3}" +
+      "|(\\(\\d{3}\\)[- ]?|\\d{3,4}[- ])\\d{3,4}([- ]\\d{3,4})?\\b"
 
   /** Replace emails / IPv4s / phone-shaped digit runs with typed
     * placeholders. Three chained regexp_replace projections — fully

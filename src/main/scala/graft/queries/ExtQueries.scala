@@ -296,6 +296,45 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Multi-batch replay of the self-maintaining corpus sink
+    * ([[graft.streaming.Ingest.ingestBatch]] — VERDICT r8 #3: the
+    * cross-batch dedup/crash semantics were spec-only): the planted-PII
+    * corpus splits into three deterministic micro-batches (doc_id % 3),
+    * plus a cross-batch duplicate copy of every doc_id % 5 == 0 document
+    * planted ONE batch later; the batches fold through ingestBatch into
+    * a fresh corpus+index and the FINAL corpus is the result.
+    * First-arrival-by-batch-order decides survivors, so the DuckDB
+    * oracle replays the sequential fold as one window rank over
+    * (fingerprint, batch) — valid because quality filtering is
+    * content-deterministic (a duplicate of a quality-dropped document
+    * is never indexed, fails identically in its own batch, and leaves
+    * the corpus unchanged either way). Texts are unique WITHIN each
+    * batch by construction (the planted suffix embeds the source
+    * doc_id; the copy lands in a different batch), so ingestBatch's
+    * arbitrary in-batch dropDuplicates survivor never makes the result
+    * nondeterministic.
+    */
+  def ingestCorpusReplay(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/ingest_corpus"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val planted = plantedPiiDocs(s, d)
+    val seeded = planted
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        (col("doc_id") % 3).cast("long").as("b"))
+      .unionByName(planted.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).cast("long").as("doc_id"),
+          col("text"), ((col("doc_id") + 1) % 3).cast("long").as("b")))
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    (0L until 3L).foreach { i =>
+      graft.streaming.Ingest.ingestBatch(
+        seeded.filter(col("b") === i).select("doc_id", "text"),
+        corpus, index)
+    }
+    s.read.parquet(corpus).select("doc_id", "text").orderBy("doc_id")
+  }
+
   /** Repetition signals over planted-repetition documents: every even
     * doc gets its text duplicated as a second line (dup_line_frac 0.5),
     * every doc_id % 3 == 0 additionally repeats its text inline (driving
@@ -533,6 +572,7 @@ object ExtQueries {
     "text_quality" -> (textQuality(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
     "ingest_pipeline" -> (ingestPipelineQ(_, _)),
+    "ingest_corpus_replay" -> (ingestCorpusReplay(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
@@ -1206,6 +1246,28 @@ object ExtQueries {
          |surv AS (SELECT p.doc_id, p.text FROM planted p WHERE NOT EXISTS (
          |  SELECT 1 FROM planted c
          |  WHERE c.doc_id % 2 = 0 AND md5(c.text) = md5(p.text))),
+         |${qualityAuditCte("surv")}
+         |SELECT a.doc_id, ${scrubSql("s.text")} AS text
+         |FROM audit a JOIN surv s ON a.doc_id = s.doc_id
+         |WHERE a.drop_reasons = '' ORDER BY a.doc_id""".stripMargin,
+
+    // the sequential 3-batch fold collapses to a set-oriented replay:
+    // first arrival (by batch, then id) per content fingerprint wins the
+    // cross-batch dedup, quality audits the winners, scrub whatever keeps
+    "ingest_corpus_replay" ->
+      s"""WITH planted AS ($plantedPiiSql),
+         |seeded AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         |    CAST(doc_id % 3 AS BIGINT) AS b FROM planted
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, text,
+         |    CAST((doc_id + 1) % 3 AS BIGINT) AS b
+         |  FROM planted WHERE doc_id % 5 = 0),
+         |surv AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY b, doc_id) AS rn
+         |    FROM seeded) WHERE rn = 1),
          |${qualityAuditCte("surv")}
          |SELECT a.doc_id, ${scrubSql("s.text")} AS text
          |FROM audit a JOIN surv s ON a.doc_id = s.doc_id

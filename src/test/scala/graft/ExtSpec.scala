@@ -217,12 +217,21 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((1000L, 1001L)))
     // all 4 bands of the 60-doc cluster reported, none silent
     assert(seen.nonEmpty && seen.forall(_._2 === 60L))
-    // nearDupKeep threads the same cap: the giant cluster survives intact
-    // (its pairs were dropped, auditably), the small near-dup collapses
+    // nearDupKeep threads the same cap AND the audit sink (VERDICT r8
+    // #7): the giant cluster survives intact (its pairs were dropped,
+    // auditably), the small near-dup collapses, and the sink fires
+    // through the keep path — not only through nearDupPairs directly
+    val keepSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
     val kept = graft.ext.Components.nearDupKeep(docs, "id", "text", 0.4,
-      maxBucketSize = 10, droppedSink = _ => ())
+      maxBucketSize = 10,
+      droppedSink = dd => keepSeen ++= dd.select("n_ids").as[Long].collect())
       .select("id").as[Long].collect().toSet
     assert(kept === (0L until 60L).toSet + 1000L)
+    assert(keepSeen.nonEmpty && keepSeen.forall(_ === 60L),
+      "capped nearDupKeep must surface its dropped buckets")
+    // the stock defaults (cap on, logDroppedSink) complete on a capped run
+    assert(graft.ext.Components.nearDupKeep(docs, "id", "text", 0.4,
+      maxBucketSize = 10).count() === 61L)
     // the default sink (no override) completes without error on a capped run
     assert(MinHashLSH.nearDupPairs(docs, "id", "text", threshold = 0.4,
       maxBucketSize = 10).count() === 1L)
@@ -325,6 +334,62 @@ class ExtSpec extends SparkSpec {
     // a second compaction is a no-op shape-wise
     assert(graft.ext.Compact.compactParquet(spark, dir,
       targetFileBytes = 1024L * 1024 * 1024) === ((1, 1)))
+  }
+
+  test("compaction tolerates a concurrent append and never hides the table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmpc").toString + "/t"
+    val rows = (0 until 100).map(i => (i.toLong, s"doc $i"))
+    rows.toDF("id", "text").repartition(4).write.parquet(dir)
+    var midCount = -1L
+    val (before, after) = graft.ext.Compact.compactParquet(spark, dir,
+      targetFileBytes = 1024L * 1024 * 1024,
+      beforeSwap = () => {
+        // a concurrent writer appends while the staged rewrite exists
+        Seq((1000L, "late arrival")).toDF("id", "text")
+          .coalesce(1).write.mode("append").parquet(dir)
+        // a concurrent reader sees a COMPLETE table: the stage dir is
+        // `_`-prefixed (invisible to parquet listing), the originals are
+        // untouched — 100 original rows plus the late append, no dups
+        midCount = spark.read.parquet(dir).count()
+      })
+    assert(before === 4 && after === 1)
+    assert(midCount === 101L)
+    // the concurrent append SURVIVES the swap (the old implementation's
+    // whole-directory rename destroyed it); nothing lost or duplicated
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq === rows :+ (1000L, "late arrival"))
+  }
+
+  test("compaction rejects a partitioned (subdirectory) layout rather than flattening it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmpp").toString + "/t"
+    Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "text", "p")
+      .write.partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Compact.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("flat layout"))
+    // the table is untouched by the rejected call
+    assert(spark.read.parquet(dir).count() === 2L)
+  }
+
+  test("as-of join auto-renames colliding payload and never matches null keys") {
+    val left = Seq(
+      (1L, Option("u1"), 10L, "L1"), (2L, Option("u1"), 20L, "L2"),
+      (3L, Option.empty[String], 30L, "L3"))
+      .toDF("event_id", "key", "ts", "v")   // left owns a "v" column
+    val right = Seq(
+      (Option("u1"), 5L, "R5"), (Option.empty[String], 1L, "RN"))
+      .toDF("key", "ts", "v")               // payload "v" collides
+    val got = graft.ext.AsOf.join(left, right, Seq("key"), "ts", "ts")
+    assert(got.columns.toSeq === Seq("event_id", "key", "ts", "v", "v_right"))
+    val m = got.select("event_id", "v", "v_right").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(m(1L) === (("L1", Some("R5"))))
+    assert(m(2L) === (("L2", Some("R5"))))
+    // SQL null semantics: the left null-key row is KEPT with a null
+    // payload — the null-keyed right row (ts=1, before everything) must
+    // not carry onto it
+    assert(m(3L) === (("L3", None)))
   }
 
   test("as-of join picks the latest right row at or before each left ts") {

@@ -111,6 +111,55 @@ class StreamDedupSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("index maintenance is O(batch): each batch appends one segment of survivor fingerprints") {
+    // VERDICT r8 #1: the r8 index rewrote union.distinct of the WHOLE
+    // accumulated index per micro-batch (O(corpus) shuffle+write). The
+    // segmented layout must write only the batch's survivors.
+    val root = java.nio.file.Files.createTempDirectory("graft-seg").toString
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    def segFiles() = {
+      val d = new java.io.File(s"$index/segments")
+      if (!d.exists()) Set.empty[String]
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    def rowsIn(files: Set[String]): Long =
+      if (files.isEmpty) 0L
+      else spark.read.parquet(files.map(f => s"$index/segments/$f").toSeq: _*).count()
+    def mk(id: Long, tail: String) = (id,
+      s"the corpus document tagged $tail is about a river and a forest " +
+        "with the sun over the hills and a road to the valley by the old mill")
+    graft.streaming.Ingest.ingestBatch(
+      Seq(mk(1, "one"), mk(2, "two"), mk(3, "three")).toDF("id", "text"),
+      corpus, index)
+    val after1 = segFiles()
+    assert(rowsIn(after1) === 3L)
+    // batch 2: two repeats of known content + one new doc — the NEW
+    // segment files hold exactly the 1 survivor fingerprint, not 4
+    graft.streaming.Ingest.ingestBatch(
+      Seq(mk(10, "one"), mk(11, "two"), mk(4, "four")).toDF("id", "text"),
+      corpus, index)
+    val newSeg = segFiles() -- after1
+    assert(rowsIn(newSeg) === 1L,
+      "per-batch index write must be O(batch survivors), not O(corpus)")
+    assert(graft.streaming.Ingest.readIndex(spark, index).count() === 4L)
+    assert(spark.read.parquet(corpus).count() === 4L)
+    // each batch also leaves one bloom sidecar (batch 2 ran bloom-routed:
+    // two known docs were candidates, the fresh one took the map-side path)
+    def bloomFiles() = new java.io.File(s"$index/bloom").listFiles()
+      .count(_.getName.endsWith(".bloom"))
+    assert(bloomFiles() === 2)
+    // periodic maintenance folds segments AND sidecars without changing
+    // semantics
+    val (nin, nout) = graft.streaming.Ingest.compactIndex(spark, index)
+    assert(nin >= 2 && nout === 1)
+    assert(bloomFiles() === 1)
+    assert(graft.streaming.Ingest.readIndex(spark, index).count() === 4L)
+    // post-compaction, known content still dedups away entirely
+    graft.streaming.Ingest.ingestBatch(
+      Seq(mk(20, "four")).toDF("id", "text"), corpus, index)
+    assert(spark.read.parquet(corpus).count() === 4L)
+  }
+
   test("self-maintaining corpus: micro-batches dedup against earlier ones; replay appends nothing") {
     implicit val sq = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-corpus").toString
