@@ -335,6 +335,36 @@ object ExtQueries {
     s.read.parquet(corpus).select("doc_id", "text").orderBy("doc_id")
   }
 
+  /** Multi-batch replay of the self-maintaining NEAR-dup corpus sink
+    * ([[graft.streaming.NearDupSink.ingestBatch]]): batch 0 is a
+    * two-level planted corpus over a document subset (each original with
+    * its drop-8 mutation — exercising within-batch keep-one), batch 1 is
+    * the drop-16 mutations (near-dup to batch 0's surviving originals —
+    * exercising the cross-batch signature probe). The fold's final
+    * corpus ids hash-check against a DuckDB replay of the same
+    * SEQUENTIAL semantics: per-batch LSH+components keep-one, then a
+    * banded signature probe of batch 1's keepers against batch 0's
+    * survivors at the same MinHash-estimate threshold. The subset
+    * (doc_id % 5 = 0) bounds bench cost — `dedup_near_keep` already
+    * times the full-corpus LSH path.
+    */
+  def nearDupCorpusReplay(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/neardup_corpus"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+    val b0 = docs.select(col("doc_id").cast("long").as("id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 100000).cast("long").as("id"),
+        expr("substring(text, 1, greatest(length(text) - 8, 0))").as("text")))
+    val b1 = docs.select((col("doc_id") + 200000).cast("long").as("id"),
+      expr("substring(text, 1, length(text) - 16)").as("text"))
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    graft.streaming.NearDupSink.ingestBatch(b0, corpus, index, "id", "text")
+    graft.streaming.NearDupSink.ingestBatch(b1, corpus, index, "id", "text")
+    s.read.parquet(corpus).select("id").orderBy("id")
+  }
+
   /** Repetition signals over planted-repetition documents: every even
     * doc gets its text duplicated as a second line (dup_line_frac 0.5),
     * every doc_id % 3 == 0 additionally repeats its text inline (driving
@@ -573,6 +603,7 @@ object ExtQueries {
     "pii_scrub" -> (piiScrub(_, _)),
     "ingest_pipeline" -> (ingestPipelineQ(_, _)),
     "ingest_corpus_replay" -> (ingestCorpusReplay(_, _)),
+    "neardup_corpus_replay" -> (nearDupCorpusReplay(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
@@ -631,31 +662,53 @@ object ExtQueries {
 
   /** DuckDB: the full near-dup CTE chain over a docs query — shingles,
     * 16-hash signature, 4-row bands, bucket-join candidates, exact
-    * Jaccard — ending in `pairs(a, b, j)` at threshold 0.6. Mirrors
-    * MinHashLSH.nearDupPairs exactly.
+    * Jaccard — ending in `<pfx>pairs(a, b, j)` at threshold 0.6. Mirrors
+    * MinHashLSH.nearDupPairs exactly. The `pfx` lets one statement
+    * instantiate the chain per micro-batch (the `neardup_corpus_replay`
+    * fold); bands carry the signature `g` so a cross-batch probe can
+    * compute the MinHash estimate from two chains' band rows.
     */
-  private def nearDupCtes(docsSql: String): String = {
+  private def nearDupCtes(docsSql: String, pfx: String = ""): String = {
     val bandHash = "md5(" + (1 to 4).map(r => s"CAST(g[b.band * 4 + $r] AS VARCHAR)")
       .mkString(" || '-' || ") + ")"
-    s"""docs AS (
+    s"""${pfx}docs AS (
        |  $docsSql),
-       |tok_t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM docs),
-       |sh_t AS (SELECT id, ${wordShinglesSql("toks", 3)} AS sh FROM tok_t),
-       |sig_t AS (SELECT id, ${sigSql("sh", 16)} AS g FROM sh_t),
-       |bands AS (
-       |  SELECT id, b.band, $bandHash AS bh
-       |  FROM sig_t, (SELECT unnest(range(0, 4)) AS band) b),
-       |cand AS (
+       |${pfx}tok_t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM ${pfx}docs),
+       |${pfx}sh_t AS (SELECT id, ${wordShinglesSql("toks", 3)} AS sh FROM ${pfx}tok_t),
+       |${pfx}sig_t AS (SELECT id, ${sigSql("sh", 16)} AS g FROM ${pfx}sh_t),
+       |${pfx}bands AS (
+       |  SELECT id, g, b.band, $bandHash AS bh
+       |  FROM ${pfx}sig_t, (SELECT unnest(range(0, 4)) AS band) b),
+       |${pfx}cand AS (
        |  SELECT DISTINCT l.id AS a, r.id AS b
-       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+       |  FROM ${pfx}bands l JOIN ${pfx}bands r ON l.band = r.band AND l.bh = r.bh
        |    AND l.id < r.id),
-       |jac AS (
+       |${pfx}jac AS (
        |  SELECT c.a, c.b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
-       |  FROM cand c JOIN sh_t sa ON sa.id = c.a JOIN sh_t sb ON sb.id = c.b),
-       |pairs AS (SELECT a, b, j FROM jac WHERE j >= 0.6)""".stripMargin
+       |  FROM ${pfx}cand c JOIN ${pfx}sh_t sa ON sa.id = c.a JOIN ${pfx}sh_t sb ON sb.id = c.b),
+       |${pfx}pairs AS (SELECT a, b, j FROM ${pfx}jac WHERE j >= 0.6)""".stripMargin
   }
+
+  /** DuckDB: min-label connected components + keep-one over a prefixed
+    * [[nearDupCtes]] chain — `<pfx>keep(id, text)` is the batch's
+    * within-batch near-dup survivors (min-id representative per
+    * component plus every unpaired document), mirroring
+    * Components.nearDupKeep.
+    */
+  private def nearDupKeepCtes(pfx: String): String =
+    s"""${pfx}und AS (SELECT a AS x, b AS y FROM ${pfx}pairs
+       |        UNION SELECT b, a FROM ${pfx}pairs),
+       |${pfx}reach AS (
+       |  SELECT x, y FROM ${pfx}und
+       |  UNION
+       |  SELECT r.x, u.y FROM ${pfx}reach r JOIN ${pfx}und u ON r.y = u.x),
+       |${pfx}comp AS (SELECT x AS id, least(x, MIN(y)) AS rep
+       |  FROM ${pfx}reach GROUP BY x),
+       |${pfx}keep AS (SELECT d.id, d.text FROM ${pfx}docs d
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ${pfx}comp c WHERE c.id = d.id AND c.rep <> c.id))""".stripMargin
 
   /** DuckDB: n-hash minhash signature (list) over shingle list `sh` —
     * one 28-bit md5 base hash per shingle, then the universal-hash
@@ -1272,6 +1325,45 @@ object ExtQueries {
          |SELECT a.doc_id, ${scrubSql("s.text")} AS text
          |FROM audit a JOIN surv s ON a.doc_id = s.doc_id
          |WHERE a.drop_reasons = '' ORDER BY a.doc_id""".stripMargin,
+
+    // the 2-batch near-dup fold: within-batch keep-one per batch (the
+    // dedup_near_keep chain, instantiated twice with prefixes), then
+    // batch 1's keepers probe batch 0's survivors by signature bands at
+    // the MinHash-estimate threshold — exactly NearDupSink's sequential
+    // semantics (a later near-dup of an earlier SURVIVOR drops; nothing
+    // re-clusters globally)
+    "neardup_corpus_replay" -> {
+      val sub = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+      val b0 =
+        s"""SELECT CAST(doc_id AS BIGINT) AS id, text FROM ($sub)
+           |  UNION ALL
+           |  SELECT CAST(doc_id + 100000 AS BIGINT),
+           |    substring(text, 1, greatest(length(text) - 8, 0)) FROM ($sub)""".stripMargin
+      val b1 =
+        s"""SELECT CAST(doc_id + 200000 AS BIGINT) AS id,
+           |  substring(text, 1, length(text) - 16) AS text FROM ($sub)""".stripMargin
+      val firstBand = (0 until 4).foldRight("4") { (b, rest) =>
+        s"(CASE WHEN pg[${b * 4 + 1}:${b * 4 + 4}] = cg[${b * 4 + 1}:${b * 4 + 4}] THEN $b ELSE $rest END)"
+      }
+      val est = "CAST(len([i for i in range(1, 17) if pg[i] = cg[i]]) AS DOUBLE) / 16.0"
+      s"""WITH RECURSIVE ${nearDupCtes(b0, "z")},
+         |${nearDupKeepCtes("z")},
+         |${nearDupCtes(b1, "y")},
+         |${nearDupKeepCtes("y")},
+         |pb AS (SELECT b.id, b.g, b.band, b.bh
+         |  FROM ybands b JOIN ykeep w ON b.id = w.id),
+         |cb AS (SELECT b.id, b.g, b.band, b.bh
+         |  FROM zbands b JOIN zkeep v ON b.id = v.id),
+         |probe_cand AS (SELECT p.id AS probe_id, p.g AS pg, c.g AS cg
+         |  FROM pb p JOIN cb c ON p.band = c.band AND p.bh = c.bh
+         |  WHERE p.band = $firstBand),
+         |hits AS (SELECT DISTINCT probe_id FROM probe_cand WHERE $est >= 0.5)
+         |SELECT id FROM zkeep
+         |UNION ALL
+         |SELECT id FROM ykeep k
+         |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.probe_id = k.id)
+         |ORDER BY id""".stripMargin
+    },
 
     "embed_cosine" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.util.sketch.BloomFilter
 import graft.ext.QualityFilter
 import graft.ext.TextAnalysis
 
@@ -53,16 +52,14 @@ object Ingest {
   private def segmentsPath(indexDir: String) = s"$indexDir/segments"
   private def bloomPath(indexDir: String) = s"$indexDir/bloom"
 
-  /** Fixed Bloom geometry for every per-batch sidecar filter, so any
-    * set of them merges into ONE in-memory filter at read time
-    * (`mergeInPlace` requires identical bit size + hash count). ~1.2 MB
-    * per filter at these parameters; a batch with more survivors than
-    * `BloomExpectedItems` only DEGRADES the false-positive rate — more
-    * batches pay the precise anti-join — never correctness, because the
-    * bloom only ROUTES (see [[ingestBatch]]).
+  /** Sidecar geometry — see [[BloomSidecar]]: fixed so filters merge; a
+    * batch with more survivors than this only DEGRADES the
+    * false-positive rate — more batches pay the precise anti-join —
+    * never correctness, because the bloom only ROUTES (see
+    * [[ingestBatch]]).
     */
-  val BloomExpectedItems = 1000000L
-  val BloomFpp = 0.01
+  val BloomExpectedItems: Long = BloomSidecar.ExpectedItems
+  val BloomFpp: Double = BloomSidecar.Fpp
 
   private def hadoopFs(spark: SparkSession, dir: String) =
     org.apache.hadoop.fs.FileSystem.get(
@@ -82,36 +79,11 @@ object Ingest {
           org.apache.spark.sql.types.StringType))))
   }
 
-  /** The union of every bloom sidecar at `indexDir`, or None before the
-    * first batch. Driver memory is ONE filter (~1.2 MB) regardless of
-    * how many batches have run — files merge as they stream in.
-    */
-  private def readBloom(spark: SparkSession, indexDir: String): Option[BloomFilter] = {
-    val fs = hadoopFs(spark, indexDir)
-    val dir = new org.apache.hadoop.fs.Path(bloomPath(indexDir))
-    if (!fs.exists(dir)) return None
-    val files = fs.listStatus(dir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".bloom"))
-    if (files.isEmpty) return None
-    Some(files.map { f =>
-      val in = fs.open(f.getPath)
-      try BloomFilter.readFrom(in) finally in.close()
-    }.reduce { (a, b) => a.mergeInPlace(b); a })
-  }
-
-  private def writeBloom(spark: SparkSession, indexDir: String,
-                         bf: BloomFilter): Unit = {
-    val fs = hadoopFs(spark, indexDir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(
-      s"${bloomPath(indexDir)}/seg-${java.util.UUID.randomUUID()}.bloom"))
-    try bf.writeTo(out) finally out.close()
-  }
-
   /** Periodic index maintenance: many per-batch parquet segments → few
     * right-sized files, many bloom sidecars → one. Safe to run WHILE
     * the ingest stream appends — [[graft.ext.Compact.compactParquet]]
-    * and the bloom fold both delete only the files listed at their
-    * snapshot, so a segment or sidecar appended mid-compaction
+    * and [[BloomSidecar.fold]] both delete only the files listed at
+    * their snapshot, so a segment or sidecar appended mid-compaction
     * survives — and the brief duplicate window is invisible to both
     * consumers (a fingerprint present twice anti-joins identically; a
     * bloom union is idempotent).
@@ -120,20 +92,7 @@ object Ingest {
                    targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val counts = graft.ext.Compact.compactParquet(spark,
       segmentsPath(indexDir), targetFileBytes)
-    val fs = hadoopFs(spark, indexDir)
-    val dir = new org.apache.hadoop.fs.Path(bloomPath(indexDir))
-    if (fs.exists(dir)) {
-      val files = fs.listStatus(dir)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".bloom"))
-      if (files.length > 1) {
-        val merged = files.map { f =>
-          val in = fs.open(f.getPath)
-          try BloomFilter.readFrom(in) finally in.close()
-        }.reduce { (a, b) => a.mergeInPlace(b); a }
-        writeBloom(spark, indexDir, merged)
-        files.foreach(f => fs.delete(f.getPath, false))
-      }
-    }
+    BloomSidecar.fold(spark, bloomPath(indexDir))
     counts
   }
 
@@ -175,7 +134,7 @@ object Ingest {
     // pre-scrub survivors must be observable.) Batch-local exact dedup
     // first; which surviving row carries a duplicated text is
     // arbitrary, as with any content-keyed dedup.
-    val deduped = readBloom(spark, indexDir) match {
+    val deduped = BloomSidecar.read(spark, bloomPath(indexDir)) match {
       case None =>
         StreamDedup.dedupAgainstIndex(
           batch.dropDuplicates(Seq(textCol)), readIndex(spark, indexDir),
@@ -209,13 +168,8 @@ object Ingest {
     // routed to an anti-join that keeps the rows — both safe).
     val newFps = kept.select(md5(col(textCol)).as("fp"))
     newFps.write.mode("append").parquet(segmentsPath(indexDir))
-    // distributed bloom build (executor-side putString, tree-merged; the
-    // driver only ever holds merged ~1.2 MB filters)
-    val bf = newFps.na.drop("all").rdd.treeAggregate(
-        BloomFilter.create(BloomExpectedItems, BloomFpp))(
-      (f, row) => { f.putString(row.getString(0)); f },
-      (a, b) => { a.mergeInPlace(b); a })
-    writeBloom(spark, indexDir, bf)
+    BloomSidecar.write(spark, bloomPath(indexDir),
+      BloomSidecar.build(newFps, "fp"))
     kept.unpersist()
   }
 

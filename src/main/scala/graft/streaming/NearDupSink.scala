@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Self-maintaining NEAR-duplicate corpus sink — the near-dup sibling of
+  * [[Ingest.pipelineToCorpus]] (exact dedup): fold arriving batches into
+  * a corpus that contains no document near-duplicate to any EARLIER
+  * survivor, continuously. This is the online form of the batch
+  * `dedup_near_keep` operator, and the missing piece between the static
+  * probes ([[StreamNearDup.probeMinHash]] — index built once from a
+  * frozen corpus) and a living training corpus that grows as batches
+  * arrive.
+  *
+  * Per batch: (1) WITHIN-batch near-dup keep-one
+  * ([[graft.ext.Components.nearDupKeep]] — LSH candidates, exact-Jaccard
+  * verify, connected components, min-id representative, hot-bucket cap +
+  * audit on by default); (2) CROSS-batch probe of the survivors against
+  * the accumulated SIGNATURE index ([[StreamNearDup.probeMinHash]] —
+  * banded signature join, MinHash-estimate verify; the index stores
+  * 8·numHashes bytes per document, never text or shingles); (3) append
+  * the remaining survivors to `corpusDir` and their signature band rows
+  * as ONE new index segment — the same O(batch) append-only layout as
+  * [[Ingest]], with a [[BloomSidecar]] over band hashes gating the probe:
+  * a batch none of whose band hashes appear in any sidecar skips the
+  * index read entirely.
+  *
+  * Sequential-fold semantics (NOT batch-global clustering): a document
+  * is kept iff it is not near-dup to an earlier SURVIVOR. On a
+  * transitive chain A~B~C (A,B,C in successive batches, A≁C), the fold
+  * keeps A and C — B was suppressed by A, so C never sees its neighbor —
+  * where a global pass would keep A alone. That is the standard online
+  * dedup contract; the `neardup_corpus_replay` oracle replays exactly
+  * this fold.
+  *
+  * Preconditions: document ids unique across ALL batches (they key the
+  * corpus and the within-batch representatives); run length/quality
+  * filtering UPSTREAM ([[Ingest.pipeline]] ordering) — documents with
+  * fewer words than the shingle width have empty shingle sets, which no
+  * signature can match, so they would re-ingest on replay. Replay
+  * idempotence for shingled documents is structural: a replayed
+  * survivor's signature is identical to its indexed copy, every
+  * position agrees, est_jaccard = 1.0 ≥ any threshold.
+  *
+  * Crash ordering is corpus-append THEN index-append, the same
+  * at-least-once choice (and for the same reason) as
+  * [[Ingest.ingestBatch]].
+  */
+object NearDupSink {
+
+  private def segmentsPath(indexDir: String) = s"$indexDir/segments"
+  private def bloomPath(indexDir: String) = s"$indexDir/bloom"
+
+  /** The accumulated signature index (band, band_hash, corpus_id,
+    * sig_idx), or None before the first batch.
+    */
+  def readIndex(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(segmentsPath(indexDir))))
+      Some(spark.read.parquet(segmentsPath(indexDir)))
+    else None
+  }
+
+  /** Fold one batch into the corpus. See the object doc for semantics. */
+  def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
+                  idCol: String = "id", textCol: String = "text",
+                  threshold: Double = 0.6, minEstJaccard: Double = 0.5,
+                  numHashes: Int = 16, bands: Int = 4,
+                  shingleFn: Column => Column =
+                    graft.ext.MinHashLSH.wordShingles(_, 3)): Unit = {
+    val spark = batch.sparkSession
+    val within = graft.core.Caches.track(
+      graft.ext.Components.nearDupKeep(batch, idCol, textCol, threshold,
+          shingleFn = shingleFn)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val survivors = readIndex(spark, indexDir) match {
+      case None => within
+      case Some(index) =>
+        // Bloom gate at batch granularity: if NO band hash of this batch
+        // appears in any sidecar, no probe can hit — skip the index read.
+        // (Per-row routing as in Ingest buys little here: one hit means
+        // the banded join runs anyway, and the join already only touches
+        // matching band-hash partitions.)
+        val gate = BloomSidecar.read(spark, bloomPath(indexDir)).map { bf =>
+          val bc = spark.sparkContext.broadcast(bf)
+          val mightHit = udf((bh: String) =>
+            bh != null && bc.value.mightContainString(bh))
+          !StreamNearDup.buildMinHashIndex(within, idCol, textCol,
+              numHashes, bands, shingleFn)
+            .filter(mightHit(col("band_hash"))).isEmpty
+        }.getOrElse(true)
+        if (!gate) within
+        else {
+          val hits = StreamNearDup.probeMinHash(within, index, idCol, textCol,
+              numHashes, bands, minEstJaccard, shingleFn)
+            .select(col("probe_id").as(idCol)).distinct()
+          within.join(hits, Seq(idCol), "left_anti")
+        }
+    }
+    val kept = graft.core.Caches.track(survivors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    kept.write.mode("append").parquet(corpusDir)
+    val bandRows = StreamNearDup.buildMinHashIndex(kept, idCol, textCol,
+      numHashes, bands, shingleFn)
+    bandRows.write.mode("append").parquet(segmentsPath(indexDir))
+    BloomSidecar.write(spark, bloomPath(indexDir),
+      BloomSidecar.build(bandRows, "band_hash"))
+    kept.unpersist()
+    within.unpersist()
+  }
+
+  /** Segments → right-sized files, sidecars → one; safe against
+    * concurrent appends (snapshot-listed swaps on both sides), exactly
+    * as [[Ingest.compactIndex]].
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val counts = graft.ext.Compact.compactParquet(spark,
+      segmentsPath(indexDir), targetFileBytes)
+    BloomSidecar.fold(spark, bloomPath(indexDir))
+    counts
+  }
+
+  /** [[ingestBatch]] wired as a continuously-running streaming sink. */
+  def pipelineToCorpus(docs: DataFrame, corpusDir: String, indexDir: String,
+                       idCol: String = "id", textCol: String = "text",
+                       threshold: Double = 0.6, minEstJaccard: Double = 0.5,
+                       trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
+                       checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, corpusDir, indexDir, idCol, textCol,
+          threshold, minEstJaccard)
+      }
+    checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
+}

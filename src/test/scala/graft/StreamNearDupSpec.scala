@@ -131,4 +131,51 @@ class StreamNearDupSpec extends SparkSpec {
         bands = 4, maxHamming = 4)
     }
   }
+
+  test("near-dup corpus sink: within-batch keep-one, cross-batch probe drop, O(batch) segments, replay no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndsink").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    val a = "the quick brown fox jumps over the lazy dog while the cat naps " +
+      "under the warm sun near the old red barn"
+    val d = "completely different content about databases indexing and the " +
+      "storage engines that compact parquet files for analytics workloads"
+    val e = "another unique story concerning mountain trails and river " +
+      "crossings on the long hike to the northern ridge camp"
+    val b0 = Seq((1L, a), (2L, a.substring(0, a.length - 8)), (3L, d))
+      .toDF("id", "text")
+    val b1 = Seq((10L, a.substring(0, a.length - 4)), (11L, e))
+      .toDF("id", "text")
+    graft.streaming.NearDupSink.ingestBatch(b0, corpusDir, indexDir)
+    def corpusIds() = spark.read.parquet(corpusDir)
+      .select("id").as[Long].collect().sorted.toSeq
+    // within-batch: the near-dup pair (1, 2) collapses to the MIN id
+    assert(corpusIds() === Seq(1L, 3L))
+    def segRows() = spark.read.parquet(s"$indexDir/segments")
+    val files1 = new java.io.File(s"$indexDir/segments").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(segRows().count() === 2L * 4)  // bands × survivors
+    graft.streaming.NearDupSink.ingestBatch(b1, corpusDir, indexDir)
+    // cross-batch: 10 is a near-dup of indexed 1 (signature-estimate
+    // probe) and drops; fresh 11 survives
+    assert(corpusIds() === Seq(1L, 3L, 11L))
+    // O(batch): the new segment holds only survivor 11's band rows
+    val newFiles = new java.io.File(s"$indexDir/segments").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet -- files1
+    assert(spark.read.parquet(
+        newFiles.map(f => s"$indexDir/segments/$f").toSeq: _*).count() === 4L)
+    // one bloom sidecar per batch; compaction folds them
+    def blooms() = new java.io.File(s"$indexDir/bloom").listFiles()
+      .count(_.getName.endsWith(".bloom"))
+    assert(blooms() === 2)
+    // replaying batch 1 appends nothing: identical signatures estimate
+    // jaccard 1.0 against their own indexed copies
+    graft.streaming.NearDupSink.ingestBatch(b1, corpusDir, indexDir)
+    assert(corpusIds() === Seq(1L, 3L, 11L))
+    val (nin, nout) = graft.streaming.NearDupSink.compactIndex(spark, indexDir)
+    assert(nin >= 2 && nout === 1 && blooms() === 1)
+    // post-compaction the probe still sees everything
+    graft.streaming.NearDupSink.ingestBatch(
+      Seq((20L, a)).toDF("id", "text"), corpusDir, indexDir)
+    assert(corpusIds() === Seq(1L, 3L, 11L))
+  }
 }
