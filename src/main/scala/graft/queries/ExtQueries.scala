@@ -365,6 +365,37 @@ object ExtQueries {
     s.read.parquet(corpus).select("id").orderBy("id")
   }
 
+  /** The cosine-family fold: 2 batches through
+    * [[graft.streaming.NearDupSink.ingestBatchEmbed]] — batch 0 is an
+    * embeddings subset, batch 1 is +0.01 perturbations of half (cosine
+    * ≈ 0.998 to their sources — dropped by the cross-batch probe) plus
+    * NEGATED copies of the other half (cosine −1, complementary buckets
+    * in every hyperplane table — kept). The DuckDB replay runs the same
+    * per-batch keep-one (bucket-join candidates, exact cosine,
+    * components) and the same bucket-join probe between the batches.
+    */
+  def nearDupEmbedCorpusReplay(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/neardup_embed"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val e = t(s, d, "embeddings").filter(col("vec_id") % 4 === 0)
+    val b0 = e.select(col("vec_id").cast("long").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pert = e.filter(col("vec_id") % 8 === 0).select(
+      (col("vec_id") + 100000).cast("long").as("id"),
+      zip_with(col("embedding"), sequence(lit(0L), lit(63L)),
+        (x, j) => x.cast("double") + lit(0.01) * ((j % 3) - 1).cast("double")).as("v"))
+    val neg = e.filter(col("vec_id") % 8 === 4).select(
+      (col("vec_id") + 200000).cast("long").as("id"),
+      transform(col("embedding"), x => x.cast("double") * lit(-1.0)).as("v"))
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    graft.streaming.NearDupSink.ingestBatchEmbed(b0, corpus, index)
+    graft.streaming.NearDupSink.ingestBatchEmbed(
+      pert.unionByName(neg), corpus, index)
+    s.read.parquet(corpus).select("id").orderBy("id")
+  }
+
   /** Repetition signals over planted-repetition documents: every even
     * doc gets its text duplicated as a second line (dup_line_frac 0.5),
     * every doc_id % 3 == 0 additionally repeats its text inline (driving
@@ -604,6 +635,7 @@ object ExtQueries {
     "ingest_pipeline" -> (ingestPipelineQ(_, _)),
     "ingest_corpus_replay" -> (ingestCorpusReplay(_, _)),
     "neardup_corpus_replay" -> (nearDupCorpusReplay(_, _)),
+    "neardup_embed_corpus_replay" -> (nearDupEmbedCorpusReplay(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
@@ -692,10 +724,11 @@ object ExtQueries {
   }
 
   /** DuckDB: min-label connected components + keep-one over a prefixed
-    * [[nearDupCtes]] chain — `<pfx>keep(id, text)` is the batch's
-    * within-batch near-dup survivors (min-id representative per
-    * component plus every unpaired document), mirroring
-    * Components.nearDupKeep.
+    * pair CTE — `<pfx>keep` is the batch's within-batch near-dup
+    * survivors (min-id representative per component plus every unpaired
+    * row of `<pfx>docs`, all columns), mirroring
+    * Components.nearDupKeep / the components-over-embedNearDup keep.
+    * Expects `<pfx>pairs(a, b, …)` and `<pfx>docs(id, …)` to exist.
     */
   private def nearDupKeepCtes(pfx: String): String =
     s"""${pfx}und AS (SELECT a AS x, b AS y FROM ${pfx}pairs
@@ -706,7 +739,7 @@ object ExtQueries {
        |  SELECT r.x, u.y FROM ${pfx}reach r JOIN ${pfx}und u ON r.y = u.x),
        |${pfx}comp AS (SELECT x AS id, least(x, MIN(y)) AS rep
        |  FROM ${pfx}reach GROUP BY x),
-       |${pfx}keep AS (SELECT d.id, d.text FROM ${pfx}docs d
+       |${pfx}keep AS (SELECT d.* FROM ${pfx}docs d
        |  WHERE NOT EXISTS (
        |    SELECT 1 FROM ${pfx}comp c WHERE c.id = d.id AND c.rep <> c.id))""".stripMargin
 
@@ -1361,6 +1394,51 @@ object ExtQueries {
          |SELECT id FROM zkeep
          |UNION ALL
          |SELECT id FROM ykeep k
+         |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.probe_id = k.id)
+         |ORDER BY id""".stripMargin
+    },
+
+    // the cosine-family 2-batch fold: per-batch keep-one (bucket-join
+    // candidates in 2 hyperplane tables, exact cosine >= 0.9,
+    // components), then batch 1's keepers bucket-probe batch 0's
+    // survivors — NearDupSink.ingestBatchEmbed's sequential semantics
+    "neardup_embed_corpus_replay" -> {
+      val b0 =
+        """SELECT CAST(vec_id AS BIGINT) AS id,
+          |  [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS v
+          |  FROM embeddings WHERE vec_id % 4 = 0""".stripMargin
+      val b1 =
+        """SELECT CAST(vec_id + 100000 AS BIGINT) AS id,
+          |  [CAST(embedding[j + 1] AS DOUBLE) + 0.01 * CAST((j % 3) - 1 AS DOUBLE)
+          |   for j in range(0, 64)] AS v
+          |  FROM embeddings WHERE vec_id % 8 = 0
+          |  UNION ALL
+          |  SELECT CAST(vec_id + 200000 AS BIGINT) AS id,
+          |  [CAST(embedding[i] AS DOUBLE) * -1.0 for i in range(1, 65)] AS v
+          |  FROM embeddings WHERE vec_id % 8 = 4""".stripMargin
+      def batchCtes(p: String, docsSql: String) =
+        s"""${p}docs AS ($docsSql),
+           |${p}br AS (SELECT id, v, [${bucketSql("v")}, ${bucketSql("v", off = 6)}] AS bks
+           |  FROM ${p}docs),
+           |${p}rows AS (SELECT id, v, bks, t, bks[t + 1] AS bk
+           |  FROM ${p}br, range(2) rng(t)),
+           |${p}pairs AS (SELECT DISTINCT l.id AS a, r2.id AS b
+           |  FROM ${p}rows l JOIN ${p}rows r2 ON l.t = r2.t AND l.bk = r2.bk
+           |    AND l.id < r2.id
+           |  WHERE ${cosSql("l.v", "r2.v")} >= 0.9)""".stripMargin
+      s"""WITH RECURSIVE ${batchCtes("q", b0)},
+         |${nearDupKeepCtes("q")},
+         |${batchCtes("w", b1)},
+         |${nearDupKeepCtes("w")},
+         |pc AS (SELECT w1.id AS probe_id, w1.v AS pv, q1.v AS cv
+         |  FROM wrows w1 JOIN wkeep wk ON w1.id = wk.id
+         |  JOIN qrows q1 ON w1.t = q1.t AND w1.bk = q1.bk
+         |  JOIN qkeep qk ON q1.id = qk.id),
+         |hits AS (SELECT DISTINCT probe_id FROM pc
+         |  WHERE ${cosSql("pv", "cv")} >= 0.9)
+         |SELECT id FROM qkeep
+         |UNION ALL
+         |SELECT id FROM wkeep k
          |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.probe_id = k.id)
          |ORDER BY id""".stripMargin
     },

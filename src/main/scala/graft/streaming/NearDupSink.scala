@@ -111,6 +111,67 @@ object NearDupSink {
     within.unpersist()
   }
 
+  /** The cosine-family sibling of [[ingestBatch]] — near-dedup of an
+    * EMBEDDING corpus as batches arrive, completing the self-maintaining
+    * sink family across all three distance families (md5-exact via
+    * [[Ingest]], Jaccard via [[ingestBatch]], cosine here). Per batch:
+    * within-batch keep-one ([[graft.ext.Similarity.embedNearDup]] pairs →
+    * components → min-id representative), cross-batch
+    * [[StreamNearDup.probeEmbed]] against the accumulated hyperplane
+    * bucket index (exact-cosine verify against the vector riding on the
+    * index row), O(batch) segment + sidecar append. The bloom keys are
+    * `tbl:bucket` strings, so the gate skips the index read when no
+    * batch vector lands in any occupied bucket of any table.
+    *
+    * Same preconditions and crash ordering as [[ingestBatch]]; vectors
+    * replay-idempotently because an identical vector lands in its own
+    * bucket in every table and cosines 1.0 against its indexed copy.
+    */
+  def ingestBatchEmbed(batch: DataFrame, corpusDir: String, indexDir: String,
+                       idCol: String = "id", vecCol: String = "v",
+                       minCos: Double = 0.9, bits: Int = 6, dims: Int = 64,
+                       tables: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val pairs = graft.ext.Similarity.embedNearDup(batch, idCol, vecCol,
+      minCos, bits, dims, tables)
+    val drop = graft.ext.Components.components(pairs, "id_a", "id_b")
+      .filter(col("rep") =!= col("id"))
+      .select(col("id").as(idCol))
+    val within = graft.core.Caches.track(
+      batch.join(drop, Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val bloomKey = concat_ws(":", col("tbl"), col("bk"))
+    val survivors = readIndex(spark, indexDir) match {
+      case None => within
+      case Some(index) =>
+        val gate = BloomSidecar.read(spark, bloomPath(indexDir)).map { bf =>
+          val bc = spark.sparkContext.broadcast(bf)
+          val mightHit = udf((k: String) =>
+            k != null && bc.value.mightContainString(k))
+          !StreamNearDup.buildEmbedIndex(within, idCol, vecCol, bits, dims,
+              tables)
+            .filter(mightHit(bloomKey)).isEmpty
+        }.getOrElse(true)
+        if (!gate) within
+        else {
+          val hits = StreamNearDup.probeEmbed(within, index, idCol, vecCol,
+              bits, dims, tables, minCos)
+            .select(col("probe_id").as(idCol)).distinct()
+          within.join(hits, Seq(idCol), "left_anti")
+        }
+    }
+    val kept = graft.core.Caches.track(survivors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    kept.write.mode("append").parquet(corpusDir)
+    val bandRows = StreamNearDup.buildEmbedIndex(kept, idCol, vecCol,
+      bits, dims, tables)
+    bandRows.write.mode("append").parquet(segmentsPath(indexDir))
+    BloomSidecar.write(spark, bloomPath(indexDir),
+      BloomSidecar.build(bandRows.select(bloomKey.as("k")), "k"))
+    kept.unpersist()
+    within.unpersist()
+  }
+
   /** Segments → right-sized files, sidecars → one; safe against
     * concurrent appends (snapshot-listed swaps on both sides), exactly
     * as [[Ingest.compactIndex]].

@@ -178,4 +178,29 @@ class StreamNearDupSpec extends SparkSpec {
       Seq((20L, a)).toDF("id", "text"), corpusDir, indexDir)
     assert(corpusIds() === Seq(1L, 3L, 11L))
   }
+
+  test("embed near-dup sink: cosine fold with within-batch and cross-batch drops") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndembed").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    val base = Seq(0.9, 0.1, 0.2, 0.05, 0.3, 0.15, 0.25, 0.1)
+    def scaled(f: Double) = base.map(_ * f)
+    val ortho = Seq(-0.1, 0.8, -0.3, 0.4, -0.2, 0.5, -0.4, 0.3)
+    val b0 = Seq((1L, base), (2L, scaled(1.01)), (3L, ortho)).toDF("id", "v")
+    graft.streaming.NearDupSink.ingestBatchEmbed(b0, corpusDir, indexDir,
+      bits = 4, dims = 8)
+    def ids() = spark.read.parquet(corpusDir)
+      .select("id").as[Long].collect().sorted.toSeq
+    // scaled copy is cosine 1.0 to base -> within-batch keep-one keeps 1
+    assert(ids() === Seq(1L, 3L))
+    // cross-batch: 10 ~ base drops via the bucket probe; the NEGATED
+    // vector lands in complementary buckets in every table and survives
+    val b1 = Seq((10L, base.map(_ + 0.001)), (11L, base.map(-_))).toDF("id", "v")
+    graft.streaming.NearDupSink.ingestBatchEmbed(b1, corpusDir, indexDir,
+      bits = 4, dims = 8)
+    assert(ids() === Seq(1L, 3L, 11L))
+    // replay appends nothing (identical vector, cosine 1.0 to its copy)
+    graft.streaming.NearDupSink.ingestBatchEmbed(b1, corpusDir, indexDir,
+      bits = 4, dims = 8)
+    assert(ids() === Seq(1L, 3L, 11L))
+  }
 }
