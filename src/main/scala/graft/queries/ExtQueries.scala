@@ -319,7 +319,11 @@ object ExtQueries {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    val planted = plantedPiiDocs(s, d)
+    // fixed-size plant (doc_id < 250): the query certifies the FOLD —
+    // cross-batch dedup, bloom routing, crash/replay semantics — whose
+    // cost is per-batch by design; ingest_pipeline times the sf-scaled
+    // stateless pass
+    val planted = plantedPiiDocs(s, d).filter(col("doc_id") < 250)
     val seeded = planted
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         (col("doc_id") % 3).cast("long").as("b"))
@@ -344,16 +348,18 @@ object ExtQueries {
     * corpus ids hash-check against a DuckDB replay of the same
     * SEQUENTIAL semantics: per-batch LSH+components keep-one, then a
     * banded signature probe of batch 1's keepers against batch 0's
-    * survivors at the same MinHash-estimate threshold. The subset
-    * (doc_id % 5 = 0) bounds bench cost — `dedup_near_keep` already
-    * times the full-corpus LSH path.
+    * survivors at the same MinHash-estimate threshold. The plant is
+    * FIXED-SIZE (doc_id < 100, the same at every sf — like the other
+    * replay fixtures): the query certifies the fold's STRUCTURE, and a
+    * sink fold's cost is per-batch by design; `dedup_near_keep` and the
+    * probe replays already time the sf-scaled LSH paths.
     */
   def nearDupCorpusReplay(s: SparkSession, d: String): DataFrame = {
     val root = "/tmp/graft_fix/neardup_corpus"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+    val docs = t(s, d, "documents").filter(col("doc_id") < 100)
     val b0 = docs.select(col("doc_id").cast("long").as("id"), col("text"))
       .unionByName(docs.select((col("doc_id") + 100000).cast("long").as("id"),
         expr("substring(text, 1, greatest(length(text) - 8, 0))").as("text")))
@@ -373,20 +379,22 @@ object ExtQueries {
     * in every hyperplane table — kept). The DuckDB replay runs the same
     * per-batch keep-one (bucket-join candidates, exact cosine,
     * components) and the same bucket-join probe between the batches.
+    * Fixed-size plant (vec_id < 128) for the same reason as
+    * [[nearDupCorpusReplay]].
     */
   def nearDupEmbedCorpusReplay(s: SparkSession, d: String): DataFrame = {
     val root = "/tmp/graft_fix/neardup_embed"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    val e = t(s, d, "embeddings").filter(col("vec_id") % 4 === 0)
+    val e = t(s, d, "embeddings").filter(col("vec_id") < 128)
     val b0 = e.select(col("vec_id").cast("long").as("id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val pert = e.filter(col("vec_id") % 8 === 0).select(
+    val pert = e.filter(col("vec_id") % 2 === 0).select(
       (col("vec_id") + 100000).cast("long").as("id"),
       zip_with(col("embedding"), sequence(lit(0L), lit(63L)),
         (x, j) => x.cast("double") + lit(0.01) * ((j % 3) - 1).cast("double")).as("v"))
-    val neg = e.filter(col("vec_id") % 8 === 4).select(
+    val neg = e.filter(col("vec_id") % 2 === 1).select(
       (col("vec_id") + 200000).cast("long").as("id"),
       transform(col("embedding"), x => x.cast("double") * lit(-1.0)).as("v"))
     val (corpus, index) = (s"$root/corpus", s"$root/index")
@@ -1341,7 +1349,8 @@ object ExtQueries {
     // first arrival (by batch, then id) per content fingerprint wins the
     // cross-batch dedup, quality audits the winners, scrub whatever keeps
     "ingest_corpus_replay" ->
-      s"""WITH planted AS ($plantedPiiSql),
+      s"""WITH planted_all AS ($plantedPiiSql),
+         |planted AS (SELECT * FROM planted_all WHERE doc_id < 250),
          |seeded AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
          |    CAST(doc_id % 3 AS BIGINT) AS b FROM planted
@@ -1366,7 +1375,7 @@ object ExtQueries {
     // semantics (a later near-dup of an earlier SURVIVOR drops; nothing
     // re-clusters globally)
     "neardup_corpus_replay" -> {
-      val sub = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+      val sub = "SELECT doc_id, text FROM documents WHERE doc_id < 100"
       val b0 =
         s"""SELECT CAST(doc_id AS BIGINT) AS id, text FROM ($sub)
            |  UNION ALL
@@ -1406,16 +1415,16 @@ object ExtQueries {
       val b0 =
         """SELECT CAST(vec_id AS BIGINT) AS id,
           |  [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS v
-          |  FROM embeddings WHERE vec_id % 4 = 0""".stripMargin
+          |  FROM embeddings WHERE vec_id < 128""".stripMargin
       val b1 =
         """SELECT CAST(vec_id + 100000 AS BIGINT) AS id,
           |  [CAST(embedding[j + 1] AS DOUBLE) + 0.01 * CAST((j % 3) - 1 AS DOUBLE)
           |   for j in range(0, 64)] AS v
-          |  FROM embeddings WHERE vec_id % 8 = 0
+          |  FROM embeddings WHERE vec_id < 128 AND vec_id % 2 = 0
           |  UNION ALL
           |  SELECT CAST(vec_id + 200000 AS BIGINT) AS id,
           |  [CAST(embedding[i] AS DOUBLE) * -1.0 for i in range(1, 65)] AS v
-          |  FROM embeddings WHERE vec_id % 8 = 4""".stripMargin
+          |  FROM embeddings WHERE vec_id < 128 AND vec_id % 2 = 1""".stripMargin
       def batchCtes(p: String, docsSql: String) =
         s"""${p}docs AS ($docsSql),
            |${p}br AS (SELECT id, v, [${bucketSql("v")}, ${bucketSql("v", off = 6)}] AS bks

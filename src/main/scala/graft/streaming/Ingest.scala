@@ -166,10 +166,15 @@ object Ingest {
     // then its bloom sidecar (after the segment: a segment without its
     // bloom is extra candidates; a bloom without its segment would be
     // routed to an anti-join that keeps the rows — both safe).
-    val newFps = kept.select(md5(col(textCol)).as("fp"))
+    // persisted: the fingerprint projection feeds two actions (segment
+    // write + bloom build) — one md5 pass, not two
+    val newFps = graft.core.Caches.track(
+      kept.select(md5(col(textCol)).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     newFps.write.mode("append").parquet(segmentsPath(indexDir))
     BloomSidecar.write(spark, bloomPath(indexDir),
       BloomSidecar.build(newFps, "fp"))
+    newFps.unpersist()
     kept.unpersist()
   }
 

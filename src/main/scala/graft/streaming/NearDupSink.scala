@@ -102,11 +102,16 @@ object NearDupSink {
     val kept = graft.core.Caches.track(survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     kept.write.mode("append").parquet(corpusDir)
-    val bandRows = StreamNearDup.buildMinHashIndex(kept, idCol, textCol,
-      numHashes, bands, shingleFn)
+    // persisted: the signature band rows feed two actions (segment write
+    // + bloom build) — one shingle/signature pass, not two
+    val bandRows = graft.core.Caches.track(
+      StreamNearDup.buildMinHashIndex(kept, idCol, textCol,
+          numHashes, bands, shingleFn)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     bandRows.write.mode("append").parquet(segmentsPath(indexDir))
     BloomSidecar.write(spark, bloomPath(indexDir),
       BloomSidecar.build(bandRows, "band_hash"))
+    bandRows.unpersist()
     kept.unpersist()
     within.unpersist()
   }
@@ -163,11 +168,13 @@ object NearDupSink {
     val kept = graft.core.Caches.track(survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     kept.write.mode("append").parquet(corpusDir)
-    val bandRows = StreamNearDup.buildEmbedIndex(kept, idCol, vecCol,
-      bits, dims, tables)
+    val bandRows = graft.core.Caches.track(
+      StreamNearDup.buildEmbedIndex(kept, idCol, vecCol, bits, dims, tables)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     bandRows.write.mode("append").parquet(segmentsPath(indexDir))
     BloomSidecar.write(spark, bloomPath(indexDir),
       BloomSidecar.build(bandRows.select(bloomKey.as("k")), "k"))
+    bandRows.unpersist()
     kept.unpersist()
     within.unpersist()
   }
