@@ -371,6 +371,45 @@ object ExtQueries {
     s.read.parquet(corpus).select("id").orderBy("id")
   }
 
+  /** The COMPLETE training-data ingest fold
+    * ([[graft.streaming.Ingest.ingestBatchFull]]): exact dedup → quality
+    * filter → PII scrub → near-dup dedup, both indexes self-maintaining,
+    * folded over 2 deterministic batches. The plant layers every stage:
+    * exact copies of every doc_id % 7 = 0 document land one batch later
+    * (killed by the exact index), drop-8 near-mutations of every
+    * doc_id % 9 = 0 document land one batch later (killed by the
+    * signature probe on SCRUBBED text), quality failures drop
+    * per-batch, PII scrubs everywhere. The DuckDB replay collapses the
+    * exact stage to a window rank (first arrival by batch), audits and
+    * scrubs the winners, then runs the per-batch near-dup keep + probe
+    * chains — the same sequential semantics, stage for stage.
+    */
+  def trainIngestReplay(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/train_ingest"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val planted = plantedPiiDocs(s, d).filter(col("doc_id") < 200)
+    val seeded = planted
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        (col("doc_id") % 2).cast("long").as("b"))
+      .unionByName(planted.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).cast("long").as("doc_id"),
+          col("text"), ((col("doc_id") + 1) % 2).cast("long").as("b")))
+      .unionByName(planted.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000).cast("long").as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 8, 0))").as("text"),
+          ((col("doc_id") + 1) % 2).cast("long").as("b")))
+    val (corpus, exactIdx, nearIdx) =
+      (s"$root/corpus", s"$root/exact_index", s"$root/near_index")
+    (0L until 2L).foreach { i =>
+      graft.streaming.Ingest.ingestBatchFull(
+        seeded.filter(col("b") === i).select("doc_id", "text"),
+        corpus, exactIdx, nearIdx, idCol = "doc_id")
+    }
+    s.read.parquet(corpus).select("doc_id", "text").orderBy("doc_id")
+  }
+
   /** The cosine-family fold: 2 batches through
     * [[graft.streaming.NearDupSink.ingestBatchEmbed]] — batch 0 is an
     * embeddings subset, batch 1 is +0.01 perturbations of half (cosine
@@ -644,6 +683,7 @@ object ExtQueries {
     "ingest_corpus_replay" -> (ingestCorpusReplay(_, _)),
     "neardup_corpus_replay" -> (nearDupCorpusReplay(_, _)),
     "neardup_embed_corpus_replay" -> (nearDupEmbedCorpusReplay(_, _)),
+    "train_ingest_replay" -> (trainIngestReplay(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
@@ -1405,6 +1445,57 @@ object ExtQueries {
          |SELECT id FROM ykeep k
          |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.probe_id = k.id)
          |ORDER BY id""".stripMargin
+    },
+
+    // the COMPLETE ingest fold: exact first-arrival collapse (window
+    // rank over md5 by batch order), quality audit + scrub on the
+    // winners, then per-batch near-dup keep + cross-batch signature
+    // probe over the SCRUBBED texts — every stage of ingestBatchFull
+    "train_ingest_replay" -> {
+      val firstBand = (0 until 4).foldRight("4") { (b, rest) =>
+        s"(CASE WHEN pg[${b * 4 + 1}:${b * 4 + 4}] = cg[${b * 4 + 1}:${b * 4 + 4}] THEN $b ELSE $rest END)"
+      }
+      val est = "CAST(len([i for i in range(1, 17) if pg[i] = cg[i]]) AS DOUBLE) / 16.0"
+      s"""WITH RECURSIVE planted_all AS ($plantedPiiSql),
+         |planted AS (SELECT * FROM planted_all WHERE doc_id < 200),
+         |seeded AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS id, text,
+         |    CAST(doc_id % 2 AS BIGINT) AS b FROM planted
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 1000000 AS BIGINT), text,
+         |    CAST((doc_id + 1) % 2 AS BIGINT)
+         |  FROM planted WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT CAST(doc_id + 2000000 AS BIGINT),
+         |    substring(text, 1, greatest(length(text) - 8, 0)),
+         |    CAST((doc_id + 1) % 2 AS BIGINT)
+         |  FROM planted WHERE doc_id % 9 = 0),
+         |exact_surv AS (SELECT id, text, b FROM (
+         |  SELECT id, text, b,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY b, id) AS rn
+         |  FROM seeded) WHERE rn = 1),
+         |exq AS (SELECT id AS doc_id, text, b FROM exact_surv),
+         |${qualityAuditCte("exq")},
+         |scr AS (SELECT e.doc_id AS id, ${scrubSql("e.text")} AS text, e.b
+         |  FROM exq e JOIN audit a ON a.doc_id = e.doc_id
+         |  WHERE a.drop_reasons = ''),
+         |${nearDupCtes("SELECT id, text FROM scr WHERE b = 0", "q")},
+         |${nearDupKeepCtes("q")},
+         |${nearDupCtes("SELECT id, text FROM scr WHERE b = 1", "w")},
+         |${nearDupKeepCtes("w")},
+         |pb AS (SELECT bnd.id, bnd.g, bnd.band, bnd.bh
+         |  FROM wbands bnd JOIN wkeep k ON bnd.id = k.id),
+         |cb AS (SELECT bnd.id, bnd.g, bnd.band, bnd.bh
+         |  FROM qbands bnd JOIN qkeep k ON bnd.id = k.id),
+         |probe_cand AS (SELECT p.id AS probe_id, p.g AS pg, c.g AS cg
+         |  FROM pb p JOIN cb c ON p.band = c.band AND p.bh = c.bh
+         |  WHERE p.band = $firstBand),
+         |hits AS (SELECT DISTINCT probe_id FROM probe_cand WHERE $est >= 0.5)
+         |SELECT id AS doc_id, text FROM qkeep
+         |UNION ALL
+         |SELECT k.id AS doc_id, k.text FROM wkeep k
+         |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.probe_id = k.id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // the cosine-family 2-batch fold: per-batch keep-one (bucket-join

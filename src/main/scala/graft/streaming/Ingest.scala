@@ -125,15 +125,29 @@ object Ingest {
     */
   def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
                   textCol: String = "text"): Unit = {
+    val kept = dedupQuality(batch, indexDir, textCol)
+    kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+      .write.mode("append").parquet(corpusDir)
+    appendExactIndex(indexDir, kept, textCol)
+    kept.unpersist()
+  }
+
+  /** Stages 1-2 of the fold — bloom-routed exact dedup vs the index,
+    * then the quality filter — returning the PERSISTED pre-scrub
+    * survivors (callers write/scrub/index and then unpersist).
+    *
+    * The index keys ARRIVAL content, so fingerprints are taken BEFORE
+    * the scrub: the corpus stores scrubbed text, and md5(scrubbed)
+    * would never match a re-arriving raw document — a repeat of any
+    * PII-bearing document would re-ingest forever. (This is also why
+    * the fold decomposes pipeline() rather than calling it: the
+    * pre-scrub survivors must be observable.) Batch-local exact dedup
+    * first; which surviving row carries a duplicated text is arbitrary,
+    * as with any content-keyed dedup.
+    */
+  private def dedupQuality(batch: DataFrame, indexDir: String,
+                           textCol: String): DataFrame = {
     val spark = batch.sparkSession
-    // The index keys ARRIVAL content, so fingerprints are taken BEFORE
-    // the scrub: the corpus stores scrubbed text, and md5(scrubbed)
-    // would never match a re-arriving raw document — a repeat of any
-    // PII-bearing document would re-ingest forever. (This is also why
-    // ingestBatch decomposes pipeline() rather than calling it: the
-    // pre-scrub survivors must be observable.) Batch-local exact dedup
-    // first; which surviving row carries a duplicated text is
-    // arbitrary, as with any content-keyed dedup.
     val deduped = BloomSidecar.read(spark, bloomPath(indexDir)) match {
       case None =>
         StreamDedup.dedupAgainstIndex(
@@ -154,20 +168,24 @@ object Ingest {
           candidates.join(readIndex(spark, indexDir), Seq("fp"), "left_anti")
             .drop("fp"))
     }
-    val kept = graft.core.Caches.track(
+    graft.core.Caches.track(
       QualityFilter.withQualityAudit(deduped, textCol)
         .filter(col("keep"))
         .drop("drop_reasons", "keep")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
-      .write.mode("append").parquet(corpusDir)
-    // O(batch): append this batch's survivor fingerprints as a new
-    // segment — nothing over the accumulated index is read or shuffled —
-    // then its bloom sidecar (after the segment: a segment without its
-    // bloom is extra candidates; a bloom without its segment would be
-    // routed to an anti-join that keeps the rows — both safe).
-    // persisted: the fingerprint projection feeds two actions (segment
-    // write + bloom build) — one md5 pass, not two
+  }
+
+  /** O(batch): append the survivors' fingerprints as a new segment —
+    * nothing over the accumulated index is read or shuffled — then the
+    * bloom sidecar (after the segment: a segment without its bloom is
+    * extra candidates; a bloom without its segment would be routed to
+    * an anti-join that keeps the rows — both safe). The fingerprint
+    * projection persists across its two actions (segment write + bloom
+    * build) so a batch pays one md5 pass.
+    */
+  private def appendExactIndex(indexDir: String, kept: DataFrame,
+                               textCol: String): Unit = {
+    val spark = kept.sparkSession
     val newFps = graft.core.Caches.track(
       kept.select(md5(col(textCol)).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
@@ -175,7 +193,60 @@ object Ingest {
     BloomSidecar.write(spark, bloomPath(indexDir),
       BloomSidecar.build(newFps, "fp"))
     newFps.unpersist()
+  }
+
+  /** The WHOLE training-data ingest as one self-maintaining fold: exact
+    * dedup (vs the exact fingerprint index) → quality filter → PII
+    * scrub → NEAR-dup dedup (vs the near-dup signature index, via
+    * [[NearDupSink.ingestBatch]]) → corpus append, with both indexes
+    * maintained O(batch). The near-dup stage runs on SCRUBBED text —
+    * the corpus's content — while the exact index keys arrival text,
+    * so each index is consistent with what probes it on replay.
+    *
+    * Crash ordering: the corpus and near-dup index land (inside
+    * [[NearDupSink.ingestBatch]]) BEFORE the exact index append. A
+    * crash anywhere leaves at-least-once corpus state: on replay,
+    * documents the exact index already absorbed vanish at stage 1;
+    * documents it missed re-run the chain and the near-dup probe drops
+    * them against their own indexed signatures (est 1.0). The wrong
+    * order — exact index first — would silently LOSE a batch.
+    */
+  def ingestBatchFull(batch: DataFrame, corpusDir: String,
+                      exactIndexDir: String, nearIndexDir: String,
+                      idCol: String = "id", textCol: String = "text",
+                      threshold: Double = 0.6,
+                      minEstJaccard: Double = 0.5): Unit = {
+    val kept = dedupQuality(batch, exactIndexDir, textCol)
+    val scrubbed = graft.core.Caches.track(
+      kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    NearDupSink.ingestBatch(scrubbed, corpusDir, nearIndexDir, idCol, textCol,
+      threshold, minEstJaccard)
+    appendExactIndex(exactIndexDir, kept, textCol)
+    scrubbed.unpersist()
     kept.unpersist()
+  }
+
+  /** [[ingestBatchFull]] wired as a continuously-running sink — the
+    * complete pre-training ingest (dedup both ways, quality, scrubbing,
+    * self-maintaining indexes) behind one `writeStream`.
+    */
+  def pipelineToCorpusFull(docs: DataFrame, corpusDir: String,
+                           exactIndexDir: String, nearIndexDir: String,
+                           idCol: String = "id", textCol: String = "text",
+                           threshold: Double = 0.6,
+                           minEstJaccard: Double = 0.5,
+                           trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
+                           checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatchFull(batch, corpusDir, exactIndexDir, nearIndexDir,
+          idCol, textCol, threshold, minEstJaccard)
+      }
+    checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
   }
 
   /** [[pipeline]] wired as a continuously-running sink: each micro-batch

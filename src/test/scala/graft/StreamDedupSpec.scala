@@ -160,6 +160,48 @@ class StreamDedupSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).count() === 4L)
   }
 
+  test("full training ingest sink: exact + quality + scrub + near-dup across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-full").toString
+    val (corpus, exactIdx, nearIdx) =
+      (s"$root/corpus", s"$root/exact", s"$root/near")
+    val a = (1L, "the first document is about a river and a forest with the " +
+      "sun over the hills and a long road to the valley by the old mill")
+    val c = (3L, "the third document is about a market in the town square " +
+      "where the people sell bread and fruit in the morning so mail a note " +
+      "to trader@mart.io for the full list")
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.pipelineToCorpusFull(
+      source.toDS().toDF("id", "text"), corpus, exactIdx, nearIdx,
+      checkpointDir = Some(s"$root/cp"))
+    // batch 1: clean unique A, quality junk, PII-bearing C
+    source.addData(a, (2L, "short junk"), c)
+    q.processAllAvailable()
+    // batch 2: exact repeat of A (exact index kills it), a drop-8
+    // near-mutation of A (the SIGNATURE probe kills it), fresh D
+    source.addData((10L, a._2), (11L, a._2.substring(0, a._2.length - 8)),
+      (12L, "the fourth document concerns mountain trails and river " +
+        "crossings on the long hike to the northern ridge camp by the lake"))
+    q.processAllAvailable()
+    // batch 3: raw repeat of PII-bearing C — the exact index keys ARRIVAL
+    // text, so it dies at stage 1 even though the corpus stores it scrubbed
+    source.addData((13L, c._2))
+    q.processAllAvailable()
+    q.stop()
+    def state() = spark.read.parquet(corpus)
+      .select("id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val after = state()
+    assert(after.map(_._1) === Seq(1L, 3L, 12L))
+    assert(after.count(_._2.contains("<EMAIL>")) === 1)
+    // post-crash replay of batch 2 through the batch API: idempotent
+    graft.streaming.Ingest.ingestBatchFull(
+      Seq((10L, a._2), (11L, a._2.substring(0, a._2.length - 8)),
+        (12L, "the fourth document concerns mountain trails and river " +
+          "crossings on the long hike to the northern ridge camp by the lake"))
+        .toDF("id", "text"), corpus, exactIdx, nearIdx)
+    assert(state() === after)
+  }
+
   test("self-maintaining corpus: micro-batches dedup against earlier ones; replay appends nothing") {
     implicit val sq = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-corpus").toString
