@@ -371,6 +371,31 @@ object ExtQueries {
     s.read.parquet(corpus).select("id").orderBy("id")
   }
 
+  /** Partition-pruned ANN search over the centroid-partitioned
+    * [[graft.ext.VectorStore]]: the store builds in TWO appends (cells
+    * frozen by the first — later appends must assign consistently), the
+    * query vector's 2 nearest cells are probed, and only those partition
+    * directories are scanned (VectorStoreSpec pins `PartitionFilters`).
+    * The oracle assigns every vector to the same seeded centroids and
+    * takes the same (cos DESC, id) top-10 inside the probed cells.
+    */
+  def vectorStoreSearch(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/vector_store"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val e = t(s, d, "embeddings")
+    graft.ext.VectorStore.append(e.filter(col("vec_id") < 1000), root)
+    graft.ext.VectorStore.append(e.filter(col("vec_id") >= 1000), root)
+    val q = e.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    graft.ext.VectorStore.search(s, root, q, nprobe = 2, topK = 10,
+        excludeId = Some(0L))
+      .select(col("vec_id").cast("long").as("vec_id"), col("cos6"))
+      .orderBy(col("cos6").desc, col("vec_id"))
+  }
+
   /** The COMPLETE training-data ingest fold
     * ([[graft.streaming.Ingest.ingestBatchFull]]): exact dedup → quality
     * filter → PII scrub → near-dup dedup, both indexes self-maintaining,
@@ -684,6 +709,7 @@ object ExtQueries {
     "neardup_corpus_replay" -> (nearDupCorpusReplay(_, _)),
     "neardup_embed_corpus_replay" -> (nearDupEmbedCorpusReplay(_, _)),
     "train_ingest_replay" -> (trainIngestReplay(_, _)),
+    "vector_store_search" -> (vectorStoreSearch(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
@@ -1446,6 +1472,24 @@ object ExtQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.probe_id = k.id)
          |ORDER BY id""".stripMargin
     },
+
+    // the same seeded-centroid assignment as the store's appends, the
+    // same (dist2, cid) cell ranking for the probe set, the same
+    // (cos DESC, id) top-10 cut inside the probed cells
+    "vector_store_search" ->
+      s"""WITH ${ivfAssignSql(16)},
+         |qv AS (SELECT [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS q_vec
+         |  FROM embeddings WHERE vec_id = 0),
+         |qc AS (SELECT cid,
+         |  row_number() OVER (ORDER BY ${l2Sql("q_vec", "c.cv")}, cid) AS crn
+         |  FROM c, qv),
+         |probe AS (SELECT cid FROM qc WHERE crn <= 2),
+         |cand AS (SELECT e.vec_id, ${cosSql("e.embedding", "q_vec")} AS cos
+         |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN probe p ON a.centroid_id = p.cid, qv
+         |  WHERE e.vec_id <> 0)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND(cos, 6) AS cos6
+         |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     // the COMPLETE ingest fold: exact first-arrival collapse (window
     // rank over md5 by batch order), quality audit + scrub on the
