@@ -30,7 +30,8 @@ object Explain {
       "w4_batcher_par", "status_stream_replay",
       "decontaminate_flag", "quality_filter", "pii_scrub",
       "repetition_signals", "stream_embed_probe_replay",
-      "asof_join", "ingest_pipeline", "chunk_windows")
+      "asof_join", "ingest_pipeline", "chunk_windows",
+      "vector_store_search")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")

@@ -65,6 +65,22 @@ object VectorStore {
       .write.partitionBy("centroid_id").mode("append").parquet(dir)
   }
 
+  /** Compact every cell's accumulated small append files in place —
+    * [[Compact.compactParquet]] per `centroid_id=` leaf directory (the
+    * flat-layout rule applies per LEAF of a partitioned table; whole-
+    * table compaction would flatten the cells). Same concurrency
+    * contract as Compact: an append landing mid-compaction survives.
+    * Returns (input files, output files) summed over cells.
+    */
+  def compactCells(spark: SparkSession, dir: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = hadoopFs(spark, dir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .map(s => Compact.compactParquet(spark, s.getPath.toString, targetFileBytes))
+      .foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
+  }
+
   /** Top-`topK` cosine neighbors of `q` among the vectors in its
     * `nprobe` nearest cells (squared-L2 cell ranking, cid tiebreak —
     * the [[Similarity]] convention). The scan is partition-pruned to

@@ -175,6 +175,13 @@ object StreamNearDup {
     * first-agreeing-SLICE filter (stateless, cf. [[probe]]); a band-hash
     * md5 collision between unequal slices fails every slice comparison
     * and self-filters. Emits (probe_id, corpus_id, est_jaccard).
+    *
+    * Skew note: a band hash shared by MANY index rows (boilerplate-heavy
+    * corpora) makes this join skewed on that key — AQE's skew-join split
+    * (on by default) re-plans it at runtime; upstream, the same corpora
+    * should cap hot buckets at pair-generation time
+    * ([[graft.ext.MinHashLSH.DefaultMaxBucketSize]]) so the index never
+    * accumulates an unbounded bucket in the first place.
     */
   def probeMinHash(docs: DataFrame, index: DataFrame, idCol: String,
                    textCol: String, numHashes: Int = 16, bands: Int = 4,

@@ -48,5 +48,11 @@ class VectorStoreSpec extends SparkSpec {
     val both = graft.ext.VectorStore.search(spark, dir, q,
       nprobe = 2, topK = 40)
     assert(both.count() === 40)
+    // two appends leave multiple files per cell; per-cell compaction
+    // folds each to one without touching content
+    val (nin, nout) = graft.ext.VectorStore.compactCells(spark, dir)
+    assert(nin > nout && nout === 2)
+    assert(graft.ext.VectorStore.search(spark, dir, q, nprobe = 2, topK = 40)
+      .count() === 40)
   }
 }
