@@ -28,6 +28,34 @@ object VectorStore {
 
   private def centroidsPath(dir: String) = s"$dir/_centroids"
 
+  /** int8 scalar quantization, stored ALONGSIDE the float vector in the
+    * same rows: `scale` = array_max(|x|)/127 (1.0 for the all-zero
+    * vector, so the division is total) and `q8[i]` = floor(x/scale) ∈
+    * [-127, 127]. Deliberately floor, not round: floor is defined
+    * identically in every engine (round half-up vs half-even vs
+    * away-from-zero differs between Spark and DuckDB), so the oracle
+    * can replay quantization bit-exactly.
+    *
+    * Why store both representations: parquet is COLUMNAR, so a scan
+    * that selects only (id, q8) never reads the float column — the
+    * coarse pass of [[searchQuantized]] therefore scans ~1/4 of the
+    * vector bytes with zero extra files, layouts, or sync protocols,
+    * and the rerank pass reads the float column for only a bounded
+    * candidate set. The 100 TB arithmetic: a 64-dim float corpus is
+    * ~256 B/vector of scan; q8 is ~65 B. Cosine needs no dequantization
+    * (cos(q8·scale, q) = cos(q8, q) — scale cancels), so `scale` is
+    * stored only for consumers that need dot/L2 magnitudes.
+    */
+  private def withQ8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val m = array_max(transform(v, abs(_)))
+    // scale lands as a projected attribute FIRST so the q8 lambda reads
+    // it once per row — referencing the array_max expression inside the
+    // lambda would re-evaluate it per element (O(d²) per vector)
+    df.withColumn("scale", when(m === 0.0, lit(1.0)).otherwise(m / lit(127.0)))
+      .withColumn("q8", transform(v, x => floor(x / col("scale")).cast("tinyint")))
+  }
+
   private def hadoopFs(spark: SparkSession, dir: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -61,7 +89,7 @@ object VectorStore {
           transform(col(vecCol), x => x.cast("double")).as("cv")), dir)
       readCentroids(spark, dir).get
     }
-    Similarity.assignTo(vecs, cents, vecCol)
+    withQ8(Similarity.assignTo(vecs, cents, vecCol), vecCol)
       .write.partitionBy("centroid_id").mode("append").parquet(dir)
   }
 
@@ -91,6 +119,69 @@ object VectorStore {
              nprobe: Int = 2, topK: Int = 10,
              idCol: String = "vec_id", vecCol: String = "embedding",
              excludeId: Option[Long] = None): DataFrame = {
+    val qCol = array(q.map(lit): _*)
+    probedScan(spark, dir, q, nprobe, idCol, excludeId)
+      .withColumn("cos", Similarity.cosine(col(vecCol), qCol))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), round(col("cos"), 6).as("cos6"))
+  }
+
+  /** [[search]] with the corpus scan split into a QUANTIZED coarse pass
+    * and an exact rerank: the coarse pass ranks the probed cells by
+    * cosine over the int8 column — reading ~1/4 the bytes of the float
+    * scan, since parquet column pruning skips `vecCol` entirely (the
+    * spec pins `ReadSchema`) — and keeps the top `topK · rerank`
+    * candidate ids; the rerank pass re-scans the probed cells for JUST
+    * those ids (an `IN` filter over `topK·rerank` ids — pushed to the
+    * parquet reader, so row groups whose id range misses every candidate
+    * are skipped) and orders by EXACT float cosine. Results equal
+    * [[search]] whenever the true top-k all survive the coarse cut —
+    * int8 cosine error is ~1e-2, so `rerank` = 4 is generous unless the
+    * corpus is dense with near-ties at the boundary; raise `rerank` to
+    * trade scan bytes for safety. The candidate-id collect is bounded by
+    * the PARAMETERS (topK·rerank longs), not by data — the same driver
+    * contract as the centroid collect.
+    */
+  def searchQuantized(spark: SparkSession, dir: String, q: Seq[Double],
+                      nprobe: Int = 2, topK: Int = 10, rerank: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      excludeId: Option[Long] = None): DataFrame = {
+    val qCol = array(q.map(lit): _*)
+    val candidates = coarseCandidates(spark, dir, q, nprobe, topK * rerank,
+      idCol, excludeId).collect().map(_.getLong(0))
+    probedScan(spark, dir, q, nprobe, idCol, excludeId)
+      .filter(col(idCol).isin(candidates: _*))
+      .withColumn("cos", Similarity.cosine(col(vecCol), qCol))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), round(col("cos"), 6).as("cos6"))
+  }
+
+  /** The coarse pass of [[searchQuantized]] as a frame (the spec pins
+    * its executed plan: `ReadSchema` must carry `q8` and NOT `vecCol` —
+    * the byte-savings claim is a plan property, not a hope): the probed
+    * cells ranked by int8 cosine, cut to the top `limit` candidate ids.
+    */
+  def coarseCandidates(spark: SparkSession, dir: String, q: Seq[Double],
+                       nprobe: Int, limit: Int, idCol: String = "vec_id",
+                       excludeId: Option[Long] = None): DataFrame = {
+    val qCol = array(q.map(lit): _*)
+    probedScan(spark, dir, q, nprobe, idCol, excludeId)
+      .withColumn("qcos",
+        Similarity.cosine(transform(col("q8"), x => x.cast("double")), qCol))
+      .orderBy(col("qcos").desc, col(idCol))
+      .limit(limit)
+      .select(col(idCol))
+  }
+
+  /** The partition-pruned scan under both search paths: `q`'s `nprobe`
+    * nearest cells by squared L2 (cid tiebreak — the [[Similarity]]
+    * convention), centroids ranked on the driver (k rows).
+    */
+  private def probedScan(spark: SparkSession, dir: String, q: Seq[Double],
+                         nprobe: Int, idCol: String,
+                         excludeId: Option[Long]): DataFrame = {
     val cents = readCentroids(spark, dir).getOrElse(
       throw new IllegalStateException(s"no vector store at $dir")).collect()
     def l2sq(cv: Seq[Double]): Double =
@@ -99,13 +190,8 @@ object VectorStore {
       .map(r => (r.getLong(0), l2sq(r.getSeq[Double](1))))
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe).map(_._1)
-    val qCol = array(q.map(lit): _*)
     val base = spark.read.parquet(dir)
       .filter(col("centroid_id").isin(cells: _*))
     excludeId.fold(base)(i => base.filter(col(idCol) =!= i))
-      .withColumn("cos", Similarity.cosine(col(vecCol), qCol))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(topK)
-      .select(col(idCol), round(col("cos"), 6).as("cos6"))
   }
 }

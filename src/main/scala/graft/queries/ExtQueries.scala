@@ -339,6 +339,33 @@ object ExtQueries {
     s.read.parquet(corpus).select("doc_id", "text").orderBy("doc_id")
   }
 
+  /** Quantized-coarse-then-exact-rerank search over the same store
+    * layout as [[vectorStoreSearch]]: the coarse pass ranks by int8
+    * cosine reading ONLY the q8 column (~1/4 the scan bytes; the spec
+    * pins ReadSchema), the rerank re-ranks the surviving candidate ids
+    * by exact float cosine. The oracle replays the WHOLE two-pass
+    * pipeline — the floor-quantization, the int8 coarse rank and cut,
+    * the exact rerank — rather than assuming coarse == exact, so the
+    * hash certifies the pipeline's semantics even if a true neighbor
+    * were to fall outside the coarse cut.
+    */
+  def vectorStoreSearchQ8(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/vector_store_q8"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val e = t(s, d, "embeddings")
+    graft.ext.VectorStore.append(e.filter(col("vec_id") < 1000), root)
+    graft.ext.VectorStore.append(e.filter(col("vec_id") >= 1000), root)
+    val q = e.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    graft.ext.VectorStore.searchQuantized(s, root, q, nprobe = 2, topK = 10,
+        rerank = 4, excludeId = Some(0L))
+      .select(col("vec_id").cast("long").as("vec_id"), col("cos6"))
+      .orderBy(col("cos6").desc, col("vec_id"))
+  }
+
   /** Multi-batch replay of the self-maintaining NEAR-dup corpus sink
     * ([[graft.streaming.NearDupSink.ingestBatch]]): batch 0 is a
     * two-level planted corpus over a document subset (each original with
@@ -369,6 +396,30 @@ object ExtQueries {
     graft.streaming.NearDupSink.ingestBatch(b0, corpus, index, "id", "text")
     graft.streaming.NearDupSink.ingestBatch(b1, corpus, index, "id", "text")
     s.read.parquet(corpus).select("id").orderBy("id")
+  }
+
+  /** Incremental corpus-statistics fold ([[graft.streaming.StatsSink]]):
+    * documents split into 3 deterministic micro-batches (doc_id % 3),
+    * each appending its per-language partial-aggregate segment; the
+    * result is the merge-on-read total. The oracle is a SINGLE-PASS
+    * DuckDB aggregate over the whole table — hash-equality certifies
+    * that the per-batch partials fold to exactly the one-shot answer
+    * (associativity of the maintained statistics), which is the property
+    * that lets a 100 TB corpus answer stats queries from kilobytes of
+    * segments. Unlike the sink-replay fixtures this uses the FULL
+    * sf-scaled table: the per-batch aggregate is the sink's real cost
+    * and should scale in the bench.
+    */
+  def corpusStatsReplay(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/stats_sink"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+    (0L until 3L).foreach { i =>
+      graft.streaming.StatsSink.append(docs.filter(col("doc_id") % 3 === i), root)
+    }
+    graft.streaming.StatsSink.read(s, root).orderBy("lang")
   }
 
   /** Partition-pruned ANN search over the centroid-partitioned
@@ -709,7 +760,9 @@ object ExtQueries {
     "neardup_corpus_replay" -> (nearDupCorpusReplay(_, _)),
     "neardup_embed_corpus_replay" -> (nearDupEmbedCorpusReplay(_, _)),
     "train_ingest_replay" -> (trainIngestReplay(_, _)),
+    "corpus_stats_replay" -> (corpusStatsReplay(_, _)),
     "vector_store_search" -> (vectorStoreSearch(_, _)),
+    "vector_store_search_q8" -> (vectorStoreSearchQ8(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
@@ -1473,6 +1526,15 @@ object ExtQueries {
          |ORDER BY id""".stripMargin
     },
 
+    // one-shot aggregate over the whole table — hash-equal to the
+    // 3-batch partial-aggregate fold iff the maintained stats are
+    // associative; token counting mirrors the text_tokens oracle
+    "corpus_stats_replay" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // the same seeded-centroid assignment as the store's appends, the
     // same (dist2, cid) cell ranking for the probe set, the same
     // (cos DESC, id) top-10 cut inside the probed cells
@@ -1490,6 +1552,36 @@ object ExtQueries {
          |  WHERE e.vec_id <> 0)
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND(cos, 6) AS cos6
          |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the full two-pass replay: same floor-quantization (scale =
+    // max|x|/127, total via the zero-vector guard), same int8 coarse
+    // rank and top-40 cut, same exact-cosine rerank — floor (not round)
+    // everywhere because floor is engine-unambiguous
+    "vector_store_search_q8" ->
+      s"""WITH ${ivfAssignSql(16)},
+         |qv AS (SELECT [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS q_vec
+         |  FROM embeddings WHERE vec_id = 0),
+         |qc AS (SELECT cid,
+         |  row_number() OVER (ORDER BY ${l2Sql("q_vec", "c.cv")}, cid) AS crn
+         |  FROM c, qv),
+         |probe AS (SELECT cid FROM qc WHERE crn <= 2),
+         |cells AS (SELECT e.vec_id,
+         |  [CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)] AS v
+         |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN probe p ON a.centroid_id = p.cid
+         |  WHERE e.vec_id <> 0),
+         |qz AS (SELECT vec_id, v, list_transform(v, y -> floor(y / s)) AS q8
+         |  FROM (SELECT vec_id, v,
+         |    CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS s
+         |    FROM (SELECT vec_id, v,
+         |      list_max(list_transform(v, y -> abs(y))) AS m FROM cells))),
+         |coarse AS (SELECT vec_id, v,
+         |  row_number() OVER (ORDER BY ${cosSql("q8", "q_vec")} DESC, vec_id) AS rn
+         |  FROM qz, qv),
+         |cand AS (SELECT vec_id, v FROM coarse WHERE rn <= 40),
+         |exact AS (SELECT vec_id, ${cosSql("v", "q_vec")} AS cos FROM cand, qv)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND(cos, 6) AS cos6
+         |FROM exact ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     // the COMPLETE ingest fold: exact first-arrival collapse (window
     // rank over md5 by batch order), quality audit + scrub on the

@@ -125,9 +125,10 @@ object Ingest {
     */
   def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
                   textCol: String = "text"): Unit = {
-    val kept = dedupQuality(batch, indexDir, textCol)
+    val (kept, release) = dedupQuality(batch, indexDir, textCol)
     kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
       .write.mode("append").parquet(corpusDir)
+    release()
     appendExactIndex(indexDir, kept, textCol)
     kept.unpersist()
   }
@@ -144,35 +145,46 @@ object Ingest {
     * pre-scrub survivors must be observable.) Batch-local exact dedup
     * first; which surviving row carries a duplicated text is arbitrary,
     * as with any content-keyed dedup.
+    *
+    * Returns the persisted survivors plus a release thunk for the
+    * bloom-routed path's intermediate (the dedup'd+fingerprinted batch,
+    * persisted so the gate action, the fresh branch, and the candidate
+    * branch share ONE dropDuplicates shuffle instead of three) — callers
+    * invoke it after their first action materializes the survivors.
     */
   private def dedupQuality(batch: DataFrame, indexDir: String,
-                           textCol: String): DataFrame = {
+                           textCol: String): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
-    val deduped = BloomSidecar.read(spark, bloomPath(indexDir)) match {
+    val (deduped, release) = BloomSidecar.read(spark, bloomPath(indexDir)) match {
       case None =>
-        StreamDedup.dedupAgainstIndex(
+        (StreamDedup.dedupAgainstIndex(
           batch.dropDuplicates(Seq(textCol)), readIndex(spark, indexDir),
-          textCol)
+          textCol), () => ())
       case Some(bf) =>
         val bc = spark.sparkContext.broadcast(bf)
         // null fp (null text) routes "fresh", matching left_anti's
         // null-never-matches; the quality filter drops it either way
         val mightDup = udf((fp: String) =>
           fp != null && bc.value.mightContainString(fp))
-        val local = batch.dropDuplicates(Seq(textCol))
-          .withColumn("fp", md5(col(textCol)))
+        val local = graft.core.Caches.track(
+          batch.dropDuplicates(Seq(textCol))
+            .withColumn("fp", md5(col(textCol)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
         val candidates = local.filter(mightDup(col("fp")))
         val fresh = local.filter(!mightDup(col("fp"))).drop("fp")
-        if (candidates.isEmpty) fresh   // zero candidates: index never read
-        else fresh.unionByName(
-          candidates.join(readIndex(spark, indexDir), Seq("fp"), "left_anti")
-            .drop("fp"))
+        val out =
+          if (candidates.isEmpty) fresh // zero candidates: index never read
+          else fresh.unionByName(
+            candidates.join(readIndex(spark, indexDir), Seq("fp"), "left_anti")
+              .drop("fp"))
+        (out, () => { local.unpersist(); () })
     }
-    graft.core.Caches.track(
+    (graft.core.Caches.track(
       QualityFilter.withQualityAudit(deduped, textCol)
         .filter(col("keep"))
         .drop("drop_reasons", "keep")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)),
+      release)
   }
 
   /** O(batch): append the survivors' fingerprints as a new segment —
@@ -216,12 +228,13 @@ object Ingest {
                       idCol: String = "id", textCol: String = "text",
                       threshold: Double = 0.6,
                       minEstJaccard: Double = 0.5): Unit = {
-    val kept = dedupQuality(batch, exactIndexDir, textCol)
+    val (kept, release) = dedupQuality(batch, exactIndexDir, textCol)
     val scrubbed = graft.core.Caches.track(
       kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     NearDupSink.ingestBatch(scrubbed, corpusDir, nearIndexDir, idCol, textCol,
       threshold, minEstJaccard)
+    release()
     appendExactIndex(exactIndexDir, kept, textCol)
     scrubbed.unpersist()
     kept.unpersist()

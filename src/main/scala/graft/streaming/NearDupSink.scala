@@ -63,7 +63,17 @@ object NearDupSink {
     else None
   }
 
-  /** Fold one batch into the corpus. See the object doc for semantics. */
+  /** Fold one batch into the corpus. See the object doc for semantics.
+    *
+    * The batch's signature band rows are computed in ONE pass
+    * (shingle+MinHash over the within-batch survivors, persisted) and
+    * reused three ways — the bloom gate filters them, the cross-batch
+    * probe joins them ([[StreamNearDup.probeMinHashRows]]), and the
+    * segment append semi-joins them down to the fold's survivors — where
+    * the naive composition would re-shingle the batch for each. On a
+    * micro-batch the signature pass IS the dominant compute, so this is
+    * the difference between one and three passes of per-batch latency.
+    */
   def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
                   idCol: String = "id", textCol: String = "text",
                   threshold: Double = 0.6, minEstJaccard: Double = 0.5,
@@ -74,6 +84,10 @@ object NearDupSink {
     val within = graft.core.Caches.track(
       graft.ext.Components.nearDupKeep(batch, idCol, textCol, threshold,
           shingleFn = shingleFn)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val rows = graft.core.Caches.track(
+      StreamNearDup.buildMinHashIndex(within, idCol, textCol,
+          numHashes, bands, shingleFn)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val survivors = readIndex(spark, indexDir) match {
       case None => within
@@ -87,14 +101,14 @@ object NearDupSink {
           val bc = spark.sparkContext.broadcast(bf)
           val mightHit = udf((bh: String) =>
             bh != null && bc.value.mightContainString(bh))
-          !StreamNearDup.buildMinHashIndex(within, idCol, textCol,
-              numHashes, bands, shingleFn)
-            .filter(mightHit(col("band_hash"))).isEmpty
+          !rows.filter(mightHit(col("band_hash"))).isEmpty
         }.getOrElse(true)
         if (!gate) within
         else {
-          val hits = StreamNearDup.probeMinHash(within, index, idCol, textCol,
-              numHashes, bands, minEstJaccard, shingleFn)
+          val hits = StreamNearDup.probeMinHashRows(
+              rows.select(col("corpus_id").as("probe_id"),
+                col("sig_idx").as("sig_p"), col("band"), col("band_hash")),
+              index, numHashes, bands, minEstJaccard)
             .select(col("probe_id").as(idCol)).distinct()
           within.join(hits, Seq(idCol), "left_anti")
         }
@@ -102,17 +116,20 @@ object NearDupSink {
     val kept = graft.core.Caches.track(survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     kept.write.mode("append").parquet(corpusDir)
-    // persisted: the signature band rows feed two actions (segment write
-    // + bloom build) — one shingle/signature pass, not two
+    // the fold's survivor band rows: a semi-join against the persisted
+    // batch rows, NOT a re-shingle of kept; column order re-pinned so
+    // every appended segment file carries the identical schema
     val bandRows = graft.core.Caches.track(
-      StreamNearDup.buildMinHashIndex(kept, idCol, textCol,
-          numHashes, bands, shingleFn)
+      rows.join(kept.select(col(idCol).cast("long").as("corpus_id")),
+          Seq("corpus_id"), "left_semi")
+        .select(col("band"), col("band_hash"), col("corpus_id"), col("sig_idx"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     bandRows.write.mode("append").parquet(segmentsPath(indexDir))
     BloomSidecar.write(spark, bloomPath(indexDir),
       BloomSidecar.build(bandRows, "band_hash"))
     bandRows.unpersist()
     kept.unpersist()
+    rows.unpersist()
     within.unpersist()
   }
 
@@ -145,6 +162,11 @@ object NearDupSink {
     val within = graft.core.Caches.track(
       batch.join(drop, Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    // one bucket pass over the batch, reused by gate + probe + segment
+    // append — same single-pass layout as [[ingestBatch]]
+    val rows = graft.core.Caches.track(
+      StreamNearDup.buildEmbedIndex(within, idCol, vecCol, bits, dims, tables)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val bloomKey = concat_ws(":", col("tbl"), col("bk"))
     val survivors = readIndex(spark, indexDir) match {
       case None => within
@@ -153,14 +175,15 @@ object NearDupSink {
           val bc = spark.sparkContext.broadcast(bf)
           val mightHit = udf((k: String) =>
             k != null && bc.value.mightContainString(k))
-          !StreamNearDup.buildEmbedIndex(within, idCol, vecCol, bits, dims,
-              tables)
-            .filter(mightHit(bloomKey)).isEmpty
+          !rows.filter(mightHit(bloomKey)).isEmpty
         }.getOrElse(true)
         if (!gate) within
         else {
-          val hits = StreamNearDup.probeEmbed(within, index, idCol, vecCol,
-              bits, dims, tables, minCos)
+          val hits = StreamNearDup.probeEmbedRows(
+              rows.select(col("corpus_id").as("probe_id"),
+                col("v_idx").as("v_p"), col("bks_idx").as("bks_p"),
+                col("tbl"), col("bk")),
+              index, tables, minCos)
             .select(col("probe_id").as(idCol)).distinct()
           within.join(hits, Seq(idCol), "left_anti")
         }
@@ -169,13 +192,17 @@ object NearDupSink {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     kept.write.mode("append").parquet(corpusDir)
     val bandRows = graft.core.Caches.track(
-      StreamNearDup.buildEmbedIndex(kept, idCol, vecCol, bits, dims, tables)
+      rows.join(kept.select(col(idCol).cast("long").as("corpus_id")),
+          Seq("corpus_id"), "left_semi")
+        .select(col("tbl"), col("bk"), col("corpus_id"),
+          col("v_idx"), col("bks_idx"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     bandRows.write.mode("append").parquet(segmentsPath(indexDir))
     BloomSidecar.write(spark, bloomPath(indexDir),
       BloomSidecar.build(bandRows.select(bloomKey.as("k")), "k"))
     bandRows.unpersist()
     kept.unpersist()
+    rows.unpersist()
     within.unpersist()
   }
 

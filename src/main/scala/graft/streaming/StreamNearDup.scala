@@ -187,13 +187,26 @@ object StreamNearDup {
                    textCol: String, numHashes: Int = 16, bands: Int = 4,
                    minEstJaccard: Double = 0.5,
                    shingleFn: Column => Column =
-                     graft.ext.MinHashLSH.wordShingles(_, 3)): DataFrame = {
-    val rpb = numHashes / bands
-    require(bands * rpb == numHashes, "bands must divide numHashes")
-    val probes =
+                     graft.ext.MinHashLSH.wordShingles(_, 3)): DataFrame =
+    probeMinHashRows(
       minhashBandRows(docs, idCol, textCol, numHashes, bands, shingleFn)
         .select(col("id").as("probe_id"), col("sig").as("sig_p"),
-          col("band"), col("band_hash"))
+          col("band"), col("band_hash")),
+      index, numHashes, bands, minEstJaccard)
+
+  /** [[probeMinHash]] over PREBUILT probe band rows
+    * (probe_id, sig_p, band, band_hash) — the seam that lets a caller
+    * who already materialized the batch's band rows (e.g.
+    * [[NearDupSink.ingestBatch]], which needs them again for the segment
+    * append) probe without a second shingle+signature pass. Index-shaped
+    * rows ([[buildMinHashIndex]]) convert by renaming
+    * corpus_id→probe_id, sig_idx→sig_p.
+    */
+  def probeMinHashRows(probes: DataFrame, index: DataFrame,
+                       numHashes: Int = 16, bands: Int = 4,
+                       minEstJaccard: Double = 0.5): DataFrame = {
+    val rpb = numHashes / bands
+    require(bands * rpb == numHashes, "bands must divide numHashes")
     def sliceEq(b: Int): Column =
       slice(col("sig_p"), b * rpb + 1, rpb) ===
         slice(col("sig_idx"), b * rpb + 1, rpb)
@@ -259,10 +272,20 @@ object StreamNearDup {
     */
   def probeEmbed(docs: DataFrame, index: DataFrame, idCol: String,
                  vecCol: String, bits: Int = 6, dims: Int = 64,
-                 tables: Int = 2, minCos: Double = 0.9): DataFrame = {
-    val probes = embedBucketRows(docs, idCol, vecCol, bits, dims, tables)
-      .select(col("id").as("probe_id"), col("v").as("v_p"),
-        col("bks").as("bks_p"), col("tbl"), col("bk"))
+                 tables: Int = 2, minCos: Double = 0.9): DataFrame =
+    probeEmbedRows(
+      embedBucketRows(docs, idCol, vecCol, bits, dims, tables)
+        .select(col("id").as("probe_id"), col("v").as("v_p"),
+          col("bks").as("bks_p"), col("tbl"), col("bk")),
+      index, tables, minCos)
+
+  /** [[probeEmbed]] over PREBUILT probe bucket rows
+    * (probe_id, v_p, bks_p, tbl, bk) — same single-pass seam as
+    * [[probeMinHashRows]]; index-shaped rows ([[buildEmbedIndex]])
+    * convert by renaming corpus_id→probe_id, v_idx→v_p, bks_idx→bks_p.
+    */
+  def probeEmbedRows(probes: DataFrame, index: DataFrame,
+                     tables: Int = 2, minCos: Double = 0.9): DataFrame = {
     val firstAgreeingTable = (0 until tables).foldRight(lit(tables)) { (t, rest) =>
       when(col("bks_p").getItem(t) === col("bks_idx").getItem(t), lit(t))
         .otherwise(rest)

@@ -55,4 +55,28 @@ class VectorStoreSpec extends SparkSpec {
     assert(graft.ext.VectorStore.search(spark, dir, q, nprobe = 2, topK = 40)
       .count() === 40)
   }
+
+  test("quantized search: coarse scan never reads the float column, rerank equals exact search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-q8").toString + "/s"
+    graft.ext.VectorStore.append(mkVecs(0 until 40), dir, k = 2)
+    val q = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // the byte-savings claim is a PLAN property: the coarse pass's
+    // parquet ReadSchema must carry q8 and not the float column
+    val coarse = graft.ext.VectorStore.coarseCandidates(spark, dir, q,
+      nprobe = 2, limit = 20)
+    val scan = coarse.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scan.contains("q8") && !scan.contains("embedding"),
+      s"coarse ReadSchema must prune the float column:\n$scan")
+    // end-to-end: quantized two-pass == exact single-pass
+    val exact = graft.ext.VectorStore.search(spark, dir, q,
+      nprobe = 2, topK = 5).collect().toSeq
+    val q8 = graft.ext.VectorStore.searchQuantized(spark, dir, q,
+      nprobe = 2, topK = 5, rerank = 4).collect().toSeq
+    assert(q8 === exact)
+    // quantization is bounded: every stored q8 element is in [-127, 127]
+    val bad = spark.read.parquet(dir)
+      .filter(exists(col("q8"), x => abs(x) > 127)).count()
+    assert(bad === 0L)
+  }
 }
