@@ -123,12 +123,21 @@ object Ingest {
     * ordering would silently LOSE the batch instead, which is the wrong
     * failure mode for training data.
     */
+  /** `statsDir`, when set, additionally maintains [[StatsSink]] segments
+    * over the batch's SURVIVORS (the scrubbed rows that land in the
+    * corpus, so totals describe corpus content) — and because a
+    * crash-replayed batch has zero survivors, the composed stats inherit
+    * this fold's replay idempotence, which standalone [[StatsSink]]
+    * cannot offer. Requires a `lang` column on the batch.
+    */
   def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
-                  textCol: String = "text"): Unit = {
+                  textCol: String = "text",
+                  statsDir: Option[String] = None): Unit = {
     val (kept, release) = dedupQuality(batch, indexDir, textCol)
-    kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
-      .write.mode("append").parquet(corpusDir)
+    val scrubbed = kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+    scrubbed.write.mode("append").parquet(corpusDir)
     release()
+    statsDir.foreach(d => StatsSink.append(scrubbed, d, textCol))
     appendExactIndex(indexDir, kept, textCol)
     kept.unpersist()
   }
@@ -270,12 +279,13 @@ object Ingest {
   def pipelineToCorpus(docs: DataFrame, corpusDir: String, indexDir: String,
                        textCol: String = "text",
                        trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
-                       checkpointDir: Option[String] = None): StreamingQuery = {
+                       checkpointDir: Option[String] = None,
+                       statsDir: Option[String] = None): StreamingQuery = {
     val writer = docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, corpusDir, indexDir, textCol)
+        ingestBatch(batch, corpusDir, indexDir, textCol, statsDir)
       }
     checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()

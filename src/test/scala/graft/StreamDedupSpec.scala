@@ -242,4 +242,31 @@ class StreamDedupSpec extends SparkSpec {
     assert(corpusTexts() === after)
     assert(graft.streaming.Ingest.readIndex(spark, index).count() === 3)
   }
+
+  test("composed stats: ingest-maintained totals track corpus content and survive replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingstats").toString
+    val (corpus, index, stats) = (s"$root/corpus", s"$root/index", s"$root/stats")
+    def doc(id: Long, seed: String, lang: String) = (id,
+      s"the $seed document is about a river and a forest with the sun " +
+        s"over the hills and a road to the valley by the old mill", lang)
+    val b0 = Seq(doc(1, "first", "en"), doc(2, "second", "de"))
+    val b1 = Seq(doc(3, "third", "en"), (4L, b0.head._2, "en")) // 4 = exact dup of 1
+    Seq(b0, b1).foreach { b =>
+      graft.streaming.Ingest.ingestBatch(b.toDF("id", "text", "lang"),
+        corpus, index, statsDir = Some(stats))
+    }
+    def totals() = graft.streaming.StatsSink.read(spark, stats)
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // stats describe the CORPUS (survivors), not arrivals: the dup of 1
+    // never lands, so en counts 2, de counts 1 — exactly the corpus
+    val fromCorpus = spark.read.parquet(corpus).groupBy("lang").count()
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(totals() === fromCorpus)
+    assert(totals() === Seq(("de", 1L), ("en", 2L)))
+    // crash-replay of batch 1: zero survivors → a no-op stats segment —
+    // the composed sink inherits the fold's replay idempotence
+    graft.streaming.Ingest.ingestBatch(b1.toDF("id", "text", "lang"),
+      corpus, index, statsDir = Some(stats))
+    assert(totals() === Seq(("de", 1L), ("en", 2L)))
+  }
 }
