@@ -31,7 +31,8 @@ object Explain {
       "decontaminate_flag", "quality_filter", "pii_scrub",
       "repetition_signals", "stream_embed_probe_replay",
       "asof_join", "ingest_pipeline", "chunk_windows",
-      "vector_store_search", "vector_store_search_q8", "corpus_stats_replay")
+      "vector_store_search", "vector_store_search_q8",
+      "vector_store_search_many", "corpus_stats_replay")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")

@@ -158,6 +158,50 @@ object VectorStore {
       .select(col(idCol), round(col("cos"), 6).as("cos6"))
   }
 
+  /** Batched search — the production shape: a FRAME of queries against
+    * the store in one plan, no per-query driver loop. Each query's
+    * `nprobe` cells come from a broadcast column expression over the
+    * centroid array (the [[Similarity.ivfSearchMany]] probe — sort the
+    * k (dist², cid) structs, slice nprobe), the store scan joins the
+    * exploded (query, cell) rows on `centroid_id`, and the per-query
+    * top-k is a sorted-slice AGGREGATE (k-element lists through the
+    * shuffle, no global rank window). With dynamic partition pruning the
+    * probed-cells join prunes the scan to the UNION of all queries'
+    * cells at runtime; static pruning is impossible here because the
+    * cell set is data-dependent — this is exactly the query shape DPP
+    * exists for. Emits (qid, nn_rank, nn_id, cos4), rank 1-based by
+    * (cosine desc, id).
+    */
+  def searchMany(spark: SparkSession, dir: String, queries: DataFrame,
+                 topK: Int = 3, nprobe: Int = 1,
+                 qidCol: String = "qid", qvecCol: String = "q_vec",
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val cents = readCentroids(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no vector store at $dir"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    val qCells = queries
+      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("q_vec"))
+      .join(broadcast(cents))
+      .withColumn("probe", slice(transform(array_sort(
+        transform(col("cents"), ce =>
+          struct(Similarity.l2sq(col("q_vec"), ce.getField("cv")).as("d"),
+            ce.getField("cid").cast("long").as("cid")))),
+        x => x.getField("cid")), 1, nprobe))
+      .select(col("qid"), col("q_vec"), explode(col("probe")).as("centroid_id"))
+    spark.read.parquet(dir)
+      .join(broadcast(qCells), Seq("centroid_id"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"),
+        struct((-Similarity.cosine(col(vecCol), col("q_vec"))).as("nc"),
+          col(idCol).cast("long").as("nid")).as("p"))
+      .groupBy("qid")
+      .agg(slice(sort_array(collect_list(col("p"))), 1, topK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("nn_rank"),
+        col("col.nid").as("nn_id"), round(-col("col.nc"), 4).as("cos4"))
+  }
+
   /** The coarse pass of [[searchQuantized]] as a frame (the spec pins
     * its executed plan: `ReadSchema` must carry `q8` and NOT `vecCol` —
     * the byte-savings claim is a plan property, not a hope): the probed

@@ -339,6 +339,28 @@ object ExtQueries {
     s.read.parquet(corpus).select("doc_id", "text").orderBy("doc_id")
   }
 
+  /** Batched multi-query search served FROM the persistent store: the
+    * full embeddings table lands in the store (one append, cells seeded
+    * from the 16 lowest ids — the [[ivfAssignSql]] assignment), then
+    * every vec_id % 100 == 7 vector queries it at nprobe=2/top-3 in ONE
+    * plan. The oracle is the same independent DuckDB IVF replay as
+    * `ivf_search_many` — which also certifies the store round-trip
+    * changes nothing about the search semantics.
+    */
+  def vectorStoreSearchMany(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/vector_store_many"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val e = t(s, d, "embeddings")
+    graft.ext.VectorStore.append(e, root)
+    val q = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").cast("long").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("q_vec"))
+    graft.ext.VectorStore.searchMany(s, root, q, topK = 3, nprobe = 2)
+      .orderBy("qid", "nn_rank")
+  }
+
   /** Quantized-coarse-then-exact-rerank search over the same store
     * layout as [[vectorStoreSearch]]: the coarse pass ranks by int8
     * cosine reading ONLY the q8 column (~1/4 the scan bytes; the spec
@@ -763,6 +785,7 @@ object ExtQueries {
     "corpus_stats_replay" -> (corpusStatsReplay(_, _)),
     "vector_store_search" -> (vectorStoreSearch(_, _)),
     "vector_store_search_q8" -> (vectorStoreSearchQ8(_, _)),
+    "vector_store_search_many" -> (vectorStoreSearchMany(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
     "quality_report" -> (qualityReportQ(_, _)),
@@ -1552,6 +1575,11 @@ object ExtQueries {
          |  WHERE e.vec_id <> 0)
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND(cos, 6) AS cos6
          |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the independent IVF replay (same as ivf_search_many): seeded
+    // centroids, per-query (dist2, cid) cell rank, nprobe=2 probe,
+    // exact-cosine top-3 — served from the store in the Spark plan
+    "vector_store_search_many" -> ivfSearchManySql(2),
 
     // the full two-pass replay: same floor-quantization (scale =
     // max|x|/127, total via the zero-vector guard), same int8 coarse

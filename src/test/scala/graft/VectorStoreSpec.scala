@@ -79,4 +79,37 @@ class VectorStoreSpec extends SparkSpec {
       .filter(exists(col("q8"), x => abs(x) > 127)).count()
     assert(bad === 0L)
   }
+
+  test("searchMany: a frame of queries in one plan, per-query top-k equals single-query search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-many").toString + "/s"
+    graft.ext.VectorStore.append(mkVecs(0 until 40), dir, k = 2)
+    // three queries spanning both cells — parquet-backed with a
+    // selective filter, the production shape (a LocalRelation query side
+    // defeats the DPP selectivity heuristic)
+    val qsrc = dir + "_queries"
+    mkVecs(0 until 40).write.mode("overwrite").parquet(qsrc)
+    val qs = spark.read.parquet(qsrc).filter($"vec_id".isin(5L, 6L, 7L))
+      .select($"vec_id".as("qid"),
+        transform($"embedding", x => x.cast("double")).as("q_vec"))
+    val many = graft.ext.VectorStore.searchMany(spark, dir, qs,
+      topK = 3, nprobe = 1)
+    val got = many.orderBy("qid", "nn_rank")
+      .select("qid", "nn_id").as[(Long, Long)].collect().toSeq
+    // the probed-cells join prunes the partitioned scan at RUNTIME:
+    // dynamic partition pruning must appear on the store scan (the cell
+    // set is data-dependent, so static pruning is impossible here)
+    val plan = many.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on centroid_id:\n$plan")
+    // each query must agree with the single-query path at the same probe
+    val expected = Seq(5L, 6L, 7L).flatMap { qid =>
+      val q = mkVecs(0 until 40).filter($"vec_id" === qid)
+        .select(transform($"embedding", x => x.cast("double")).as("v"))
+        .collect()(0).getSeq[Double](0)
+      graft.ext.VectorStore.search(spark, dir, q, nprobe = 1, topK = 3,
+          excludeId = Some(qid))
+        .select("vec_id").as[Long].collect().toSeq.map(qid -> _)
+    }
+    assert(got === expected)
+  }
 }
