@@ -581,6 +581,28 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Range (interval-containment) join: every purchase by a sampled user
+    * opens a 30-minute window; each window is enriched with the count of
+    * the user's events inside it. [[graft.ext.RangeJoin]] reduces the
+    * range predicate to a bucketized equi-join (10-minute buckets — each
+    * window explodes to ≤4 bucket rows); the oracle is DuckDB's native
+    * BETWEEN join, so the reduction is checked against a first-class
+    * range-join implementation, not a replay of itself.
+    */
+  def rangeJoinQ(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val events = ev.select(col("event_id"), col("user_id"), col("ts_us"))
+    val intervals = ev
+      .filter(col("event_type") === "purchase" && col("user_id") % 5 === 0)
+      .select(col("event_id").as("interval_id"), col("user_id"),
+        col("ts_us").as("s_us"),
+        (col("ts_us") + lit(1800000000L)).as("e_us"))
+    graft.ext.RangeJoin.join(events, intervals, "ts_us", "s_us", "e_us",
+        keys = Seq("user_id"), granularity = 600000000L)
+      .groupBy("interval_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("interval_id")
+  }
+
   /** Small-files compaction roundtrip: documents written as 16 tiny
     * parquet files, compacted in place to one right-sized file, read
     * back — content identical (the oracle is the source table), file
@@ -793,6 +815,7 @@ object ExtQueries {
     "top_ngrams" -> (topNgramsQ(_, _)),
     "approx_corpus_stats" -> (approxStatsQ(_, _)),
     "asof_join" -> (asofJoinQ(_, _)),
+    "range_join" -> (rangeJoinQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
@@ -1372,6 +1395,19 @@ object ExtQueries {
 
     // DuckDB's native ASOF LEFT JOIN (>= semantics) independently checks
     // the union+window encoding
+    // DuckDB's native BETWEEN join is the independent implementation
+    // the bucketized reduction is checked against
+    "range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    event_type FROM events WHERE ts IS NOT NULL),
+        |iv AS (SELECT event_id AS interval_id, user_id, ts_us AS s_us,
+        |    ts_us + 1800000000 AS e_us
+        |  FROM ev WHERE event_type = 'purchase' AND user_id % 5 = 0)
+        |SELECT iv.interval_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM ev JOIN iv ON ev.user_id = iv.user_id
+        |  AND ev.ts_us BETWEEN iv.s_us AND iv.e_us
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
     "asof_join" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events WHERE ts IS NOT NULL),
