@@ -75,4 +75,47 @@ object RangeJoin {
       .filter(col(startCol) <= col(eventTs) && col(eventTs) <= col(endCol))
       .drop("_rj_bucket")
   }
+
+  /** Interval-OVERLAP join — pairs from two interval sets that intersect
+    * (`aStart <= bEnd AND bStart <= aEnd`, both ends inclusive, plus
+    * optional equi-keys). Same bucketization as [[join]], with the
+    * exactly-once condition one step subtler: two overlapping intervals
+    * co-occupy EVERY bucket of their intersection, so emitting on the
+    * raw bucket join would duplicate pairs. Each pair is kept only in
+    * the FIRST bucket of the intersection — max(bucket(aStart),
+    * bucket(bStart)), a per-row filter on the joined row — so the dedup
+    * is stateless and no distinct() materializes the pair set.
+    *
+    * The left side's column names must not collide with the right's
+    * (rename upstream, the usual Spark self-join contract); `left` and
+    * `right` may be the same logical table for a self-overlap join.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lStart: String, lEnd: String, rStart: String, rEnd: String,
+                  keys: Seq[(String, String)] = Seq.empty,
+                  granularity: Long = 3600L,
+                  maxSpanBuckets: Int = 4096): DataFrame = {
+    require(granularity > 0, "granularity must be > 0")
+    def bucket(c: Column): Column = floor(c / lit(granularity)).cast("long")
+    def exploded(df: DataFrame, s: String, e: String): DataFrame = {
+      val spanOk = bucket(col(e)) - bucket(col(s)) < lit(maxSpanBuckets.toLong)
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+        .withColumn("_rj_bucket", explode(
+          when(spanOk, sequence(bucket(col(s)), bucket(col(e))))
+            .otherwise(raise_error(
+              lit(s"RangeJoin: an interval spans >= $maxSpanBuckets buckets " +
+                s"at granularity $granularity — widen granularity or raise " +
+                "maxSpanBuckets")))))
+    }
+    val keyCond = keys.map { case (l, r) => col(l) === col(r) }
+      .foldLeft(lit(true))(_ && _)
+    exploded(left, lStart, lEnd).as("_rj_l")
+      .join(exploded(right, rStart, rEnd).as("_rj_r"),
+        col("_rj_l._rj_bucket") === col("_rj_r._rj_bucket") && keyCond)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // exactly-once: keep the pair only in the intersection's first bucket
+      .filter(col("_rj_l._rj_bucket") ===
+        greatest(bucket(col(lStart)), bucket(col(rStart))))
+      .drop("_rj_bucket")
+  }
 }

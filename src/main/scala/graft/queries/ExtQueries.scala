@@ -603,6 +603,25 @@ object ExtQueries {
       .orderBy("interval_id")
   }
 
+  /** Interval-OVERLAP join (the [[rangeJoinQ]] sibling): which purchase
+    * windows of the same user intersect? Self-overlap of the 30-minute
+    * windows, a_id < b_id halving, against DuckDB's native two-sided
+    * overlap predicate.
+    */
+  def rangeOverlapQ(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val base = ev.filter(col("event_type") === "purchase" && col("user_id") % 5 === 0)
+    def iv(p: String) = base.select(
+      col("event_id").as(s"${p}id"), col("user_id").as(s"${p}user"),
+      col("ts_us").as(s"${p}s"), (col("ts_us") + lit(1800000000L)).as(s"${p}e"))
+    graft.ext.RangeJoin.overlapJoin(iv("a_"), iv("b_"),
+        "a_s", "a_e", "b_s", "b_e", keys = Seq(("a_user", "b_user")),
+        granularity = 600000000L)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Small-files compaction roundtrip: documents written as 16 tiny
     * parquet files, compacted in place to one right-sized file, read
     * back — content identical (the oracle is the source table), file
@@ -816,6 +835,7 @@ object ExtQueries {
     "approx_corpus_stats" -> (approxStatsQ(_, _)),
     "asof_join" -> (asofJoinQ(_, _)),
     "range_join" -> (rangeJoinQ(_, _)),
+    "range_overlap" -> (rangeOverlapQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
@@ -1407,6 +1427,18 @@ object ExtQueries {
         |FROM ev JOIN iv ON ev.user_id = iv.user_id
         |  AND ev.ts_us BETWEEN iv.s_us AND iv.e_us
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    // the native two-sided overlap predicate, a_id < b_id halving
+    "range_overlap" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    event_type FROM events WHERE ts IS NOT NULL),
+        |iv AS (SELECT event_id AS iid, user_id, ts_us AS s,
+        |    ts_us + 1800000000 AS e
+        |  FROM ev WHERE event_type = 'purchase' AND user_id % 5 = 0)
+        |SELECT a.iid AS a_id, b.iid AS b_id
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |  AND a.s <= b.e AND b.s <= a.e AND a.iid < b.iid
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "asof_join" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us

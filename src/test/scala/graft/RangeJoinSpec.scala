@@ -50,6 +50,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("overlap join agrees with cross-join + filter, each pair exactly once") {
+    def iv(p: String) = intervals.select($"iid".as(s"${p}iid"),
+      $"user".as(s"${p}user"), $"s".as(s"${p}s"), $"e".as(s"${p}e"))
+    val got = RangeJoin.overlapJoin(iv("a_"), iv("b_"),
+        "a_s", "a_e", "b_s", "b_e", keys = Seq(("a_user", "b_user")),
+        granularity = 100L)
+      .select("a_iid", "b_iid").as[(Long, Long)].collect().toSeq.sorted
+    val naive = iv("a_").crossJoin(iv("b_"))
+      .filter($"a_user" === $"b_user" && $"a_s" <= $"b_e" && $"b_s" <= $"a_e")
+      .select("a_iid", "b_iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === naive)
+    // exactly-once even though overlapping intervals share many buckets
+    assert(got.distinct === got)
+    // self-pairs (a,a) appear for valid intervals (standard self-join);
+    // the inverted interval 14 pairs with nothing, itself included
+    assert(got.contains((10L, 10L)) && !got.exists(t => t._1 == 14L || t._2 == 14L))
+  }
+
   test("degenerate interval span fails loudly instead of exploding") {
     val wide = Seq((20L, "u1", 0L, 10000000L)).toDF("iid", "user", "s", "e")
     val ex = intercept[Exception] {
