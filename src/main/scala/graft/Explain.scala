@@ -30,7 +30,8 @@ object Explain {
       "w4_batcher_par", "status_stream_replay",
       "decontaminate_flag", "quality_filter", "pii_scrub",
       "repetition_signals", "stream_embed_probe_replay",
-      "asof_join", "range_join", "ingest_pipeline", "chunk_windows",
+      "asof_join", "range_join", "range_overlap",
+      "ingest_pipeline", "chunk_windows",
       "vector_store_search", "vector_store_search_q8",
       "vector_store_search_many", "corpus_stats_replay")
     val sb = new StringBuilder

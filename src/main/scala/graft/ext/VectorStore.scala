@@ -31,7 +31,9 @@ object VectorStore {
   /** int8 scalar quantization, stored ALONGSIDE the float vector in the
     * same rows: `scale` = array_max(|x|)/127 (1.0 for the all-zero
     * vector, so the division is total) and `q8[i]` = floor(x/scale) ∈
-    * [-127, 127]. Deliberately floor, not round: floor is defined
+    * [-128, 127] — the −maxabs element can land on −128 when the scale
+    * division rounds toward zero, which tinyint holds and cosine is
+    * indifferent to. Deliberately floor, not round: floor is defined
     * identically in every engine (round half-up vs half-even vs
     * away-from-zero differs between Spark and DuckDB), so the oracle
     * can replay quantization bit-exactly.
