@@ -26,7 +26,9 @@ import org.apache.spark.sql.SparkSession
   *     anti-join the duplicate window is invisible; a row-counting
   *     reader should not race a compaction). A table format
   *     (Delta/Iceberg) supplies the single atomic commit in production;
-  *     this is the strongest ordering plain directories offer.
+  *     this is the strongest ordering plain directories offer —
+  *     [[ManifestTable]] is the in-repo manifest-committed layer that
+  *     closes the window when atomicity matters more than raw appends.
   *   - Flat directories only: a partitioned (subdirectory) layout would
   *     silently lose its partition columns on rewrite, so it is
   *     rejected (`IllegalArgumentException`) rather than flattened.

@@ -1,0 +1,207 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.annotation.tailrec
+
+/** A minimal manifest-committed parquet table — the missing ATOMIC
+  * COMMIT under the repo's append-only sinks, built from the two
+  * primitives every real table format (Delta, Iceberg) reduces to:
+  * data files are immutable and written OUT OF VIEW, and a single
+  * versioned manifest file names the table's exact current contents.
+  *
+  * Why this exists: plain-directory sinks ([[Compact]], the
+  * [[graft.streaming.Ingest]] corpus) are honest about their windows —
+  * at-least-once appends after a crash, transiently-duplicated rows
+  * during compaction, readers racing writers. All three disappear when
+  * visibility is a manifest swap instead of a directory listing:
+  *
+  *   - APPEND: data files land under `data/` with UUID names (invisible
+  *     — readers only trust the manifest), then one new manifest version
+  *     references them. Crash before the commit = orphan files, not
+  *     duplicate rows; [[vacuum]] sweeps orphans later.
+  *   - IDEMPOTENCE: each commit records its `batchId`; re-appending an
+  *     absorbed batch is a no-op, so a crash-REPLAYED micro-batch
+  *     cannot double its rows — effectively-once, not at-least-once.
+  *   - COMPACT: rewritten files commit in ONE manifest swap that drops
+  *     the originals in the same version. A concurrent reader resolves
+  *     either the old snapshot or the new one, never a mix, never a
+  *     duplicate — the atomicity [[Compact]] documents as impossible
+  *     for bare directories.
+  *   - ISOLATION: a reader pins the manifest version it resolved;
+  *     every file it reads is immutable, so its snapshot cannot change
+  *     underneath the query.
+  *
+  * Concurrency control is optimistic CAS on the manifest name: version
+  * N+1 is staged to a temp name and RENAMED to `v<N+1>`; HDFS-semantics
+  * filesystems refuse a rename onto an existing path, so exactly one of
+  * two racing committers wins and the loser re-reads and retries. (On
+  * object stores without atomic rename-if-absent this needs a lock
+  * service — the same deployment caveat Delta documents.)
+  *
+  * Scale: the manifest holds one line per live data file plus one per
+  * absorbed batch id — kilobytes for thousands of files; resolution is
+  * one directory listing of `_manifest/` + one small file read, and the
+  * data read is an explicit file list (no recursive directory scan).
+  */
+object ManifestTable {
+
+  private def fs(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** (version, data-file names, absorbed batch ids); version 0 = empty
+    * table before the first commit.
+    */
+  final case class Snapshot(version: Long, files: Seq[String],
+                            batchIds: Set[String])
+
+  private def manifestDir(dir: String) = s"$dir/_manifest"
+  private def dataDir(dir: String) = s"$dir/data"
+
+  /** Resolve the table's current snapshot: highest `v<NNNNNNNN>` in the
+    * manifest directory. A half-written manifest can never be resolved —
+    * manifests appear only by rename, which is all-or-nothing.
+    */
+  def snapshot(spark: SparkSession, dir: String): Snapshot = {
+    val f = fs(spark, dir)
+    val md = p(manifestDir(dir))
+    if (!f.exists(md)) return Snapshot(0L, Seq.empty, Set.empty)
+    val versions = f.listStatus(md)
+      .filter(s => s.isFile && s.getPath.getName.matches("v\\d{8}"))
+      .map(_.getPath.getName.drop(1).toLong)
+    if (versions.isEmpty) return Snapshot(0L, Seq.empty, Set.empty)
+    val v = versions.max
+    val in = f.open(p(s"${manifestDir(dir)}/v${"%08d".format(v)}"))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    Snapshot(v,
+      lines.filter(_.startsWith("file:")).map(_.stripPrefix("file:")),
+      lines.filter(_.startsWith("batch:")).map(_.stripPrefix("batch:")).toSet)
+  }
+
+  /** The snapshot's rows (schema comes from the listed files). A table
+    * with no committed files yet raises — callers gate on
+    * [[snapshot]].files.nonEmpty or supply their own empty frame.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val s = snapshot(spark, dir)
+    require(s.files.nonEmpty, s"ManifestTable at $dir has no committed data")
+    spark.read.parquet(s.files.map(n => s"${dataDir(dir)}/$n"): _*)
+  }
+
+  /** Append `df` as batch `batchId`. Returns true if the batch committed,
+    * false if an earlier commit already absorbed this `batchId` (the
+    * idempotent-replay no-op). `beforeCommit` is a test seam between the
+    * (invisible) data-file write and the manifest swap — the crash
+    * window whose worst case is orphan files.
+    */
+  def append(df: DataFrame, dir: String, batchId: String,
+             beforeCommit: () => Unit = () => ()): Boolean = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    if (snapshot(spark, dir).batchIds.contains(batchId)) return false
+    val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
+    df.write.parquet(stage)
+    val moved = f.listStatus(p(stage))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        f.mkdirs(p(dataDir(dir)))
+        require(f.rename(s.getPath, p(s"${dataDir(dir)}/$name")),
+          s"move to data/ failed for ${s.getPath}")
+        name
+      }.toSeq
+    f.delete(p(stage), true)
+    beforeCommit()
+    commit(spark, dir) { old =>
+      if (old.batchIds.contains(batchId)) None // lost the race to a replay
+      else Some((old.files ++ moved, old.batchIds + batchId))
+    }
+  }
+
+  /** Rewrite the current snapshot's files into ~`targetFileBytes` files
+    * and commit the replacement as ONE manifest version — readers see
+    * the old snapshot or the new one, never a mix. Old files become
+    * orphans for [[vacuum]]; batch-id history is preserved so replay
+    * idempotence survives compaction. `beforeSwap` is the test seam
+    * between the rewrite and the swap.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              beforeSwap: () => Unit = () => ()): (Int, Int) = {
+    val f = fs(spark, dir)
+    val snap = snapshot(spark, dir)
+    if (snap.files.isEmpty) return (0, 0)
+    val paths = snap.files.map(n => s"${dataDir(dir)}/$n")
+    val totalBytes = paths.map(n => f.getFileStatus(p(n)).getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
+    spark.read.parquet(paths: _*).repartition(nOut).write.parquet(stage)
+    val rewritten = f.listStatus(p(stage))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        require(f.rename(s.getPath, p(s"${dataDir(dir)}/$name")),
+          s"move to data/ failed for ${s.getPath}")
+        name
+      }.toSeq
+    f.delete(p(stage), true)
+    beforeSwap()
+    // replace EXACTLY the files this compaction read; files appended by
+    // a concurrent writer (present in `old` but not in the snapshot we
+    // rewrote) carry over untouched
+    commit(spark, dir) { old =>
+      Some((old.files.filterNot(snap.files.contains) ++ rewritten,
+        old.batchIds))
+    }
+    (snap.files.size, nOut)
+  }
+
+  /** Delete data files no longer referenced by the CURRENT manifest and
+    * leftover stage directories. Run with readers quiesced or give
+    * in-flight snapshots a grace period — a reader pinned to an older
+    * version still needs its (now-orphaned) compacted-away files, the
+    * standard vacuum caveat of every table format.
+    */
+  def vacuum(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    val live = snapshot(spark, dir).files.toSet
+    val dd = p(dataDir(dir))
+    val removed = if (!f.exists(dd)) 0 else f.listStatus(dd)
+      .filter(s => s.isFile && !live.contains(s.getPath.getName))
+      .map { s => f.delete(s.getPath, false); 1 }.sum
+    f.delete(p(s"$dir/_stage"), true)
+    removed
+  }
+
+  /** CAS loop: read head, apply `update` (None = no-op), stage the new
+    * manifest, rename into place; a failed rename means another commit
+    * won — re-read and retry. Returns true if this call committed.
+    */
+  @tailrec
+  private def commit(spark: SparkSession, dir: String)
+                    (update: Snapshot => Option[(Seq[String], Set[String])])
+  : Boolean = {
+    val f = fs(spark, dir)
+    val old = snapshot(spark, dir)
+    update(old) match {
+      case None => false
+      case Some((files, batchIds)) =>
+        val next = old.version + 1
+        f.mkdirs(p(manifestDir(dir)))
+        val tmp = p(s"${manifestDir(dir)}/.tmp-${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, true)
+        try out.write(
+          (files.map("file:" + _) ++ batchIds.toSeq.sorted.map("batch:" + _))
+            .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        val target = p(s"${manifestDir(dir)}/v${"%08d".format(next)}")
+        if (f.exists(target) || !f.rename(tmp, target)) {
+          f.delete(tmp, false)
+          commit(spark, dir)(update) // lost the race: retry on new head
+        } else true
+    }
+  }
+}

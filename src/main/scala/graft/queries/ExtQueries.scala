@@ -603,6 +603,30 @@ object ExtQueries {
       .orderBy("interval_id")
   }
 
+  /** The manifest-committed table under a realistic fold: three
+    * document batches append (each a manifest commit), batch 1 REPLAYS
+    * after a simulated crash (absorbed id → no-op), and a compaction
+    * runs mid-fold (atomic swap, batch-id history preserved). The final
+    * read must equal the plain one-shot table — the oracle certifies
+    * that effectively-once commits + atomic compaction reconstruct
+    * exactly the input, which the plain-directory sinks can only
+    * promise up to their documented windows.
+    */
+  def manifestCorpusReplay(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_corpus"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    def b(i: Long) = docs.filter(col("doc_id") % 3 === i)
+    graft.ext.ManifestTable.append(b(0), root, "b0")
+    graft.ext.ManifestTable.append(b(1), root, "b1")
+    graft.ext.ManifestTable.compact(s, root)
+    graft.ext.ManifestTable.append(b(1), root, "b1") // crash replay: no-op
+    graft.ext.ManifestTable.append(b(2), root, "b2")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
   /** Interval-OVERLAP join (the [[rangeJoinQ]] sibling): which purchase
     * windows of the same user intersect? Self-overlap of the 30-minute
     * windows, a_id < b_id halving, against DuckDB's native two-sided
@@ -836,6 +860,7 @@ object ExtQueries {
     "asof_join" -> (asofJoinQ(_, _)),
     "range_join" -> (rangeJoinQ(_, _)),
     "range_overlap" -> (rangeOverlapQ(_, _)),
+    "manifest_corpus_replay" -> (manifestCorpusReplay(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
@@ -1427,6 +1452,11 @@ object ExtQueries {
         |FROM ev JOIN iv ON ev.user_id = iv.user_id
         |  AND ev.ts_us BETWEEN iv.s_us AND iv.e_us
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    // effectively-once commits + atomic compaction must reconstruct
+    // exactly the input table
+    "manifest_corpus_replay" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
 
     // the native two-sided overlap predicate, a_id < b_id halving
     "range_overlap" ->
