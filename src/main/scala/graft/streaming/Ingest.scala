@@ -216,6 +216,36 @@ object Ingest {
     newFps.unpersist()
   }
 
+  /** [[ingestBatch]] with the corpus append COMMITTED through
+    * [[graft.ext.ManifestTable]] — the effectively-once variant: the
+    * corpus records each batch id in its manifest, so a crash-REPLAYED
+    * micro-batch can never duplicate its survivors (the plain
+    * [[ingestBatch]]'s documented at-least-once window). The exact
+    * fingerprint index stays an append-only segment store and is
+    * appended UNCONDITIONALLY after the corpus commit, which makes it
+    * self-healing: if a crash lands between the corpus commit and the
+    * index append, the replay's survivors re-emerge from dedup (their
+    * fingerprints are missing), the corpus append no-ops on the absorbed
+    * batch id, and the index append backfills the missing fingerprints.
+    * Index duplicates from that healing are harmless — an anti-join
+    * probe is idempotent in its right side. Returns true iff this call
+    * committed new corpus rows.
+    */
+  def ingestBatchCommitted(batch: DataFrame, corpusDir: String,
+                           indexDir: String, batchId: String,
+                           textCol: String = "text",
+                           statsDir: Option[String] = None): Boolean = {
+    val (kept, release) = dedupQuality(batch, indexDir, textCol)
+    val scrubbed = kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+    val committed =
+      graft.ext.ManifestTable.append(scrubbed, corpusDir, batchId)
+    release()
+    if (committed) statsDir.foreach(d => StatsSink.append(scrubbed, d, textCol))
+    appendExactIndex(indexDir, kept, textCol)
+    kept.unpersist()
+    committed
+  }
+
   /** The WHOLE training-data ingest as one self-maintaining fold: exact
     * dedup (vs the exact fingerprint index) → quality filter → PII
     * scrub → NEAR-dup dedup (vs the near-dup signature index, via

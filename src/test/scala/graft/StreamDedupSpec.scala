@@ -243,6 +243,43 @@ class StreamDedupSpec extends SparkSpec {
     assert(graft.streaming.Ingest.readIndex(spark, index).count() === 3)
   }
 
+  test("committed ingest: corpus exactly-once by batch id, index self-heals on replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingcommit").toString
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    def doc(id: Long, seed: String) = (id,
+      s"the $seed document is about a river and a forest with the sun " +
+        s"over the hills and a road to the valley by the old mill")
+    def corpusRows() = graft.ext.ManifestTable.read(spark, corpus)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(graft.streaming.Ingest.ingestBatchCommitted(
+      Seq(doc(1, "first"), doc(2, "second")).toDF("id", "text"),
+      corpus, index, "b0"))
+    // crash window: batch b1's corpus rows COMMIT but the process dies
+    // before the index append — simulated by committing the scrubbed
+    // survivors directly under b1's id
+    graft.ext.ManifestTable.append(
+      Seq(doc(3, "third")).toDF("id", "text")
+        .withColumn("text", graft.ext.TextAnalysis.scrubPii($"text")),
+      corpus, "b1")
+    assert(graft.streaming.Ingest.readIndex(spark, index).count() === 2)
+    // replay of b1: survivors re-emerge from dedup (fingerprints absent),
+    // the corpus append no-ops on the absorbed id — NOT at-least-once —
+    // and the index append backfills the missing fingerprints
+    assert(!graft.streaming.Ingest.ingestBatchCommitted(
+      Seq(doc(3, "third")).toDF("id", "text"), corpus, index, "b1"))
+    assert(corpusRows() === Seq(1L, 2L, 3L))
+    assert(graft.streaming.Ingest.readIndex(spark, index).count() === 3)
+    // a SECOND replay is a full no-op: content dedup empties the batch
+    assert(!graft.streaming.Ingest.ingestBatchCommitted(
+      Seq(doc(3, "third")).toDF("id", "text"), corpus, index, "b1"))
+    assert(corpusRows() === Seq(1L, 2L, 3L))
+    assert(graft.streaming.Ingest.readIndex(spark, index).count() === 3)
+    // fresh content under a fresh id still commits
+    assert(graft.streaming.Ingest.ingestBatchCommitted(
+      Seq(doc(4, "fourth")).toDF("id", "text"), corpus, index, "b2"))
+    assert(corpusRows() === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("composed stats: ingest-maintained totals track corpus content and survive replay") {
     val root = java.nio.file.Files.createTempDirectory("graft-ingstats").toString
     val (corpus, index, stats) = (s"$root/corpus", s"$root/index", s"$root/stats")
