@@ -33,7 +33,8 @@ object Explain {
       "asof_join", "range_join", "range_overlap",
       "ingest_pipeline", "chunk_windows",
       "vector_store_search", "vector_store_search_q8",
-      "vector_store_search_many", "corpus_stats_replay")
+      "vector_store_search_many", "corpus_stats_replay",
+      "manifest_corpus_replay")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
