@@ -80,6 +80,46 @@ object NearDupSink {
                   numHashes: Int = 16, bands: Int = 4,
                   shingleFn: Column => Column =
                     graft.ext.MinHashLSH.wordShingles(_, 3)): Unit = {
+    foldAndCommit(batch, indexDir, idCol, textCol, threshold, minEstJaccard,
+      numHashes, bands, shingleFn) { kept =>
+      kept.write.mode("append").parquet(corpusDir); true
+    }
+    ()
+  }
+
+  /** [[ingestBatch]] with the corpus landed through
+    * [[graft.ext.ManifestTable]] keyed by `batchId` — effectively-once,
+    * the same contract (and the same self-healing index argument) as
+    * [[Ingest.ingestBatchCommitted]]: a crash between the corpus commit
+    * and the signature-segment append leaves the replay's survivors
+    * re-emerging from the probe (their signatures are missing), the
+    * corpus no-oping on the absorbed batch id, and the index append
+    * backfilling the signatures; a second replay probes est 1.0 against
+    * its own indexed copy and converges to a full no-op. Returns true
+    * iff this call committed new corpus rows.
+    */
+  def ingestBatchCommitted(batch: DataFrame, corpusDir: String,
+                           indexDir: String, batchId: String,
+                           idCol: String = "id", textCol: String = "text",
+                           threshold: Double = 0.6, minEstJaccard: Double = 0.5,
+                           numHashes: Int = 16, bands: Int = 4,
+                           shingleFn: Column => Column =
+                             graft.ext.MinHashLSH.wordShingles(_, 3)): Boolean =
+    foldAndCommit(batch, indexDir, idCol, textCol, threshold, minEstJaccard,
+      numHashes, bands, shingleFn) { kept =>
+      graft.ext.ManifestTable.append(kept, corpusDir, batchId)
+    }
+
+  /** The shared fold: within-batch keep-one, ONE signature pass reused
+    * by the bloom gate + cross-batch probe + segment append, then
+    * `landCorpus(kept)` (whose return value this returns) followed by
+    * the unconditional index-segment + sidecar append.
+    */
+  private def foldAndCommit(batch: DataFrame, indexDir: String,
+                            idCol: String, textCol: String, threshold: Double,
+                            minEstJaccard: Double, numHashes: Int, bands: Int,
+                            shingleFn: Column => Column)
+                           (landCorpus: DataFrame => Boolean): Boolean = {
     val spark = batch.sparkSession
     val within = graft.core.Caches.track(
       graft.ext.Components.nearDupKeep(batch, idCol, textCol, threshold,
@@ -115,7 +155,7 @@ object NearDupSink {
     }
     val kept = graft.core.Caches.track(survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    kept.write.mode("append").parquet(corpusDir)
+    val committed = landCorpus(kept)
     // the fold's survivor band rows: a semi-join against the persisted
     // batch rows, NOT a re-shingle of kept; column order re-pinned so
     // every appended segment file carries the identical schema
@@ -131,6 +171,7 @@ object NearDupSink {
     kept.unpersist()
     rows.unpersist()
     within.unpersist()
+    committed
   }
 
   /** The cosine-family sibling of [[ingestBatch]] — near-dedup of an

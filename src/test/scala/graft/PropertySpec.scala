@@ -122,4 +122,51 @@ class PropertySpec extends SparkSpec {
         s"fold over ${cuts.length - 1} batches diverged from one-shot compaction")
     }
   }
+
+  test("RangeJoin property: bucketized join equals naive cross-join+filter " +
+    "at every granularity") {
+    val rnd = new Random(4242)
+    val events = (1 to 120).map(i =>
+      (i.toLong, s"u${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+      .toDF("event_id", "user", "ts")
+    val intervals = (1 to 60).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (1000L + i, s"u${rnd.nextInt(5)}", s, s + rnd.nextInt(200).toLong)
+    }.toDF("iid", "user", "s", "e")
+    val naive = events.crossJoin(intervals.withColumnRenamed("user", "iuser"))
+      .filter($"user" === $"iuser" && $"s" <= $"ts" && $"ts" <= $"e")
+      .select("event_id", "iid").as[(Long, Long)].collect().toSeq.sorted
+    Seq(1L, 7L, 100L, 997L, 5000L).foreach { g =>
+      val got = graft.ext.RangeJoin.join(events, intervals, "ts", "s", "e",
+          keys = Seq("user"), granularity = g)
+        .select("event_id", "iid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got === naive, s"granularity $g diverged from naive")
+      assert(got.distinct === got, s"granularity $g emitted duplicates")
+    }
+  }
+
+  test("StatsSink property: any batch split folds to the one-shot aggregate") {
+    val rnd = new Random(777)
+    val docs = (1 to 80).map(i =>
+      (i.toLong, randomWords(rnd, 1 + rnd.nextInt(8)),
+        Seq("en", "de", "fr")(rnd.nextInt(3)))).toDF("id", "text", "lang")
+    def totals(dir: String) = graft.streaming.StatsSink.read(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    val oneShot = "/tmp/graft_test/stats_prop_oneshot"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(oneShot),
+        spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(oneShot), true)
+    graft.streaming.StatsSink.append(docs, oneShot)
+    (1 to 3).foreach { trial =>
+      val k = 2 + rnd.nextInt(4)
+      val dir = s"/tmp/graft_test/stats_prop_${trial}_$k"
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+          spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+      (0 until k).foreach { i =>
+        graft.streaming.StatsSink.append(docs.filter($"id" % k === i), dir)
+      }
+      assert(totals(dir) === totals(oneShot), s"split k=$k diverged")
+    }
+  }
 }

@@ -179,6 +179,36 @@ class StreamNearDupSpec extends SparkSpec {
     assert(corpusIds() === Seq(1L, 3L, 11L))
   }
 
+  test("committed near-dup sink: corpus exactly-once by batch id, signature index self-heals") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndcommit").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    val a = "the quick brown fox jumps over the lazy dog while the cat naps " +
+      "under the warm sun near the old red barn"
+    val e = "another unique story concerning mountain trails and river " +
+      "crossings on the long hike to the northern ridge camp"
+    def corpusIds() = graft.ext.ManifestTable.read(spark, corpusDir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(graft.streaming.NearDupSink.ingestBatchCommitted(
+      Seq((1L, a)).toDF("id", "text"), corpusDir, indexDir, "b0"))
+    // crash window: batch b1's corpus rows commit, index append dies —
+    // simulated by committing the survivors directly under b1's id
+    graft.ext.ManifestTable.append(
+      Seq((2L, e)).toDF("id", "text"), corpusDir, "b1")
+    def segCount() = spark.read.parquet(s"$indexDir/segments").count()
+    assert(segCount() === 4L) // only b0's signatures landed
+    // replay of b1: survivor re-emerges (signatures missing), corpus
+    // no-ops on the absorbed id, index backfills
+    assert(!graft.streaming.NearDupSink.ingestBatchCommitted(
+      Seq((2L, e)).toDF("id", "text"), corpusDir, indexDir, "b1"))
+    assert(corpusIds() === Seq(1L, 2L))
+    assert(segCount() === 8L)
+    // second replay converges to a full no-op: est-1.0 probe drops it
+    assert(!graft.streaming.NearDupSink.ingestBatchCommitted(
+      Seq((2L, e)).toDF("id", "text"), corpusDir, indexDir, "b1"))
+    assert(corpusIds() === Seq(1L, 2L))
+    assert(segCount() === 8L)
+  }
+
   test("embed near-dup sink: cosine fold with within-batch and cross-batch drops") {
     val root = java.nio.file.Files.createTempDirectory("graft-ndembed").toString
     val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
