@@ -68,8 +68,11 @@ object ManifestTable {
     val f = fs(spark, dir)
     val md = p(manifestDir(dir))
     if (!f.exists(md)) return Snapshot(0L, Seq.empty, Set.empty)
+    // {8,}: versions past 10^8 widen the zero-padded name rather than
+    // vanish from resolution (names stay in lexicographic = numeric
+    // order up to the width change; the max() below is numeric anyway)
     val versions = f.listStatus(md)
-      .filter(s => s.isFile && s.getPath.getName.matches("v\\d{8}"))
+      .filter(s => s.isFile && s.getPath.getName.matches("v\\d{8,}"))
       .map(_.getPath.getName.drop(1).toLong)
     if (versions.isEmpty) return Snapshot(0L, Seq.empty, Set.empty)
     val v = versions.max
