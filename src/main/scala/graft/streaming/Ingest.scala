@@ -230,6 +230,21 @@ object Ingest {
     * Index duplicates from that healing are harmless — an anti-join
     * probe is idempotent in its right side. Returns true iff this call
     * committed new corpus rows.
+    *
+    * `statsDir`, when set, maintains a MANIFEST-COMMITTED
+    * [[StatsSink]] store under the SAME batch id, committed BEFORE the
+    * corpus — the one ordering where every crash window replays
+    * consistently: stats-committed-but-not-corpus replays to identical
+    * survivors (the chain is content-deterministic and the index, which
+    * lands last, is unchanged), so the stats no-op and the corpus
+    * catches up; corpus-committed-but-not-index replays with both
+    * already absorbed while the index heals. Stats-after-corpus would
+    * instead LOSE the batch's stats forever — the replay no-ops on the
+    * absorbed corpus id and never revisits them. Precondition (shared
+    * with the replay oracles): equal texts within a batch carry equal
+    * attribution columns, so the arbitrary in-batch dedup survivor
+    * cannot flip per-language counts between original run and replay.
+    * Read the totals with [[StatsSink.readCommitted]].
     */
   def ingestBatchCommitted(batch: DataFrame, corpusDir: String,
                            indexDir: String, batchId: String,
@@ -237,10 +252,10 @@ object Ingest {
                            statsDir: Option[String] = None): Boolean = {
     val (kept, release) = dedupQuality(batch, indexDir, textCol)
     val scrubbed = kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+    statsDir.foreach(d => StatsSink.appendCommitted(scrubbed, d, batchId))
     val committed =
       graft.ext.ManifestTable.append(scrubbed, corpusDir, batchId)
     release()
-    if (committed) statsDir.foreach(d => StatsSink.append(scrubbed, d, textCol))
     appendExactIndex(indexDir, kept, textCol)
     kept.unpersist()
     committed

@@ -113,6 +113,27 @@ object StatsSink {
         hll_sketch_estimate(hll_union_agg(col("text_sketch")))
           .as("n_distinct_est"))
 
+  /** [[append]] through [[graft.ext.ManifestTable]] keyed by `batchId` —
+    * the effectively-once variant for a STANDALONE stats store (no
+    * dedup upstream to absorb replays): a crash-replayed batch finds
+    * its id in the manifest and no-ops instead of double-counting.
+    * Read back with [[readCommitted]]. Returns true iff committed.
+    */
+  def appendCommitted(batch: DataFrame, statsDir: String, batchId: String,
+                      textCol: String = "text",
+                      langCol: String = "lang"): Boolean =
+    graft.ext.ManifestTable.append(
+      batchStats(batch, textCol, langCol).coalesce(1), statsDir, batchId)
+
+  /** [[read]] over a manifest-committed stats store. */
+  def readCommitted(spark: SparkSession, statsDir: String): DataFrame =
+    if (graft.ext.ManifestTable.snapshot(spark, statsDir).files.isEmpty)
+      read(spark, statsDir + "/__nonexistent__") // the empty frame, same schema
+    else graft.ext.ManifestTable.read(spark, statsDir)
+      .groupBy("lang")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+
   /** Segment-file maintenance: many per-batch files → few. Row contents
     * are preserved (re-aggregation stays a read-time concern), so the
     * pass is [[graft.ext.Compact.compactParquet]] with its concurrency

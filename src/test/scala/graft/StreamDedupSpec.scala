@@ -280,6 +280,38 @@ class StreamDedupSpec extends SparkSpec {
     assert(corpusRows() === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("committed ingest + committed stats: every crash window replays to consistent totals") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingcstats").toString
+    val (corpus, index, stats) = (s"$root/corpus", s"$root/index", s"$root/stats")
+    def doc(id: Long, seed: String, lang: String) = (id,
+      s"the $seed document is about a river and a forest with the sun " +
+        s"over the hills and a road to the valley by the old mill", lang)
+    def totals() = graft.streaming.StatsSink.readCommitted(spark, stats)
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(graft.streaming.Ingest.ingestBatchCommitted(
+      Seq(doc(1, "first", "en"), doc(2, "second", "de")).toDF("id", "text", "lang"),
+      corpus, index, "b0", statsDir = Some(stats)))
+    // crash window: b1's STATS commit but the corpus commit dies —
+    // simulated by committing the scrubbed survivors' stats under b1
+    graft.streaming.StatsSink.appendCommitted(
+      Seq(doc(3, "third", "en")).toDF("id", "text", "lang"), stats, "b1")
+    // replay: identical survivors re-emerge, stats no-op on the
+    // absorbed id, the corpus catches up — totals stay consistent
+    assert(graft.streaming.Ingest.ingestBatchCommitted(
+      Seq(doc(3, "third", "en")).toDF("id", "text", "lang"),
+      corpus, index, "b1", statsDir = Some(stats)))
+    assert(totals() === Seq(("de", 1L), ("en", 2L)))
+    val fromCorpus = graft.ext.ManifestTable.read(spark, corpus)
+      .groupBy("lang").count()
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(totals() === fromCorpus)
+    // full replay of b1: both stores absorbed the id — nothing moves
+    assert(!graft.streaming.Ingest.ingestBatchCommitted(
+      Seq(doc(3, "third", "en")).toDF("id", "text", "lang"),
+      corpus, index, "b1", statsDir = Some(stats)))
+    assert(totals() === Seq(("de", 1L), ("en", 2L)) && totals() === fromCorpus)
+  }
+
   test("composed stats: ingest-maintained totals track corpus content and survive replay") {
     val root = java.nio.file.Files.createTempDirectory("graft-ingstats").toString
     val (corpus, index, stats) = (s"$root/corpus", s"$root/index", s"$root/stats")
