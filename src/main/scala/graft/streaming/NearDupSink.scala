@@ -194,6 +194,35 @@ object NearDupSink {
                        idCol: String = "id", vecCol: String = "v",
                        minCos: Double = 0.9, bits: Int = 6, dims: Int = 64,
                        tables: Int = 2): Unit = {
+    foldAndCommitEmbed(batch, indexDir, idCol, vecCol, minCos, bits, dims,
+      tables) { kept =>
+      kept.write.mode("append").parquet(corpusDir); true
+    }
+    ()
+  }
+
+  /** [[ingestBatchEmbed]] through [[graft.ext.ManifestTable]] keyed by
+    * `batchId` — effectively-once with the self-healing bucket index,
+    * completing the committed-sink family across all three distance
+    * families (md5-exact, Jaccard, cosine): an identical replayed
+    * vector re-emerges only while its indexed copy is missing, then
+    * cosines 1.0 against it and converges to a no-op.
+    */
+  def ingestBatchEmbedCommitted(batch: DataFrame, corpusDir: String,
+                                indexDir: String, batchId: String,
+                                idCol: String = "id", vecCol: String = "v",
+                                minCos: Double = 0.9, bits: Int = 6,
+                                dims: Int = 64, tables: Int = 2): Boolean =
+    foldAndCommitEmbed(batch, indexDir, idCol, vecCol, minCos, bits, dims,
+      tables) { kept =>
+      graft.ext.ManifestTable.append(kept, corpusDir, batchId)
+    }
+
+  private def foldAndCommitEmbed(batch: DataFrame, indexDir: String,
+                                 idCol: String, vecCol: String,
+                                 minCos: Double, bits: Int, dims: Int,
+                                 tables: Int)
+                                (landCorpus: DataFrame => Boolean): Boolean = {
     val spark = batch.sparkSession
     val pairs = graft.ext.Similarity.embedNearDup(batch, idCol, vecCol,
       minCos, bits, dims, tables)
@@ -231,7 +260,7 @@ object NearDupSink {
     }
     val kept = graft.core.Caches.track(survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    kept.write.mode("append").parquet(corpusDir)
+    val committed = landCorpus(kept)
     val bandRows = graft.core.Caches.track(
       rows.join(kept.select(col(idCol).cast("long").as("corpus_id")),
           Seq("corpus_id"), "left_semi")
@@ -245,6 +274,7 @@ object NearDupSink {
     kept.unpersist()
     rows.unpersist()
     within.unpersist()
+    committed
   }
 
   /** Segments → right-sized files, sidecars → one; safe against

@@ -209,6 +209,31 @@ class StreamNearDupSpec extends SparkSpec {
     assert(segCount() === 8L)
   }
 
+  test("committed embed sink: corpus exactly-once by batch id, bucket index self-heals") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndecommit").toString
+    val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
+    def vec(seed: Int): Seq[Double] =
+      (0 until 64).map(j => math.sin(seed * 64 + j).abs + 0.01)
+    def batchOf(rows: (Long, Seq[Double])*) =
+      rows.toSeq.toDF("id", "v")
+    def corpusIds() = graft.ext.ManifestTable.read(spark, corpusDir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(graft.streaming.NearDupSink.ingestBatchEmbedCommitted(
+      batchOf((1L, vec(1))), corpusDir, indexDir, "b0"))
+    // crash window: b1's corpus commits, bucket-index append dies
+    graft.ext.ManifestTable.append(batchOf((2L, vec(2))), corpusDir, "b1")
+    def segCount() = spark.read.parquet(s"$indexDir/segments").count()
+    assert(segCount() === 2L) // only b0's bucket rows (tables=2)
+    // replay: vector re-emerges (bucket rows missing), corpus no-ops,
+    // index backfills; second replay cosines 1.0 and converges
+    assert(!graft.streaming.NearDupSink.ingestBatchEmbedCommitted(
+      batchOf((2L, vec(2))), corpusDir, indexDir, "b1"))
+    assert(corpusIds() === Seq(1L, 2L) && segCount() === 4L)
+    assert(!graft.streaming.NearDupSink.ingestBatchEmbedCommitted(
+      batchOf((2L, vec(2))), corpusDir, indexDir, "b1"))
+    assert(corpusIds() === Seq(1L, 2L) && segCount() === 4L)
+  }
+
   test("embed near-dup sink: cosine fold with within-batch and cross-batch drops") {
     val root = java.nio.file.Files.createTempDirectory("graft-ndembed").toString
     val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
