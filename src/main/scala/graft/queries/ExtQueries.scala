@@ -771,6 +771,20 @@ object ExtQueries {
       "doc_id", "lang", stratRates.toMap, default = 0.1)
       .orderBy("doc_id")
 
+  /** Training-data SOURCE MIXING: re-weight the corpus's per-source
+    * proportions (up-weight curated sources, down-sample the crawl) as a
+    * deterministic hash-fraction filter — the same machinery as
+    * stratified sampling keyed by `source`, so the mixture is
+    * reproducible across runs, engines, and resumptions, and the whole
+    * pass stays a scan-level projection+filter (no shuffle).
+    */
+  private val mixRates = Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5)
+  def mixSourcesQ(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(
+      t(s, d, "documents").select(col("doc_id"), col("source")),
+      "doc_id", "source", mixRates.toMap, default = 0.25)
+      .orderBy("doc_id")
+
   /** Frame sampling over the documents-as-blobs fixture: one row per
     * sampled frame with the frame's own hash and byte length (the ASCII
     * fixture makes the byte windows SQL-replayable in text space).
@@ -877,7 +891,8 @@ object ExtQueries {
     "multimodal_meta" -> (multimodalMeta(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "sample_split" -> (sampleSplitQ(_, _)),
-    "sample_stratified" -> (sampleStratifiedQ(_, _)))
+    "sample_stratified" -> (sampleStratifiedQ(_, _)),
+    "mix_sources" -> (mixSourcesQ(_, _)))
 
   // ------------------------------------------------- oracle SQL builders
 
@@ -1899,6 +1914,16 @@ object ExtQueries {
       }
       val frac = s"CAST(${h60("'0'", "CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 1152921504606846976.0"
       s"""SELECT doc_id, lang FROM documents
+         |WHERE $frac < $rate ORDER BY doc_id""".stripMargin
+    },
+
+    // the same hash-fraction replay keyed by source (mixture weights)
+    "mix_sources" -> {
+      val rate = mixRates.foldRight("0.25") { case ((cls, r), rest) =>
+        s"(CASE WHEN source = '$cls' THEN $r ELSE $rest END)"
+      }
+      val frac = s"CAST(${h60("'0'", "CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 1152921504606846976.0"
+      s"""SELECT doc_id, source FROM documents
          |WHERE $frac < $rate ORDER BY doc_id""".stripMargin
     },
 
