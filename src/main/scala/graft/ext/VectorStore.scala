@@ -78,15 +78,27 @@ object VectorStore {
       .write.mode("errorifexists").parquet(centroidsPath(dir))
 
   /** Append a batch of vectors. The first append on an uninitialized
-    * store seeds centroids from its `k` lowest-id vectors (deterministic
-    * and oracle-replayable); later appends ignore `k` and assign against
-    * the frozen centroids.
+    * store seeds centroids from its `k` lowest-id vectors — literally the
+    * k smallest id VALUES present (`orderBy(id).limit(k)`), not ids
+    * 0..k-1, so a first batch whose ids start anywhere still seeds a
+    * full centroid set (VERDICT r9 #2: the old `id < k` filter seeded an
+    * EMPTY set for a batch starting at 1000, silently breaking the
+    * store). Deterministic and oracle-replayable; later appends ignore
+    * `k` and assign against the frozen centroids.
+    *
+    * Schema note: appends since the q8 column landed write (vec, q8,
+    * scale) rows; a store whose EARLIER appends predate q8 has
+    * mixed-schema files, and a plain parquet read of such a store infers
+    * a file-sample-dependent schema. [[searchQuantized]] falls back to
+    * the exact float path when q8 is absent from the inferred schema;
+    * for the quantized path on an old store, rebuild it (re-append into
+    * a fresh directory — compaction alone inherits the mixed schema).
     */
   def append(vecs: DataFrame, dir: String, k: Int = 16,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = vecs.sparkSession
     val cents = readCentroids(spark, dir).getOrElse {
-      init(vecs.filter(col(idCol) < k)
+      init(vecs.orderBy(col(idCol)).limit(k)
         .select(col(idCol).cast("long").as("cid"),
           transform(col(vecCol), x => x.cast("double")).as("cv")), dir)
       readCentroids(spark, dir).get
@@ -144,11 +156,18 @@ object VectorStore {
     * trade scan bytes for safety. The candidate-id collect is bounded by
     * the PARAMETERS (topK·rerank longs), not by data — the same driver
     * contract as the centroid collect.
+    *
+    * A store written before the q8 column existed has no `q8` field in
+    * its schema; rather than fail inside the coarse pass, this falls
+    * back to the exact float [[search]] (same results, full-width scan)
+    * — see the [[append]] schema note for the rebuild path.
     */
   def searchQuantized(spark: SparkSession, dir: String, q: Seq[Double],
                       nprobe: Int = 2, topK: Int = 10, rerank: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       excludeId: Option[Long] = None): DataFrame = {
+    if (!spark.read.parquet(dir).schema.fieldNames.contains("q8"))
+      return search(spark, dir, q, nprobe, topK, idCol, vecCol, excludeId)
     val qCol = array(q.map(lit): _*)
     val candidates = coarseCandidates(spark, dir, q, nprobe, topK * rerank,
       idCol, excludeId).collect().map(_.getLong(0))
@@ -173,11 +192,20 @@ object VectorStore {
     * cell set is data-dependent — this is exactly the query shape DPP
     * exists for. Emits (qid, nn_rank, nn_id, cos4), rank 1-based by
     * (cosine desc, id).
+    *
+    * `excludeSelf` (default true) drops corpus rows whose id equals the
+    * query's qid — the single-query [[search]]'s `excludeId` contract
+    * generalized to a frame, right when qids ARE vec_ids (query-by-
+    * example over the store's own rows, the common shape). Pass false
+    * when the qid space is unrelated to vec_ids: an accidental
+    * qid/vec_id collision would otherwise silently drop a true neighbor
+    * (ADVICE r9).
     */
   def searchMany(spark: SparkSession, dir: String, queries: DataFrame,
                  topK: Int = 3, nprobe: Int = 1,
                  qidCol: String = "qid", qvecCol: String = "q_vec",
-                 idCol: String = "vec_id", vecCol: String = "embedding")
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 excludeSelf: Boolean = true)
   : DataFrame = {
     val cents = readCentroids(spark, dir).getOrElse(
         throw new IllegalStateException(s"no vector store at $dir"))
@@ -191,9 +219,9 @@ object VectorStore {
             ce.getField("cid").cast("long").as("cid")))),
         x => x.getField("cid")), 1, nprobe))
       .select(col("qid"), col("q_vec"), explode(col("probe")).as("centroid_id"))
-    spark.read.parquet(dir)
+    val probed = spark.read.parquet(dir)
       .join(broadcast(qCells), Seq("centroid_id"))
-      .filter(col(idCol) =!= col("qid"))
+    (if (excludeSelf) probed.filter(col(idCol) =!= col("qid")) else probed)
       .select(col("qid"),
         struct((-Similarity.cosine(col(vecCol), col("q_vec"))).as("nc"),
           col(idCol).cast("long").as("nid")).as("p"))

@@ -660,13 +660,58 @@ object ExtQueries {
     s.read.parquet(work).orderBy("doc_id")
   }
 
-  /** Sketch-based corpus stats (HLL distinct + GK percentiles): NOT in
-    * oracleSql — sketch internals differ across engines — so the driver
-    * records the weaker rows-only check; ExtSpec bounds the estimates
-    * against the exact operators instead.
+  /** Sketch-based corpus stats made ORACLE-CHECKABLE (VERDICT r9 #4):
+    * sketch INTERNALS differ across engines, so the raw HLL/GK outputs
+    * can never hash-match DuckDB — but the sketch's CONTRACT can. The
+    * row carries the exact counts (replayable) plus one boolean per
+    * estimate asserting it sits within its documented error bound of
+    * the exact value, all computed inside the one Spark plan; the
+    * oracle computes the same exact counts and declares the bounds TRUE.
+    * A hash match therefore certifies both the exact arithmetic AND
+    * that every estimate honored its accuracy contract — strictly
+    * stronger than the old rows-only check (the raw estimates remain
+    * spec-bounded in ExtSpec).
+    *
+    * Bounds: HLL at rsd=0.02 within 3σ of exact distinct; GK at
+    * accuracy=1000 within rank ⌈p·n⌉ ± (n/accuracy + 1) — the published
+    * guarantee of each sketch, with one rank of ceil-definition slack.
     */
-  def approxStatsQ(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.approxCorpusStats(t(s, d, "documents"), "text")
+  def approxStatsQ(s: SparkSession, d: String): DataFrame = {
+    val rsd = 0.02
+    val accuracy = 1000
+    val base = t(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("text"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val sketch = TextAnalysis.approxCorpusStats(
+        t(s, d, "documents"), "text", rsd, accuracy)
+      .select(col("approx_distinct_docs"),
+        col("tok_p50"), col("tok_p90"), col("tok_p99"))
+    def rankOk(p: Double, n: org.apache.spark.sql.Column,
+               le: org.apache.spark.sql.Column,
+               lt: org.apache.spark.sql.Column) = {
+      val target = ceil(lit(p) * n)
+      val eps = n / lit(accuracy.toDouble) + lit(1.0)
+      (le >= target - eps) && (lt <= target + eps)
+    }
+    base.crossJoin(broadcast(sketch))
+      .groupBy(col("approx_distinct_docs"),
+        col("tok_p50"), col("tok_p90"), col("tok_p99"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_exact"),
+        sum(when(col("n_tok") <= col("tok_p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("n_tok") < col("tok_p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("n_tok") <= col("tok_p90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("n_tok") < col("tok_p90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("n_tok") <= col("tok_p99"), 1L).otherwise(0L)).as("le99"),
+        sum(when(col("n_tok") < col("tok_p99"), 1L).otherwise(0L)).as("lt99"))
+      .select(col("n_docs"), col("n_distinct_exact"),
+        (abs(col("approx_distinct_docs") - col("n_distinct_exact")) <=
+          lit(3 * rsd) * col("n_distinct_exact")).as("hll_within_3rsd"),
+        rankOk(0.5, col("n_docs"), col("le50"), col("lt50")).as("p50_rank_ok"),
+        rankOk(0.9, col("n_docs"), col("le90"), col("lt90")).as("p90_rank_ok"),
+        rankOk(0.99, col("n_docs"), col("le99"), col("lt99")).as("p99_rank_ok"))
+  }
 
   /** Corpus top-20 bigrams (count desc, gram asc tie order). */
   def topNgramsQ(s: SparkSession, d: String): DataFrame =
@@ -1495,6 +1540,17 @@ object ExtQueries {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
         |ORDER BY l.event_id""".stripMargin,
+
+    // the sketch contract, not the sketch internals: exact counts
+    // replayed, the per-estimate error bounds declared TRUE — Spark
+    // computes the bound checks in-plan, so a hash match certifies
+    // every estimate honored its documented accuracy (VERDICT r9 #4)
+    "approx_corpus_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_exact,
+        |  TRUE AS hll_within_3rsd, TRUE AS p50_rank_ok,
+        |  TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "top_ngrams" ->
       """WITH gr AS (SELECT unnest(ngrams) AS gram FROM (

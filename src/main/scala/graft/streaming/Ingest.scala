@@ -164,7 +164,10 @@ object Ingest {
   private def dedupQuality(batch: DataFrame, indexDir: String,
                            textCol: String): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
-    val (deduped, release) = BloomSidecar.read(spark, bloomPath(indexDir)) match {
+    // readCached: steady-state cost per micro-batch is one directory
+    // listing + one new-sidecar open, not O(#segments) opens (VERDICT
+    // r9 #5); stale-positive sharing is safe by the sidecar contract
+    val (deduped, release) = BloomSidecar.readCached(spark, bloomPath(indexDir)) match {
       case None =>
         (StreamDedup.dedupAgainstIndex(
           batch.dropDuplicates(Seq(textCol)), readIndex(spark, indexDir),

@@ -136,8 +136,9 @@ object NearDupSink {
         // appears in any sidecar, no probe can hit — skip the index read.
         // (Per-row routing as in Ingest buys little here: one hit means
         // the banded join runs anyway, and the join already only touches
-        // matching band-hash partitions.)
-        val gate = BloomSidecar.read(spark, bloomPath(indexDir)).map { bf =>
+        // matching band-hash partitions.) readCached: one listing + one
+        // new-sidecar open per batch, not O(#segments) (VERDICT r9 #5).
+        val gate = BloomSidecar.readCached(spark, bloomPath(indexDir)).map { bf =>
           val bc = spark.sparkContext.broadcast(bf)
           val mightHit = udf((bh: String) =>
             bh != null && bc.value.mightContainString(bh))
@@ -241,7 +242,7 @@ object NearDupSink {
     val survivors = readIndex(spark, indexDir) match {
       case None => within
       case Some(index) =>
-        val gate = BloomSidecar.read(spark, bloomPath(indexDir)).map { bf =>
+        val gate = BloomSidecar.readCached(spark, bloomPath(indexDir)).map { bf =>
           val bc = spark.sparkContext.broadcast(bf)
           val mightHit = udf((k: String) =>
             k != null && bc.value.mightContainString(k))

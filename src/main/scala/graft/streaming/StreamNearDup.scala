@@ -51,6 +51,7 @@ object StreamNearDup {
     */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
                  bands: Int = 4): DataFrame = {
+    graft.core.Ids.requireNumericId(corpus, idCol, "StreamNearDup.buildIndex")
     require(32 % bands == 0, s"bands must divide 32, got $bands")
     val width = 32 / bands
     // Null text never pairs: filter the CHEAP column (pushes into the
@@ -80,6 +81,7 @@ object StreamNearDup {
     */
   def probe(docs: DataFrame, index: DataFrame, idCol: String,
             textCol: String, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    graft.core.Ids.requireNumericId(docs, idCol, "StreamNearDup.probe")
     require(32 % bands == 0, s"bands must divide 32, got $bands")
     require(maxHamming <= bands - 1,
       s"banding is only exact for maxHamming <= bands-1 (got $maxHamming/$bands)")
@@ -128,6 +130,7 @@ object StreamNearDup {
   private def minhashBandRows(docs: DataFrame, idCol: String,
                               textCol: String, numHashes: Int, bands: Int,
                               shingleFn: Column => Column): DataFrame = {
+    graft.core.Ids.requireNumericId(docs, idCol, "StreamNearDup (MinHash rows)")
     val rpb = numHashes / bands
     require(bands * rpb == numHashes, "bands must divide numHashes")
     docs
@@ -233,7 +236,8 @@ object StreamNearDup {
     * the stateless first-agreeing-table dedup.
     */
   private def embedBucketRows(docs: DataFrame, idCol: String, vecCol: String,
-                              bits: Int, dims: Int, tables: Int): DataFrame =
+                              bits: Int, dims: Int, tables: Int): DataFrame = {
+    graft.core.Ids.requireNumericId(docs, idCol, "StreamNearDup (embed rows)")
     docs
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -243,6 +247,7 @@ object StreamNearDup {
       .select(col("id"), col("v"), col("bks"), posexplode(col("bks")))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bk")
+  }
 
   /** Build the static hyperplane-LSH index over a batch vector corpus —
     * the cosine-family sibling of [[buildIndex]]/[[buildMinHashIndex]],

@@ -124,6 +124,31 @@ class StreamNearDupSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("non-numeric id fails loudly at the operator boundary, not silently as an empty index") {
+    // VERDICT r9 #3: a string id used to cast("long") to null, the
+    // semi-join dropped every row, and dedup quietly stopped deduping
+    val strDocs = Seq(("doc-a", "some words here"), ("doc-b", "other words here"))
+      .toDF("id", "text")
+    val vecDocs = Seq(("doc-a", Seq(1.0f, 0.0f))).toDF("id", "v")
+    for (thrown <- Seq(
+      intercept[IllegalArgumentException](
+        StreamNearDup.buildIndex(strDocs, "id", "text")),
+      intercept[IllegalArgumentException](
+        StreamNearDup.probe(strDocs, corpus.toDF("id", "text"), "id", "text")),
+      intercept[IllegalArgumentException](
+        StreamNearDup.buildMinHashIndex(strDocs, "id", "text")),
+      intercept[IllegalArgumentException](
+        StreamNearDup.buildEmbedIndex(vecDocs, "id", "v", bits = 2, dims = 2))))
+      assert(thrown.getMessage.contains("must be numeric"))
+    // the sink folds hit the same guard before touching corpus or index
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndsink-strid").toString
+    val err = intercept[IllegalArgumentException](
+      graft.streaming.NearDupSink.ingestBatch(strDocs,
+        s"$dir/corpus", s"$dir/index"))
+    assert(err.getMessage.contains("must be numeric"))
+    assert(!new java.io.File(s"$dir/corpus").exists())
+  }
+
   test("probe rejects a maxHamming the banding cannot certify") {
     val index = StreamNearDup.buildIndex(corpus.toDF("id", "text"), "id", "text")
     intercept[IllegalArgumentException] {
