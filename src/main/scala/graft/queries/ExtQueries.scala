@@ -508,6 +508,48 @@ object ExtQueries {
     s.read.parquet(corpus).select("doc_id", "text").orderBy("doc_id")
   }
 
+  /** The same complete fold as [[trainIngestReplay]] with `statsDir`
+    * wired through (VERDICT r9 #6): the full chain now maintains
+    * [[graft.streaming.StatsSink]] segments over its FINAL survivors —
+    * the rows that land in the corpus — so this emits the merged
+    * per-language totals and the oracle recomputes them from its own
+    * sequential replay of the chain. Hash-equality certifies both that
+    * the stats hook observes exactly the corpus content and that the
+    * per-batch partials fold to the one-shot answer. `lang` rides the
+    * whole chain (joined from `documents`; a planted mutation keeps its
+    * source doc's language).
+    */
+  def trainIngestStatsReplay(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/train_ingest_stats"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val langs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+    val planted = plantedPiiDocs(s, d).filter(col("doc_id") < 200)
+      .join(langs, "doc_id")
+    val seeded = planted
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), (col("doc_id") % 2).cast("long").as("b"))
+      .unionByName(planted.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).cast("long").as("doc_id"),
+          col("text"), col("lang"),
+          ((col("doc_id") + 1) % 2).cast("long").as("b")))
+      .unionByName(planted.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000).cast("long").as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 8, 0))").as("text"),
+          col("lang"), ((col("doc_id") + 1) % 2).cast("long").as("b")))
+    val (corpus, exactIdx, nearIdx, stats) =
+      (s"$root/corpus", s"$root/exact_index", s"$root/near_index",
+        s"$root/stats")
+    (0L until 2L).foreach { i =>
+      graft.streaming.Ingest.ingestBatchFull(
+        seeded.filter(col("b") === i).select("doc_id", "text", "lang"),
+        corpus, exactIdx, nearIdx, idCol = "doc_id",
+        statsDir = Some(stats))
+    }
+    graft.streaming.StatsSink.read(s, stats).orderBy("lang")
+  }
+
   /** The cosine-family fold: 2 batches through
     * [[graft.streaming.NearDupSink.ingestBatchEmbed]] — batch 0 is an
     * embeddings subset, batch 1 is +0.01 perturbations of half (cosine
@@ -906,6 +948,7 @@ object ExtQueries {
     "neardup_corpus_replay" -> (nearDupCorpusReplay(_, _)),
     "neardup_embed_corpus_replay" -> (nearDupEmbedCorpusReplay(_, _)),
     "train_ingest_replay" -> (trainIngestReplay(_, _)),
+    "train_ingest_stats_replay" -> (trainIngestStatsReplay(_, _)),
     "corpus_stats_replay" -> (corpusStatsReplay(_, _)),
     "vector_store_search" -> (vectorStoreSearch(_, _)),
     "vector_store_search_q8" -> (vectorStoreSearchQ8(_, _)),
@@ -1184,6 +1227,56 @@ object ExtQueries {
 
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter($wordsSql, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** The sequential DuckDB replay of [[trainIngestReplay]]'s complete
+    * 2-batch fold, as the shared CTE chain up to `hits` (batch-1 keepers
+    * flagged near-dup against batch-0 survivors): exact-stage window
+    * rank, quality audit, scrub, per-batch near-dup keep, cross-batch
+    * banded probe. Consumers append their own final SELECT over
+    * qkeep/wkeep/hits — the corpus rows (train_ingest_replay) or the
+    * per-language stats (train_ingest_stats_replay).
+    */
+  private def trainIngestChainSql: String = {
+    val firstBand = (0 until 4).foldRight("4") { (b, rest) =>
+      s"(CASE WHEN pg[${b * 4 + 1}:${b * 4 + 4}] = cg[${b * 4 + 1}:${b * 4 + 4}] THEN $b ELSE $rest END)"
+    }
+    val est = "CAST(len([i for i in range(1, 17) if pg[i] = cg[i]]) AS DOUBLE) / 16.0"
+    s"""planted_all AS ($plantedPiiSql),
+       |planted AS (SELECT * FROM planted_all WHERE doc_id < 200),
+       |seeded AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS id, text,
+       |    CAST(doc_id % 2 AS BIGINT) AS b FROM planted
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 1000000 AS BIGINT), text,
+       |    CAST((doc_id + 1) % 2 AS BIGINT)
+       |  FROM planted WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 2000000 AS BIGINT),
+       |    substring(text, 1, greatest(length(text) - 8, 0)),
+       |    CAST((doc_id + 1) % 2 AS BIGINT)
+       |  FROM planted WHERE doc_id % 9 = 0),
+       |exact_surv AS (SELECT id, text, b FROM (
+       |  SELECT id, text, b,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY b, id) AS rn
+       |  FROM seeded) WHERE rn = 1),
+       |exq AS (SELECT id AS doc_id, text, b FROM exact_surv),
+       |${qualityAuditCte("exq")},
+       |scr AS (SELECT e.doc_id AS id, ${scrubSql("e.text")} AS text, e.b
+       |  FROM exq e JOIN audit a ON a.doc_id = e.doc_id
+       |  WHERE a.drop_reasons = ''),
+       |${nearDupCtes("SELECT id, text FROM scr WHERE b = 0", "q")},
+       |${nearDupKeepCtes("q")},
+       |${nearDupCtes("SELECT id, text FROM scr WHERE b = 1", "w")},
+       |${nearDupKeepCtes("w")},
+       |pb AS (SELECT bnd.id, bnd.g, bnd.band, bnd.bh
+       |  FROM wbands bnd JOIN wkeep k ON bnd.id = k.id),
+       |cb AS (SELECT bnd.id, bnd.g, bnd.band, bnd.bh
+       |  FROM qbands bnd JOIN qkeep k ON bnd.id = k.id),
+       |probe_cand AS (SELECT p.id AS probe_id, p.g AS pg, c.g AS cg
+       |  FROM pb p JOIN cb c ON p.band = c.band AND p.bh = c.bh
+       |  WHERE p.band = $firstBand),
+       |hits AS (SELECT DISTINCT probe_id FROM probe_cand WHERE $est >= 0.5)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "skew_salted_agg" ->
@@ -1784,52 +1877,31 @@ object ExtQueries {
     // rank over md5 by batch order), quality audit + scrub on the
     // winners, then per-batch near-dup keep + cross-batch signature
     // probe over the SCRUBBED texts — every stage of ingestBatchFull
-    "train_ingest_replay" -> {
-      val firstBand = (0 until 4).foldRight("4") { (b, rest) =>
-        s"(CASE WHEN pg[${b * 4 + 1}:${b * 4 + 4}] = cg[${b * 4 + 1}:${b * 4 + 4}] THEN $b ELSE $rest END)"
-      }
-      val est = "CAST(len([i for i in range(1, 17) if pg[i] = cg[i]]) AS DOUBLE) / 16.0"
-      s"""WITH RECURSIVE planted_all AS ($plantedPiiSql),
-         |planted AS (SELECT * FROM planted_all WHERE doc_id < 200),
-         |seeded AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS id, text,
-         |    CAST(doc_id % 2 AS BIGINT) AS b FROM planted
-         |  UNION ALL
-         |  SELECT CAST(doc_id + 1000000 AS BIGINT), text,
-         |    CAST((doc_id + 1) % 2 AS BIGINT)
-         |  FROM planted WHERE doc_id % 7 = 0
-         |  UNION ALL
-         |  SELECT CAST(doc_id + 2000000 AS BIGINT),
-         |    substring(text, 1, greatest(length(text) - 8, 0)),
-         |    CAST((doc_id + 1) % 2 AS BIGINT)
-         |  FROM planted WHERE doc_id % 9 = 0),
-         |exact_surv AS (SELECT id, text, b FROM (
-         |  SELECT id, text, b,
-         |    row_number() OVER (PARTITION BY md5(text) ORDER BY b, id) AS rn
-         |  FROM seeded) WHERE rn = 1),
-         |exq AS (SELECT id AS doc_id, text, b FROM exact_surv),
-         |${qualityAuditCte("exq")},
-         |scr AS (SELECT e.doc_id AS id, ${scrubSql("e.text")} AS text, e.b
-         |  FROM exq e JOIN audit a ON a.doc_id = e.doc_id
-         |  WHERE a.drop_reasons = ''),
-         |${nearDupCtes("SELECT id, text FROM scr WHERE b = 0", "q")},
-         |${nearDupKeepCtes("q")},
-         |${nearDupCtes("SELECT id, text FROM scr WHERE b = 1", "w")},
-         |${nearDupKeepCtes("w")},
-         |pb AS (SELECT bnd.id, bnd.g, bnd.band, bnd.bh
-         |  FROM wbands bnd JOIN wkeep k ON bnd.id = k.id),
-         |cb AS (SELECT bnd.id, bnd.g, bnd.band, bnd.bh
-         |  FROM qbands bnd JOIN qkeep k ON bnd.id = k.id),
-         |probe_cand AS (SELECT p.id AS probe_id, p.g AS pg, c.g AS cg
-         |  FROM pb p JOIN cb c ON p.band = c.band AND p.bh = c.bh
-         |  WHERE p.band = $firstBand),
-         |hits AS (SELECT DISTINCT probe_id FROM probe_cand WHERE $est >= 0.5)
+    "train_ingest_replay" ->
+      s"""WITH RECURSIVE $trainIngestChainSql
          |SELECT id AS doc_id, text FROM qkeep
          |UNION ALL
          |SELECT k.id AS doc_id, k.text FROM wkeep k
          |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.probe_id = k.id)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+
+    // the same chain, aggregated to the per-language stats the fold's
+    // statsDir hook maintains — lang recovered from the source document
+    // (planted ids offset by 1M/2M keep their source's language); token
+    // arithmetic matches corpus_stats_replay's established equivalence
+    "train_ingest_stats_replay" ->
+      s"""WITH RECURSIVE $trainIngestChainSql,
+         |final AS (
+         |  SELECT id, text FROM qkeep
+         |  UNION ALL
+         |  SELECT k.id, k.text FROM wkeep k
+         |  WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.probe_id = k.id))
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(LEN(STRING_SPLIT_REGEX(TRIM(f.text), '\\s+'))) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(sum(length(f.text)) AS BIGINT) AS n_chars
+         |FROM final f JOIN documents d ON d.doc_id = f.id % 1000000
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // the cosine-family 2-batch fold: per-batch keep-one (bucket-join
     // candidates in 2 hyperplane tables, exact cosine >= 0.9,

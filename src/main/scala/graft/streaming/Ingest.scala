@@ -279,18 +279,25 @@ object Ingest {
     * documents it missed re-run the chain and the near-dup probe drops
     * them against their own indexed signatures (est 1.0). The wrong
     * order — exact index first — would silently LOSE a batch.
+    *
+    * `statsDir`, when set, maintains [[StatsSink]] segments over the
+    * chain's FINAL survivors — the scrubbed rows that actually land in
+    * the corpus after the near-dup stage, so totals describe corpus
+    * content (VERDICT r9 #6: the simple sink had this hook, the full
+    * chain did not). Requires a `lang` column on the batch.
     */
   def ingestBatchFull(batch: DataFrame, corpusDir: String,
                       exactIndexDir: String, nearIndexDir: String,
                       idCol: String = "id", textCol: String = "text",
                       threshold: Double = 0.6,
-                      minEstJaccard: Double = 0.5): Unit = {
+                      minEstJaccard: Double = 0.5,
+                      statsDir: Option[String] = None): Unit = {
     val (kept, release) = dedupQuality(batch, exactIndexDir, textCol)
     val scrubbed = graft.core.Caches.track(
       kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     NearDupSink.ingestBatch(scrubbed, corpusDir, nearIndexDir, idCol, textCol,
-      threshold, minEstJaccard)
+      threshold, minEstJaccard, statsDir = statsDir)
     release()
     appendExactIndex(exactIndexDir, kept, textCol)
     scrubbed.unpersist()
@@ -307,13 +314,14 @@ object Ingest {
                            threshold: Double = 0.6,
                            minEstJaccard: Double = 0.5,
                            trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
-                           checkpointDir: Option[String] = None): StreamingQuery = {
+                           checkpointDir: Option[String] = None,
+                           statsDir: Option[String] = None): StreamingQuery = {
     val writer = docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatchFull(batch, corpusDir, exactIndexDir, nearIndexDir,
-          idCol, textCol, threshold, minEstJaccard)
+          idCol, textCol, threshold, minEstJaccard, statsDir)
       }
     checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()

@@ -74,14 +74,21 @@ object NearDupSink {
     * micro-batch the signature pass IS the dominant compute, so this is
     * the difference between one and three passes of per-batch latency.
     */
+  /** `statsDir`, when set, maintains [[StatsSink]] segments over the
+    * fold's SURVIVORS (the rows that land in the corpus) — appended
+    * before the corpus write, mirroring the committed variant's
+    * stats-first ordering. Requires a `lang` column on the batch.
+    */
   def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
                   idCol: String = "id", textCol: String = "text",
                   threshold: Double = 0.6, minEstJaccard: Double = 0.5,
                   numHashes: Int = 16, bands: Int = 4,
                   shingleFn: Column => Column =
-                    graft.ext.MinHashLSH.wordShingles(_, 3)): Unit = {
+                    graft.ext.MinHashLSH.wordShingles(_, 3),
+                  statsDir: Option[String] = None): Unit = {
     foldAndCommit(batch, indexDir, idCol, textCol, threshold, minEstJaccard,
       numHashes, bands, shingleFn) { kept =>
+      statsDir.foreach(d => StatsSink.append(kept, d, textCol))
       kept.write.mode("append").parquet(corpusDir); true
     }
     ()
@@ -97,6 +104,11 @@ object NearDupSink {
     * backfilling the signatures; a second replay probes est 1.0 against
     * its own indexed copy and converges to a full no-op. Returns true
     * iff this call committed new corpus rows.
+    *
+    * `statsDir`, when set, maintains a manifest-committed [[StatsSink]]
+    * store under the SAME batch id, committed BEFORE the corpus — the
+    * one crash-consistent ordering (the argument at
+    * [[Ingest.ingestBatchCommitted]]). Requires a `lang` column.
     */
   def ingestBatchCommitted(batch: DataFrame, corpusDir: String,
                            indexDir: String, batchId: String,
@@ -104,9 +116,11 @@ object NearDupSink {
                            threshold: Double = 0.6, minEstJaccard: Double = 0.5,
                            numHashes: Int = 16, bands: Int = 4,
                            shingleFn: Column => Column =
-                             graft.ext.MinHashLSH.wordShingles(_, 3)): Boolean =
+                             graft.ext.MinHashLSH.wordShingles(_, 3),
+                           statsDir: Option[String] = None): Boolean =
     foldAndCommit(batch, indexDir, idCol, textCol, threshold, minEstJaccard,
       numHashes, bands, shingleFn) { kept =>
+      statsDir.foreach(d => StatsSink.appendCommitted(kept, d, batchId, textCol))
       graft.ext.ManifestTable.append(kept, corpusDir, batchId)
     }
 

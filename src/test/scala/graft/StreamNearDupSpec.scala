@@ -204,6 +204,36 @@ class StreamNearDupSpec extends SparkSpec {
     assert(corpusIds() === Seq(1L, 3L, 11L))
   }
 
+  test("near-dup sink statsDir: stats track corpus content; committed variant replays to a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndstats").toString
+    val a = "the quick brown fox jumps over the lazy dog while the cat naps " +
+      "under the warm sun near the old red barn"
+    val e = "another unique story concerning mountain trails and river " +
+      "crossings on the long hike to the northern ridge camp"
+    // simple sink: stats segments describe exactly the fold's survivors —
+    // the near-dup of `a` (id 2) is dropped from corpus AND stats
+    val b0 = Seq((1L, a, "en"), (2L, a.substring(0, a.length - 8), "en"),
+      (3L, e, "de")).toDF("id", "text", "lang")
+    graft.streaming.NearDupSink.ingestBatch(b0, s"$root/corpus",
+      s"$root/index", statsDir = Some(s"$root/stats"))
+    val stats = graft.streaming.StatsSink.read(spark, s"$root/stats")
+      .orderBy("lang").collect()
+    assert(stats.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("de", 1L), ("en", 1L)))
+    // committed variant: stats land under the batch id, so a replay of
+    // the same batch id leaves them untouched (no double count)
+    graft.streaming.NearDupSink.ingestBatchCommitted(b0, s"$root/ccorpus",
+      s"$root/cindex", "b0", statsDir = Some(s"$root/cstats"))
+    def cstats() = graft.streaming.StatsSink
+      .readCommitted(spark, s"$root/cstats")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(cstats() === Seq(("de", 1L), ("en", 1L)))
+    graft.streaming.NearDupSink.ingestBatchCommitted(b0, s"$root/ccorpus",
+      s"$root/cindex", "b0", statsDir = Some(s"$root/cstats"))
+    assert(cstats() === Seq(("de", 1L), ("en", 1L)))
+  }
+
   test("committed near-dup sink: corpus exactly-once by batch id, signature index self-heals") {
     val root = java.nio.file.Files.createTempDirectory("graft-ndcommit").toString
     val (corpusDir, indexDir) = (s"$root/corpus", s"$root/index")
