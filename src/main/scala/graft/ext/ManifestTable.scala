@@ -32,11 +32,14 @@ import scala.annotation.tailrec
   *     underneath the query.
   *
   * Concurrency control is optimistic CAS on the manifest name: version
-  * N+1 is staged to a temp name and RENAMED to `v<N+1>`; HDFS-semantics
-  * filesystems refuse a rename onto an existing path, so exactly one of
-  * two racing committers wins and the loser re-reads and retries. (On
-  * object stores without atomic rename-if-absent this needs a lock
-  * service — the same deployment caveat Delta documents.)
+  * N+1 is staged to a temp name and published as `v<N+1>` with an
+  * atomic create-if-absent — a hard link on local filesystems (POSIX
+  * rename(2) would silently replace, losing a racing commit), a rename
+  * on HDFS-semantics filesystems (which refuse a rename onto an
+  * existing path) — so exactly one of two racing committers wins and
+  * the loser re-reads and retries. (On object stores with neither
+  * primitive this needs a lock service — the same deployment caveat
+  * Delta documents.)
   *
   * Scale: the manifest holds one line per live data file plus one per
   * absorbed batch id — kilobytes for thousands of files; resolution is
@@ -154,28 +157,53 @@ object ManifestTable {
     beforeSwap()
     // replace EXACTLY the files this compaction read; files appended by
     // a concurrent writer (present in `old` but not in the snapshot we
-    // rewrote) carry over untouched
-    commit(spark, dir) { old =>
-      Some((old.files.filterNot(snap.files.contains) ++ rewritten,
+    // rewrote) carry over untouched. If any file we rewrote is GONE from
+    // the head — a conflicting rewrite (another compact) already replaced
+    // it — committing ours would land a SECOND copy of every row it
+    // holds (filterNot would be a no-op), so the loser aborts instead:
+    // its rewrite becomes orphans for [[vacuum]] and the table keeps
+    // exactly one copy. Returns (0, 0) on an aborted conflict.
+    val committed = commit(spark, dir) { old =>
+      if (snap.files.exists(fn => !old.files.contains(fn))) None
+      else Some((old.files.filterNot(snap.files.contains) ++ rewritten,
         old.batchIds))
     }
-    (snap.files.size, nOut)
+    if (committed) (snap.files.size, nOut) else (0, 0)
   }
 
   /** Delete data files no longer referenced by the CURRENT manifest and
-    * leftover stage directories. Run with readers quiesced or give
-    * in-flight snapshots a grace period — a reader pinned to an older
-    * version still needs its (now-orphaned) compacted-away files, the
-    * standard vacuum caveat of every table format.
+    * leftover stage directories — but only those whose modification time
+    * is older than `graceMs` (default 24 h), the standard table-format
+    * answer (Delta's vacuum retention) to vacuum's two races:
+    *
+    *   - a CONCURRENT APPEND moves its data files into `data/` BEFORE
+    *     committing the manifest; a grace-less vacuum in that window
+    *     deletes them and the append then commits a manifest referencing
+    *     deleted files — permanent snapshot corruption. Fresh files are
+    *     inside the grace window, so the append survives.
+    *   - a READER pinned to an older version still needs its (now
+    *     orphaned) compacted-away files; any reader younger than the
+    *     grace window keeps its snapshot intact.
+    *
+    * `graceMs = 0` restores sweep-everything (tests, quiesced tables).
+    * Orphans are judged by file mtime — rename preserves it, so the
+    * clock starts at the original write, conservative in the right
+    * direction.
     */
-  def vacuum(spark: SparkSession, dir: String): Int = {
+  def vacuum(spark: SparkSession, dir: String,
+             graceMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs(spark, dir)
+    val cutoff = System.currentTimeMillis() - graceMs
     val live = snapshot(spark, dir).files.toSet
     val dd = p(dataDir(dir))
     val removed = if (!f.exists(dd)) 0 else f.listStatus(dd)
-      .filter(s => s.isFile && !live.contains(s.getPath.getName))
+      .filter(s => s.isFile && !live.contains(s.getPath.getName) &&
+        s.getModificationTime < cutoff)
       .map { s => f.delete(s.getPath, false); 1 }.sum
-    f.delete(p(s"$dir/_stage"), true)
+    val sd = p(s"$dir/_stage")
+    if (f.exists(sd)) f.listStatus(sd)
+      .filter(_.getModificationTime < cutoff)
+      .foreach(s => f.delete(s.getPath, true))
     removed
   }
 
@@ -201,10 +229,30 @@ object ManifestTable {
             .mkString("\n").getBytes("UTF-8"))
         finally out.close()
         val target = p(s"${manifestDir(dir)}/v${"%08d".format(next)}")
-        if (f.exists(target) || !f.rename(tmp, target)) {
-          f.delete(tmp, false)
-          commit(spark, dir)(update) // lost the race: retry on new head
-        } else true
+        // The swap must be CREATE-IF-ABSENT, not exists-then-rename: on
+        // the local filesystem FileSystem.rename maps to POSIX rename(2),
+        // which silently REPLACES an existing destination, so two racing
+        // committers could both pass the exists check and the second
+        // would overwrite the first manifest (lost commit). link(2) IS
+        // atomic create-if-absent, so for file:// we hardlink the staged
+        // manifest into place and let FileAlreadyExistsException signal
+        // the lost race. Elsewhere keep rename: HDFS rename refuses an
+        // existing destination atomically; object stores without that
+        // need a lock service (Delta's documented caveat).
+        val won =
+          if ("file".equalsIgnoreCase(f.getUri.getScheme)) {
+            try {
+              java.nio.file.Files.createLink(
+                new java.io.File(target.toUri.getPath).toPath,
+                new java.io.File(tmp.toUri.getPath).toPath)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          } else !f.exists(target) && f.rename(tmp, target)
+        f.delete(tmp, false)
+        if (!won) commit(spark, dir)(update) // lost the race: retry on new head
+        else true
     }
   }
 }

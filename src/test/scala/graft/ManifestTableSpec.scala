@@ -47,7 +47,7 @@ class ManifestTableSpec extends SparkSpec {
     // the un-committed batch is INVISIBLE — no at-least-once window
     assert(rows(dir) === Seq((1L, "doc 1")))
     // vacuum sweeps the orphaned data files; the table is untouched
-    assert(ManifestTable.vacuum(spark, dir) >= 1)
+    assert(ManifestTable.vacuum(spark, dir, graceMs = 0L) >= 1)
     assert(rows(dir) === Seq((1L, "doc 1")))
     // the replay AFTER the crash commits normally (its id never landed)
     assert(ManifestTable.append(batch(2), dir, "b1"))
@@ -70,7 +70,7 @@ class ManifestTableSpec extends SparkSpec {
     // batch-id history survives compaction: replays stay no-ops
     assert(!ManifestTable.append(batch(0), dir, "b0"))
     // old files are orphans now; vacuum removes them, content unchanged
-    assert(ManifestTable.vacuum(spark, dir) === 4)
+    assert(ManifestTable.vacuum(spark, dir, graceMs = 0L) === 4)
     assert(rows(dir) === before)
   }
 
@@ -82,7 +82,53 @@ class ManifestTableSpec extends SparkSpec {
     // the file appended mid-compaction is in the head manifest the swap
     // rebased onto — the compaction replaces only the files it rewrote
     assert(rows(dir) === Seq((1L, "doc 1"), (2L, "doc 2"), (9L, "doc 9")))
-    assert(ManifestTable.vacuum(spark, dir) >= 1)
+    assert(ManifestTable.vacuum(spark, dir, graceMs = 0L) >= 1)
     assert(rows(dir) === Seq((1L, "doc 1"), (2L, "doc 2"), (9L, "doc 9")))
+  }
+
+  test("conflicting concurrent compactions: the loser aborts, no duplicated rows") {
+    val dir = tmp("compactrace")
+    (0 until 4).foreach(i => ManifestTable.append(batch(i.toLong), dir, s"b$i"))
+    val before = rows(dir)
+    // compaction B completes INSIDE compaction A's rewrite->swap window,
+    // replacing every file A read; A's rebase-and-commit would land a
+    // second copy of all 4 rows, so A must abort instead
+    var bResult: (Int, Int) = null
+    val aResult = ManifestTable.compact(spark, dir,
+      targetFileBytes = 1024L * 1024 * 1024,
+      beforeSwap = () => {
+        bResult = ManifestTable.compact(spark, dir,
+          targetFileBytes = 1024L * 1024 * 1024)
+      })
+    assert(bResult === ((4, 1)))
+    assert(aResult === ((0, 0)))
+    assert(rows(dir) === before)
+    // A's rewrite and the 4 originals are orphans; vacuum sweeps them
+    // and the single committed copy remains
+    assert(ManifestTable.vacuum(spark, dir, graceMs = 0L) >= 5)
+    assert(rows(dir) === before)
+  }
+
+  test("vacuum grace window protects in-flight appends and pinned readers") {
+    val dir = tmp("grace")
+    ManifestTable.append(batch(1), dir, "b0")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // an in-flight append's data file: moved into data/ but not yet in
+    // any manifest (the pre-commit window ADVICE r9 flags)
+    val inflight = new org.apache.hadoop.fs.Path(s"$dir/data/inflight.parquet")
+    fs.create(inflight, true).close()
+    // a pinned reader's files: compact orphans the v1 file
+    val pinned = ManifestTable.read(spark, dir)
+    ManifestTable.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024)
+    // graceful vacuum (files are seconds old): deletes NOTHING — the
+    // in-flight append can still commit, the pinned reader still scans
+    assert(ManifestTable.vacuum(spark, dir) === 0)
+    assert(fs.exists(inflight))
+    assert(pinned.as[(Long, String)].collect().toSeq === Seq((1L, "doc 1")))
+    // past the grace window (grace 0) both orphans go
+    assert(ManifestTable.vacuum(spark, dir, graceMs = 0L) >= 2)
+    assert(!fs.exists(inflight))
+    assert(rows(dir) === Seq((1L, "doc 1")))
   }
 }
