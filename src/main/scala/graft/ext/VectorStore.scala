@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
 object VectorStore {
 
   private def centroidsPath(dir: String) = s"$dir/_centroids"
+  private def pqPath(dir: String) = s"$dir/_pq"
 
   /** int8 scalar quantization, stored ALONGSIDE the float vector in the
     * same rows: `scale` = array_max(|x|)/127 (1.0 for the all-zero
@@ -77,6 +78,29 @@ object VectorStore {
     centroids.select(col("cid").cast("long").as("cid"), col("cv"))
       .write.mode("errorifexists").parquet(centroidsPath(dir))
 
+  /** Freeze a product-quantization codebook — (sub, cid, cv) as produced
+    * by [[Similarity.pqTrain]] — under the store's `_pq` path (underscore
+    * = invisible to the partitioned read, like `_centroids`). Must be
+    * called BEFORE the appends whose rows should carry codes: the
+    * codebook freezes like the coarse centroids do, every append encodes
+    * against the same one, and re-training is a rebuild into a new store
+    * directory. Appends that PREDATE the codebook have no `pq_code`
+    * column; [[searchPq]] falls back to the exact path on such stores
+    * (same contract as the q8 schema note on [[append]]).
+    */
+  def initPq(codebook: DataFrame, dir: String): Unit =
+    codebook.select(col("sub").cast("int").as("sub"),
+        col("cid").cast("long").as("cid"), col("cv"))
+      .write.mode("errorifexists").parquet(pqPath(dir))
+
+  /** The store's frozen PQ codebook (sub, cid, cv), or None. */
+  def readPqCodebook(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val fs = hadoopFs(spark, dir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(pqPath(dir))))
+      Some(spark.read.parquet(pqPath(dir)))
+    else None
+  }
+
   /** Append a batch of vectors. The first append on an uninitialized
     * store seeds centroids from its `k` lowest-id vectors — literally the
     * k smallest id VALUES present (`orderBy(id).limit(k)`), not ids
@@ -103,8 +127,42 @@ object VectorStore {
           transform(col(vecCol), x => x.cast("double")).as("cv")), dir)
       readCentroids(spark, dir).get
     }
-    withQ8(Similarity.assignTo(vecs, cents, vecCol), vecCol)
-      .write.partitionBy("centroid_id").mode("append").parquet(dir)
+    val assigned = withQ8(Similarity.assignTo(vecs, cents, vecCol), vecCol)
+    val encoded = readPqCodebook(spark, dir)
+      .fold(assigned)(cb => withPq(assigned, vecCol, cb))
+    encoded.write.partitionBy("centroid_id").mode("append").parquet(dir)
+  }
+
+  /** PQ-encode a batch against a frozen codebook: `pq_code[s]` is the
+    * cid of subspace `s`'s nearest codeword (squared L2, cid tie-break —
+    * the [[Similarity.nearestCentroid]] convention, so the oracle's
+    * argmin replays it), stored as `array<int>` (dense cids — see
+    * [[Similarity.pqTrain]]); `norm` is the vector's L2 norm, computed
+    * as sqrt of the SAME left-to-right fold the native expressions and
+    * the DuckDB oracle use, so ADC cosines are bit-replayable. The
+    * codebook rides one broadcast row (m·ksub·dsub doubles — kilobytes);
+    * encoding is a pure projection over the batch scan, no shuffle.
+    */
+  private def withPq(df: DataFrame, vecCol: String,
+                     codebook: DataFrame): DataFrame = {
+    val meta = codebook
+      .agg(max(col("sub")).as("m"), max(size(col("cv"))).as("dsub"))
+      .collect()(0)
+    val (m, dsub) = (meta.getInt(0) + 1, meta.getInt(1))
+    val allc = codebook.groupBy("sub")
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cents")))),
+        x => x.getField("cents")).as("allc"))
+    val zeros = array_repeat(lit(0.0), m * dsub)
+    df.join(broadcast(allc))
+      .withColumn("pq_code", array((0 until m).map { s =>
+        Similarity.nearestCentroid(
+          transform(slice(col(vecCol), s * dsub + 1, dsub), x => x.cast("double")),
+          element_at(col("allc"), s + 1)).cast("int")
+      }: _*))
+      .withColumn("norm",
+        sqrt(Similarity.l2sq(transform(col(vecCol), x => x.cast("double")), zeros)))
+      .drop("allc")
   }
 
   /** Compact every cell's accumulated small append files in place —
@@ -230,6 +288,83 @@ object VectorStore {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("nn_rank"),
         col("col.nid").as("nn_id"), round(-col("col.nc"), 4).as("cos4"))
+  }
+
+  /** [[search]] with the coarse pass over PRODUCT-QUANTIZED codes — the
+    * narrowest scan in the family: asymmetric distance computation (ADC)
+    * reads only (id, pq_code, norm) from the probed cells, ~m bytes of
+    * code per vector against ~dims for int8 and ~4·dims for float32
+    * (parquet column pruning skips BOTH vector columns; the spec pins
+    * `ReadSchema`). The per-subspace lookup tables are built on the
+    * DRIVER from the frozen codebook — m·ksub dot products of the
+    * query's subvectors against the codewords, kilobytes, the same
+    * parameter-bounded contract as the centroid collect — and enter the
+    * plan as literal maps, so the coarse scan is a pure projection:
+    * approximate cosine = (LUT₀[code₀] + … + LUTₘ₋₁[codeₘ₋₁]) /
+    * (|q|·norm), summed in subspace order (left-to-right — the fold
+    * order the DuckDB oracle replays bit-exactly). The top
+    * `topK · rerank` candidates then rerank by EXACT float cosine via
+    * the same pushed-down IN scan as [[searchQuantized]].
+    *
+    * Falls back to the exact [[search]] when the store has no frozen
+    * codebook or its rows predate PQ (no `pq_code` column) — same
+    * contract as the q8 fallback.
+    */
+  def searchPq(spark: SparkSession, dir: String, q: Seq[Double],
+               nprobe: Int = 2, topK: Int = 10, rerank: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               excludeId: Option[Long] = None): DataFrame = {
+    val cbOpt = readPqCodebook(spark, dir)
+    if (cbOpt.isEmpty || !spark.read.parquet(dir).schema.fieldNames.contains("pq_code"))
+      return search(spark, dir, q, nprobe, topK, idCol, vecCol, excludeId)
+    val candidates = pqCoarse(spark, dir, q, nprobe, topK * rerank,
+      idCol, excludeId).collect().map(_.getLong(0))
+    val qCol = array(q.map(lit): _*)
+    probedScan(spark, dir, q, nprobe, idCol, excludeId)
+      .filter(col(idCol).isin(candidates: _*))
+      .withColumn("cos", Similarity.cosine(col(vecCol), qCol))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), round(col("cos"), 6).as("cos6"))
+  }
+
+  /** The ADC coarse pass of [[searchPq]] as a frame (the spec pins its
+    * executed plan: `ReadSchema` must carry `pq_code` + `norm` and
+    * NEITHER vector column): the probed cells ranked by lookup-table
+    * cosine, cut to the top `limit` candidate ids. An all-zero vector
+    * (norm 0) scores 0, never NaN — the guard mirrors the oracle's CASE.
+    */
+  def pqCoarse(spark: SparkSession, dir: String, q: Seq[Double],
+               nprobe: Int, limit: Int, idCol: String = "vec_id",
+               excludeId: Option[Long] = None): DataFrame = {
+    val cb = readPqCodebook(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no PQ codebook at $dir"))
+      .select("sub", "cid", "cv").collect()
+    val m = cb.map(_.getInt(0)).max + 1
+    val dsub = cb(0).getSeq[Double](2).length
+    require(q.length == m * dsub,
+      s"query dims ${q.length} != codebook dims ${m * dsub}")
+    // |q| and the LUTs fold left-to-right in doubles — the exact order
+    // of the native expressions and the oracle's list_reduce
+    val qNorm = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+    val luts = (0 until m).map { s =>
+      val qSub = q.slice(s * dsub, (s + 1) * dsub)
+      val entries = cb.filter(_.getInt(0) == s).map { r =>
+        val dot = qSub.zip(r.getSeq[Double](2))
+          .foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        (r.getLong(1), dot)
+      }
+      map(entries.flatMap { case (cid, d) => Seq(lit(cid), lit(d)) }: _*)
+    }
+    val adc = (0 until m).map(s =>
+      element_at(luts(s), col("pq_code").getItem(s).cast("long"))).reduce(_ + _)
+    probedScan(spark, dir, q, nprobe, idCol, excludeId)
+      .select(col(idCol), col("pq_code"), col("norm"))
+      .withColumn("acos",
+        when(col("norm") === 0.0, lit(0.0)).otherwise(adc / (lit(qNorm) * col("norm"))))
+      .orderBy(col("acos").desc, col(idCol))
+      .limit(limit)
+      .select(col(idCol), col("acos"))
   }
 
   /** The coarse pass of [[searchQuantized]] as a frame (the spec pins

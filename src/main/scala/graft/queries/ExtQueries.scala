@@ -388,6 +388,51 @@ object ExtQueries {
       .orderBy(col("cos6").desc, col("vec_id"))
   }
 
+  /** Product-quantization training replay: the per-subspace Lloyd rounds
+    * of [[graft.ext.Similarity.pqTrain]] (m=8 subspaces x ksub=16
+    * codewords over the 64-dim corpus, 2 iterations), flattened to one
+    * row per (sub, cid, dim). The oracle unrolls the identical
+    * iterations in SQL — seed = the 16 lowest-id vectors' subvectors
+    * re-keyed dense by id rank, argmin assign by left-to-right squared
+    * L2 with cid tie-break, per-(sub, cell, dim) means rounded to 4
+    * decimals — so hash-equality certifies the trained codebooks
+    * bit-for-bit, the same contract as `ivf_kmeans_centroids`.
+    */
+  def pqCodebooks(s: SparkSession, d: String): DataFrame =
+    graft.ext.Similarity.pqTrain(t(s, d, "embeddings"))
+      .select(col("sub"), col("cid"), posexplode(col("cv")))
+      .select(col("sub").cast("int").as("sub"), col("cid").cast("long").as("cid"),
+        col("pos").cast("int").as("pos"), col("col").as("mval"))
+      .orderBy("sub", "cid", "pos")
+
+  /** ADC search over the PQ-encoded [[graft.ext.VectorStore]]: codebook
+    * trained and frozen BEFORE the two appends (so every row carries
+    * `pq_code` + `norm`), then the coarse pass ranks the 2 probed cells
+    * by table-lookup cosine — reading ~m bytes of code per vector
+    * instead of the float or int8 columns — and the top 40 candidates
+    * rerank by exact float cosine. The oracle replays training, per-
+    * subspace encoding, the LUT dots, and the subspace-order ADC fold
+    * bit-exactly (every fold is the same left-to-right double sum), so
+    * this row hash-checks the full PQ path, not a recall bound.
+    */
+  def vectorStoreSearchPq(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/vector_store_pq"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val e = t(s, d, "embeddings")
+    graft.ext.VectorStore.initPq(graft.ext.Similarity.pqTrain(e), root)
+    graft.ext.VectorStore.append(e.filter(col("vec_id") < 1000), root)
+    graft.ext.VectorStore.append(e.filter(col("vec_id") >= 1000), root)
+    val q = e.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    graft.ext.VectorStore.searchPq(s, root, q, nprobe = 2, topK = 10,
+        rerank = 4, excludeId = Some(0L))
+      .select(col("vec_id").cast("long").as("vec_id"), col("cos6"))
+      .orderBy(col("cos6").desc, col("vec_id"))
+  }
+
   /** Multi-batch replay of the self-maintaining NEAR-dup corpus sink
     * ([[graft.streaming.NearDupSink.ingestBatch]]): batch 0 is a
     * two-level planted corpus over a document subset (each original with
@@ -952,6 +997,8 @@ object ExtQueries {
     "corpus_stats_replay" -> (corpusStatsReplay(_, _)),
     "vector_store_search" -> (vectorStoreSearch(_, _)),
     "vector_store_search_q8" -> (vectorStoreSearchQ8(_, _)),
+    "vector_store_search_pq" -> (vectorStoreSearchPq(_, _)),
+    "pq_codebooks" -> (pqCodebooks(_, _)),
     "vector_store_search_many" -> (vectorStoreSearchMany(_, _)),
     "decontaminate_flag" -> (decontaminateFlag(_, _)),
     "quality_filter" -> (qualityFilterQ(_, _)),
@@ -1145,6 +1192,54 @@ object ExtQueries {
          |  FROM km_a$it, range(1, 65) t(i) GROUP BY cid, i),
          |km_c$it AS (SELECT cid, list(m ORDER BY pos) AS cv
          |  FROM km_m$it GROUP BY cid)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** DuckDB: left-to-right double dot of a `dsub`-dim WINDOW of list `v`
+    * starting after `off` elements (SQL expression) against list `b`.
+    */
+  private def dotOffSql(v: String, off: String, b: String, dsub: Int): String =
+    dfold(s"[CAST($v[$off + j] AS DOUBLE) * CAST($b[j] AS DOUBLE) for j in range(1, ${dsub + 1})]")
+
+  /** DuckDB: left-to-right squared L2 of the same windowed pair. */
+  private def l2OffSql(v: String, off: String, b: String, dsub: Int): String =
+    dfold(s"[(CAST($v[$off + j] AS DOUBLE) - CAST($b[j] AS DOUBLE)) * (CAST($v[$off + j] AS DOUBLE) - CAST($b[j] AS DOUBLE)) for j in range(1, ${dsub + 1})]")
+
+  /** DuckDB: unrolled per-subspace Lloyd iterations replaying
+    * [[graft.ext.Similarity.pqTrain]] — m subspaces of 64/m dims trained
+    * together (the `kmeansSql` chain with a `sub` key). Seed = the ksub
+    * lowest-id vectors' subvectors, cid re-keyed dense by id rank;
+    * yields CTEs `pq_m<iters>` (sub, cid, pos, mval) and `pq_c<iters>`
+    * (sub, cid, cv).
+    */
+  private def pqSql(m: Int = 8, ksub: Int = 16, iters: Int = 2): String = {
+    val dsub = 64 / m
+    val init =
+      s"""pq_seed AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+         |  FROM (SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings
+         |    ORDER BY vec_id LIMIT $ksub)),
+         |pq_c0 AS (SELECT ss.sub, sd.cid,
+         |  [round(CAST(e.embedding[ss.sub * $dsub + j] AS DOUBLE), 4) + 0
+         |   for j in range(1, ${dsub + 1})] AS cv
+         |  FROM embeddings e JOIN pq_seed sd ON CAST(e.vec_id AS BIGINT) = sd.id
+         |  CROSS JOIN range(0, $m) ss(sub))""".stripMargin
+    val rounds = (1 to iters).map { it =>
+      val prev = s"pq_c${it - 1}"
+      s"""pq_d$it AS (SELECT e.vec_id, c.sub, c.cid,
+         |  ${l2OffSql("e.embedding", s"c.sub * $dsub", "c.cv", dsub)} AS dist2
+         |  FROM embeddings e CROSS JOIN $prev c),
+         |pq_a$it AS (SELECT vec_id, sub, cid FROM (
+         |  SELECT vec_id, sub, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn
+         |  FROM pq_d$it) WHERE rn = 1),
+         |pq_m$it AS (SELECT a.sub, a.cid, j - 1 AS pos,
+         |  round(avg(CAST(e.embedding[a.sub * $dsub + j] AS DOUBLE)), 4) + 0 AS mval
+         |  FROM pq_a$it a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  CROSS JOIN range(1, ${dsub + 1}) t(j)
+         |  GROUP BY a.sub, a.cid, j),
+         |pq_c$it AS (SELECT sub, cid, list(mval ORDER BY pos) AS cv
+         |  FROM pq_m$it GROUP BY sub, cid)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
   }
@@ -1872,6 +1967,55 @@ object ExtQueries {
          |exact AS (SELECT vec_id, ${cosSql("v", "q_vec")} AS cos FROM cand, qv)
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND(cos, 6) AS cos6
          |FROM exact ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "pq_codebooks" ->
+      s"""WITH ${pqSql(8, 16, 2)}
+         |SELECT CAST(sub AS INTEGER) AS sub, CAST(cid AS BIGINT) AS cid,
+         |  CAST(pos AS INTEGER) AS pos, mval
+         |FROM pq_m2 ORDER BY sub, cid, pos""".stripMargin,
+
+    // the full ADC path: trained codebooks (pqSql), per-subspace argmin
+    // encoding of the probed cells, LUT dots of the query's subvectors,
+    // the subspace-ORDER fold of the per-code lookups (list(... ORDER BY
+    // sub) then the same left-to-right reduce Spark's 8-term addition
+    // performs), coarse rank by ADC cosine, exact rerank of the top 40
+    "vector_store_search_pq" ->
+      s"""WITH ${ivfAssignSql(16)},
+         |${pqSql(8, 16, 2)},
+         |qv AS (SELECT [CAST(embedding[i] AS DOUBLE) for i in range(1, 65)] AS q_vec
+         |  FROM embeddings WHERE vec_id = 0),
+         |qc AS (SELECT cid,
+         |  row_number() OVER (ORDER BY ${l2Sql("q_vec", "c.cv")}, cid) AS crn
+         |  FROM c, qv),
+         |probe AS (SELECT cid FROM qc WHERE crn <= 2),
+         |cells AS (SELECT e.vec_id,
+         |  [CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)] AS v
+         |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN probe p ON a.centroid_id = p.cid
+         |  WHERE e.vec_id <> 0),
+         |pq_enc AS (SELECT vec_id, sub, cid FROM (
+         |  SELECT cl.vec_id, c.sub, c.cid,
+         |    row_number() OVER (PARTITION BY cl.vec_id, c.sub
+         |      ORDER BY ${l2OffSql("cl.v", "c.sub * 8", "c.cv", 8)}, c.cid) AS rn
+         |  FROM cells cl CROSS JOIN pq_c2 c) WHERE rn = 1),
+         |pq_lut AS (SELECT c.sub, c.cid,
+         |  ${dotOffSql("q_vec", "c.sub * 8", "c.cv", 8)} AS d FROM pq_c2 c, qv),
+         |pq_ds AS (SELECT pc.vec_id, list(l.d ORDER BY pc.sub) AS ds
+         |  FROM pq_enc pc JOIN pq_lut l ON l.sub = pc.sub AND l.cid = pc.cid
+         |  GROUP BY pc.vec_id),
+         |nrm AS (SELECT vec_id, sqrt(${dotSql("v", "v")}) AS nrm FROM cells),
+         |pq_acos AS (SELECT n.vec_id,
+         |  CASE WHEN n.nrm = 0 THEN 0.0
+         |       ELSE ${dfold("d2.ds")} / (sqrt(${dotSql("q_vec", "q_vec")}) * n.nrm)
+         |  END AS acos
+         |  FROM pq_ds d2 JOIN nrm n ON n.vec_id = d2.vec_id, qv),
+         |pq_coarse AS (SELECT cl.vec_id, cl.v,
+         |  row_number() OVER (ORDER BY a.acos DESC, cl.vec_id) AS rn
+         |  FROM cells cl JOIN pq_acos a ON a.vec_id = cl.vec_id),
+         |pq_cand AS (SELECT vec_id, v FROM pq_coarse WHERE rn <= 40),
+         |pq_exact AS (SELECT vec_id, ${cosSql("v", "q_vec")} AS cos FROM pq_cand, qv)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND(cos, 6) AS cos6
+         |FROM pq_exact ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     // the COMPLETE ingest fold: exact first-arrival collapse (window
     // rank over md5 by batch order), quality audit + scrub on the

@@ -118,6 +118,71 @@ class VectorStoreSpec extends SparkSpec {
     assert(viaQ8 === exact)
   }
 
+  test("pq: frozen codebook encodes every append, ADC coarse scan reads neither vector column, rerank equals exact search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-pq").toString + "/s"
+    val vecs = mkVecs(0 until 40)
+    val cb = graft.ext.Similarity.pqTrain(vecs, m = 4, ksub = 4, iters = 2,
+      dims = 8)
+    // dense cids per subspace: PQ codes must fit a narrow integer type
+    val cids = cb.select("cid").as[Long].collect()
+    assert(cids.forall(c => c >= 0 && c < 4))
+    assert(cb.select("sub").distinct().count() === 4)
+    graft.ext.VectorStore.initPq(cb, dir)
+    graft.ext.VectorStore.append(vecs, dir, k = 2)
+    graft.ext.VectorStore.append(mkVecs(40 until 60), dir, k = 2)
+    // every row carries an m-element code and its L2 norm
+    val rows = spark.read.parquet(dir)
+    assert(rows.filter(size($"pq_code") =!= 4 || $"norm".isNull).count() === 0L)
+    val q = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // the byte-savings claim is a PLAN property: the ADC scan's parquet
+    // ReadSchema must carry pq_code + norm and NEITHER vector column
+    val coarse = graft.ext.VectorStore.pqCoarse(spark, dir, q,
+      nprobe = 2, limit = 20)
+    val scan = coarse.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scan.contains("pq_code") && scan.contains("norm") &&
+      !scan.contains("embedding") && !scan.contains("q8"),
+      s"ADC ReadSchema must prune both vector columns:\n$scan")
+    // end-to-end: ADC two-pass == exact single-pass once the candidate
+    // cut covers the probed population (ksub=4 codes cannot separate
+    // this fixture's jitter-level cosine ties, so a tight cut may trade
+    // a tied id — the sf-scaled oracle row pins that lossy cut
+    // bit-exactly; HERE the claim is the plumbing: codes, LUTs, rerank)
+    val exact = graft.ext.VectorStore.search(spark, dir, q,
+      nprobe = 2, topK = 5).collect().toSeq
+    val pq = graft.ext.VectorStore.searchPq(spark, dir, q,
+      nprobe = 2, topK = 5, rerank = 12).collect().toSeq
+    assert(pq === exact)
+    // and the tight cut still lands the true nearest neighbor
+    val tight = graft.ext.VectorStore.searchPq(spark, dir, q,
+      nprobe = 2, topK = 5, rerank = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(tight.contains(exact.head.getLong(0)))
+  }
+
+  test("pq: zero-norm rows score 0 in the coarse pass; codebook-less stores fall back to exact search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-pq0").toString + "/s"
+    val vecs = mkVecs(0 until 20)
+      .unionByName(Seq((99L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    graft.ext.VectorStore.initPq(
+      graft.ext.Similarity.pqTrain(vecs, m = 4, ksub = 4, iters = 2, dims = 8),
+      dir)
+    graft.ext.VectorStore.append(vecs, dir, k = 2)
+    val q = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // the all-zero vector's ADC cosine is exactly 0 — not NaN, not null
+    val acos = graft.ext.VectorStore.pqCoarse(spark, dir, q,
+        nprobe = 2, limit = 30)
+      .filter($"vec_id" === 99L).select("acos").as[Double].collect()
+    assert(acos.toSeq === Seq(0.0))
+    // a store with no frozen codebook: searchPq = search, no failure
+    val plain = java.nio.file.Files.createTempDirectory("graft-vstore-nopq").toString + "/s"
+    graft.ext.VectorStore.append(mkVecs(0 until 20), plain, k = 2)
+    assert(graft.ext.VectorStore.searchPq(spark, plain, q,
+        nprobe = 2, topK = 5).collect().toSeq ===
+      graft.ext.VectorStore.search(spark, plain, q,
+        nprobe = 2, topK = 5).collect().toSeq)
+  }
+
   test("searchMany excludeSelf=false keeps a neighbor whose vec_id collides with a qid") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vstore-self").toString + "/s"
     graft.ext.VectorStore.append(mkVecs(0 until 40), dir, k = 2)
