@@ -714,6 +714,34 @@ object ExtQueries {
     graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
   }
 
+  /** DATA SKIPPING through the manifest's footer stats, end to end: the
+    * documents table lands in a manifest-committed table, a clustered
+    * compaction range-partitions it on doc_id so each file covers a
+    * near-disjoint min/max range, and [[graft.ext.ManifestTable.readWhere]]
+    * answers a selective predicate from the pruned file list. The query
+    * REQUIREs that pruning actually skipped files (whenever the table
+    * has more than one), so a regression to scan-everything fails this
+    * row loudly instead of passing slowly; the oracle certifies the
+    * pruned read returns exactly the full-scan answer. At 100 TB this
+    * path is the difference between opening 3 files and 30 000.
+    */
+  def manifestSkippingQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_skip"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 12L * 1024, clusterBy = Seq("doc_id"))
+    val pred = "doc_id >= 100 AND doc_id < 220 AND lang <> 'de'"
+    val (kept, total) = graft.ext.ManifestTable.pruneInfo(s, root, pred)
+    require(total == 1 || kept < total,
+      s"manifest data skipping skipped nothing: kept $kept of $total files")
+    graft.ext.ManifestTable.readWhere(s, root, pred).orderBy("doc_id")
+  }
+
   /** Interval-OVERLAP join (the [[rangeJoinQ]] sibling): which purchase
     * windows of the same user intersect? Self-overlap of the 30-minute
     * windows, a_id < b_id halving, against DuckDB's native two-sided
@@ -1010,6 +1038,7 @@ object ExtQueries {
     "range_join" -> (rangeJoinQ(_, _)),
     "range_overlap" -> (rangeOverlapQ(_, _)),
     "manifest_corpus_replay" -> (manifestCorpusReplay(_, _)),
+    "manifest_skipping" -> (manifestSkippingQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
@@ -1705,6 +1734,12 @@ object ExtQueries {
     // exactly the input table
     "manifest_corpus_replay" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    // the pruned readWhere must return exactly the full-scan answer
+    "manifest_skipping" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 220 AND lang <> 'de'
+        |ORDER BY doc_id""".stripMargin,
 
     // the native two-sided overlap predicate, a_id < b_id halving
     "range_overlap" ->

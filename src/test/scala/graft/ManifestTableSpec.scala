@@ -109,6 +109,139 @@ class ManifestTableSpec extends SparkSpec {
     assert(rows(dir) === before)
   }
 
+  test("footer stats land in the manifest at append") {
+    val dir = tmp("stats")
+    ManifestTable.append(batch(1, 2, 3).coalesce(1), dir, "b0")
+    val s = ManifestTable.snapshot(spark, dir)
+    assert(s.files.size === 1)
+    val st = s.stats(s.files.head)
+    assert(st.rows === 3)
+    val id = st.cols("id")
+    assert(id.typ === "long" && id.min === Some("1") &&
+      id.max === Some("3") && id.nulls === 0)
+    val text = st.cols("text")
+    assert(text.typ === "string" && text.min === Some("doc 1") &&
+      text.max === Some("doc 3") && text.nulls === 0)
+  }
+
+  test("readWhere prunes files by min/max and never changes results") {
+    val dir = tmp("skip")
+    (0 until 5).foreach { i =>
+      ManifestTable.append(
+        batch((i * 10L) until (i * 10L + 10): _*).coalesce(1), dir, s"b$i")
+    }
+    // point lookup touches 1 of 5 files
+    assert(ManifestTable.pruneInfo(spark, dir, "id = 23") === ((1, 5)))
+    assert(ManifestTable.readWhere(spark, dir, "id = 23")
+      .as[(Long, String)].collect().toSeq === Seq((23L, "doc 23")))
+    // range straddling three files (id 30 lives in the 30..39 file)
+    assert(ManifestTable.pruneInfo(spark, dir, "id >= 18 AND id < 31")._1 === 3)
+    assert(ManifestTable.readWhere(spark, dir, "id >= 18 AND id < 31")
+      .as[(Long, String)].collect().toSeq.sorted ===
+      (18L to 30L).map(i => (i, s"doc $i")))
+    // IN list: union of point lookups
+    assert(ManifestTable.pruneInfo(spark, dir, "id IN (5, 45)") === ((2, 5)))
+    // != prunes only a file whose every row equals the literal — none here
+    assert(ManifestTable.pruneInfo(spark, dir, "id != 23") === ((5, 5)))
+    // impossible predicate: zero files, schema intact, empty result
+    assert(ManifestTable.pruneInfo(spark, dir, "id > 999")._1 === 0)
+    val none = ManifestTable.readWhere(spark, dir, "id > 999")
+    assert(none.columns.toSeq === Seq("id", "text") && none.count() === 0)
+    // a shape the evaluator can't reason about keeps every file AND still
+    // filters exactly (pruning is an optimization, semantics are the filter)
+    assert(ManifestTable.pruneInfo(spark, dir, "id % 7 = 0") === ((5, 5)))
+    assert(ManifestTable.readWhere(spark, dir, "id % 7 = 0").count() ===
+      ManifestTable.read(spark, dir).where("id % 7 = 0").count())
+    // string prefix LIKE: 'doc 4%' lives in files 0 (doc 4..doc 9) and 4
+    assert(ManifestTable.pruneInfo(spark, dir, "text LIKE 'doc 4%'") === ((2, 5)))
+    assert(ManifestTable.readWhere(spark, dir, "text LIKE 'doc 4%'").count() === 11)
+    // literal-on-the-left flips correctly
+    assert(ManifestTable.pruneInfo(spark, dir, "30 > id")._1 === 3)
+  }
+
+  test("null-count stats prune IS NULL / IS NOT NULL and null comparisons") {
+    val dir = tmp("nulls")
+    ManifestTable.append(
+      Seq((1L, Option("a")), (2L, Option("b"))).toDF("id", "text").coalesce(1),
+      dir, "b0")
+    ManifestTable.append(
+      Seq((3L, Option.empty[String]), (4L, Option.empty[String]))
+        .toDF("id", "text").coalesce(1), dir, "b1")
+    assert(ManifestTable.pruneInfo(spark, dir, "text IS NULL") === ((1, 2)))
+    assert(ManifestTable.pruneInfo(spark, dir, "text IS NOT NULL") === ((1, 2)))
+    assert(ManifestTable.readWhere(spark, dir, "text IS NULL")
+      .select("id").as[Long].collect().toSeq.sorted === Seq(3L, 4L))
+    assert(ManifestTable.readWhere(spark, dir, "text IS NOT NULL")
+      .select("id").as[Long].collect().toSeq.sorted === Seq(1L, 2L))
+    // the all-null file can never satisfy a direct comparison
+    assert(ManifestTable.pruneInfo(spark, dir, "text = 'a'") === ((1, 2)))
+    assert(ManifestTable.pruneInfo(spark, dir, "text <=> NULL") === ((1, 2)))
+  }
+
+  test("pruning covers doubles, booleans and date literals conservatively") {
+    val dir = tmp("typed")
+    def df(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, i / 10.0, i % 2 == 0, java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d")))
+      .toDF("id", "score", "flag", "d").coalesce(1)
+    ManifestTable.append(df(0, 10), dir, "b0")
+    ManifestTable.append(df(100, 110), dir, "b1")
+    assert(ManifestTable.pruneInfo(spark, dir, "score > 5.0") === ((1, 2)))
+    assert(ManifestTable.pruneInfo(spark, dir, "score <= 0.5") === ((1, 2)))
+    // integral literal against a double column prunes too
+    assert(ManifestTable.pruneInfo(spark, dir, "score > 5") === ((1, 2)))
+    // fractional literal against a long column
+    assert(ManifestTable.pruneInfo(spark, dir, "id < 9.5") === ((1, 2)))
+    // booleans: both files mix true/false, so flag predicates keep both
+    assert(ManifestTable.pruneInfo(spark, dir, "flag = true") === ((2, 2)))
+    // date literals prune the date family
+    assert(ManifestTable.pruneInfo(spark, dir, "d > DATE'2024-01-20'")._1 === 1)
+    // a long literal must NOT prune a date column (cast semantics differ)
+    assert(ManifestTable.pruneInfo(spark, dir, "d > 20") === ((2, 2)))
+    assert(ManifestTable.readWhere(spark, dir, "score > 5.0 AND flag = true")
+      .count() === ManifestTable.read(spark, dir)
+      .where("score > 5.0 AND flag = true").count())
+  }
+
+  test("clustered compaction builds the skipping power appends lack") {
+    val dir = tmp("cluster")
+    // interleaved appends: every file covers nearly the full id range,
+    // so a selective range predicate can prune NOTHING
+    ManifestTable.append(
+      batch((0L until 400L).filter(_ % 2 == 0): _*).coalesce(1), dir, "even")
+    ManifestTable.append(
+      batch((0L until 400L).filter(_ % 2 == 1): _*).coalesce(1), dir, "odd")
+    assert(ManifestTable.pruneInfo(spark, dir, "id < 10") === ((2, 2)))
+    val expected = ManifestTable.read(spark, dir).where("id < 10")
+      .as[(Long, String)].collect().toSeq.sorted
+    // cluster on id: range-partitioned rewrite => near-disjoint file ranges
+    val (nin, nout) = ManifestTable.compact(spark, dir,
+      targetFileBytes = 2048L, clusterBy = Seq("id"))
+    assert(nin === 2 && nout >= 2)
+    val (kept, total) = ManifestTable.pruneInfo(spark, dir, "id < 10")
+    assert(total === nout && kept < total)
+    assert(ManifestTable.readWhere(spark, dir, "id < 10")
+      .as[(Long, String)].collect().toSeq.sorted === expected)
+  }
+
+  test("time travel: historical versions stay readable until vacuumed") {
+    val dir = tmp("travel")
+    ManifestTable.append(batch(1), dir, "b0")
+    ManifestTable.append(batch(2), dir, "b1")
+    assert(ManifestTable.snapshotAt(spark, dir, 1).files.size === 1)
+    assert(ManifestTable.readVersion(spark, dir, 1)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "doc 1")))
+    intercept[IllegalArgumentException] {
+      ManifestTable.snapshotAt(spark, dir, 99)
+    }
+    // compaction orphans v2's files but manifests are never deleted:
+    // inside the vacuum grace window the historical read still resolves
+    ManifestTable.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024)
+    assert(ManifestTable.vacuum(spark, dir) === 0)
+    assert(ManifestTable.readVersion(spark, dir, 2)
+      .as[(Long, String)].collect().toSeq.sorted ===
+      Seq((1L, "doc 1"), (2L, "doc 2")))
+  }
+
   test("vacuum grace window protects in-flight appends and pinned readers") {
     val dir = tmp("grace")
     ManifestTable.append(batch(1), dir, "b0")
