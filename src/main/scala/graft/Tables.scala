@@ -16,19 +16,35 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by default;
-    // read nanos as long and normalize below.
+    // events.ts has shipped as TIMESTAMP(NANOS) (which Spark refuses by
+    // default — read nanos as long) AND as TIMESTAMP(MICROS) in different
+    // testdata generations; normalize BOTH to the same surface below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spread(spark.read.parquet(s"$sfDir/$name.parquet"))
-    if (name == "events")
-      // `ts_ns` keeps exact nanosecond epoch (safe for ordering/compares
-      // against a ns-native oracle); `ts` is the usable micros timestamp.
-      // `div` is INTEGRAL division — Column `/` is double division, and a
-      // ~1.7e18 nanosecond epoch exceeds a double's 53-bit mantissa, so
-      // the float path lands ±1 µs off the true floor(ns / 1000)
-      df.withColumn("ts_ns", col("ts").cast("long"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      // Normalized surface regardless of the file's physical type:
+      // `ts` = session-tz TIMESTAMP at micros precision, `ts_ns` = exact
+      // nanosecond epoch (matches a ns-native oracle: for micros files
+      // epoch_ns is exactly epoch_us * 1000 on both sides).
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos-as-long. `div` is INTEGRAL division — Column `/` is
+          // double division, and a ~1.7e18 ns epoch exceeds a double's
+          // 53-bit mantissa, so the float path lands ±1 µs off the true
+          // floor(ns / 1000).
+          df.withColumn("ts_ns", col("ts").cast("long"))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          // TIMESTAMP(MICROS), surfaced as NTZ (no tz metadata) or LTZ;
+          // the NTZ→LTZ cast reads the naive value in the session zone
+          // (pinned UTC by every entry point), matching the oracle's
+          // naive read of the same file.
+          val micros = unix_micros(
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          df.withColumn("ts_ns", micros * lit(1000L))
+            .withColumn("ts", timestamp_micros(micros))
+      }
+    } else df
   }
 
   /** Rebalance a SMALL scan to the session's parallelism before CPU-heavy
