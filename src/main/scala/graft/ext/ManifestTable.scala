@@ -84,6 +84,9 @@ object ManifestTable {
 
   private def manifestDir(dir: String) = s"$dir/_manifest"
   private def dataDir(dir: String) = s"$dir/data"
+  private def bloomDir(dir: String) = s"$dir/_bloom"
+  private def bloomPath(dir: String, file: String, colName: String) =
+    s"${bloomDir(dir)}/$file.${enc(colName)}.bloom"
 
   /** Resolve the table's current snapshot: highest `v<NNNNNNNN>` in the
     * manifest directory. A half-written manifest can never be resolved —
@@ -183,7 +186,9 @@ object ManifestTable {
     * window whose worst case is orphan files.
     */
   def append(df: DataFrame, dir: String, batchId: String,
-             beforeCommit: () => Unit = () => ()): Boolean = {
+             beforeCommit: () => Unit = () => (),
+             bloomCols: Seq[String] = Nil,
+             bloomFpp: Double = 0.01): Boolean = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     if (snapshot(spark, dir).batchIds.contains(batchId)) return false
@@ -200,6 +205,7 @@ object ManifestTable {
       }.toSeq
     f.delete(p(stage), true)
     val stats = footerStats(spark, dir, moved)
+    buildBlooms(spark, dir, moved, bloomCols, stats, bloomFpp)
     beforeCommit()
     commit(spark, dir) { old =>
       if (old.batchIds.contains(batchId)) None // lost the race to a replay
@@ -226,7 +232,9 @@ object ManifestTable {
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               beforeSwap: () => Unit = () => (),
-              clusterBy: Seq[String] = Nil): (Int, Int) = {
+              clusterBy: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil,
+              bloomFpp: Double = 0.01): (Int, Int) = {
     val f = fs(spark, dir)
     val snap = snapshot(spark, dir)
     if (snap.files.isEmpty) return (0, 0)
@@ -252,6 +260,7 @@ object ManifestTable {
       }.toSeq
     f.delete(p(stage), true)
     val rewrittenStats = footerStats(spark, dir, rewritten)
+    buildBlooms(spark, dir, rewritten, bloomCols, rewrittenStats, bloomFpp)
     beforeSwap()
     // replace EXACTLY the files this compaction read; files appended by
     // a concurrent writer (present in `old` but not in the snapshot we
@@ -303,6 +312,15 @@ object ManifestTable {
     if (f.exists(sd)) f.listStatus(sd)
       .filter(_.getModificationTime < cutoff)
       .foreach(s => f.delete(s.getPath, true))
+    // bloom sidecars are keyed `<dataFile>.<col>.bloom`: sweep the ones
+    // whose data file is dead (orphaned-then-deleted, or crashed append)
+    val bd = p(bloomDir(dir))
+    if (f.exists(bd)) f.listStatus(bd)
+      .filter { s =>
+        val data = s.getPath.getName.split('.').take(2).mkString(".")
+        s.isFile && s.getModificationTime < cutoff &&
+          !live.contains(data) && !f.exists(p(s"${dataDir(dir)}/$data"))
+      }.foreach(s => f.delete(s.getPath, false))
     removed
   }
 
@@ -324,9 +342,7 @@ object ManifestTable {
                 predicateSql: String): DataFrame = {
     val s = snapshot(spark, dir)
     require(s.files.nonEmpty, s"ManifestTable at $dir has no committed data")
-    val pred = spark.sessionState.sqlParser.parseExpression(predicateSql)
-    val kept = s.files.filter(f =>
-      !s.stats.get(f).exists(st => Skipping.skips(pred, st)))
+    val kept = keptFiles(spark, dir, s, predicateSql)
     if (kept.isEmpty)
       // keep the schema, scan nothing: the optimizer folds `false` to an
       // empty relation before any file is opened
@@ -342,10 +358,133 @@ object ManifestTable {
   def pruneInfo(spark: SparkSession, dir: String,
                 predicateSql: String): (Int, Int) = {
     val s = snapshot(spark, dir)
+    (keptFiles(spark, dir, s, predicateSql).size, s.files.size)
+  }
+
+  /** Two pruning passes, cheap one first: footer min/max stats (pure
+    * in-memory manifest math), then bloom sidecars for the survivors'
+    * required equality conjuncts. Both are one-sided: a file is dropped
+    * only on proof no row can match.
+    */
+  private def keptFiles(spark: SparkSession, dir: String, s: Snapshot,
+                        predicateSql: String): Seq[String] = {
     val pred = spark.sessionState.sqlParser.parseExpression(predicateSql)
-    val kept = s.files.count(f =>
+    val kept = s.files.filter(f =>
       !s.stats.get(f).exists(st => Skipping.skips(pred, st)))
-    (kept, s.files.size)
+    val eqs = Skipping.eqConjuncts(pred)
+    if (eqs.isEmpty) kept
+    else kept.filter { file =>
+      eqs.forall { case (c, lits) =>
+        // the conjunct must hold, so the file may match only if SOME
+        // literal might be present; no sidecar / unknown kind => keep
+        s.stats.get(file).flatMap(_.cols.get(c)) match {
+          case Some(cs) =>
+            val tests = lits.flatMap(l => Skipping.bloomTest(cs.typ, l))
+            if (tests.size != lits.size) true // some literal untestable
+            else readBloom(spark, dir, file, c) match {
+              case Some(bf) => tests.exists(t => t(bf))
+              case None => true
+            }
+          case None => true
+        }
+      }
+    }
+  }
+
+  // Sidecar cache: data files are immutable and UUID-named (names are
+  // never reused), so a loaded bloom can be cached forever; the bound
+  // just caps memory. Keyed per table+file+column.
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Option[org.apache.spark.util.sketch.BloomFilter]]()
+  private val BloomCacheMax = 4096
+
+  private def readBloom(spark: SparkSession, dir: String, file: String,
+                        colName: String)
+  : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val key = bloomPath(dir, file, colName)
+    val cached = bloomCache.get(key)
+    if (cached != null) return cached
+    val f = fs(spark, dir)
+    val loaded =
+      try {
+        val path = p(key)
+        if (!f.exists(path)) None
+        else {
+          val in = f.open(path)
+          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+          finally in.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (bloomCache.size >= BloomCacheMax) bloomCache.clear()
+    bloomCache.put(key, loaded)
+    loaded
+  }
+
+  /** Build one bloom sidecar per (new data file, requested column) in a
+    * SINGLE distributed pass over just the written batch — O(batch), not
+    * O(table): rows carry their `input_file_name`, partial filters fold
+    * per partition and merge per file. Only plain integral and string
+    * columns participate (the two kinds with a stable hash contract on
+    * both build and probe side); anything else is silently skipped and
+    * simply never prunes. Sidecars land BEFORE the manifest commit, so a
+    * crash strands orphan blooms for [[vacuum]], never a manifest whose
+    * files lack their filters. Bloom pruning answers the query min/max
+    * cannot: a point lookup on a high-cardinality column across
+    * unclustered appends, where every file's [min, max] spans the whole
+    * key space but each file holds ~1/N of the keys.
+    */
+  private def buildBlooms(spark: SparkSession, dir: String,
+                          names: Seq[String], cols: Seq[String],
+                          stats: Map[String, FileStats],
+                          fpp: Double): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.util.sketch.BloomFilter
+    if (cols.isEmpty || names.isEmpty) return
+    val f = fs(spark, dir)
+    val df = spark.read.parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+    val usable = cols.filter(c => df.schema.fields.exists(fd =>
+      fd.name.equalsIgnoreCase(c) && (fd.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => true
+        case _ => false
+      })))
+    if (usable.isEmpty) return
+    val expected = names.map(n =>
+      n -> math.max(16L, stats.get(n).map(_.rows).getOrElse(1L << 20))).toMap
+    val nCols = usable.size
+    val merged = df
+      .select(input_file_name.as("_graft_file") +: usable.map(col): _*)
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map[(String, Int), BloomFilter]()
+        it.foreach { row =>
+          val name = row.getString(0).split('/').last
+          var i = 0
+          while (i < nCols) {
+            if (!row.isNullAt(i + 1)) {
+              val bf = acc.getOrElseUpdate((name, i),
+                BloomFilter.create(expected.getOrElse(name, 1L << 20), fpp))
+              row.get(i + 1) match {
+                case s: String => bf.putString(s)
+                case n: java.lang.Number => bf.putLong(n.longValue())
+                case _ => ()
+              }
+            }
+            i += 1
+          }
+        }
+        acc.iterator
+      }
+      .reduceByKey { (a, b) => a.mergeInPlace(b); a }
+      .collect()
+    f.mkdirs(p(bloomDir(dir)))
+    merged.foreach { case ((file, i), bf) =>
+      val out = f.create(p(bloomPath(dir, file, usable(i))), true)
+      try bf.writeTo(out) finally out.close()
+    }
   }
 
   /** Harvest [[FileStats]] from the parquet FOOTERS of `names` under

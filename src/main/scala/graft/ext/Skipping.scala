@@ -185,6 +185,51 @@ object Skipping {
     case _ => None
   }
 
+  /** REQUIRED equality conjuncts of `e` — the (column, candidate
+    * literals) pairs that must hold for any matching row, harvested from
+    * the top-level AND tree (never under OR/NOT, where the conjunct is
+    * optional). These are the conjuncts a per-file bloom filter can
+    * prune on: `col = lit` demands the single literal be present,
+    * `col IN (...)` demands at least one of them. Null literals are
+    * dropped (stats pruning already proves those files empty).
+    */
+  def eqConjuncts(e: Expression): Seq[(String, Seq[Literal])] = e match {
+    case And(l, r) => eqConjuncts(l) ++ eqConjuncts(r)
+    case EqualTo(a, b) => eqPair(a, b).toSeq
+    case EqualNullSafe(a, b) => eqPair(a, b).toSeq
+    case In(a, list) if list.nonEmpty && list.forall {
+      case l: Literal => l.value != null; case _ => false
+    } =>
+      colName(a).map(c => (c, list.map(_.asInstanceOf[Literal]))).toSeq
+    case _ => Seq.empty
+  }
+
+  private def eqPair(a: Expression, b: Expression)
+  : Option[(String, Seq[Literal])] = (a, b) match {
+    case (_, l: Literal) if l.value != null =>
+      colName(a).map(c => (c, Seq(l)))
+    case (l: Literal, _) if l.value != null =>
+      colName(b).map(c => (c, Seq(l)))
+    case _ => None
+  }
+
+  /** A probe for one literal against a bloom built over a column of
+    * stats family `typ`, or None when the literal's kind does not match
+    * the build-side hash contract (integral -> putLong, string ->
+    * putString) and the bloom therefore cannot be consulted.
+    */
+  def bloomTest(typ: String, l: Literal)
+  : Option[org.apache.spark.util.sketch.BloomFilter => Boolean] =
+    (typ, l.dataType) match {
+      case ("long", ByteType | ShortType | IntegerType | LongType) =>
+        val v = l.value.toString.toLong
+        Some(bf => bf.mightContainLong(v))
+      case ("string", _: StringType) =>
+        val v = l.value.toString
+        Some(bf => bf.mightContainString(v))
+      case _ => None
+    }
+
   /** Normalize `a op b` to column-on-the-left, then test the literal
     * against the column's file interval.
     */

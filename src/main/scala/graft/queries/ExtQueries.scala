@@ -742,6 +742,35 @@ object ExtQueries {
     graft.ext.ManifestTable.readWhere(s, root, pred).orderBy("doc_id")
   }
 
+  /** BLOOM-SIDECAR skipping — the point lookup min/max stats cannot
+    * answer: three interleaved appends (each file's [doc_id min, max]
+    * spans the whole key space, so stats pruning keeps everything) with
+    * per-file bloom filters on doc_id; a 3-key IN probe must then be
+    * served from the handful of files whose blooms admit a key. The
+    * REQUIRE pins that blooms pruned below the stats-only file count;
+    * the oracle certifies the pruned read is exact. This is the
+    * manifest-table answer to needle-in-100-TB id lookups on unsorted
+    * ingest order.
+    */
+  def manifestBloomSkippingQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_bloom"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 until 3).foreach { i =>
+      graft.ext.ManifestTable.append(
+        docs.filter(col("doc_id") % 3 === i).coalesce(4), root, s"b$i",
+        bloomCols = Seq("doc_id"))
+    }
+    val pred = "doc_id IN (42, 217, 401)"
+    val (kept, total) = graft.ext.ManifestTable.pruneInfo(s, root, pred)
+    require(kept < total,
+      s"bloom skipping pruned nothing: kept $kept of $total files")
+    graft.ext.ManifestTable.readWhere(s, root, pred).orderBy("doc_id")
+  }
+
   /** Interval-OVERLAP join (the [[rangeJoinQ]] sibling): which purchase
     * windows of the same user intersect? Self-overlap of the 30-minute
     * windows, a_id < b_id halving, against DuckDB's native two-sided
@@ -1039,6 +1068,7 @@ object ExtQueries {
     "range_overlap" -> (rangeOverlapQ(_, _)),
     "manifest_corpus_replay" -> (manifestCorpusReplay(_, _)),
     "manifest_skipping" -> (manifestSkippingQ(_, _)),
+    "manifest_bloom_skipping" -> (manifestBloomSkippingQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
@@ -1739,6 +1769,12 @@ object ExtQueries {
     "manifest_skipping" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id >= 100 AND doc_id < 220 AND lang <> 'de'
+        |ORDER BY doc_id""".stripMargin,
+
+    // the bloom-pruned point lookup must return exactly the full answer
+    "manifest_bloom_skipping" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (42, 217, 401)
         |ORDER BY doc_id""".stripMargin,
 
     // the native two-sided overlap predicate, a_id < b_id halving

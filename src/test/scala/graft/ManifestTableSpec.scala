@@ -223,6 +223,60 @@ class ManifestTableSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq.sorted === expected)
   }
 
+  test("bloom sidecars prune point lookups that min/max cannot") {
+    val dir = tmp("bloom")
+    // interleaved appends: every file's [min, max] spans nearly the whole
+    // id range, so stats pruning keeps everything for an equality probe
+    (0 until 4).foreach { i =>
+      ManifestTable.append(
+        batch((0L until 400L).filter(_ % 4 == i): _*).coalesce(1),
+        dir, s"b$i", bloomCols = Seq("id", "text"))
+    }
+    // id 217 % 4 = 1: exactly one file holds it; stats keep all 4, the
+    // bloom pass drops the other three (fpp makes >1 astronomically rare
+    // at 100 ids/file, and NEVER drops the true file — one-sided)
+    val (kept, total) = ManifestTable.pruneInfo(spark, dir, "id = 217")
+    assert(total === 4 && kept <= 2 && kept >= 1)
+    assert(ManifestTable.readWhere(spark, dir, "id = 217")
+      .as[(Long, String)].collect().toSeq === Seq((217L, "doc 217")))
+    // string bloom: same story on the text column
+    val (keptS, _) = ManifestTable.pruneInfo(spark, dir, "text = 'doc 217'")
+    assert(keptS <= 2)
+    // IN keeps the union of candidate files
+    assert(ManifestTable.readWhere(spark, dir, "id IN (217, 218)")
+      .as[(Long, String)].collect().toSeq.sorted ===
+      Seq((217L, "doc 217"), (218L, "doc 218")))
+    // a bloom conjunct under OR must NOT prune (it is not required)
+    assert(ManifestTable.pruneInfo(spark, dir, "id = 217 OR id = 218")
+      === ((4, 4)))
+    // absent key: blooms can drop every file; result stays empty+typed
+    val (keptA, _) = ManifestTable.pruneInfo(spark, dir, "id = 9999999")
+    assert(keptA === 0) // min/max already excludes out-of-range ids
+    assert(ManifestTable.readWhere(spark, dir, "text = 'no such doc'")
+      .count() === 0)
+    // files without sidecars stay unprunable-by-bloom: a bloom-less append
+    ManifestTable.append(batch(1000L), dir, "nobloom")
+    val (k2, t2) = ManifestTable.pruneInfo(spark, dir, "id = 217")
+    assert(t2 === 5 && k2 >= 1 && k2 <= 3) // new file pruned by min/max anyway
+    // compaction with bloomCols rebuilds sidecars for the rewritten files
+    ManifestTable.compact(spark, dir, targetFileBytes = 2048L,
+      bloomCols = Seq("id"))
+    val (k3, t3) = ManifestTable.pruneInfo(spark, dir, "id = 217")
+    assert(t3 >= 2 && k3 < t3)
+    assert(ManifestTable.readWhere(spark, dir, "id = 217")
+      .as[(Long, String)].collect().toSeq === Seq((217L, "doc 217")))
+    // vacuum sweeps the orphaned blooms of compacted-away data files
+    assert(ManifestTable.vacuum(spark, dir, graceMs = 0L) >= 5)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val liveData = ManifestTable.snapshot(spark, dir).files.toSet
+    val orphanBlooms = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/_bloom"))
+      .filterNot(s => liveData.contains(
+        s.getPath.getName.split('.').take(2).mkString(".")))
+    assert(orphanBlooms.isEmpty)
+  }
+
   test("time travel: historical versions stay readable until vacuumed") {
     val dir = tmp("travel")
     ManifestTable.append(batch(1), dir, "b0")
