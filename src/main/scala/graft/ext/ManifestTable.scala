@@ -225,16 +225,30 @@ object ManifestTable {
     * range-partitioned and sorted on the given columns, so each output
     * file covers a tight, near-disjoint min/max range and [[readWhere]]'s
     * stats pruning skips most of the table for selective predicates on
-    * those columns — the Delta/Iceberg `OPTIMIZE ... ZORDER/ORDER BY`
-    * story. Appends keep whatever ranges they arrive with (no write-path
-    * tax); clustering is where skipping power gets built, at compaction.
+    * those columns — the Delta/Iceberg `OPTIMIZE ... ORDER BY` story.
+    * Appends keep whatever ranges they arrive with (no write-path tax);
+    * clustering is where skipping power gets built, at compaction.
+    *
+    * `zorder = true` clusters on the INTERLEAVED-BIT z-value of the
+    * `clusterBy` columns instead of their lexicographic order. Linear
+    * multi-column clustering concentrates all its skipping power in the
+    * leading column (the second column's per-file ranges stay wide);
+    * the z-curve keeps rows close in EVERY dimension close on the
+    * curve, so each file covers a tight hyper-rectangle and predicates
+    * on ANY participating column prune — Delta's `ZORDER BY`. Columns
+    * must be numeric (cast-able to double); each is bucketed uniformly
+    * between its min and max ([[Skipping]]-style per-column aggregates,
+    * one small job), 8 bits per dimension, bits interleaved
+    * round-robin. The z-value is a transient sort key only — never
+    * written.
     */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               beforeSwap: () => Unit = () => (),
               clusterBy: Seq[String] = Nil,
               bloomCols: Seq[String] = Nil,
-              bloomFpp: Double = 0.01): (Int, Int) = {
+              bloomFpp: Double = 0.01,
+              zorder: Boolean = false): (Int, Int) = {
     val f = fs(spark, dir)
     val snap = snapshot(spark, dir)
     if (snap.files.isEmpty) return (0, 0)
@@ -245,7 +259,13 @@ object ManifestTable {
     val base = spark.read.parquet(paths: _*)
     val reshaped =
       if (clusterBy.isEmpty) base.repartition(nOut)
-      else base.repartitionByRange(nOut,
+      else if (zorder) {
+        val zk = "_graft_zkey"
+        base.withColumn(zk, zvalue(base, clusterBy))
+          .repartitionByRange(nOut, org.apache.spark.sql.functions.col(zk))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col(zk))
+          .drop(zk)
+      } else base.repartitionByRange(nOut,
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
@@ -484,6 +504,42 @@ object ManifestTable {
     merged.foreach { case ((file, i), bf) =>
       val out = f.create(p(bloomPath(dir, file, usable(i))), true)
       try bf.writeTo(out) finally out.close()
+    }
+  }
+
+  /** The interleaved-bit z-value of `cols` as one codegen-friendly
+    * column expression: each column is bucketed into 2^8 uniform cells
+    * between its table-wide min and max (one small aggregate job,
+    * collected here — k doubles, not data), then bit i of every bucket
+    * id lands at position `i * nCols + colIndex` of the key. Nulls and
+    * degenerate (min == max) columns bucket to 0. ~`8 * nCols * 3`
+    * integer ops per row, all inside whole-stage codegen.
+    */
+  private def zvalue(df: DataFrame,
+                     cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val bits = 8
+    val buckets = 1 << bits
+    val aggCols = cols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val bucketCols = cols.zipWithIndex.map { case (c, i) =>
+      require(!bounds.isNullAt(2 * i),
+        s"zorder column $c is not numeric (or all null)")
+      val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      if (mx <= mn) lit(0L)
+      else coalesce(least(greatest(
+        // width_bucket: 0 below min, buckets+1 at/above max — clamp into
+        // [0, buckets-1]
+        width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(buckets))
+          - lit(1), lit(0L)), lit(buckets - 1L)), lit(0L)).cast("long")
+    }
+    val n = cols.size
+    (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
+      bucketCols.zipWithIndex.foldLeft(acc) { case (a, (bc, ci)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(bc, bit).bitwiseAND(lit(1L)), bit * n + ci))
+      }
     }
   }
 
