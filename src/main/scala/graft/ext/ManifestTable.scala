@@ -85,8 +85,11 @@ object ManifestTable {
   private def manifestDir(dir: String) = s"$dir/_manifest"
   private def dataDir(dir: String) = s"$dir/data"
   private def bloomDir(dir: String) = s"$dir/_bloom"
+  // colName lowercased so the write side (caller-supplied bloomCols case)
+  // and the probe side (eqConjuncts' lowercased attribute names) agree on
+  // the sidecar name; without it a Seq("UserId") sidecar is never consulted.
   private def bloomPath(dir: String, file: String, colName: String) =
-    s"${bloomDir(dir)}/$file.${enc(colName)}.bloom"
+    s"${bloomDir(dir)}/$file.${enc(colName.toLowerCase)}.bloom"
 
   /** Resolve the table's current snapshot: highest `v<NNNNNNNN>` in the
     * manifest directory. A half-written manifest can never be resolved —
@@ -150,11 +153,15 @@ object ManifestTable {
     val in = f.open(p(s"${manifestDir(dir)}/v${"%08d".format(v)}"))
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toList finally in.close()
+    // limit -1: trailing empty fields SURVIVE the split. A column whose
+    // min/max is the empty string writes "...\t1\t\t" (enc("") = ""), and
+    // Java's default limit-0 split would drop those fields and brick every
+    // snapshot() of the table with ArrayIndexOutOfBoundsException.
     val rowCounts = lines.filter(_.startsWith("rows:")).map { l =>
-      val a = l.stripPrefix("rows:").split('\t'); (a(0), a(1).toLong)
+      val a = l.stripPrefix("rows:").split("\t", -1); (a(0), a(1).toLong)
     }.toMap
     val cols = lines.filter(_.startsWith("col:")).map { l =>
-      val a = l.stripPrefix("col:").split('\t')
+      val a = l.stripPrefix("col:").split("\t", -1)
       (a(0), dec(a(1)), ColStats(a(2),
         if (a(4) == "1") Some(dec(a(5))) else None,
         if (a(4) == "1") Some(dec(a(6))) else None, a(3).toLong))

@@ -171,7 +171,10 @@ object Skipping {
     case IsNotNull(a) =>
       (for { c <- colName(a); cs <- st.cols.get(c) }
         yield cs.min.isDefined).getOrElse(true)
-    case Like(a, b, _) => likeMay(a, b, st)
+    // Only the default escape character: under `ESCAPE 'c'` a pattern
+    // like 'abc%' is NOT a plain prefix (it matches the literal "ab%"),
+    // so prefix-interval pruning would drop files holding true matches.
+    case Like(a, b, esc) if esc == '\\' => likeMay(a, b, st)
     case l: Literal => l.value match {
       case null => false
       case b: java.lang.Boolean => b.booleanValue
@@ -180,8 +183,13 @@ object Skipping {
     case _ => true
   }
 
+  // Single-part attributes only: a multi-part name like `s.a` is a
+  // struct-field (or qualified) reference, and collapsing it to "a"
+  // would prune on an unrelated top-level column's stats — wrong
+  // results. Nested columns conservatively keep every file.
   private def colName(e: Expression): Option[String] = e match {
-    case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
+    case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+      Some(a.nameParts.head.toLowerCase)
     case _ => None
   }
 

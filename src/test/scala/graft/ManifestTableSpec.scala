@@ -296,6 +296,66 @@ class ManifestTableSpec extends SparkSpec {
       Seq((1L, "doc 1"), (2L, "doc 2")))
   }
 
+  test("empty-string min/max survives the manifest round trip") {
+    val dir = tmp("emptystr")
+    // a column whose every value is "" writes a col: line ending "\t1\t\t";
+    // a limit-0 split drops those trailing empty fields and every later
+    // snapshot() of the table would throw — one legitimate commit bricking
+    // the table permanently
+    ManifestTable.append(
+      Seq((1L, ""), (2L, "")).toDF("id", "text").coalesce(1), dir, "b0")
+    val s = ManifestTable.snapshot(spark, dir)
+    val text = s.stats(s.files.head).cols("text")
+    assert(text.min === Some("") && text.max === Some(""))
+    // the table stays appendable, readable and prunable afterwards
+    assert(ManifestTable.append(batch(3), dir, "b1"))
+    assert(ManifestTable.readWhere(spark, dir, "text = ''")
+      .count() === 2)
+    assert(ManifestTable.pruneInfo(spark, dir, "text = 'zzz'")._1 <= 1)
+  }
+
+  test("LIKE with a custom ESCAPE character never prunes") {
+    val dir = tmp("likeesc")
+    // the file holds only "ab%". Under ESCAPE 'c' the pattern 'abc%'
+    // matches the literal "ab%" — reading it as a plain 'abc' prefix
+    // would prune the file holding the only true match.
+    ManifestTable.append(
+      Seq((1L, "ab%")).toDF("id", "text").coalesce(1), dir, "b0")
+    assert(ManifestTable.pruneInfo(spark, dir,
+      "text LIKE 'abc%' ESCAPE 'c'") === ((1, 1)))
+    assert(ManifestTable.readWhere(spark, dir,
+      "text LIKE 'abc%' ESCAPE 'c'").count() === 1)
+    // the default escape still prunes prefix shapes
+    assert(ManifestTable.pruneInfo(spark, dir, "text LIKE 'zz%'") === ((0, 1)))
+  }
+
+  test("struct-field predicates never prune via a same-named top-level column") {
+    val dir = tmp("structattr")
+    // top-level a = 1 (stats exclude 5); the struct field s.a = 5 matches.
+    // Collapsing `s.a` to "a" would prune the file and lose the row.
+    ManifestTable.append(
+      spark.range(1).select(lit(1L).as("a"),
+        struct(lit(5L).as("a")).as("s")).coalesce(1), dir, "b0")
+    assert(ManifestTable.pruneInfo(spark, dir, "s.a = 5") === ((1, 1)))
+    assert(ManifestTable.readWhere(spark, dir, "s.a = 5").count() === 1)
+  }
+
+  test("bloom sidecars prune regardless of bloomCols case") {
+    val dir = tmp("bloomcase")
+    (0 until 4).foreach { i =>
+      ManifestTable.append(
+        (0L until 400L).filter(_ % 4 == i).map(x => (x, s"doc $x"))
+          .toDF("UserId", "text").coalesce(1),
+        dir, s"b$i", bloomCols = Seq("UserId"))
+    }
+    // the probe side lowercases attribute names; sidecars written under
+    // the caller's "UserId" case must still be consulted
+    val (kept, total) = ManifestTable.pruneInfo(spark, dir, "UserId = 217")
+    assert(total === 4 && kept >= 1 && kept <= 2)
+    assert(ManifestTable.readWhere(spark, dir, "UserId = 217")
+      .select("UserId").as[Long].collect().toSeq === Seq(217L))
+  }
+
   test("vacuum grace window protects in-flight appends and pinned readers") {
     val dir = tmp("grace")
     ManifestTable.append(batch(1), dir, "b0")
