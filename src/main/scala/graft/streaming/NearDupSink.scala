@@ -134,6 +134,11 @@ object NearDupSink {
                             minEstJaccard: Double, numHashes: Int, bands: Int,
                             shingleFn: Column => Column)
                            (landCorpus: DataFrame => Boolean): Boolean = {
+    // guard HERE, not only in StreamNearDup's row builders: every public
+    // entry point (ingestBatch / ingestBatchCommitted / pipelineToCorpus)
+    // funnels through this fold, so the raw cast("long") below can never
+    // be reached with a string id that would null out and empty the index
+    graft.core.Ids.requireNumericId(batch, idCol, "NearDupSink.ingestBatch")
     val spark = batch.sparkSession
     val within = graft.core.Caches.track(
       graft.ext.Components.nearDupKeep(batch, idCol, textCol, threshold,
@@ -238,6 +243,8 @@ object NearDupSink {
                                  minCos: Double, bits: Int, dims: Int,
                                  tables: Int)
                                 (landCorpus: DataFrame => Boolean): Boolean = {
+    graft.core.Ids.requireNumericId(batch, idCol,
+      "NearDupSink.ingestBatchEmbed")
     val spark = batch.sparkSession
     val pairs = graft.ext.Similarity.embedNearDup(batch, idCol, vecCol,
       minCos, bits, dims, tables)

@@ -142,11 +142,24 @@ class StreamNearDupSpec extends SparkSpec {
       assert(thrown.getMessage.contains("must be numeric"))
     // the sink folds hit the same guard before touching corpus or index
     val dir = java.nio.file.Files.createTempDirectory("graft-ndsink-strid").toString
-    val err = intercept[IllegalArgumentException](
-      graft.streaming.NearDupSink.ingestBatch(strDocs,
-        s"$dir/corpus", s"$dir/index"))
-    assert(err.getMessage.contains("must be numeric"))
+    // guarded AT the sink boundary (VERDICT r10 #3), not only
+    // transitively via the row builders — all four entry points
+    for (err <- Seq(
+      intercept[IllegalArgumentException](
+        graft.streaming.NearDupSink.ingestBatch(strDocs,
+          s"$dir/corpus", s"$dir/index")),
+      intercept[IllegalArgumentException](
+        graft.streaming.NearDupSink.ingestBatchCommitted(strDocs,
+          s"$dir/corpus", s"$dir/index", "b0")),
+      intercept[IllegalArgumentException](
+        graft.streaming.NearDupSink.ingestBatchEmbed(vecDocs,
+          s"$dir/ecorpus", s"$dir/eindex", bits = 2, dims = 2)),
+      intercept[IllegalArgumentException](
+        graft.streaming.NearDupSink.ingestBatchEmbedCommitted(vecDocs,
+          s"$dir/ecorpus", s"$dir/eindex", "b0", bits = 2, dims = 2))))
+      assert(err.getMessage.contains("must be numeric"))
     assert(!new java.io.File(s"$dir/corpus").exists())
+    assert(!new java.io.File(s"$dir/ecorpus").exists())
   }
 
   test("probe rejects a maxHamming the banding cannot certify") {
