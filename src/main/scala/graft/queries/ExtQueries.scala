@@ -771,6 +771,35 @@ object ExtQueries {
     graft.ext.ManifestTable.readWhere(s, root, pred).orderBy("doc_id")
   }
 
+  /** TIME TRAVEL through the manifest, oracle-replayed (VERDICT r10 #6):
+    * the documents table lands in three committed batches with a
+    * compaction and a graceful vacuum in between, then the query reads
+    * the table AS OF version 2 — the snapshot holding exactly batches
+    * b0 and b1, pinned by the manifest history even though a later
+    * compaction orphaned those very files (the vacuum grace window keeps
+    * them on disk for pinned readers). The oracle recomputes the same
+    * two-batch subset from the source table, so a hash match certifies
+    * the historical read is the exact historical table — not the current
+    * one, not a mix.
+    */
+  def manifestTimeTravelQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_travel"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def b(i: Long) = docs.filter(col("doc_id") % 3 === i)
+    graft.ext.ManifestTable.append(b(0), root, "b0") // v1
+    graft.ext.ManifestTable.append(b(1), root, "b1") // v2
+    graft.ext.ManifestTable.compact(s, root)         // v3: v2's files orphaned
+    graft.ext.ManifestTable.append(b(2), root, "b2") // v4
+    // graceful vacuum must leave the historical files for pinned readers
+    require(graft.ext.ManifestTable.vacuum(s, root) == 0,
+      "graceful vacuum swept files inside the grace window")
+    graft.ext.ManifestTable.readVersion(s, root, 2L).orderBy("doc_id")
+  }
+
   /** Interval-OVERLAP join (the [[rangeJoinQ]] sibling): which purchase
     * windows of the same user intersect? Self-overlap of the 30-minute
     * windows, a_id < b_id halving, against DuckDB's native two-sided
@@ -1069,6 +1098,7 @@ object ExtQueries {
     "manifest_corpus_replay" -> (manifestCorpusReplay(_, _)),
     "manifest_skipping" -> (manifestSkippingQ(_, _)),
     "manifest_bloom_skipping" -> (manifestBloomSkippingQ(_, _)),
+    "manifest_time_travel" -> (manifestTimeTravelQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
@@ -1775,6 +1805,13 @@ object ExtQueries {
     "manifest_bloom_skipping" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (42, 217, 401)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the AS-OF-version-2 read is exactly batches b0+b1 (doc_id % 3 < 2),
+    // untouched by the later compaction and append
+    "manifest_time_travel" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 < 2
         |ORDER BY doc_id""".stripMargin,
 
     // the native two-sided overlap predicate, a_id < b_id halving
