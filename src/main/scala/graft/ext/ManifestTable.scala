@@ -212,13 +212,29 @@ object ManifestTable {
       }.toSeq
     f.delete(p(stage), true)
     val stats = footerStats(spark, dir, moved)
-    buildBlooms(spark, dir, moved, bloomCols, stats, bloomFpp)
+    // a file the footer PROVES empty (0 rows) is dropped before the
+    // commit — a fully-deduplicated batch otherwise litters the manifest
+    // with unprunable empty segments; its batch id still commits, so
+    // replay idempotence is unaffected
+    val live = dropEmpty(f, dir, moved, stats)
+    buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
     beforeCommit()
     commit(spark, dir) { old =>
       if (old.batchIds.contains(batchId)) None // lost the race to a replay
-      else Some(old.copy(files = old.files ++ moved,
+      else Some(old.copy(files = old.files ++ live,
         batchIds = old.batchIds + batchId, stats = old.stats ++ stats))
     }
+  }
+
+  /** Delete and drop the files whose footer stats prove zero rows;
+    * files WITHOUT stats (unreadable footer) are conservatively kept.
+    */
+  private def dropEmpty(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                        names: Seq[String],
+                        stats: Map[String, FileStats]): Seq[String] = {
+    val (empty, live) = names.partition(n => stats.get(n).exists(_.rows == 0L))
+    empty.foreach(n => f.delete(p(s"${dataDir(dir)}/$n"), false))
+    live
   }
 
   /** Rewrite the current snapshot's files into ~`targetFileBytes` files
@@ -287,7 +303,10 @@ object ManifestTable {
       }.toSeq
     f.delete(p(stage), true)
     val rewrittenStats = footerStats(spark, dir, rewritten)
-    buildBlooms(spark, dir, rewritten, bloomCols, rewrittenStats, bloomFpp)
+    // range partitioning can leave empty output partitions; drop the
+    // provably-empty files instead of committing unprunable segments
+    val live = dropEmpty(f, dir, rewritten, rewrittenStats)
+    buildBlooms(spark, dir, live, bloomCols, rewrittenStats, bloomFpp)
     beforeSwap()
     // replace EXACTLY the files this compaction read; files appended by
     // a concurrent writer (present in `old` but not in the snapshot we
@@ -300,10 +319,10 @@ object ManifestTable {
     val committed = commit(spark, dir) { old =>
       if (snap.files.exists(fn => !old.files.contains(fn))) None
       else Some(old.copy(
-        files = old.files.filterNot(snap.files.contains) ++ rewritten,
+        files = old.files.filterNot(snap.files.contains) ++ live,
         stats = old.stats -- snap.files ++ rewrittenStats))
     }
-    if (committed) (snap.files.size, nOut) else (0, 0)
+    if (committed) (snap.files.size, live.size) else (0, 0)
   }
 
   /** Delete data files no longer referenced by the CURRENT manifest and
@@ -379,6 +398,23 @@ object ManifestTable {
       .where(predicateSql)
   }
 
+  /** `keyCol IN (keys...)` as predicate SQL for [[readWhere]] /
+    * [[pruneInfo]] — string keys are quoted and escaped, numeric keys
+    * pass through. The seam the index sinks use for POINT-PROBE reads:
+    * an inner or anti join on `keyCol` restricted to these keys sees
+    * exactly the same matches against the pruned read as against the
+    * full table (one-sided pruning keeps every file that might hold a
+    * listed key).
+    */
+  def inPredicate(keyCol: String, keys: Seq[Any]): String = {
+    require(keys.nonEmpty, "inPredicate needs at least one key")
+    val lits = keys.map {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case n => n.toString
+    }
+    s"$keyCol IN (${lits.mkString(",")})"
+  }
+
   /** (files kept, files total) that [[readWhere]] would scan for
     * `predicateSql` — the observable proof that skipping skipped.
     */
@@ -396,8 +432,11 @@ object ManifestTable {
   private def keptFiles(spark: SparkSession, dir: String, s: Snapshot,
                         predicateSql: String): Seq[String] = {
     val pred = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    // rows == 0 is a PROOF no row matches any predicate — footer-backed,
+    // so still one-sided (files without stats are never dropped)
     val kept = s.files.filter(f =>
-      !s.stats.get(f).exists(st => Skipping.skips(pred, st)))
+      !s.stats.get(f).exists(st =>
+        st.rows == 0L || Skipping.skips(pred, st)))
     val eqs = Skipping.eqConjuncts(pred)
     if (eqs.isEmpty) kept
     else kept.filter { file =>

@@ -61,17 +61,27 @@ object Ingest {
   val BloomExpectedItems: Long = BloomSidecar.ExpectedItems
   val BloomFpp: Double = BloomSidecar.Fpp
 
-  private def hadoopFs(spark: SparkSession, dir: String) =
-    org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+  /** Point-probe bound: when a probe's distinct key set fits under this,
+    * the index is read through [[graft.ext.ManifestTable.readWhere]] with
+    * a `key IN (...)` predicate — per-segment footer stats + per-file
+    * blooms then prune the read to the handful of segments that might
+    * hold a listed key (VERDICT r10 #4), instead of scanning every
+    * segment ever appended. Larger probe sets fall back to the full
+    * read: the join itself is O(batch) either way, and a driver-side
+    * key list must stay bounded.
+    */
+  val PointProbeMaxKeys = 1024
 
   /** All fingerprints accumulated at `indexDir` (one `fp` column), or an
-    * empty frame before the first batch.
+    * empty frame before the first batch. The segment store is a
+    * [[graft.ext.ManifestTable]] (data files under `segments/data`,
+    * atomic manifest commits), so this read is an explicit snapshot
+    * file list — never a recursive directory scan.
     */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
     val seg = segmentsPath(indexDir)
-    if (hadoopFs(spark, indexDir).exists(new org.apache.hadoop.fs.Path(seg)))
-      spark.read.parquet(seg)
+    if (graft.ext.ManifestTable.snapshot(spark, seg).files.nonEmpty)
+      graft.ext.ManifestTable.read(spark, seg)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -79,19 +89,34 @@ object Ingest {
           org.apache.spark.sql.types.StringType))))
   }
 
-  /** Periodic index maintenance: many per-batch parquet segments → few
-    * right-sized files, many bloom sidecars → one. Safe to run WHILE
-    * the ingest stream appends — [[graft.ext.Compact.compactParquet]]
-    * and [[BloomSidecar.fold]] both delete only the files listed at
-    * their snapshot, so a segment or sidecar appended mid-compaction
-    * survives — and the brief duplicate window is invisible to both
-    * consumers (a fingerprint present twice anti-joins identically; a
-    * bloom union is idempotent).
+  /** The index rows whose `fp` is one of `fps` — a stats+bloom-pruned
+    * segment read; exact for any join keyed on those fingerprints.
+    */
+  private def readIndexFor(spark: SparkSession, indexDir: String,
+                           fps: Seq[String]): DataFrame = {
+    val seg = segmentsPath(indexDir)
+    if (graft.ext.ManifestTable.snapshot(spark, seg).files.isEmpty)
+      readIndex(spark, indexDir)
+    else graft.ext.ManifestTable.readWhere(spark, seg,
+      graft.ext.ManifestTable.inPredicate("fp", fps))
+  }
+
+  /** Periodic index maintenance: many per-batch segments → few
+    * right-sized files CLUSTERED on `fp` (each compacted file then
+    * covers a near-disjoint fingerprint range, so even stats-only
+    * pruning answers point probes), per-file blooms rebuilt, many
+    * routing sidecars → one. The rewrite commits as one manifest swap,
+    * so it is safe WHILE the ingest stream appends — a concurrent
+    * append rebases over the swap, a conflicting compaction aborts —
+    * and orphaned segment files age out through
+    * [[graft.ext.ManifestTable.vacuum]]'s grace window.
     */
   def compactIndex(spark: SparkSession, indexDir: String,
                    targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val counts = graft.ext.Compact.compactParquet(spark,
-      segmentsPath(indexDir), targetFileBytes)
+    val counts = graft.ext.ManifestTable.compact(spark,
+      segmentsPath(indexDir), targetFileBytes,
+      clusterBy = Seq("fp"), bloomCols = Seq("fp"))
+    graft.ext.ManifestTable.vacuum(spark, segmentsPath(indexDir))
     BloomSidecar.fold(spark, bloomPath(indexDir))
     counts
   }
@@ -184,11 +209,22 @@ object Ingest {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
         val candidates = local.filter(mightDup(col("fp")))
         val fresh = local.filter(!mightDup(col("fp"))).drop("fp")
+        // bounded candidate sets (the common case — only rows the global
+        // bloom flagged) read the index PRUNED to segments that might
+        // hold a candidate fingerprint; big sets fall back to the full
+        // snapshot read
+        val candFps = candidates.select("fp").distinct()
+          .take(PointProbeMaxKeys + 1)
         val out =
-          if (candidates.isEmpty) fresh // zero candidates: index never read
-          else fresh.unionByName(
-            candidates.join(readIndex(spark, indexDir), Seq("fp"), "left_anti")
-              .drop("fp"))
+          if (candFps.isEmpty) fresh // zero candidates: index never read
+          else {
+            val idx =
+              if (candFps.length <= PointProbeMaxKeys)
+                readIndexFor(spark, indexDir, candFps.map(_.getString(0)).toSeq)
+              else readIndex(spark, indexDir)
+            fresh.unionByName(
+              candidates.join(idx, Seq("fp"), "left_anti").drop("fp"))
+          }
         (out, () => { local.unpersist(); () })
     }
     (graft.core.Caches.track(
@@ -199,13 +235,19 @@ object Ingest {
       release)
   }
 
-  /** O(batch): append the survivors' fingerprints as a new segment —
-    * nothing over the accumulated index is read or shuffled — then the
-    * bloom sidecar (after the segment: a segment without its bloom is
-    * extra candidates; a bloom without its segment would be routed to
-    * an anti-join that keeps the rows — both safe). The fingerprint
-    * projection persists across its two actions (segment write + bloom
-    * build) so a batch pays one md5 pass.
+  /** O(batch): append the survivors' fingerprints as a new
+    * manifest-committed segment — nothing over the accumulated index is
+    * read or shuffled — then the routing bloom sidecar (after the
+    * segment: a segment without its bloom is extra candidates; a bloom
+    * without its segment would be routed to an anti-join that keeps the
+    * rows — both safe). The manifest batch id is a fresh UUID on
+    * purpose: index appends must stay UNCONDITIONAL so the self-healing
+    * backfill ([[ingestBatchCommitted]]) still lands after a replay —
+    * idempotence belongs to the corpus commit, duplicates here are
+    * harmless (an anti-join is idempotent in its right side). The
+    * `bloomCols` per-FILE blooms serve [[readIndexFor]]'s point-probe
+    * pruning; the merged [[BloomSidecar]] keeps serving map-side
+    * routing — different grain, both O(batch) to maintain.
     */
   private def appendExactIndex(indexDir: String, kept: DataFrame,
                                textCol: String): Unit = {
@@ -213,7 +255,8 @@ object Ingest {
     val newFps = graft.core.Caches.track(
       kept.select(md5(col(textCol)).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    newFps.write.mode("append").parquet(segmentsPath(indexDir))
+    graft.ext.ManifestTable.append(newFps, segmentsPath(indexDir),
+      java.util.UUID.randomUUID().toString, bloomCols = Seq("fp"))
     BloomSidecar.write(spark, bloomPath(indexDir),
       BloomSidecar.build(newFps, "fp"))
     newFps.unpersist()

@@ -53,14 +53,32 @@ object NearDupSink {
   private def bloomPath(indexDir: String) = s"$indexDir/bloom"
 
   /** The accumulated signature index (band, band_hash, corpus_id,
-    * sig_idx), or None before the first batch.
+    * sig_idx), or None before the first batch. The segment store is a
+    * [[graft.ext.ManifestTable]] (data under `segments/data`, atomic
+    * manifest commits): reads are explicit snapshot file lists.
     */
   def readIndex(spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(segmentsPath(indexDir))))
-      Some(spark.read.parquet(segmentsPath(indexDir)))
+    val seg = segmentsPath(indexDir)
+    if (graft.ext.ManifestTable.snapshot(spark, seg).files.nonEmpty)
+      Some(graft.ext.ManifestTable.read(spark, seg))
     else None
+  }
+
+  /** The index rows whose `keyCol` is one of `keys` — a stats+bloom
+    * pruned segment read (VERDICT r10 #4), exact for the banded/bucketed
+    * inner joins that consume it. Falls back to the full snapshot read
+    * when `keys` exceeds [[Ingest.PointProbeMaxKeys]] (the join is
+    * O(batch) either way; the driver-side key list must stay bounded).
+    */
+  private def readIndexPruned(spark: SparkSession, indexDir: String,
+                              keyCol: String,
+                              keys: Array[Any]): Option[DataFrame] = {
+    val seg = segmentsPath(indexDir)
+    if (graft.ext.ManifestTable.snapshot(spark, seg).files.isEmpty) None
+    else if (keys.isEmpty || keys.length > Ingest.PointProbeMaxKeys)
+      readIndex(spark, indexDir)
+    else Some(graft.ext.ManifestTable.readWhere(spark, seg,
+      graft.ext.ManifestTable.inPredicate(keyCol, keys.toSeq)))
   }
 
   /** Fold one batch into the corpus. See the object doc for semantics.
@@ -148,9 +166,10 @@ object NearDupSink {
       StreamNearDup.buildMinHashIndex(within, idCol, textCol,
           numHashes, bands, shingleFn)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    val survivors = readIndex(spark, indexDir) match {
-      case None => within
-      case Some(index) =>
+    val survivors =
+      if (graft.ext.ManifestTable.snapshot(spark,
+          segmentsPath(indexDir)).files.isEmpty) within
+      else {
         // Bloom gate at batch granularity: if NO band hash of this batch
         // appears in any sidecar, no probe can hit — skip the index read.
         // (Per-row routing as in Ingest buys little here: one hit means
@@ -165,6 +184,14 @@ object NearDupSink {
         }.getOrElse(true)
         if (!gate) within
         else {
+          // bounded batches probe the index PRUNED to the segments whose
+          // stats/blooms admit one of the batch's band hashes — the
+          // banded join is inner on band_hash, so the pruned read sees
+          // exactly the same matches
+          val keys = rows.select("band_hash").distinct()
+            .take(Ingest.PointProbeMaxKeys + 1)
+            .map(_.get(0)).filter(_ != null)
+          val index = readIndexPruned(spark, indexDir, "band_hash", keys).get
           val hits = StreamNearDup.probeMinHashRows(
               rows.select(col("corpus_id").as("probe_id"),
                 col("sig_idx").as("sig_p"), col("band"), col("band_hash")),
@@ -172,7 +199,7 @@ object NearDupSink {
             .select(col("probe_id").as(idCol)).distinct()
           within.join(hits, Seq(idCol), "left_anti")
         }
-    }
+      }
     val kept = graft.core.Caches.track(survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val committed = landCorpus(kept)
@@ -184,7 +211,12 @@ object NearDupSink {
           Seq("corpus_id"), "left_semi")
         .select(col("band"), col("band_hash"), col("corpus_id"), col("sig_idx"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    bandRows.write.mode("append").parquet(segmentsPath(indexDir))
+    // manifest-committed segment append under a fresh UUID: the index
+    // append must stay UNCONDITIONAL (self-healing backfill after a
+    // replay — see ingestBatchCommitted); per-file band_hash blooms
+    // serve readIndexPruned, the merged sidecar keeps serving the gate
+    graft.ext.ManifestTable.append(bandRows, segmentsPath(indexDir),
+      java.util.UUID.randomUUID().toString, bloomCols = Seq("band_hash"))
     BloomSidecar.write(spark, bloomPath(indexDir),
       BloomSidecar.build(bandRows, "band_hash"))
     bandRows.unpersist()
@@ -260,9 +292,10 @@ object NearDupSink {
       StreamNearDup.buildEmbedIndex(within, idCol, vecCol, bits, dims, tables)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val bloomKey = concat_ws(":", col("tbl"), col("bk"))
-    val survivors = readIndex(spark, indexDir) match {
-      case None => within
-      case Some(index) =>
+    val survivors =
+      if (graft.ext.ManifestTable.snapshot(spark,
+          segmentsPath(indexDir)).files.isEmpty) within
+      else {
         val gate = BloomSidecar.readCached(spark, bloomPath(indexDir)).map { bf =>
           val bc = spark.sparkContext.broadcast(bf)
           val mightHit = udf((k: String) =>
@@ -271,6 +304,13 @@ object NearDupSink {
         }.getOrElse(true)
         if (!gate) within
         else {
+          // the bucketed join is inner on (tbl, bk): pruning segments to
+          // those whose stats/blooms admit one of the batch's bucket ids
+          // keeps every possible match
+          val keys = rows.select("bk").distinct()
+            .take(Ingest.PointProbeMaxKeys + 1)
+            .map(_.get(0)).filter(_ != null)
+          val index = readIndexPruned(spark, indexDir, "bk", keys).get
           val hits = StreamNearDup.probeEmbedRows(
               rows.select(col("corpus_id").as("probe_id"),
                 col("v_idx").as("v_p"), col("bks_idx").as("bks_p"),
@@ -279,7 +319,7 @@ object NearDupSink {
             .select(col("probe_id").as(idCol)).distinct()
           within.join(hits, Seq(idCol), "left_anti")
         }
-    }
+      }
     val kept = graft.core.Caches.track(survivors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val committed = landCorpus(kept)
@@ -289,7 +329,8 @@ object NearDupSink {
         .select(col("tbl"), col("bk"), col("corpus_id"),
           col("v_idx"), col("bks_idx"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    bandRows.write.mode("append").parquet(segmentsPath(indexDir))
+    graft.ext.ManifestTable.append(bandRows, segmentsPath(indexDir),
+      java.util.UUID.randomUUID().toString, bloomCols = Seq("bk"))
     BloomSidecar.write(spark, bloomPath(indexDir),
       BloomSidecar.build(bandRows.select(bloomKey.as("k")), "k"))
     bandRows.unpersist()
@@ -299,14 +340,20 @@ object NearDupSink {
     committed
   }
 
-  /** Segments → right-sized files, sidecars → one; safe against
-    * concurrent appends (snapshot-listed swaps on both sides), exactly
-    * as [[Ingest.compactIndex]].
+  /** Segments → right-sized files clustered on the probe key (the
+    * banded join's point lookups then prune on stats alone), per-file
+    * blooms rebuilt, routing sidecars → one; safe against concurrent
+    * appends (one manifest swap; a conflicting compaction aborts),
+    * exactly as [[Ingest.compactIndex]]. `keyCol` is `band_hash` for
+    * the MinHash index, `bk` for the embed index.
     */
   def compactIndex(spark: SparkSession, indexDir: String,
-                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val counts = graft.ext.Compact.compactParquet(spark,
-      segmentsPath(indexDir), targetFileBytes)
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   keyCol: String = "band_hash"): (Int, Int) = {
+    val counts = graft.ext.ManifestTable.compact(spark,
+      segmentsPath(indexDir), targetFileBytes,
+      clusterBy = Seq(keyCol), bloomCols = Seq(keyCol))
+    graft.ext.ManifestTable.vacuum(spark, segmentsPath(indexDir))
     BloomSidecar.fold(spark, bloomPath(indexDir))
     counts
   }

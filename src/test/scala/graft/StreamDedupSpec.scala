@@ -117,14 +117,17 @@ class StreamDedupSpec extends SparkSpec {
     // segmented layout must write only the batch's survivors.
     val root = java.nio.file.Files.createTempDirectory("graft-seg").toString
     val (corpus, index) = (s"$root/corpus", s"$root/index")
+    // the segment store is manifest-committed: data files live under
+    // segments/data, named by the manifest
     def segFiles() = {
-      val d = new java.io.File(s"$index/segments")
+      val d = new java.io.File(s"$index/segments/data")
       if (!d.exists()) Set.empty[String]
       else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
     }
     def rowsIn(files: Set[String]): Long =
       if (files.isEmpty) 0L
-      else spark.read.parquet(files.map(f => s"$index/segments/$f").toSeq: _*).count()
+      else spark.read.parquet(
+        files.map(f => s"$index/segments/data/$f").toSeq: _*).count()
     def mk(id: Long, tail: String) = (id,
       s"the corpus document tagged $tail is about a river and a forest " +
         "with the sun over the hills and a road to the valley by the old mill")
@@ -158,6 +161,41 @@ class StreamDedupSpec extends SparkSpec {
     graft.streaming.Ingest.ingestBatch(
       Seq(mk(20, "four")).toDF("id", "text"), corpus, index)
     assert(spark.read.parquet(corpus).count() === 4L)
+  }
+
+  test("point probes read the exact index pruned to matching segments") {
+    // VERDICT r10 #4: the candidate anti-join used to scan EVERY segment
+    // ever appended; the manifest-backed store prunes the read to the
+    // segments whose stats/blooms admit a candidate fingerprint
+    val root = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val (corpus, index) = (s"$root/corpus", s"$root/index")
+    def mk(id: Long, tail: String) = (id,
+      s"the corpus document tagged $tail is about a river and a forest " +
+        "with the sun over the hills and a road to the valley by the old mill")
+    (0 until 3).foreach { b =>
+      graft.streaming.Ingest.ingestBatch(
+        Seq(mk(b * 10L, s"alpha$b"), mk(b * 10L + 1, s"beta$b"))
+          .toDF("id", "text"), corpus, index)
+    }
+    // cluster the segments on fp: each compacted file covers a
+    // near-disjoint fingerprint range, so a point probe prunes on stats
+    // alone — deterministically
+    graft.streaming.Ingest.compactIndex(spark, index, targetFileBytes = 1024L)
+    val seg = s"$index/segments"
+    val snap = graft.ext.ManifestTable.snapshot(spark, seg)
+    assert(snap.files.size >= 2, "fixture must span multiple segment files")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (kept, total) = graft.ext.ManifestTable.pruneInfo(spark, seg,
+      graft.ext.ManifestTable.inPredicate("fp", Seq(md5hex(mk(0, "alpha0")._2))))
+    assert(total === snap.files.size && kept === 1,
+      s"selective probe must read 1 of $total segment files, read $kept")
+    // and the pruned path changes nothing semantically: a replay of that
+    // known text still dedups away entirely
+    graft.streaming.Ingest.ingestBatch(
+      Seq((99L, mk(0, "alpha0")._2)).toDF("id", "text"), corpus, index)
+    assert(spark.read.parquet(corpus).count() === 6L)
+    assert(graft.streaming.Ingest.readIndex(spark, index).count() === 6L)
   }
 
   test("full training ingest sink: exact + quality + scrub + near-dup across micro-batches") {

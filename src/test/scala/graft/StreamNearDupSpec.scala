@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, min}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamNearDup
 
@@ -188,8 +189,9 @@ class StreamNearDupSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     // within-batch: the near-dup pair (1, 2) collapses to the MIN id
     assert(corpusIds() === Seq(1L, 3L))
-    def segRows() = spark.read.parquet(s"$indexDir/segments")
-    val files1 = new java.io.File(s"$indexDir/segments").listFiles()
+    // manifest-committed segment store: data files under segments/data
+    def segRows() = graft.streaming.NearDupSink.readIndex(spark, indexDir).get
+    val files1 = new java.io.File(s"$indexDir/segments/data").listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).toSet
     assert(segRows().count() === 2L * 4)  // bands × survivors
     graft.streaming.NearDupSink.ingestBatch(b1, corpusDir, indexDir)
@@ -197,10 +199,10 @@ class StreamNearDupSpec extends SparkSpec {
     // probe) and drops; fresh 11 survives
     assert(corpusIds() === Seq(1L, 3L, 11L))
     // O(batch): the new segment holds only survivor 11's band rows
-    val newFiles = new java.io.File(s"$indexDir/segments").listFiles()
+    val newFiles = new java.io.File(s"$indexDir/segments/data").listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).toSet -- files1
     assert(spark.read.parquet(
-        newFiles.map(f => s"$indexDir/segments/$f").toSeq: _*).count() === 4L)
+        newFiles.map(f => s"$indexDir/segments/data/$f").toSeq: _*).count() === 4L)
     // one bloom sidecar per batch; compaction folds them
     def blooms() = new java.io.File(s"$indexDir/bloom").listFiles()
       .count(_.getName.endsWith(".bloom"))
@@ -215,6 +217,17 @@ class StreamNearDupSpec extends SparkSpec {
     graft.streaming.NearDupSink.ingestBatch(
       Seq((20L, a)).toDF("id", "text"), corpusDir, indexDir)
     assert(corpusIds() === Seq(1L, 3L, 11L))
+    // VERDICT r10 #4: re-cluster into small band_hash-ranged files — a
+    // selective band-hash probe then reads a strict subset of segments
+    val (_, nout2) = graft.streaming.NearDupSink.compactIndex(
+      spark, indexDir, targetFileBytes = 1024L)
+    assert(nout2 >= 2, "fixture must span multiple segment files")
+    val minHash = segRows().agg(min(col("band_hash"))).head.getString(0)
+    val (kp, tot) = graft.ext.ManifestTable.pruneInfo(
+      spark, s"$indexDir/segments",
+      graft.ext.ManifestTable.inPredicate("band_hash", Seq(minHash)))
+    assert(tot === nout2 && kp === 1,
+      s"selective probe must read 1 of $tot segment files, read $kp")
   }
 
   test("near-dup sink statsDir: stats track corpus content; committed variant replays to a no-op") {
@@ -262,7 +275,8 @@ class StreamNearDupSpec extends SparkSpec {
     // simulated by committing the survivors directly under b1's id
     graft.ext.ManifestTable.append(
       Seq((2L, e)).toDF("id", "text"), corpusDir, "b1")
-    def segCount() = spark.read.parquet(s"$indexDir/segments").count()
+    def segCount() =
+      graft.streaming.NearDupSink.readIndex(spark, indexDir).get.count()
     assert(segCount() === 4L) // only b0's signatures landed
     // replay of b1: survivor re-emerges (signatures missing), corpus
     // no-ops on the absorbed id, index backfills
@@ -290,7 +304,8 @@ class StreamNearDupSpec extends SparkSpec {
       batchOf((1L, vec(1))), corpusDir, indexDir, "b0"))
     // crash window: b1's corpus commits, bucket-index append dies
     graft.ext.ManifestTable.append(batchOf((2L, vec(2))), corpusDir, "b1")
-    def segCount() = spark.read.parquet(s"$indexDir/segments").count()
+    def segCount() =
+      graft.streaming.NearDupSink.readIndex(spark, indexDir).get.count()
     assert(segCount() === 2L) // only b0's bucket rows (tables=2)
     // replay: vector re-emerges (bucket rows missing), corpus no-ops,
     // index backfills; second replay cosines 1.0 and converges
