@@ -34,7 +34,10 @@ object Explain {
       "ingest_pipeline", "chunk_windows",
       "vector_store_search", "vector_store_search_q8",
       "vector_store_search_many", "corpus_stats_replay",
-      "manifest_corpus_replay")
+      "manifest_corpus_replay",
+      "vector_store_search_pq", "pq_codebooks",
+      "manifest_skipping", "manifest_bloom_skipping",
+      "train_ingest_stats_replay", "manifest_time_travel")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")

@@ -385,14 +385,19 @@ object ManifestTable {
     * between touching 3 files and 30 000.
     */
   def readWhere(spark: SparkSession, dir: String,
-                predicateSql: String): DataFrame = {
-    val s = snapshot(spark, dir)
+                predicateSql: String,
+                asOf: Option[Long] = None): DataFrame = {
+    // `asOf` pins a historical version (see [[snapshotAt]]) — its files
+    // are immutable, so commit-time stats and bloom sidecars prune a
+    // time-travel read exactly as they prune the head
+    val s = asOf.fold(snapshot(spark, dir))(snapshotAt(spark, dir, _))
     require(s.files.nonEmpty, s"ManifestTable at $dir has no committed data")
     val kept = keptFiles(spark, dir, s, predicateSql)
     if (kept.isEmpty)
       // keep the schema, scan nothing: the optimizer folds `false` to an
       // empty relation before any file is opened
-      read(spark, dir).where(predicateSql)
+      spark.read.parquet(s.files.map(n => s"${dataDir(dir)}/$n"): _*)
+        .where(predicateSql)
         .where(org.apache.spark.sql.functions.lit(false))
     else spark.read.parquet(kept.map(n => s"${dataDir(dir)}/$n"): _*)
       .where(predicateSql)

@@ -120,6 +120,18 @@ object VectorStore {
     */
   def append(vecs: DataFrame, dir: String, k: Int = 16,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val assigned = encodeBatch(vecs, dir, k, idCol, vecCol)
+    assigned.write.partitionBy("centroid_id").mode("append").parquet(dir)
+  }
+
+  /** The shared append-side pipeline: seed-or-load centroids, coarse
+    * assignment, q8, PQ codes when a codebook is frozen. Both layouts
+    * ([[append]]'s hive-partitioned directories and
+    * [[appendCommitted]]'s manifest table) write exactly this frame, so
+    * a search runs identically against either.
+    */
+  private def encodeBatch(vecs: DataFrame, dir: String, k: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val spark = vecs.sparkSession
     val cents = readCentroids(spark, dir).getOrElse {
       init(vecs.orderBy(col(idCol)).limit(k)
@@ -128,10 +140,58 @@ object VectorStore {
       readCentroids(spark, dir).get
     }
     val assigned = withQ8(Similarity.assignTo(vecs, cents, vecCol), vecCol)
-    val encoded = readPqCodebook(spark, dir)
+    readPqCodebook(spark, dir)
       .fold(assigned)(cb => withPq(assigned, vecCol, cb))
-    encoded.write.partitionBy("centroid_id").mode("append").parquet(dir)
   }
+
+  /** [[append]] through a [[ManifestTable]] commit — ONE storage story
+    * for the vector store and the corpus/index tables (VERDICT r10 #5):
+    * the encoded batch clusters by (centroid_id, id) into near-disjoint
+    * per-file ranges and commits atomically under `batchId`, which buys
+    * the store everything the manifest layer gives every other sink —
+    * idempotent replay (a crash-repeated micro-batch is a no-op, where
+    * [[append]]'s bare directory append duplicates rows), snapshot
+    * isolation against concurrent compaction, TIME TRAVEL (search a
+    * pinned historical version via `asOfVersion`), and stats+bloom
+    * pruning from the same commit-time footer harvest.
+    *
+    * Cell pruning moves from hive `PartitionFilters` to manifest stats:
+    * `centroid_id` is a plain clustered column, so a probe's
+    * `centroid_id IN (cells)` prunes files on the driver against the
+    * in-memory manifest — same O(probed cells) scan, and the rerank's
+    * `id IN (candidates)` NOW also prunes via the per-file id blooms,
+    * which the hive layout could never do. Returns false on an absorbed
+    * (replayed) `batchId`.
+    */
+  def appendCommitted(vecs: DataFrame, dir: String, batchId: String,
+                      k: Int = 16, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      filesPerAppend: Int = 8): Boolean = {
+    val encoded = encodeBatch(vecs, dir, k, idCol, vecCol)
+    ManifestTable.append(
+      encoded.repartitionByRange(filesPerAppend,
+          col("centroid_id"), col(idCol))
+        .sortWithinPartitions(col("centroid_id"), col(idCol)),
+      dir, batchId, bloomCols = Seq(idCol))
+  }
+
+  /** True when `dir` holds a manifest-committed store (vs the hive
+    * `centroid_id=` layout) — the read paths branch on this.
+    */
+  def isCommitted(spark: SparkSession, dir: String): Boolean =
+    ManifestTable.snapshot(spark, dir).files.nonEmpty
+
+  /** Re-cluster a manifest-backed store's accumulated append files into
+    * ~`targetFileBytes` files ordered by (centroid_id, id) — one atomic
+    * manifest swap, id blooms rebuilt. The committed-layout sibling of
+    * [[compactCells]]; skipping power is BUILT here (tight per-file cell
+    * ranges), appends pay no write-path tax.
+    */
+  def compactCommitted(spark: SparkSession, dir: String,
+                       targetFileBytes: Long = 128L * 1024 * 1024,
+                       idCol: String = "vec_id"): (Int, Int) =
+    ManifestTable.compact(spark, dir, targetFileBytes,
+      clusterBy = Seq("centroid_id", idCol), bloomCols = Seq(idCol))
 
   /** PQ-encode a batch against a frozen codebook: `pq_code[s]` is the
     * cid of subspace `s`'s nearest codeword (squared L2, cid tie-break —
@@ -190,9 +250,11 @@ object VectorStore {
   def search(spark: SparkSession, dir: String, q: Seq[Double],
              nprobe: Int = 2, topK: Int = 10,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             excludeId: Option[Long] = None): DataFrame = {
+             excludeId: Option[Long] = None,
+             asOfVersion: Option[Long] = None): DataFrame = {
     val qCol = array(q.map(lit): _*)
-    probedScan(spark, dir, q, nprobe, idCol, excludeId)
+    probedScan(spark, dir, q, nprobe, idCol, excludeId,
+        asOfVersion = asOfVersion)
       .withColumn("cos", Similarity.cosine(col(vecCol), qCol))
       .orderBy(col("cos").desc, col(idCol))
       .limit(topK)
@@ -224,13 +286,12 @@ object VectorStore {
                       nprobe: Int = 2, topK: Int = 10, rerank: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       excludeId: Option[Long] = None): DataFrame = {
-    if (!spark.read.parquet(dir).schema.fieldNames.contains("q8"))
+    if (!readStore(spark, dir).schema.fieldNames.contains("q8"))
       return search(spark, dir, q, nprobe, topK, idCol, vecCol, excludeId)
     val qCol = array(q.map(lit): _*)
     val candidates = coarseCandidates(spark, dir, q, nprobe, topK * rerank,
       idCol, excludeId).collect().map(_.getLong(0))
-    probedScan(spark, dir, q, nprobe, idCol, excludeId)
-      .filter(col(idCol).isin(candidates: _*))
+    probedScan(spark, dir, q, nprobe, idCol, excludeId, candIds = candidates)
       .withColumn("cos", Similarity.cosine(col(vecCol), qCol))
       .orderBy(col("cos").desc, col(idCol))
       .limit(topK)
@@ -277,8 +338,19 @@ object VectorStore {
             ce.getField("cid").cast("long").as("cid")))),
         x => x.getField("cid")), 1, nprobe))
       .select(col("qid"), col("q_vec"), explode(col("probe")).as("centroid_id"))
-    val probed = spark.read.parquet(dir)
-      .join(broadcast(qCells), Seq("centroid_id"))
+    // Manifest store: the union of all queries' probed cells is bounded
+    // by k (a PARAMETER — at most every centroid), so one tiny driver
+    // job collects it and the scan prunes to just those cells' files;
+    // the hive layout gets the same effect from DPP on the join below.
+    val store =
+      if (isCommitted(spark, dir)) {
+        val cells = qCells.select("centroid_id").distinct()
+          .collect().map(_.getLong(0))
+        if (cells.isEmpty) ManifestTable.read(spark, dir).where(lit(false))
+        else ManifestTable.readWhere(spark, dir,
+          ManifestTable.inPredicate("centroid_id", cells.toSeq))
+      } else spark.read.parquet(dir)
+    val probed = store.join(broadcast(qCells), Seq("centroid_id"))
     (if (excludeSelf) probed.filter(col(idCol) =!= col("qid")) else probed)
       .select(col("qid"),
         struct((-Similarity.cosine(col(vecCol), col("q_vec"))).as("nc"),
@@ -315,13 +387,12 @@ object VectorStore {
                idCol: String = "vec_id", vecCol: String = "embedding",
                excludeId: Option[Long] = None): DataFrame = {
     val cbOpt = readPqCodebook(spark, dir)
-    if (cbOpt.isEmpty || !spark.read.parquet(dir).schema.fieldNames.contains("pq_code"))
+    if (cbOpt.isEmpty || !readStore(spark, dir).schema.fieldNames.contains("pq_code"))
       return search(spark, dir, q, nprobe, topK, idCol, vecCol, excludeId)
     val candidates = pqCoarse(spark, dir, q, nprobe, topK * rerank,
       idCol, excludeId).collect().map(_.getLong(0))
     val qCol = array(q.map(lit): _*)
-    probedScan(spark, dir, q, nprobe, idCol, excludeId)
-      .filter(col(idCol).isin(candidates: _*))
+    probedScan(spark, dir, q, nprobe, idCol, excludeId, candIds = candidates)
       .withColumn("cos", Similarity.cosine(col(vecCol), qCol))
       .orderBy(col("cos").desc, col(idCol))
       .limit(topK)
@@ -384,13 +455,21 @@ object VectorStore {
       .select(col(idCol))
   }
 
-  /** The partition-pruned scan under both search paths: `q`'s `nprobe`
+  /** The cell-pruned scan under both search paths: `q`'s `nprobe`
     * nearest cells by squared L2 (cid tiebreak — the [[Similarity]]
-    * convention), centroids ranked on the driver (k rows).
+    * convention), centroids ranked on the driver (k rows). On a hive
+    * store the cells prune as `PartitionFilters`; on a manifest store
+    * they prune driver-side against commit-time file stats, and a
+    * non-empty `candIds` (the rerank's bounded candidate set) ALSO
+    * prunes via the per-file id blooms before the pushed-down IN scan.
+    * `asOfVersion` pins a historical manifest version — time-travel
+    * ANN: the search runs against the exact store as of that commit.
     */
   private def probedScan(spark: SparkSession, dir: String, q: Seq[Double],
                          nprobe: Int, idCol: String,
-                         excludeId: Option[Long]): DataFrame = {
+                         excludeId: Option[Long],
+                         candIds: Seq[Long] = Nil,
+                         asOfVersion: Option[Long] = None): DataFrame = {
     val cents = readCentroids(spark, dir).getOrElse(
       throw new IllegalStateException(s"no vector store at $dir")).collect()
     def l2sq(cv: Seq[Double]): Double =
@@ -399,8 +478,26 @@ object VectorStore {
       .map(r => (r.getLong(0), l2sq(r.getSeq[Double](1))))
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe).map(_._1)
-    val base = spark.read.parquet(dir)
-      .filter(col("centroid_id").isin(cells: _*))
+    val base =
+      if (asOfVersion.nonEmpty || isCommitted(spark, dir)) {
+        val pred = ManifestTable.inPredicate("centroid_id", cells.toSeq) +
+          (if (candIds.nonEmpty)
+             " AND " + ManifestTable.inPredicate(idCol, candIds)
+           else "")
+        ManifestTable.readWhere(spark, dir, pred, asOfVersion)
+      } else {
+        val b = spark.read.parquet(dir)
+          .filter(col("centroid_id").isin(cells: _*))
+        if (candIds.nonEmpty) b.filter(col(idCol).isin(candIds: _*)) else b
+      }
     excludeId.fold(base)(i => base.filter(col(idCol) =!= i))
   }
+
+  /** The store's rows under either layout — manifest snapshot when one
+    * exists, the hive directory tree otherwise. Schema checks and full
+    * scans go through here so both layouts serve every search path.
+    */
+  private def readStore(spark: SparkSession, dir: String): DataFrame =
+    if (isCommitted(spark, dir)) ManifestTable.read(spark, dir)
+    else spark.read.parquet(dir)
 }

@@ -353,7 +353,7 @@ object ExtQueries {
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val e = t(s, d, "embeddings")
-    graft.ext.VectorStore.append(e, root)
+    graft.ext.VectorStore.appendCommitted(e, root, "b0")
     val q = e.filter(col("vec_id") % 100 === 7)
       .select(col("vec_id").cast("long").as("qid"),
         transform(col("embedding"), x => x.cast("double")).as("q_vec"))
@@ -377,8 +377,12 @@ object ExtQueries {
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val e = t(s, d, "embeddings")
-    graft.ext.VectorStore.append(e.filter(col("vec_id") < 1000), root)
-    graft.ext.VectorStore.append(e.filter(col("vec_id") >= 1000), root)
+    // manifest-committed: the rerank's candidate-id IN probe now prunes
+    // files via the per-file vec_id blooms on top of the pushed-down scan
+    graft.ext.VectorStore.appendCommitted(
+      e.filter(col("vec_id") < 1000), root, "b0")
+    graft.ext.VectorStore.appendCommitted(
+      e.filter(col("vec_id") >= 1000), root, "b1")
     val q = e.filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
       .collect()(0).getSeq[Double](0)
@@ -422,8 +426,10 @@ object ExtQueries {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val e = t(s, d, "embeddings")
     graft.ext.VectorStore.initPq(graft.ext.Similarity.pqTrain(e), root)
-    graft.ext.VectorStore.append(e.filter(col("vec_id") < 1000), root)
-    graft.ext.VectorStore.append(e.filter(col("vec_id") >= 1000), root)
+    graft.ext.VectorStore.appendCommitted(
+      e.filter(col("vec_id") < 1000), root, "b0")
+    graft.ext.VectorStore.appendCommitted(
+      e.filter(col("vec_id") >= 1000), root, "b1")
     val q = e.filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
       .collect()(0).getSeq[Double](0)
@@ -489,13 +495,16 @@ object ExtQueries {
     graft.streaming.StatsSink.read(s, root).orderBy("lang")
   }
 
-  /** Partition-pruned ANN search over the centroid-partitioned
-    * [[graft.ext.VectorStore]]: the store builds in TWO appends (cells
-    * frozen by the first — later appends must assign consistently), the
-    * query vector's 2 nearest cells are probed, and only those partition
-    * directories are scanned (VectorStoreSpec pins `PartitionFilters`).
-    * The oracle assigns every vector to the same seeded centroids and
-    * takes the same (cos DESC, id) top-10 inside the probed cells.
+  /** Cell-pruned ANN search over the MANIFEST-COMMITTED
+    * [[graft.ext.VectorStore]]: the store builds in TWO atomic appends
+    * (cells frozen by the first — later appends must assign
+    * consistently; batch ids make a replay a no-op), the query vector's
+    * 2 nearest cells are probed, and only the files whose commit-time
+    * stats admit those cells are scanned (VectorStoreSpec pins
+    * `pruneInfo`; the hive `PartitionFilters` layout remains covered in
+    * spec). The oracle assigns every vector to the same seeded
+    * centroids and takes the same (cos DESC, id) top-10 inside the
+    * probed cells — layout changes nothing about search semantics.
     */
   def vectorStoreSearch(s: SparkSession, d: String): DataFrame = {
     val root = "/tmp/graft_fix/vector_store"
@@ -503,8 +512,13 @@ object ExtQueries {
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val e = t(s, d, "embeddings")
-    graft.ext.VectorStore.append(e.filter(col("vec_id") < 1000), root)
-    graft.ext.VectorStore.append(e.filter(col("vec_id") >= 1000), root)
+    // manifest-committed store (VERDICT r10 #5): same encoded rows, but
+    // appends are atomic idempotent commits and the probe prunes files
+    // from manifest stats instead of hive PartitionFilters
+    graft.ext.VectorStore.appendCommitted(
+      e.filter(col("vec_id") < 1000), root, "b0")
+    graft.ext.VectorStore.appendCommitted(
+      e.filter(col("vec_id") >= 1000), root, "b1")
     val q = e.filter(col("vec_id") === 0)
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
       .collect()(0).getSeq[Double](0)
@@ -551,6 +565,50 @@ object ExtQueries {
         corpus, exactIdx, nearIdx, idCol = "doc_id")
     }
     s.read.parquet(corpus).select("doc_id", "text").orderBy("doc_id")
+  }
+
+  /** The same complete fold as [[trainIngestReplay]] run through
+    * [[graft.streaming.Ingest.ingestBatchFullCommitted]] — the
+    * effectively-once variant — with the LAST batch crash-replayed: the
+    * corpus manifest absorbs the replay on its batch id and the final
+    * table equals the single-run chain exactly, which is the property
+    * the commit discipline exists to guarantee. The oracle is the SAME
+    * sequential DuckDB replay as `train_ingest_replay` (a no-op replay
+    * contributes nothing), so hash-equality certifies that
+    * effectively-once changed the failure semantics and NOTHING about
+    * the data.
+    */
+  def trainIngestCommittedReplay(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/train_ingest_committed"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val planted = plantedPiiDocs(s, d).filter(col("doc_id") < 200)
+    val seeded = planted
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        (col("doc_id") % 2).cast("long").as("b"))
+      .unionByName(planted.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).cast("long").as("doc_id"),
+          col("text"), ((col("doc_id") + 1) % 2).cast("long").as("b")))
+      .unionByName(planted.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000).cast("long").as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 8, 0))").as("text"),
+          ((col("doc_id") + 1) % 2).cast("long").as("b")))
+    val (corpus, exactIdx, nearIdx) =
+      (s"$root/corpus", s"$root/exact_index", s"$root/near_index")
+    (0L until 2L).foreach { i =>
+      graft.streaming.Ingest.ingestBatchFullCommitted(
+        seeded.filter(col("b") === i).select("doc_id", "text"),
+        corpus, exactIdx, nearIdx, s"b$i", idCol = "doc_id")
+    }
+    // crash-replay of the last batch under its original id: corpus and
+    // stats manifests no-op, the indexes self-heal — the corpus must not
+    // move (the at-least-once window ingestBatchFull documents, closed)
+    graft.streaming.Ingest.ingestBatchFullCommitted(
+      seeded.filter(col("b") === 1L).select("doc_id", "text"),
+      corpus, exactIdx, nearIdx, "b1", idCol = "doc_id")
+    graft.ext.ManifestTable.read(s, corpus)
+      .select("doc_id", "text").orderBy("doc_id")
   }
 
   /** The same complete fold as [[trainIngestReplay]] with `statsDir`
@@ -1079,6 +1137,7 @@ object ExtQueries {
     "neardup_corpus_replay" -> (nearDupCorpusReplay(_, _)),
     "neardup_embed_corpus_replay" -> (nearDupEmbedCorpusReplay(_, _)),
     "train_ingest_replay" -> (trainIngestReplay(_, _)),
+    "train_ingest_committed_replay" -> (trainIngestCommittedReplay(_, _)),
     "train_ingest_stats_replay" -> (trainIngestStatsReplay(_, _)),
     "corpus_stats_replay" -> (corpusStatsReplay(_, _)),
     "vector_store_search" -> (vectorStoreSearch(_, _)),
@@ -2130,6 +2189,17 @@ object ExtQueries {
     // winners, then per-batch near-dup keep + cross-batch signature
     // probe over the SCRUBBED texts — every stage of ingestBatchFull
     "train_ingest_replay" ->
+      s"""WITH RECURSIVE $trainIngestChainSql
+         |SELECT id AS doc_id, text FROM qkeep
+         |UNION ALL
+         |SELECT k.id AS doc_id, k.text FROM wkeep k
+         |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.probe_id = k.id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // identical oracle to train_ingest_replay ON PURPOSE: the committed
+    // fold crash-replays its last batch, and effectively-once means the
+    // replay must contribute NOTHING — same table, same hash
+    "train_ingest_committed_replay" ->
       s"""WITH RECURSIVE $trainIngestChainSql
          |SELECT id AS doc_id, text FROM qkeep
          |UNION ALL

@@ -347,6 +347,54 @@ object Ingest {
     kept.unpersist()
   }
 
+  /** [[ingestBatchFull]] with the corpus landed effectively-once — the
+    * COMPLETE chain (exact dedup → quality → PII scrub → near-dup, both
+    * indexes self-maintaining) on the [[ingestBatchCommitted]] commit
+    * discipline, via [[NearDupSink.ingestBatchCommitted]] for the
+    * stats → corpus → near-index tail. Crash windows, in commit order
+    * (stats, corpus, near-dup index, exact index — each later than the
+    * last):
+    *
+    *   - after STATS, before corpus: the chain is content-deterministic,
+    *     so the replay recomputes identical survivors; stats no-op on
+    *     the absorbed batch id, the corpus catches up.
+    *   - after CORPUS, before the near-dup index: the replay's
+    *     survivors re-emerge (neither index has them), stats and corpus
+    *     no-op, the near-dup index append backfills, exact follows.
+    *   - after the NEAR-DUP index, before exact: the replay's rows
+    *     probe est-1.0 against their OWN indexed signatures and the
+    *     near-dup stage drops them all — stats/corpus append nothing
+    *     (already absorbed anyway) — while `appendExactIndex` runs on
+    *     the PRE-near-dup survivors, backfilling the exact
+    *     fingerprints; a third replay then vanishes at stage 1.
+    *
+    * Stats-last would instead lose the batch's totals forever (the
+    * replay no-ops on the absorbed corpus id and never revisits them) —
+    * the same argument as [[ingestBatchCommitted]], now holding across
+    * the full chain. Returns true iff this call committed new corpus
+    * rows.
+    */
+  def ingestBatchFullCommitted(batch: DataFrame, corpusDir: String,
+                               exactIndexDir: String, nearIndexDir: String,
+                               batchId: String,
+                               idCol: String = "id", textCol: String = "text",
+                               threshold: Double = 0.6,
+                               minEstJaccard: Double = 0.5,
+                               statsDir: Option[String] = None): Boolean = {
+    val (kept, release) = dedupQuality(batch, exactIndexDir, textCol)
+    val scrubbed = graft.core.Caches.track(
+      kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val committed = NearDupSink.ingestBatchCommitted(scrubbed, corpusDir,
+      nearIndexDir, batchId, idCol, textCol, threshold, minEstJaccard,
+      statsDir = statsDir)
+    release()
+    appendExactIndex(exactIndexDir, kept, textCol)
+    scrubbed.unpersist()
+    kept.unpersist()
+    committed
+  }
+
   /** [[ingestBatchFull]] wired as a continuously-running sink — the
     * complete pre-training ingest (dedup both ways, quality, scrubbing,
     * self-maintaining indexes) behind one `writeStream`.
@@ -365,6 +413,64 @@ object Ingest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatchFull(batch, corpusDir, exactIndexDir, nearIndexDir,
           idCol, textCol, threshold, minEstJaccard, statsDir)
+      }
+    checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
+
+  /** [[ingestBatchFullCommitted]] behind one `writeStream` — the full
+    * chain, effectively-once END TO END: Structured Streaming replays a
+    * crashed micro-batch under the SAME epoch id, so
+    * `"<runPrefix>-<epochId>"` is a stable batch id and the corpus/stats
+    * manifests absorb the replay as a no-op while the indexes self-heal
+    * (the window walk on [[ingestBatchFullCommitted]]). `runPrefix`
+    * names the logical stream — keep it constant across restarts of the
+    * same checkpointed query, distinct between independent streams
+    * sharing a corpus.
+    */
+  def pipelineToCorpusFullCommitted(docs: DataFrame, corpusDir: String,
+                                    exactIndexDir: String, nearIndexDir: String,
+                                    runPrefix: String,
+                                    idCol: String = "id",
+                                    textCol: String = "text",
+                                    threshold: Double = 0.6,
+                                    minEstJaccard: Double = 0.5,
+                                    trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
+                                    checkpointDir: Option[String] = None,
+                                    statsDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestBatchFullCommitted(batch, corpusDir, exactIndexDir,
+          nearIndexDir, s"$runPrefix-$epochId", idCol, textCol,
+          threshold, minEstJaccard, statsDir)
+        ()
+      }
+    checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
+      .start()
+  }
+
+  /** [[ingestBatchCommitted]] behind one `writeStream` — the simple
+    * chain, effectively-once end to end on the same epoch-keyed batch-id
+    * discipline as [[pipelineToCorpusFullCommitted]] (Structured
+    * Streaming replays a crashed micro-batch under the same epoch id,
+    * so the corpus/stats manifests absorb the replay while the index
+    * self-heals).
+    */
+  def pipelineToCorpusCommitted(docs: DataFrame, corpusDir: String,
+                                indexDir: String, runPrefix: String,
+                                textCol: String = "text",
+                                trigger: Trigger = Trigger.ProcessingTime("0 seconds"),
+                                checkpointDir: Option[String] = None,
+                                statsDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        ingestBatchCommitted(batch, corpusDir, indexDir,
+          s"$runPrefix-$epochId", textCol, statsDir)
+        ()
       }
     checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()

@@ -240,6 +240,39 @@ class StreamDedupSpec extends SparkSpec {
     assert(state() === after)
   }
 
+  test("committed full sink behind writeStream: epoch-keyed batch ids, manifest-committed corpus") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-fullcommit-st").toString
+    val (corpus, exactIdx, nearIdx) =
+      (s"$root/corpus", s"$root/exact", s"$root/near")
+    val a = (1L, "the first document is about a river and a forest with the " +
+      "sun over the hills and a long road to the valley by the old mill")
+    val b = (2L, "the second document is about the sea and the wind in " +
+      "the sails of a boat on the long way home to the island harbor")
+    val c = (3L, "the third document concerns mountain trails and river " +
+      "crossings on the long hike to the northern ridge camp by the lake")
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.pipelineToCorpusFullCommitted(
+      source.toDS().toDF("id", "text"), corpus, exactIdx, nearIdx,
+      runPrefix = "run", checkpointDir = Some(s"$root/cp"))
+    source.addData(a, b)
+    q.processAllAvailable()          // epoch 0 → batch id "run-0"
+    source.addData(c, (10L, a._2))   // exact repeat of A dies at stage 1
+    q.processAllAvailable()          // epoch 1 → batch id "run-1"
+    q.stop()
+    def state() = graft.ext.ManifestTable.read(spark, corpus)
+      .select("id").as[Long].collect().toSeq.sorted
+    val after = state()
+    assert(after === Seq(1L, 2L, 3L))
+    // crash-replay of epoch 1 through the batch API under its
+    // epoch-keyed id: the corpus MANIFEST absorbs it (returns false) —
+    // effectively-once by commit protocol, not merely by content dedup
+    assert(!graft.streaming.Ingest.ingestBatchFullCommitted(
+      Seq(c, (10L, a._2)).toDF("id", "text"),
+      corpus, exactIdx, nearIdx, "run-1"))
+    assert(state() === after)
+  }
+
   test("self-maintaining corpus: micro-batches dedup against earlier ones; replay appends nothing") {
     implicit val sq = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-corpus").toString
@@ -348,6 +381,74 @@ class StreamDedupSpec extends SparkSpec {
       Seq(doc(3, "third", "en")).toDF("id", "text", "lang"),
       corpus, index, "b1", statsDir = Some(stats)))
     assert(totals() === Seq(("de", 1L), ("en", 2L)) && totals() === fromCorpus)
+  }
+
+  test("committed FULL chain: stats-first ordering replays every crash window to consistent totals") {
+    // VERDICT r10 #7: the simple committed sink argues the stats →
+    // corpus → index ordering; this walks the same windows through the
+    // COMPLETE chain (exact dedup → quality → scrub → near-dup, both
+    // indexes), where the near-dup index commits before the exact one.
+    val root = java.nio.file.Files.createTempDirectory("graft-fullcommit").toString
+    val (corpus, exactIdx, nearIdx, stats) =
+      (s"$root/corpus", s"$root/exact", s"$root/near", s"$root/stats")
+    // four DISSIMILAR texts: the full chain's near-dup stage must keep
+    // all of them (single-seed-word variants of one template would be
+    // near-dups of each other and correctly collapse to one)
+    val texts = Map(
+      1L -> ("the first document is about a river and a forest with the " +
+        "sun over the hills and a long road to the valley by the old mill"),
+      2L -> ("the second document is about the sea and the wind in the " +
+        "sails of a boat on the long way home to the island harbor"),
+      3L -> ("the third document is about a market in the town square " +
+        "where the people sell bread and fruit in the morning light"),
+      4L -> ("the fourth document concerns mountain trails and river " +
+        "crossings on the long hike to the northern ridge camp by the lake"))
+    def doc(id: Long, seed: String, lang: String) = (id, texts(id), lang)
+    def df(rows: Seq[(Long, String, String)]) = rows.toDF("id", "text", "lang")
+    def totals() = graft.streaming.StatsSink.readCommitted(spark, stats)
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def corpusLangs() = graft.ext.ManifestTable.read(spark, corpus)
+      .groupBy("lang").count()
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(graft.streaming.Ingest.ingestBatchFullCommitted(
+      df(Seq(doc(1, "first", "en"), doc(2, "second", "de"))),
+      corpus, exactIdx, nearIdx, "b0", statsDir = Some(stats)))
+    assert(totals() === corpusLangs())
+    // window 1: b1's STATS commit, the process dies before the corpus
+    // commit — simulated by committing the survivors' stats under b1
+    graft.streaming.StatsSink.appendCommitted(
+      df(Seq(doc(3, "third", "en"))), stats, "b1")
+    // replay: the chain recomputes identical survivors, stats no-op on
+    // the absorbed id, corpus and both indexes catch up
+    assert(graft.streaming.Ingest.ingestBatchFullCommitted(
+      df(Seq(doc(3, "third", "en"))),
+      corpus, exactIdx, nearIdx, "b1", statsDir = Some(stats)))
+    assert(totals() === Seq(("de", 1L), ("en", 2L)))
+    assert(totals() === corpusLangs())
+    // window 2: b2 commits stats + corpus + NEAR-dup index, dies before
+    // the exact-index append — simulated by running the committed
+    // near-dup tail directly on the scrubbed survivors
+    graft.streaming.NearDupSink.ingestBatchCommitted(
+      df(Seq(doc(4, "fourth", "de")))
+        .withColumn("text", graft.ext.TextAnalysis.scrubPii($"text")),
+      corpus, nearIdx, "b2", statsDir = Some(stats))
+    val exactBefore = graft.streaming.Ingest.readIndex(spark, exactIdx).count()
+    // replay of b2: rows re-emerge at stage 1 (exact fp missing), the
+    // near-dup probe drops them est-1.0 against their OWN signatures,
+    // stats/corpus no-op on the absorbed id — and the exact index
+    // BACKFILLS from the pre-near-dup survivors
+    assert(!graft.streaming.Ingest.ingestBatchFullCommitted(
+      df(Seq(doc(4, "fourth", "de"))),
+      corpus, exactIdx, nearIdx, "b2", statsDir = Some(stats)))
+    assert(graft.streaming.Ingest.readIndex(spark, exactIdx).count()
+      === exactBefore + 1)
+    assert(totals() === Seq(("de", 2L), ("en", 2L)))
+    assert(totals() === corpusLangs())
+    // a third replay vanishes at stage 1 — full no-op, totals frozen
+    assert(!graft.streaming.Ingest.ingestBatchFullCommitted(
+      df(Seq(doc(4, "fourth", "de"))),
+      corpus, exactIdx, nearIdx, "b2", statsDir = Some(stats)))
+    assert(totals() === Seq(("de", 2L), ("en", 2L)) && totals() === corpusLangs())
   }
 
   test("composed stats: ingest-maintained totals track corpus content and survive replay") {

@@ -183,6 +183,73 @@ class VectorStoreSpec extends SparkSpec {
         nprobe = 2, topK = 5).collect().toSeq)
   }
 
+  test("manifest-committed store: idempotent appends, stats-pruned probe, time travel, compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-mt").toString + "/s"
+    // appends are atomic commits with replay idempotence — the window
+    // the hive layout's bare directory append can't close
+    assert(graft.ext.VectorStore.appendCommitted(mkVecs(0 until 20), dir, "b0", k = 2))
+    assert(!graft.ext.VectorStore.appendCommitted(mkVecs(0 until 20), dir, "b0", k = 2))
+    assert(graft.ext.VectorStore.appendCommitted(mkVecs(20 until 40), dir, "b1", k = 2))
+    val q = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // search semantics identical to the hive layout: top-k inside the
+    // probed cell equals brute force over that cell's population
+    val ids = graft.ext.VectorStore.search(spark, dir, q, nprobe = 1, topK = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = mkVecs(0 until 40).filter($"vec_id" % 2 === 0)
+      .withColumn("cos", graft.ext.Similarity.cosine($"embedding",
+        array(q.map(lit): _*)))
+      .orderBy($"cos".desc, $"vec_id").limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids === brute)
+    // cell pruning is now MANIFEST pruning: a one-cell probe keeps a
+    // strict subset of the snapshot's files (commit-time stats, no
+    // listing, no footer reads)
+    val (kept, total) = graft.ext.ManifestTable.pruneInfo(spark, dir,
+      graft.ext.ManifestTable.inPredicate("centroid_id", Seq(0L)))
+    assert(kept < total, s"expected a one-cell probe to prune: $kept/$total")
+    // ...and the rerank's candidate-id IN prunes FURTHER on id stats +
+    // per-file blooms — the capability the hive layout never had
+    val (keptIds, _) = graft.ext.ManifestTable.pruneInfo(spark, dir,
+      graft.ext.ManifestTable.inPredicate("centroid_id", Seq(0L)) +
+        " AND " + graft.ext.ManifestTable.inPredicate("vec_id", Seq(2L)))
+    assert(keptIds <= kept && keptIds < total)
+    // quantized two-pass equals exact on the committed layout
+    assert(graft.ext.VectorStore.searchQuantized(spark, dir, q,
+        nprobe = 2, topK = 5, rerank = 4).collect().toSeq ===
+      graft.ext.VectorStore.search(spark, dir, q, nprobe = 2, topK = 5)
+        .collect().toSeq)
+    // TIME TRAVEL: pinned to the version b0 committed, the search sees
+    // only the first batch — 20 rows, not 40
+    assert(graft.ext.VectorStore.search(spark, dir, q, nprobe = 2,
+      topK = 40, asOfVersion = Some(1L)).count() === 20L)
+    // re-clustering compaction is one manifest swap; results unchanged
+    val (nin, nout) = graft.ext.VectorStore.compactCommitted(spark, dir)
+    assert(nin > 0 && nout > 0)
+    assert(graft.ext.VectorStore.search(spark, dir, q, nprobe = 1, topK = 5)
+      .select("vec_id").as[Long].collect().toSeq === brute)
+  }
+
+  test("searchMany on a manifest-committed store prunes to the union of probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-mtm").toString + "/s"
+    graft.ext.VectorStore.appendCommitted(mkVecs(0 until 40), dir, "b0", k = 2)
+    val qs = mkVecs(5 until 8)
+      .select($"vec_id".as("qid"),
+        transform($"embedding", x => x.cast("double")).as("q_vec"))
+    val got = graft.ext.VectorStore.searchMany(spark, dir, qs,
+        topK = 3, nprobe = 1)
+      .orderBy("qid", "nn_rank")
+      .select("qid", "nn_id").as[(Long, Long)].collect().toSeq
+    val expected = Seq(5L, 6L, 7L).flatMap { qid =>
+      val q = mkVecs(0 until 40).filter($"vec_id" === qid)
+        .select(transform($"embedding", x => x.cast("double")).as("v"))
+        .collect()(0).getSeq[Double](0)
+      graft.ext.VectorStore.search(spark, dir, q, nprobe = 1, topK = 3,
+          excludeId = Some(qid))
+        .select("vec_id").as[Long].collect().toSeq.map(qid -> _)
+    }
+    assert(got === expected)
+  }
+
   test("searchMany excludeSelf=false keeps a neighbor whose vec_id collides with a qid") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vstore-self").toString + "/s"
     graft.ext.VectorStore.append(mkVecs(0 until 40), dir, k = 2)
