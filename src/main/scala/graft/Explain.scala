@@ -45,6 +45,36 @@ object Explain {
     sb.append("(PushedFilters / ReadSchema), small sides broadcast, no\n")
     sb.append("redundant exchanges, WholeStageCodegen spans cover the\n")
     sb.append("expression-heavy stages.\n")
+    // Post-plan audit notes: for the manifest-skipping queries the
+    // interesting fact is DRIVER-side (files pruned before the scan
+    // exists), invisible in the physical plan — record kept/total from
+    // pruneInfo against the fixture the query builder just rebuilt.
+    val notes: Map[String, SparkSession => String] = Map(
+      "manifest_skipping" -> (s => {
+        val (k, t) = graft.ext.ManifestTable.pruneInfo(s,
+          "/tmp/graft_fix/manifest_skip",
+          "doc_id >= 100 AND doc_id < 220 AND lang <> 'de'")
+        s"pruneInfo (stats, clustered on doc_id): kept $k of $t files"
+      }),
+      "manifest_bloom_skipping" -> (s => {
+        val (k, t) = graft.ext.ManifestTable.pruneInfo(s,
+          "/tmp/graft_fix/manifest_bloom", "doc_id IN (42, 217, 401)")
+        s"pruneInfo (blooms over full-span files): kept $k of $t files"
+      }),
+      // the ADC coarse pass executes eagerly inside searchPq (its
+      // candidate ids feed the rerank plan above), so audit its scan
+      // here: ReadSchema must carry pq_code + norm and NEITHER vector
+      // column — the bytes-read claim of product quantization
+      "vector_store_search_pq" -> (s => {
+        val qv = graft.ext.ManifestTable.read(s, "/tmp/graft_fix/vector_store_pq")
+          .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+          .selectExpr("transform(embedding, x -> cast(x as double)) as v")
+          .collect()(0).getSeq[Double](0)
+        "ADC coarse pass plan:\n" + graft.ext.VectorStore.pqCoarse(
+          s, "/tmp/graft_fix/vector_store_pq", qv, nprobe = 2, limit = 40,
+          excludeId = Some(0L)).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      }))
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         sb.append(s"\n## $name\n\n```\n")
@@ -52,6 +82,7 @@ object Explain {
           val plan = fn(spark, sfDir).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           sb.append(plan)
+          notes.get(name).foreach(n => sb.append(s"\n${n(spark)}\n"))
         } catch {
           case e: Throwable => sb.append(s"explain failed: ${e.getMessage}")
         }

@@ -791,8 +791,11 @@ object ExtQueries {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
     graft.ext.ManifestTable.append(docs, root, "docs")
+    // 4 KB target: even the narrow 3-column projection at sf0.01 splits
+    // into several doc_id-clustered files, so the pruneInfo REQUIRE and
+    // the PLANS.md audit observe real stats skipping at every sf
     graft.ext.ManifestTable.compact(s, root,
-      targetFileBytes = 12L * 1024, clusterBy = Seq("doc_id"))
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
     val pred = "doc_id >= 100 AND doc_id < 220 AND lang <> 'de'"
     val (kept, total) = graft.ext.ManifestTable.pruneInfo(s, root, pred)
     require(total == 1 || kept < total,
