@@ -77,10 +77,80 @@ object ManifestTable {
     * may cover only a subset of `files` — manifests written before stats
     * existed, or files whose footers could not be read, stay readable
     * and are never pruned.
+    *
+    * `op` names the KIND of commit that produced this version
+    * ("append" | "compact" | "delete" | "update" | "merge"; "" on
+    * manifests written before op tracking) — the provenance
+    * [[appendsBetween]] needs to tell new rows from rewrites.
+    *
+    * `schemaJson` is the TABLE schema (Spark `StructType.json`) as of
+    * this version — schema-on-manifest, the Delta/Iceberg design.
+    * Without it, a multi-file parquet read takes the FIRST footer's
+    * schema, so files appended later with extra columns silently lose
+    * them; with it, every read projects the full column set and
+    * null-fills files written before a column existed. None on tables
+    * whose first commit predates schema tracking (they keep today's
+    * footer-derived behavior).
     */
   final case class Snapshot(version: Long, files: Seq[String],
                             batchIds: Set[String],
-                            stats: Map[String, FileStats] = Map.empty)
+                            stats: Map[String, FileStats] = Map.empty,
+                            op: String = "",
+                            schemaJson: Option[String] = None)
+
+  /** The recorded table schema of a snapshot, if this table tracks one. */
+  def tableSchema(s: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+    s.schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** SCHEMA EVOLUTION policy, evaluated inside every append's commit
+    * callback (so a CAS retry re-merges against the fresh head):
+    *
+    *   - a column new to the table is APPENDED, forced nullable (files
+    *     written before it existed null-fill it on read);
+    *   - a column the batch lacks is fine (the batch's rows null-fill);
+    *   - a column changing its data type is REJECTED loudly — silent
+    *     widening is how readers end up binding the wrong parquet
+    *     decoder at depth in a 100 TB table.
+    *
+    * Tables created before schema tracking (files exist, no schema
+    * line) stay schema-less: we cannot know what columns their old
+    * files hold without a footer sweep, so guessing would be worse
+    * than today's behavior.
+    */
+  private def mergedSchemaJson(old: Snapshot,
+                               incoming: org.apache.spark.sql.types.StructType)
+  : Option[String] = {
+    import org.apache.spark.sql.types.StructType
+    def nullable(s: StructType) = StructType(s.fields.map(_.copy(nullable = true)))
+    tableSchema(old) match {
+      case None =>
+        if (old.files.isEmpty) Some(nullable(incoming).json) else None
+      case Some(cur) =>
+        val merged = incoming.fields.foldLeft(cur) { (acc, fd) =>
+          acc.fields.find(_.name.equalsIgnoreCase(fd.name)) match {
+            case Some(ex) =>
+              require(ex.dataType == fd.dataType,
+                s"schema evolution cannot change column ${fd.name}: " +
+                  s"${ex.dataType.simpleString} -> ${fd.dataType.simpleString}")
+              acc
+            case None => StructType(acc.fields :+ fd.copy(nullable = true))
+          }
+        }
+        Some(merged.json)
+    }
+  }
+
+  /** Read `names` under `data/` with the snapshot's recorded schema when
+    * one exists — every file projects the FULL table column set (files
+    * predating a column null-fill it); without a recorded schema the
+    * parquet reader's first-footer schema applies, as before.
+    */
+  private def readFiles(spark: SparkSession, dir: String, s: Snapshot,
+                        names: Seq[String]): DataFrame = {
+    val r = tableSchema(s).fold(spark.read)(sc => spark.read.schema(sc))
+    r.parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+  }
 
   private def manifestDir(dir: String) = s"$dir/_manifest"
   private def dataDir(dir: String) = s"$dir/data"
@@ -122,12 +192,15 @@ object ManifestTable {
     readManifest(spark, dir, version)
   }
 
-  /** Read rows as of manifest `version` (see [[snapshotAt]]). */
+  /** Read rows as of manifest `version` (see [[snapshotAt]]). The
+    * version's OWN recorded schema applies — a column added later does
+    * not exist in the historical read, exactly as it didn't then.
+    */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val s = snapshotAt(spark, dir, version)
     require(s.files.nonEmpty,
       s"ManifestTable at $dir version $version has no data files")
-    spark.read.parquet(s.files.map(n => s"${dataDir(dir)}/$n"): _*)
+    readFiles(spark, dir, s, s.files)
   }
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -139,6 +212,8 @@ object ManifestTable {
     *
     *   file:<name>                       one per live data file
     *   batch:<id>                        one per absorbed append batch
+    *   op:<kind>                         the commit kind of THIS version
+    *   schema:<jsonEnc>                  table schema (StructType.json)
     *   rows:<name>\t<rowCount>           one per file with footer stats
     *   col:<name>\t<colEnc>\t<typ>\t<nulls>\t<flag>\t<minEnc>\t<maxEnc>
     *
@@ -173,7 +248,10 @@ object ManifestTable {
     Snapshot(v,
       lines.filter(_.startsWith("file:")).map(_.stripPrefix("file:")),
       lines.filter(_.startsWith("batch:")).map(_.stripPrefix("batch:")).toSet,
-      stats)
+      stats,
+      lines.find(_.startsWith("op:")).map(_.stripPrefix("op:")).getOrElse(""),
+      lines.find(_.startsWith("schema:"))
+        .map(l => dec(l.stripPrefix("schema:"))))
   }
 
   /** The snapshot's rows (schema comes from the listed files). A table
@@ -183,7 +261,7 @@ object ManifestTable {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val s = snapshot(spark, dir)
     require(s.files.nonEmpty, s"ManifestTable at $dir has no committed data")
-    spark.read.parquet(s.files.map(n => s"${dataDir(dir)}/$n"): _*)
+    readFiles(spark, dir, s, s.files)
   }
 
   /** Append `df` as batch `batchId`. Returns true if the batch committed,
@@ -198,7 +276,11 @@ object ManifestTable {
              bloomFpp: Double = 0.01): Boolean = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
-    if (snapshot(spark, dir).batchIds.contains(batchId)) return false
+    val snap0 = snapshot(spark, dir)
+    if (snap0.batchIds.contains(batchId)) return false
+    // fail a type-conflicting batch BEFORE writing its data files (the
+    // commit callback re-merges against the CAS-fresh head anyway)
+    mergedSchemaJson(snap0, df.schema)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
     df.write.parquet(stage)
     val moved = f.listStatus(p(stage))
@@ -222,7 +304,8 @@ object ManifestTable {
     commit(spark, dir) { old =>
       if (old.batchIds.contains(batchId)) None // lost the race to a replay
       else Some(old.copy(files = old.files ++ live,
-        batchIds = old.batchIds + batchId, stats = old.stats ++ stats))
+        batchIds = old.batchIds + batchId, stats = old.stats ++ stats,
+        op = "append", schemaJson = mergedSchemaJson(old, df.schema)))
     }
   }
 
@@ -279,7 +362,9 @@ object ManifestTable {
     val totalBytes = paths.map(n => f.getFileStatus(p(n)).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-    val base = spark.read.parquet(paths: _*)
+    // schema-aware read: rewritten files MATERIALIZE the full column set,
+    // so after one compaction every live file carries every table column
+    val base = readFiles(spark, dir, snap, snap.files)
     val reshaped =
       if (clusterBy.isEmpty) base.repartition(nOut)
       else if (zorder) {
@@ -320,7 +405,8 @@ object ManifestTable {
       if (snap.files.exists(fn => !old.files.contains(fn))) None
       else Some(old.copy(
         files = old.files.filterNot(snap.files.contains) ++ live,
-        stats = old.stats -- snap.files ++ rewrittenStats))
+        stats = old.stats -- snap.files ++ rewrittenStats,
+        op = "compact"))
     }
     if (committed) (snap.files.size, live.size) else (0, 0)
   }
@@ -370,6 +456,289 @@ object ManifestTable {
     removed
   }
 
+  // ---------------------------------------------- row-level operations
+  //
+  // COPY-ON-WRITE, the Delta/Iceberg v1 strategy: data files are
+  // immutable, so changing SOME rows means rewriting the files that hold
+  // them and swapping old-for-new in one manifest commit. The whole
+  // game at 100 TB is touching as few files as possible — candidate
+  // selection runs through the same [[Skipping]] stats + bloom pruning
+  // as reads, so after a clustered compaction a selective DELETE/UPDATE
+  // rewrites O(matching files), not O(table). Every op:
+  //
+  //   - records its `opId` in the absorbed-batch set — a crash-replayed
+  //     op is a no-op, same effectively-once contract as [[append]];
+  //   - rewrites INVISIBLY (stage → data/ under new UUID names) and
+  //     becomes visible only at the manifest swap — a crash mid-rewrite
+  //     leaves orphans for [[vacuum]], never a half-applied op;
+  //   - ABORTS (returns false, rewrite orphaned) if a concurrent
+  //     rewrite already replaced one of its candidate files — committing
+  //     anyway would resurrect rows the other rewrite removed, the same
+  //     lost-update hazard [[compact]] aborts on.
+
+  /** Write `out` (None = no rewritten rows) to new data files and swap
+    * them for `candidates` in one commit, recording `opId` and `op`.
+    */
+  private def cowCommit(spark: SparkSession, dir: String, snap: Snapshot,
+                        candidates: Seq[String], out: Option[DataFrame],
+                        op: String, opId: String, beforeSwap: () => Unit,
+                        bloomCols: Seq[String], bloomFpp: Double): Boolean = {
+    val f = fs(spark, dir)
+    val moved = out match {
+      case None => Seq.empty[String]
+      case Some(df) =>
+        val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
+        df.write.parquet(stage)
+        val names = f.listStatus(p(stage))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map { s =>
+            val name = s"${java.util.UUID.randomUUID()}.parquet"
+            f.mkdirs(p(dataDir(dir)))
+            require(f.rename(s.getPath, p(s"${dataDir(dir)}/$name")),
+              s"move to data/ failed for ${s.getPath}")
+            name
+          }.toSeq
+        f.delete(p(stage), true)
+        names
+    }
+    val stats = footerStats(spark, dir, moved)
+    val live = dropEmpty(f, dir, moved, stats)
+    buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
+    beforeSwap()
+    commit(spark, dir) { old =>
+      if (old.batchIds.contains(opId)) None // replayed op: already applied
+      else if (candidates.exists(c => !old.files.contains(c))) None // conflict
+      else Some(old.copy(
+        files = old.files.filterNot(candidates.contains) ++ live,
+        batchIds = old.batchIds + opId,
+        stats = old.stats -- candidates ++ stats.filter(kv => live.contains(kv._1)),
+        op = op))
+    }
+  }
+
+  /** DELETE FROM the table: rows where `predicateSql` is TRUE are
+    * removed (FALSE or NULL survive — SQL DELETE semantics). Only the
+    * files whose stats/blooms admit a match are rewritten; files the
+    * pruning PROVES clean are never read, let alone rewritten. Returns
+    * true if this call committed; false = replayed `opId` (already
+    * applied) or a conflicting concurrent rewrite (nothing applied —
+    * re-run against the new head if the delete is still wanted).
+    */
+  def deleteWhere(spark: SparkSession, dir: String, predicateSql: String,
+                  opId: String, beforeSwap: () => Unit = () => (),
+                  bloomCols: Seq[String] = Nil,
+                  bloomFpp: Double = 0.01): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val snap = snapshot(spark, dir)
+    if (snap.batchIds.contains(opId)) return false
+    val candidates = keptFiles(spark, dir, snap, predicateSql)
+    val out =
+      if (candidates.isEmpty) None
+      else Some(readFiles(spark, dir, snap, candidates)
+        .where(not(coalesce(expr(predicateSql), lit(false)))))
+    cowCommit(spark, dir, snap, candidates, out, "delete", opId,
+      beforeSwap, bloomCols, bloomFpp)
+  }
+
+  /** UPDATE ... SET: rows where `predicateSql` is TRUE get each `set`
+    * column replaced by its SQL expression (evaluated against the OLD
+    * row, as in SQL UPDATE); other rows pass through byte-identical.
+    * `set` columns must already exist — an UPDATE is not a schema
+    * change — and the new value is cast back to the column's type so
+    * the table schema cannot drift. Same pruning, idempotence and
+    * conflict contract as [[deleteWhere]].
+    */
+  def updateWhere(spark: SparkSession, dir: String, predicateSql: String,
+                  set: Map[String, String], opId: String,
+                  beforeSwap: () => Unit = () => (),
+                  bloomCols: Seq[String] = Nil,
+                  bloomFpp: Double = 0.01): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val snap = snapshot(spark, dir)
+    if (snap.batchIds.contains(opId)) return false
+    val candidates = keptFiles(spark, dir, snap, predicateSql)
+    val out =
+      if (candidates.isEmpty) None
+      else {
+        val df = readFiles(spark, dir, snap, candidates)
+        set.keys.foreach(k => require(
+          df.schema.fields.exists(_.name.equalsIgnoreCase(k)),
+          s"updateWhere SET column $k does not exist (UPDATE is not a schema change)"))
+        val cond = coalesce(expr(predicateSql), lit(false))
+        Some(df.select(df.schema.fields.map { fd =>
+          set.find(_._1.equalsIgnoreCase(fd.name)) match {
+            case Some((_, e)) =>
+              when(cond, expr(e).cast(fd.dataType))
+                .otherwise(col(fd.name)).as(fd.name)
+            case None => col(fd.name)
+          }
+        }.toSeq: _*))
+      }
+    cowCommit(spark, dir, snap, candidates, out, "update", opId,
+      beforeSwap, bloomCols, bloomFpp)
+  }
+
+  /** MERGE (upsert) `source` into the table on `keyCols`: a table row
+    * whose key matches a source row is REPLACED by it; source rows with
+    * no match are INSERTED — `WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    * MATCHED THEN INSERT *`. NULL keys never match (SQL equality), so a
+    * null-keyed source row always inserts. The caller dedups the source:
+    * duplicate source keys land as duplicate rows, as a multi-match
+    * MERGE would error anyway.
+    *
+    * File selection: candidate files are pruned with a predicate built
+    * FROM THE SOURCE'S KEYS — an exact IN list (stats + bloom pruning,
+    * the point-lookup path) when the source has at most `maxProbeKeys`
+    * distinct keys of integral/string type, else per-column [min, max]
+    * range conjuncts (stats pruning). Either way the pruning is
+    * one-sided: a file is skipped only on proof it holds no matching
+    * key, so untouched files provably contain no matched row. On a
+    * clustered 100 TB table a small upsert batch rewrites a handful of
+    * files; the table is never scanned.
+    *
+    * The rewrite anti-joins candidates against the distinct source keys
+    * (one shuffle on the key, or a broadcast when Spark sizes the key
+    * set small) and appends the source aligned to the table's column
+    * order — missing source columns are a loud error, extra ones too:
+    * MERGE is not a schema change. Same idempotence and conflict
+    * contract as [[deleteWhere]].
+    */
+  def merge(source: DataFrame, dir: String, keyCols: Seq[String],
+            opId: String, beforeSwap: () => Unit = () => (),
+            bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
+            maxProbeKeys: Int = 1024): Boolean = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = source.sparkSession
+    val snap = snapshot(spark, dir)
+    if (snap.batchIds.contains(opId)) return false
+    val tSchema = tableSchema(snap).getOrElse(
+      if (snap.files.isEmpty) source.schema
+      else readFiles(spark, dir, snap, snap.files).schema)
+    keyCols.foreach(k => require(
+      tSchema.fields.exists(_.name.equalsIgnoreCase(k)),
+      s"merge key column $k is not a table column"))
+    val aligned = source.select(tSchema.fields.map(fd =>
+      col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
+    if (snap.files.isEmpty)
+      return cowCommit(spark, dir, snap, Nil, Some(aligned), "merge", opId,
+        beforeSwap, bloomCols, bloomFpp)
+    // source-key pruning predicate: exact IN probe for a small key set
+    // of bloom-able type, else [min, max] range conjuncts per key column
+    def probeType(k: String): Boolean =
+      tSchema.fields.find(_.name.equalsIgnoreCase(k)).exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _ => false
+      })
+    val keyDf = aligned.select(keyCols.map(col).toSeq: _*).distinct()
+    val smallKeys =
+      if (keyCols.size == 1 && probeType(keyCols.head)) {
+        val rows = keyDf.filter(col(keyCols.head).isNotNull)
+          .limit(maxProbeKeys + 1).collect()
+        if (rows.length <= maxProbeKeys) Some(rows.map(_.get(0)).toSeq)
+        else None
+      } else None
+    val pred = smallKeys match {
+      case Some(keys) if keys.nonEmpty => inPredicate(keyCols.head, keys)
+      case Some(_) => // all source keys NULL: no row can match
+        "1 = 0"
+      case None =>
+        val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+        val b = aligned.agg(aggs.head, aggs.tail: _*).head()
+        val conjs = keyCols.zipWithIndex.flatMap { case (k, i) =>
+          if (b.isNullAt(2 * i)) None
+          else (b.get(2 * i), b.get(2 * i + 1)) match {
+            case (mn: String, mx: String) =>
+              Some(s"$k >= '${mn.replace("'", "''")}' AND " +
+                s"$k <= '${mx.replace("'", "''")}'")
+            case (mn: java.lang.Number, mx: java.lang.Number) =>
+              Some(s"$k >= $mn AND $k <= $mx")
+            case _ => None // un-literal-able key type: no pruning on it
+          }
+        }
+        if (conjs.isEmpty) "1 = 1" else conjs.mkString(" AND ")
+    }
+    val candidates =
+      if (pred == "1 = 0") Seq.empty[String]
+      else keptFiles(spark, dir, snap, pred)
+    val survivors =
+      if (candidates.isEmpty) None
+      else Some(readFiles(spark, dir, snap, candidates)
+        .join(keyDf, keyCols.toSeq, "left_anti"))
+    val out = Some(survivors.fold(aligned)(_ unionByName aligned))
+    cowCommit(spark, dir, snap, candidates, out, "merge", opId,
+      beforeSwap, bloomCols, bloomFpp)
+  }
+
+  // ---------------------------------------------- change feed
+
+  /** The APPEND-ONLY CHANGE FEED: all rows added by `append` commits in
+    * versions `(fromVersion, toVersion]`, each tagged with the
+    * `commit_version` that added it — the incremental-consumption
+    * contract a downstream pipeline needs to process a table's new data
+    * without rescanning it. Commit-kind provenance makes the feed
+    * honest:
+    *
+    *   - `compact` commits contribute NOTHING (their files are pure
+    *     rewrites of rows an earlier version already surfaced);
+    *   - `delete` / `update` / `merge` commits RAISE — their rewrites
+    *     remove or change rows, which an append-only feed cannot
+    *     represent; a consumer that silently skipped them would drift
+    *     from the table (the CDC-file design real formats bolt on for
+    *     this is out of scope, and quietly wrong is worse than loud);
+    *   - manifests written before op tracking RAISE for the same reason.
+    *
+    * Rows are read with `toVersion`'s recorded schema, so the feed is
+    * union-compatible across schema evolution (early appends null-fill
+    * columns added later). Historical data files must still be on disk —
+    * the same [[vacuum]] grace-window contract as time travel.
+    */
+  def appendsBetween(spark: SparkSession, dir: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"appendsBetween needs 0 <= from <= to, got ($fromVersion, $toVersion)")
+    val to = snapshotAt(spark, dir, toVersion)
+    var prev =
+      if (fromVersion == 0L) Snapshot(0L, Seq.empty, Set.empty)
+      else snapshotAt(spark, dir, fromVersion)
+    val added = ((fromVersion + 1L) to toVersion).flatMap { v =>
+      val cur = snapshotAt(spark, dir, v)
+      val fresh = cur.files.filterNot(prev.files.toSet)
+      val part = cur.op match {
+        case "append" => if (fresh.isEmpty) None else Some((v, fresh))
+        case "compact" => None
+        case "" => throw new IllegalStateException(
+          s"appendsBetween: version $v of $dir has no op provenance " +
+            "(manifest written before op tracking) — cannot prove its " +
+            "files are appends")
+        case other => throw new IllegalStateException(
+          s"appendsBetween: version $v of $dir is a row-level '$other' " +
+            "commit; an append-only feed cannot represent removed or " +
+            "changed rows")
+      }
+      prev = cur
+      part
+    }
+    val schema = tableSchema(to)
+    if (added.isEmpty) {
+      val sc = schema.getOrElse {
+        require(to.files.nonEmpty,
+          s"appendsBetween: no appends in range and no schema at $dir")
+        readFiles(spark, dir, to, to.files).schema
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        sc.add("commit_version", org.apache.spark.sql.types.LongType))
+    } else added.map { case (v, names) =>
+      val base = schema.fold(spark.read)(sc => spark.read.schema(sc))
+        .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+      base.withColumn("commit_version", lit(v))
+    }.reduce(_ unionByName _)
+  }
+
   // ---------------------------------------------- data skipping
 
   /** Read only the files whose footer stats say they MIGHT satisfy
@@ -396,11 +765,10 @@ object ManifestTable {
     if (kept.isEmpty)
       // keep the schema, scan nothing: the optimizer folds `false` to an
       // empty relation before any file is opened
-      spark.read.parquet(s.files.map(n => s"${dataDir(dir)}/$n"): _*)
+      readFiles(spark, dir, s, s.files)
         .where(predicateSql)
         .where(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(kept.map(n => s"${dataDir(dir)}/$n"): _*)
-      .where(predicateSql)
+    else readFiles(spark, dir, s, kept).where(predicateSql)
   }
 
   /** `keyCol IN (keys...)` as predicate SQL for [[readWhere]] /
@@ -681,6 +1049,8 @@ object ManifestTable {
         val out = f.create(tmp, true)
         try out.write(
           (files.map("file:" + _) ++
+            (if (next0.op.nonEmpty) Seq("op:" + next0.op) else Nil) ++
+            next0.schemaJson.map(j => "schema:" + enc(j)).toSeq ++
             next0.batchIds.toSeq.sorted.map("batch:" + _) ++ statLines)
             .mkString("\n").getBytes("UTF-8"))
         finally out.close()

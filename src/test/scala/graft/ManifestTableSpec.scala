@@ -378,4 +378,185 @@ class ManifestTableSpec extends SparkSpec {
     assert(!fs.exists(inflight))
     assert(rows(dir) === Seq((1L, "doc 1")))
   }
+
+  test("deleteWhere removes TRUE rows, keeps NULL-predicate rows, replays as no-op") {
+    val dir = tmp("delete")
+    ManifestTable.append(Seq((1L, "keep"), (2L, "drop"))
+      .toDF("id", "text"), dir, "b0")
+    // a NULL text row: `text = 'drop'` is NULL for it — SQL DELETE keeps it
+    ManifestTable.append(Seq((3L, null.asInstanceOf[String]))
+      .toDF("id", "text"), dir, "b1")
+    assert(ManifestTable.deleteWhere(spark, dir, "text = 'drop'", "d0"))
+    assert(ManifestTable.read(spark, dir).select("id")
+      .as[Long].collect().toSeq.sorted === Seq(1L, 3L))
+    // crash-replay of d0: absorbed opId, nothing rewritten
+    assert(!ManifestTable.deleteWhere(spark, dir, "text = 'drop'", "d0"))
+    assert(ManifestTable.read(spark, dir).count() === 2)
+  }
+
+  test("deleteWhere rewrites only the files pruning cannot clear") {
+    val dir = tmp("deleteprune")
+    (0 until 4).foreach { i =>
+      ManifestTable.append(
+        (0L until 400L).filter(_ % 4 == i).map(x => (x, s"doc $x"))
+          .toDF("id", "text").coalesce(1), dir, s"b$i")
+    }
+    ManifestTable.compact(spark, dir, targetFileBytes = 2L * 1024,
+      clusterBy = Seq("id"))
+    val before = ManifestTable.snapshot(spark, dir)
+    val (cand, total) = ManifestTable.pruneInfo(spark, dir, "id < 40")
+    assert(total > 1 && cand < total, s"clustering gave no pruning: $cand/$total")
+    assert(ManifestTable.deleteWhere(spark, dir, "id < 40", "d0"))
+    val after = ManifestTable.snapshot(spark, dir)
+    // the files pruning proved clean were NOT rewritten: still live,
+    // same names — the delete touched O(matching files), not O(table)
+    assert(before.files.count(after.files.contains) === total - cand)
+    assert(ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted === (40L until 400L).toSeq)
+  }
+
+  test("deleteWhere aborts when a concurrent rewrite replaced a candidate file") {
+    val dir = tmp("deleteconflict")
+    ManifestTable.append(batch(1, 2, 3), dir, "b0")
+    // between candidate selection and swap, a compaction rewrites the
+    // table; committing the delete would swap in files computed from
+    // now-replaced inputs — the loser must abort, leaving rows intact
+    assert(!ManifestTable.deleteWhere(spark, dir, "id = 2", "d0",
+      beforeSwap = () =>
+        ManifestTable.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024)))
+    assert(rows(dir) === Seq((1L, "doc 1"), (2L, "doc 2"), (3L, "doc 3")))
+    // the retry against the new head applies cleanly
+    assert(ManifestTable.deleteWhere(spark, dir, "id = 2", "d0-retry"))
+    assert(rows(dir) === Seq((1L, "doc 1"), (3L, "doc 3")))
+  }
+
+  test("updateWhere rewrites matched rows in place; SET is not a schema change") {
+    val dir = tmp("update")
+    ManifestTable.append(batch(1, 2, 3), dir, "b0")
+    assert(ManifestTable.updateWhere(spark, dir, "id >= 2",
+      Map("text" -> "upper(text)"), "u0"))
+    assert(rows(dir) === Seq((1L, "doc 1"), (2L, "DOC 2"), (3L, "DOC 3")))
+    // replay: no-op
+    assert(!ManifestTable.updateWhere(spark, dir, "id >= 2",
+      Map("text" -> "upper(text)"), "u0"))
+    // a SET column that does not exist is a loud error, not a new column
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, dir, "id = 1",
+        Map("nope" -> "'x'"), "u1")
+    }
+    // the new value is cast back to the column's type: schema is stable
+    assert(ManifestTable.updateWhere(spark, dir, "id = 1",
+      Map("id" -> "id + 10.7"), "u2"))
+    assert(ManifestTable.read(spark, dir).schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(ManifestTable.read(spark, dir).select("id")
+      .as[Long].collect().toSeq.sorted === Seq(2L, 3L, 11L))
+  }
+
+  test("merge upserts: matched rows replaced, unmatched inserted, null keys insert") {
+    val dir = tmp("merge")
+    ManifestTable.append(batch(1, 2, 3), dir, "b0")
+    val src = Seq((2L, "doc 2 v2"), (9L, "doc 9"))
+      .toDF("id", "text")
+      .union(Seq(("x", "null key")).toDF("a", "b")
+        .select(lit(null).cast("long").as("id"), col("b").as("text")))
+    assert(ManifestTable.merge(src, dir, Seq("id"), "m0"))
+    val got = ManifestTable.read(spark, dir)
+      .as[(Option[Long], String)].collect().toSeq
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+    assert(got === Seq(
+      (None, "null key"), (Some(1L), "doc 1"), (Some(2L), "doc 2 v2"),
+      (Some(3L), "doc 3"), (Some(9L), "doc 9")))
+    // replay: no-op
+    assert(!ManifestTable.merge(src, dir, Seq("id"), "m0"))
+    assert(ManifestTable.read(spark, dir).count() === 5)
+    // a source missing a table column is a loud error (MERGE is not a
+    // schema change)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ManifestTable.merge(Seq(Tuple1(7L)).toDF("id"), dir, Seq("id"), "m1")
+    }
+  }
+
+  test("merge prunes candidate files through the source's key range") {
+    val dir = tmp("mergeprune")
+    (0 until 4).foreach { i =>
+      ManifestTable.append(
+        (0L until 400L).filter(_ % 4 == i).map(x => (x, s"doc $x"))
+          .toDF("id", "text").coalesce(1), dir, s"b$i")
+    }
+    ManifestTable.compact(spark, dir, targetFileBytes = 2L * 1024,
+      clusterBy = Seq("id"))
+    val before = ManifestTable.snapshot(spark, dir)
+    val src = Seq((5L, "doc 5 v2"), (7L, "doc 7 v2"), (1000L, "new"))
+      .toDF("id", "text")
+    assert(ManifestTable.merge(src, dir, Seq("id"), "m0"))
+    val after = ManifestTable.snapshot(spark, dir)
+    // most clustered files exclude keys {5, 7, 1000} by stats: untouched
+    assert(before.files.count(after.files.contains) > before.files.size / 2)
+    val all = ManifestTable.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(all.size === 401 && all(5L) === "doc 5 v2" &&
+      all(7L) === "doc 7 v2" && all(1000L) === "new")
+  }
+
+  test("appendsBetween surfaces appended rows once, tagged by commit version") {
+    val dir = tmp("feed")
+    ManifestTable.append(batch(1), dir, "b0")          // v1
+    ManifestTable.append(batch(2), dir, "b1")          // v2
+    ManifestTable.compact(spark, dir,
+      targetFileBytes = 1024L * 1024 * 1024)           // v3: pure rewrite
+    ManifestTable.append(batch(3), dir, "b2")          // v4
+    val feed = ManifestTable.appendsBetween(spark, dir, 1L, 4L)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    // v1's rows are OUTSIDE (from is exclusive); the compaction's
+    // rewritten files carry rows 1-2 but contribute nothing
+    assert(feed === Seq((2L, "doc 2", 2L), (3L, "doc 3", 4L)))
+    // the full-history feed reconstructs the table
+    assert(ManifestTable.appendsBetween(spark, dir, 0L, 4L)
+      .count() === 3)
+    // an empty range yields an empty, correctly-shaped frame
+    assert(ManifestTable.appendsBetween(spark, dir, 3L, 3L).count() === 0)
+  }
+
+  test("appendsBetween refuses to skip row-level commits silently") {
+    val dir = tmp("feedrowop")
+    ManifestTable.append(batch(1, 2), dir, "b0")       // v1
+    ManifestTable.deleteWhere(spark, dir, "id = 1", "d0") // v2
+    ManifestTable.append(batch(3), dir, "b1")          // v3
+    // a feed over (0, 3] would have to represent v2's removal — raise
+    val e = intercept[IllegalStateException] {
+      ManifestTable.appendsBetween(spark, dir, 0L, 3L)
+    }
+    assert(e.getMessage.contains("delete"))
+    // a range strictly after the delete is served
+    assert(ManifestTable.appendsBetween(spark, dir, 2L, 3L)
+      .as[(Long, String, Long)].collect().toSeq === Seq((3L, "doc 3", 3L)))
+  }
+
+  test("schema evolution: new columns null-fill, type changes reject") {
+    val dir = tmp("evolve")
+    ManifestTable.append(batch(1), dir, "b0")
+    // a batch with a NEW column extends the table schema; the old file
+    // null-fills it on read (first-footer-wins would drop the column)
+    ManifestTable.append(Seq((2L, "doc 2", "en"))
+      .toDF("id", "text", "lang"), dir, "b1")
+    val got = ManifestTable.read(spark, dir)
+      .as[(Long, String, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, "doc 1", None), (2L, "doc 2", Some("en"))))
+    // a batch MISSING a column null-fills its own rows
+    ManifestTable.append(Seq(Tuple1(3L)).toDF("id"), dir, "b2")
+    assert(ManifestTable.read(spark, dir).where("text IS NULL")
+      .select("id").as[Long].collect().toSeq.sorted === Seq(3L))
+    // a type change is rejected BEFORE any data file lands
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(Seq((4, "x", 99))
+        .toDF("id", "text", "lang"), dir, "b3")
+    }
+    // time travel reads with the version's OWN schema: v1 has no lang
+    assert(!ManifestTable.readVersion(spark, dir, 1L)
+      .columns.contains("lang"))
+    // compaction materializes the full column set into every file
+    ManifestTable.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024)
+    assert(ManifestTable.read(spark, dir).where("lang = 'en'")
+      .count() === 1)
+  }
 }
