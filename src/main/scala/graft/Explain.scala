@@ -37,7 +37,9 @@ object Explain {
       "manifest_corpus_replay",
       "vector_store_search_pq", "pq_codebooks",
       "manifest_skipping", "manifest_bloom_skipping",
-      "train_ingest_stats_replay", "manifest_time_travel")
+      "train_ingest_stats_replay", "manifest_time_travel",
+      "manifest_delete", "manifest_update", "manifest_merge",
+      "manifest_changefeed", "manifest_schema_evolution")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -60,6 +62,42 @@ object Explain {
         val (k, t) = graft.ext.ManifestTable.pruneInfo(s,
           "/tmp/graft_fix/manifest_bloom", "doc_id IN (42, 217, 401)")
         s"pruneInfo (blooms over full-span files): kept $k of $t files"
+      }),
+      // the row-level ops' interesting facts are driver-side too: the
+      // candidate pruning happens before any scan exists (the builders
+      // REQUIRE it — candidates < total for the delete, untouched files
+      // surviving for the merge — so the audit gate is in the query
+      // itself); record the post-op snapshot's provenance + file counts
+      "manifest_delete" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_delete")
+        val (k, t) = graft.ext.ManifestTable.pruneInfo(s,
+          "/tmp/graft_fix/manifest_delete", "doc_id >= 100 AND doc_id < 220")
+        s"post-delete snapshot: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} files; pruneInfo(deleted band): kept $k of $t " +
+          "(builder REQUIREd candidates < total before the rewrite)"
+      }),
+      "manifest_merge" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_merge")
+        s"post-merge snapshot: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} files (builder REQUIREd untouched files " +
+          "to survive — candidates pruned through the source key set)"
+      }),
+      "manifest_changefeed" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_feed")
+        s"head: v${snap.version}, op=${snap.op}; feed (1,4] reads only " +
+          "the files the v2/v4 APPEND manifests added — the v3 " +
+          "compaction's rewrites (which hold every b0/b1 row) contribute " +
+          "nothing, by op provenance, not by file-list diffing"
+      }),
+      "manifest_schema_evolution" -> (s => {
+        val sc = graft.ext.ManifestTable.tableSchema(
+          graft.ext.ManifestTable.snapshot(s, "/tmp/graft_fix/manifest_evolve"))
+        s"schema-on-manifest: ${sc.map(_.simpleString).getOrElse("(none)")} — " +
+          "the scan's ReadSchema above carries all three columns even " +
+          "though b0's files predate `lang`"
       }),
       // the ADC coarse pass executes eagerly inside searchPq (its
       // candidate ids feed the rerank plan above), so audit its scan

@@ -861,6 +861,151 @@ object ExtQueries {
     graft.ext.ManifestTable.readVersion(s, root, 2L).orderBy("doc_id")
   }
 
+  /** Copy-on-write DELETE, oracle-replayed: the documents table lands in
+    * a manifest table, a clustered compaction builds per-file doc_id
+    * ranges, then `deleteWhere` removes a doc_id band. The REQUIRE pins
+    * that candidate selection PRUNED — the delete rewrote O(matching
+    * files), not the table (at 100 TB that is the whole difference
+    * between a surgical delete and a table rewrite). The op is replayed
+    * (absorbed opId → no-op) before the final read, so a hash match also
+    * certifies effectively-once row-level ops.
+    */
+  def manifestDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_delete"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    val pred = "doc_id >= 100 AND doc_id < 220"
+    val (cand, total) = graft.ext.ManifestTable.pruneInfo(s, root, pred)
+    require(total == 1 || cand < total,
+      s"delete candidate pruning pruned nothing: $cand of $total files")
+    require(graft.ext.ManifestTable.deleteWhere(s, root, pred, "d0"),
+      "deleteWhere did not commit")
+    require(!graft.ext.ManifestTable.deleteWhere(s, root, pred, "d0"),
+      "replayed delete opId was not absorbed")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
+  /** Copy-on-write UPDATE, oracle-replayed: SET two columns (one from an
+    * expression over the OLD row, one constant) where `lang = 'de'`,
+    * through the same candidate-pruned rewrite-and-swap as the delete;
+    * the cast-back-to-column-type contract keeps n_chars a BIGINT. The
+    * oracle recomputes the row-conditional values with CASE, so a hash
+    * match certifies matched rows changed exactly and unmatched rows
+    * passed through byte-identical.
+    */
+  def manifestUpdateQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_update"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    require(graft.ext.ManifestTable.updateWhere(s, root, "lang = 'de'",
+      Map("n_chars" -> "n_chars * 2 + 1", "lang" -> "'de-DE'"), "u0"),
+      "updateWhere did not commit")
+    require(!graft.ext.ManifestTable.updateWhere(s, root, "lang = 'de'",
+      Map("n_chars" -> "n_chars * 2 + 1", "lang" -> "'de-DE'"), "u0"),
+      "replayed update opId was not absorbed")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
+  /** MERGE (upsert), oracle-replayed: the source carries one tight
+    * doc_id band as UPDATES (n_chars shifted) plus ~1/11 of the table
+    * re-keyed as INSERTS (doc_id offset past the table's range).
+    * Candidate files come from the source's key set — the REQUIRE pins
+    * that the clustered table pruned (files outside the band provably
+    * hold no source key and are never read; the insert keys sit above
+    * every file's max, so they prune for free). The merge replays as a
+    * no-op before the final read; the oracle rebuilds the upsert with
+    * NOT IN + UNION ALL, so a hash match certifies matched-replace,
+    * unmatched-insert, and untouched-survive in one row.
+    */
+  def manifestMergeQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_merge"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    val src = docs.filter(col("doc_id") >= 140 && col("doc_id") < 180)
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    val before = graft.ext.ManifestTable.snapshot(s, root)
+    require(graft.ext.ManifestTable.merge(src, root, Seq("doc_id"), "m0"),
+      "merge did not commit")
+    val after = graft.ext.ManifestTable.snapshot(s, root)
+    val untouched = before.files.count(after.files.contains)
+    require(before.files.size == 1 || untouched > 0,
+      s"merge pruned nothing: rewrote all ${before.files.size} files")
+    require(!graft.ext.ManifestTable.merge(src, root, Seq("doc_id"), "m0"),
+      "replayed merge opId was not absorbed")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
+  /** The APPEND-ONLY CHANGE FEED, oracle-replayed: three appends with a
+    * compaction between them; the feed over versions (1, 4] must surface
+    * exactly the rows batches b1 and b2 added, tagged with the version
+    * that added them — and NOTHING from the compaction, whose rewritten
+    * files carry every b0/b1 row (an implementation diffing file lists
+    * without op provenance would double-count them). The oracle
+    * recomputes each row's commit version from the batch rule, so a hash
+    * match certifies exactly-once incremental consumption.
+    */
+  def manifestChangeFeedQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_feed"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def b(i: Long) = docs.filter(col("doc_id") % 3 === i)
+    graft.ext.ManifestTable.append(b(0), root, "b0") // v1
+    graft.ext.ManifestTable.append(b(1), root, "b1") // v2
+    graft.ext.ManifestTable.compact(s, root)         // v3: pure rewrite
+    graft.ext.ManifestTable.append(b(2), root, "b2") // v4
+    graft.ext.ManifestTable.appendsBetween(s, root, 1L, 4L)
+      .orderBy("doc_id")
+  }
+
+  /** SCHEMA EVOLUTION, oracle-replayed: batch b0 lands (doc_id, n_chars),
+    * batch b1 adds a `lang` column, a compaction materializes the merged
+    * schema into every file. The read must project ALL THREE columns
+    * with b0's rows null-filling `lang` — the first-footer-wins failure
+    * mode loses the column entirely when the scan's schema file predates
+    * it. The oracle rebuilds the null-fill with CASE, so a hash match
+    * certifies the schema-on-manifest read end to end.
+    */
+  def manifestSchemaEvolutionQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_evolve"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+    graft.ext.ManifestTable.append(
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"),
+        col("n_chars")), root, "b0")
+    graft.ext.ManifestTable.append(
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"),
+        col("n_chars"), col("lang")), root, "b1")
+    graft.ext.ManifestTable.compact(s, root)
+    graft.ext.ManifestTable.read(s, root)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Interval-OVERLAP join (the [[rangeJoinQ]] sibling): which purchase
     * windows of the same user intersect? Self-overlap of the 30-minute
     * windows, a_id < b_id halving, against DuckDB's native two-sided
@@ -1161,6 +1306,11 @@ object ExtQueries {
     "manifest_skipping" -> (manifestSkippingQ(_, _)),
     "manifest_bloom_skipping" -> (manifestBloomSkippingQ(_, _)),
     "manifest_time_travel" -> (manifestTimeTravelQ(_, _)),
+    "manifest_delete" -> (manifestDeleteQ(_, _)),
+    "manifest_update" -> (manifestUpdateQ(_, _)),
+    "manifest_merge" -> (manifestMergeQ(_, _)),
+    "manifest_changefeed" -> (manifestChangeFeedQ(_, _)),
+    "manifest_schema_evolution" -> (manifestSchemaEvolutionQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
@@ -1875,6 +2025,52 @@ object ExtQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 3 < 2
         |ORDER BY doc_id""".stripMargin,
+
+    // DELETE semantics replayed: rows where the predicate is TRUE are
+    // gone, everything else survives byte-identical
+    "manifest_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (doc_id >= 100 AND doc_id < 220)
+        |ORDER BY doc_id""".stripMargin,
+
+    // UPDATE semantics replayed: CASE recomputes the row-conditional SET
+    "manifest_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'de' THEN 'de-DE' ELSE lang END AS lang,
+        |  CAST(CASE WHEN lang = 'de' THEN n_chars * 2 + 1
+        |       ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MERGE semantics replayed: matched keys take the source row,
+    // unmatched source rows insert, untouched target rows survive
+    "manifest_merge" ->
+      """WITH src AS (
+        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id >= 140 AND doc_id < 180
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT), lang, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id, lang, n_chars FROM (
+        |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM src)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the feed over (v1, v4]: batch b1 appended at v2, b2 at v4, the
+    // v3 compaction contributes nothing
+    "manifest_changefeed" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 2 ELSE 4 END AS BIGINT)
+        |    AS commit_version
+        |FROM documents WHERE doc_id % 3 IN (1, 2)
+        |ORDER BY doc_id""".stripMargin,
+
+    // b0's rows (even doc_id) predate the lang column: null-filled
+    "manifest_schema_evolution" ->
+      """SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the native two-sided overlap predicate, a_id < b_id halving
     "range_overlap" ->
