@@ -39,7 +39,8 @@ object Explain {
       "manifest_skipping", "manifest_bloom_skipping",
       "train_ingest_stats_replay", "manifest_time_travel",
       "manifest_delete", "manifest_update", "manifest_merge",
-      "manifest_changefeed", "manifest_schema_evolution")
+      "manifest_changefeed", "manifest_schema_evolution",
+      "manifest_scan_pruned")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -91,6 +92,20 @@ object Explain {
           "the files the v2/v4 APPEND manifests added — the v3 " +
           "compaction's rewrites (which hold every b0/b1 row) contribute " +
           "nothing, by op provenance, not by file-list diffing"
+      }),
+      "manifest_scan_pruned" -> (s => {
+        val df = graft.ext.ManifestTable.scan(s, "/tmp/graft_fix/manifest_scan")
+          .where("doc_id >= 100 AND doc_id < 220 AND lang <> 'de'")
+        df.collect()
+        val read = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+        val total = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_scan").files.size
+        s"executed scan numFiles: $read of $total live files — the .where " +
+          "pruned through the planner (ManifestFileIndex), no readWhere " +
+          "side-channel"
       }),
       "manifest_schema_evolution" -> (s => {
         val sc = graft.ext.ManifestTable.tableSchema(

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** PLANNER-INTEGRATED manifest reads — the [[ManifestTable]] as a real
+  * Spark file index instead of a side-channel API.
+  *
+  * [[ManifestTable.readWhere]] prunes files well, but only for callers
+  * who hand it the predicate as a string: a `.where(...)` added three
+  * operators later, a join's pushed-down IN, or plain `spark.sql` over a
+  * view never reach it. This is the standard table-format answer
+  * (Delta's TahoeFileIndex, Iceberg's planning path): implement Spark's
+  * `FileIndex` seam, whose `listFiles(partitionFilters, dataFilters)`
+  * the planner calls AT PLANNING TIME with every filter it could push
+  * toward the scan — already resolved, already split into conjuncts.
+  * Those expressions feed the exact same one-sided [[Skipping]] stats
+  * pass and bloom-sidecar pass as `readWhere`, so:
+  *
+  *   - `ManifestTable.scan(spark, dir).where("doc_id < 40")` scans only
+  *     the files whose stats admit the band — the predicate prunes
+  *     through Catalyst, no special read API;
+  *   - filters COMPOSE: later `.where`s, filter pushdown through
+  *     projections, and constant-folded join probes all land in
+  *     `dataFilters` for free;
+  *   - the scan stays a normal `FileSourceScanExec` over parquet —
+  *     vectorized reader, whole-stage codegen, row-group pushdown all
+  *     unchanged; only the FILE LIST shrinks.
+  *
+  * The snapshot is pinned at construction (manifest-swap isolation: a
+  * concurrent commit cannot change a running query's file list), and the
+  * one `data/` directory listing happens here, not per query stage.
+  * Driver cost per `listFiles` call is O(live files) in-memory math plus
+  * cached bloom probes — the same budget `readWhere` spends.
+  */
+class ManifestFileIndex(spark: SparkSession, dir: String,
+                        snap: ManifestTable.Snapshot) extends FileIndex {
+
+  private val dataPath = new Path(s"$dir/data")
+
+  // One listing at construction; data files are immutable and UUID-named,
+  // so these statuses can never go stale. A snapshot whose files were
+  // already vacuumed (historical read past the grace window) fails HERE,
+  // loudly, not with a mid-query FileNotFound.
+  private val statusByName: Map[String, FileStatus] = {
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = snap.files.toSet
+    fs.listStatus(dataPath).iterator
+      .filter(st => st.isFile && live(st.getPath.getName))
+      .map(st => st.getPath.getName -> st).toMap
+  }
+  require(statusByName.size == snap.files.size,
+    s"ManifestTable at $dir v${snap.version}: " +
+      s"${snap.files.size - statusByName.size} data files of the snapshot " +
+      "are gone from disk (vacuumed past the grace window?)")
+
+  override def rootPaths: Seq[Path] = Seq(dataPath)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept =
+      if (dataFilters.isEmpty) snap.files
+      else ManifestTable.keptForPredicate(spark, dir, snap,
+        dataFilters.reduce(And))
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.map(statusByName).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    snap.files.map(n => s"$dir/data/$n").toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = statusByName.values.map(_.getLen).sum
+
+  override def partitionSchema: StructType = StructType(Nil)
+}
+
+/** The `graft-manifest` data source: `spark.read.format("graft-manifest")
+  * .load(dir)` resolves the manifest snapshot and returns a parquet
+  * relation planned through [[ManifestFileIndex]]. Options:
+  *
+  *   - `versionAsOf` — time travel: pin the named manifest version; the
+  *     pruning then runs against that version's own stats and files.
+  *
+  * Registered via META-INF/services so the short name works; the class
+  * name (`graft.ext.ManifestSource`) always works.
+  */
+class ManifestSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest needs a path: spark.read.format(\"graft-manifest\").load(dir)"))
+    val spark = sqlContext.sparkSession
+    val snap = parameters.get("versionAsOf")
+      .fold(ManifestTable.snapshot(spark, dir))(v =>
+        ManifestTable.snapshotAt(spark, dir, v.toLong))
+    require(snap.files.nonEmpty,
+      s"ManifestTable at $dir has no committed data")
+    // schema-on-manifest when tracked (files predating a column null-fill
+    // it, same contract as ManifestTable.read); footer-derived otherwise
+    val schema = ManifestTable.tableSchema(snap).getOrElse(
+      spark.read.parquet(snap.files.map(n => s"$dir/data/$n"): _*).schema)
+    HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),
+      partitionSchema = StructType(Nil), dataSchema = schema,
+      bucketSpec = None, fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+}

@@ -771,6 +771,19 @@ object ManifestTable {
     else readFiles(spark, dir, s, kept).where(predicateSql)
   }
 
+  /** The PLANNER-INTEGRATED read (see [[ManifestFileIndex]]): a normal
+    * DataFrame whose file list shrinks at planning time from whatever
+    * filters Catalyst pushes toward the scan — `.where` chains, pushed
+    * join probes, `spark.sql` over a view. Prefer this over [[readWhere]]
+    * for composition; `readWhere` remains the explicit-predicate API
+    * (and the two prune identically — same evaluator).
+    */
+  def scan(spark: SparkSession, dir: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft-manifest")
+    asOf.fold(r)(v => r.option("versionAsOf", v.toString)).load(dir)
+  }
+
   /** `keyCol IN (keys...)` as predicate SQL for [[readWhere]] /
     * [[pruneInfo]] — string keys are quoted and escaped, numeric keys
     * pass through. The seam the index sinks use for POINT-PROBE reads:
@@ -803,8 +816,19 @@ object ManifestTable {
     * only on proof no row can match.
     */
   private def keptFiles(spark: SparkSession, dir: String, s: Snapshot,
-                        predicateSql: String): Seq[String] = {
-    val pred = spark.sessionState.sqlParser.parseExpression(predicateSql)
+                        predicateSql: String): Seq[String] =
+    keptForPredicate(spark, dir, s,
+      spark.sessionState.sqlParser.parseExpression(predicateSql))
+
+  /** [[keptFiles]] over an already-built predicate expression — the
+    * entry point [[ManifestFileIndex]] feeds the planner's pushed
+    * dataFilters (resolved `AttributeReference` shapes) into. Same
+    * one-sided stats + bloom passes as the SQL-string path.
+    */
+  private[graft] def keptForPredicate(spark: SparkSession, dir: String,
+                                      s: Snapshot,
+                                      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+  : Seq[String] = {
     // rows == 0 is a PROOF no row matches any predicate — footer-backed,
     // so still one-sided (files without stats are never dropped)
     val kept = s.files.filter(f =>

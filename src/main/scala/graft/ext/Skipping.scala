@@ -186,10 +186,15 @@ object Skipping {
   // Single-part attributes only: a multi-part name like `s.a` is a
   // struct-field (or qualified) reference, and collapsing it to "a"
   // would prune on an unrelated top-level column's stats — wrong
-  // results. Nested columns conservatively keep every file.
+  // results. Nested columns conservatively keep every file. A RESOLVED
+  // AttributeReference (the shape the planner's pushed dataFilters
+  // carry into [[ManifestFileIndex]]) is by construction a top-level
+  // column of the relation — struct-field access arrives as
+  // GetStructField over it, which stays None.
   private def colName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute if a.nameParts.size == 1 =>
       Some(a.nameParts.head.toLowerCase)
+    case a: AttributeReference => Some(a.name.toLowerCase)
     case _ => None
   }
 

@@ -861,6 +861,39 @@ object ExtQueries {
     graft.ext.ManifestTable.readVersion(s, root, 2L).orderBy("doc_id")
   }
 
+  /** The PLANNER-INTEGRATED scan, oracle-replayed: same fixture and band
+    * as [[manifestSkippingQ]], but the predicate reaches the engine as a
+    * plain `.where` on `ManifestTable.scan` — Catalyst pushes it into
+    * the [[graft.ext.ManifestFileIndex]] at planning time, where the
+    * identical stats evaluator shrinks the file list. The REQUIRE reads
+    * the executed scan's numFiles METRIC (the ground truth of what was
+    * opened), pinning that composition-path pruning works — not just
+    * the explicit-predicate readWhere API. The oracle certifies the
+    * pruned plan returns exactly the full-scan answer.
+    */
+  def manifestScanPrunedQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_scan"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    val total = graft.ext.ManifestTable.snapshot(s, root).files.size
+    val df = graft.ext.ManifestTable.scan(s, root)
+      .where("doc_id >= 100 AND doc_id < 220 AND lang <> 'de'")
+    df.collect()
+    val read = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+    require(total == 1 || read < total,
+      s"planner-path skipping read $read of $total files — pruned nothing")
+    df.orderBy("doc_id")
+  }
+
   /** Copy-on-write DELETE, oracle-replayed: the documents table lands in
     * a manifest table, a clustered compaction builds per-file doc_id
     * ranges, then `deleteWhere` removes a doc_id band. The REQUIRE pins
@@ -1306,6 +1339,7 @@ object ExtQueries {
     "manifest_skipping" -> (manifestSkippingQ(_, _)),
     "manifest_bloom_skipping" -> (manifestBloomSkippingQ(_, _)),
     "manifest_time_travel" -> (manifestTimeTravelQ(_, _)),
+    "manifest_scan_pruned" -> (manifestScanPrunedQ(_, _)),
     "manifest_delete" -> (manifestDeleteQ(_, _)),
     "manifest_update" -> (manifestUpdateQ(_, _)),
     "manifest_merge" -> (manifestMergeQ(_, _)),
@@ -2024,6 +2058,12 @@ object ExtQueries {
     "manifest_time_travel" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 3 < 2
+        |ORDER BY doc_id""".stripMargin,
+
+    // the planner-pruned scan must return exactly the full-scan answer
+    "manifest_scan_pruned" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 220 AND lang <> 'de'
         |ORDER BY doc_id""".stripMargin,
 
     // DELETE semantics replayed: rows where the predicate is TRUE are
