@@ -40,7 +40,7 @@ object Explain {
       "train_ingest_stats_replay", "manifest_time_travel",
       "manifest_delete", "manifest_update", "manifest_merge",
       "manifest_changefeed", "manifest_schema_evolution",
-      "manifest_scan_pruned")
+      "manifest_scan_pruned", "manifest_stream_replay")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -92,6 +92,14 @@ object Explain {
           "the files the v2/v4 APPEND manifests added — the v3 " +
           "compaction's rewrites (which hold every b0/b1 row) contribute " +
           "nothing, by op provenance, not by file-list diffing"
+      }),
+      "manifest_stream_replay" -> (s => {
+        "the audited plan above is just the collected sink re-sorted — " +
+          "the engine work runs INSIDE the streaming query: each " +
+          "micro-batch is a FileSourceScanExec over exactly the files " +
+          "the append commits in (start, end] added (offsets = manifest " +
+          "versions), with in-batch stats/bloom pruning pinned by " +
+          "ManifestStreamSpec's filtered-stream test"
       }),
       "manifest_scan_pruned" -> (s => {
         val df = graft.ext.ManifestTable.scan(s, "/tmp/graft_fix/manifest_scan")

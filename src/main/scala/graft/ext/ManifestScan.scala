@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** PLANNER-INTEGRATED manifest reads — the [[ManifestTable]] as a real
@@ -82,37 +82,77 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
   override def partitionSchema: StructType = StructType(Nil)
 }
 
-/** The `graft-manifest` data source: `spark.read.format("graft-manifest")
-  * .load(dir)` resolves the manifest snapshot and returns a parquet
-  * relation planned through [[ManifestFileIndex]]. Options:
+/** The `graft-manifest` data source — batch AND streaming faces of the
+  * manifest table:
   *
-  *   - `versionAsOf` — time travel: pin the named manifest version; the
-  *     pruning then runs against that version's own stats and files.
+  *   - `spark.read.format("graft-manifest").load(dir)` resolves the
+  *     manifest snapshot and returns a parquet relation planned through
+  *     [[ManifestFileIndex]]. Option `versionAsOf` pins a historical
+  *     version (time travel); pruning then runs against that version's
+  *     own stats and files.
+  *   - `spark.readStream.format("graft-manifest").load(dir)` returns the
+  *     table's APPEND FEED as a [[ManifestStreamSource]] (offsets =
+  *     manifest versions). Option `sinceVersion` starts the feed AFTER
+  *     the named version (exclusive, matching
+  *     [[ManifestTable.appendsBetween]]); default 0 = from the table's
+  *     beginning.
   *
   * Registered via META-INF/services so the short name works; the class
   * name (`graft.ext.ManifestSource`) always works.
   */
-class ManifestSource extends RelationProvider with DataSourceRegister {
+class ManifestSource extends RelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
 
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest needs a path: spark.read.format(\"graft-manifest\").load(dir)"))
+
+  // schema-on-manifest when tracked (files predating a column null-fill
+  // it, same contract as ManifestTable.read); footer-derived otherwise
+  private def schemaOf(spark: SparkSession, dir: String,
+                       snap: ManifestTable.Snapshot): StructType =
+    ManifestTable.tableSchema(snap).getOrElse {
+      require(snap.files.nonEmpty,
+        s"ManifestTable at $dir has no committed data (and no tracked schema)")
+      spark.read.parquet(snap.files.map(n => s"$dir/data/$n"): _*).schema
+    }
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-manifest needs a path: spark.read.format(\"graft-manifest\").load(dir)"))
+    val dir = pathOf(parameters)
     val spark = sqlContext.sparkSession
     val snap = parameters.get("versionAsOf")
       .fold(ManifestTable.snapshot(spark, dir))(v =>
         ManifestTable.snapshotAt(spark, dir, v.toLong))
     require(snap.files.nonEmpty,
       s"ManifestTable at $dir has no committed data")
-    // schema-on-manifest when tracked (files predating a column null-fill
-    // it, same contract as ManifestTable.read); footer-derived otherwise
-    val schema = ManifestTable.tableSchema(snap).getOrElse(
-      spark.read.parquet(snap.files.map(n => s"$dir/data/$n"): _*).schema)
     HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),
-      partitionSchema = StructType(Nil), dataSchema = schema,
+      partitionSchema = StructType(Nil), dataSchema = schemaOf(spark, dir, snap),
       bucketSpec = None, fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+  : (String, StructType) = {
+    val dir = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    (shortName(), schema.getOrElse(
+      schemaOf(spark, dir, ManifestTable.snapshot(spark, dir))))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+  : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val since = parameters.get("sinceVersion").map(_.toLong).getOrElse(0L)
+    new ManifestStreamSource(spark, dir,
+      schema.getOrElse(schemaOf(spark, dir, ManifestTable.snapshot(spark, dir))),
+      since)
   }
 }

@@ -695,33 +695,44 @@ object ManifestTable {
     * columns added later). Historical data files must still be on disk —
     * the same [[vacuum]] grace-window contract as time travel.
     */
-  def appendsBetween(spark: SparkSession, dir: String,
-                     fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+  /** (version, files that version's APPEND commit added) for versions in
+    * `(fromVersion, toVersion]` — the shared walk behind the batch feed
+    * and the streaming source. Compactions contribute nothing; row-level
+    * commits and pre-provenance manifests raise (see [[appendsBetween]]).
+    */
+  private[graft] def appendCommitsBetween(spark: SparkSession, dir: String,
+                                          fromVersion: Long, toVersion: Long)
+  : Seq[(Long, Seq[String])] = {
     require(0 <= fromVersion && fromVersion <= toVersion,
-      s"appendsBetween needs 0 <= from <= to, got ($fromVersion, $toVersion)")
-    val to = snapshotAt(spark, dir, toVersion)
+      s"append feed needs 0 <= from <= to, got ($fromVersion, $toVersion)")
     var prev =
       if (fromVersion == 0L) Snapshot(0L, Seq.empty, Set.empty)
       else snapshotAt(spark, dir, fromVersion)
-    val added = ((fromVersion + 1L) to toVersion).flatMap { v =>
+    ((fromVersion + 1L) to toVersion).flatMap { v =>
       val cur = snapshotAt(spark, dir, v)
       val fresh = cur.files.filterNot(prev.files.toSet)
       val part = cur.op match {
         case "append" => if (fresh.isEmpty) None else Some((v, fresh))
         case "compact" => None
         case "" => throw new IllegalStateException(
-          s"appendsBetween: version $v of $dir has no op provenance " +
+          s"append feed: version $v of $dir has no op provenance " +
             "(manifest written before op tracking) — cannot prove its " +
             "files are appends")
         case other => throw new IllegalStateException(
-          s"appendsBetween: version $v of $dir is a row-level '$other' " +
+          s"append feed: version $v of $dir is a row-level '$other' " +
             "commit; an append-only feed cannot represent removed or " +
             "changed rows")
       }
       prev = cur
       part
     }
+  }
+
+  def appendsBetween(spark: SparkSession, dir: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to = snapshotAt(spark, dir, toVersion)
+    val added = appendCommitsBetween(spark, dir, fromVersion, toVersion)
     val schema = tableSchema(to)
     if (added.isEmpty) {
       val sc = schema.getOrElse {

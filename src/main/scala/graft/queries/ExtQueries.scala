@@ -1013,6 +1013,46 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The MANIFEST TABLE AS A STREAM, oracle-replayed: the committed fold
+    * (append v1, append v2, compact v3, append v4) is consumed by a
+    * Structured Streaming query reading `format("graft-manifest")` with
+    * `sinceVersion = 1` — offsets are manifest versions, each batch is
+    * the append feed between them. The collected sink must hold exactly
+    * the rows batches b1 and b2 appended: v1 is before the feed start,
+    * and the v3 compaction (whose rewritten files carry every b0/b1
+    * row) contributes nothing, by op provenance. The oracle recomputes
+    * that subset, so a hash match certifies exactly-once incremental
+    * consumption through the real streaming engine, not a simulation.
+    */
+  def manifestStreamReplayQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_stream"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def b(i: Long) = docs.filter(col("doc_id") % 3 === i)
+    graft.ext.ManifestTable.append(b(0), root, "b0") // v1
+    graft.ext.ManifestTable.append(b(1), root, "b1") // v2
+    graft.ext.ManifestTable.compact(s, root)         // v3: pure rewrite
+    graft.ext.ManifestTable.append(b(2), root, "b2") // v4
+    val sink = "mt_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft-manifest")
+      .option("sinceVersion", "1").load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val rows = try {
+      q.processAllAvailable()
+      s.table(sink).collect().toSeq
+    } finally { q.stop(); s.catalog.dropTempView(sink) }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("n_chars", "long"))
+      .orderBy("doc_id")
+  }
+
   /** SCHEMA EVOLUTION, oracle-replayed: batch b0 lands (doc_id, n_chars),
     * batch b1 adds a `lang` column, a compaction materializes the merged
     * schema into every file. The read must project ALL THREE columns
@@ -1344,6 +1384,7 @@ object ExtQueries {
     "manifest_update" -> (manifestUpdateQ(_, _)),
     "manifest_merge" -> (manifestMergeQ(_, _)),
     "manifest_changefeed" -> (manifestChangeFeedQ(_, _)),
+    "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
     "manifest_schema_evolution" -> (manifestSchemaEvolutionQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
@@ -2104,6 +2145,13 @@ object ExtQueries {
         |  CAST(CASE doc_id % 3 WHEN 1 THEN 2 ELSE 4 END AS BIGINT)
         |    AS commit_version
         |FROM documents WHERE doc_id % 3 IN (1, 2)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the streamed feed since v1: batches b1 and b2, the compaction
+    // contributes nothing
+    "manifest_stream_replay" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 IN (1, 2)
         |ORDER BY doc_id""".stripMargin,
 
     // b0's rows (even doc_id) predate the lang column: null-filled

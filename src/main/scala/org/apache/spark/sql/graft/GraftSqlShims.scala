@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` seam this engine needs: turning a
+  * LogicalPlan into a DataFrame, which V1 streaming sources must do —
+  * `Source.getBatch` has to return a Dataset whose plan is marked
+  * `isStreaming = true`, and the only constructor for that is
+  * `Dataset.ofRows` (Spark's own FileStreamSource does exactly this).
+  * Kept to a single forwarding method in a dedicated namespace — the
+  * standard connector pattern (Delta ships a whole
+  * `org.apache.spark.sql.delta` package for the same reason) — so the
+  * internal-API surface the build depends on stays grep-ably tiny.
+  */
+object GraftSqlShims {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.ManifestTable
+
+/** The manifest table as a streaming source ([[graft.ext.ManifestStreamSource]]):
+  * offsets are manifest versions, batches are the append feed —
+  * appended rows arrive exactly once, compactions are invisible,
+  * row-level commits fail the stream, `sinceVersion` skips history.
+  */
+class ManifestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = s"/tmp/graft_test/manifeststream_$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    d
+  }
+
+  private def batch(ids: Long*): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i, s"doc $i")).toDF("id", "text")
+
+  test("appended rows arrive exactly once; compactions contribute nothing") {
+    val dir = tmp("feed")
+    ManifestTable.append(batch(1, 2), dir, "b0")
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("mt_feed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mt_feed").select("id").as[Long]
+        .collect().toSeq.sorted === Seq(1L, 2L))
+      // new append while the stream runs: only the delta arrives
+      ManifestTable.append(batch(3), dir, "b1")
+      q.processAllAvailable()
+      assert(spark.table("mt_feed").select("id").as[Long]
+        .collect().toSeq.sorted === Seq(1L, 2L, 3L))
+      // a compaction rewrites EVERY row into new files; the feed must
+      // not re-emit them (op provenance, not file-list diffing)
+      ManifestTable.compact(spark, dir,
+        targetFileBytes = 1024L * 1024 * 1024)
+      ManifestTable.append(batch(4), dir, "b2")
+      q.processAllAvailable()
+      assert(spark.table("mt_feed").select("id").as[Long]
+        .collect().toSeq.sorted === Seq(1L, 2L, 3L, 4L))
+    } finally { q.stop(); spark.catalog.dropTempView("mt_feed") }
+  }
+
+  test("a filtered stream prunes files within each batch") {
+    val dir = tmp("prune")
+    (0 until 4).foreach { i =>
+      ManifestTable.append(
+        (0L until 400L).filter(_ % 4 == i).map(x => (x, s"doc $x"))
+          .toDF("id", "text").coalesce(1), dir, s"b$i",
+        bloomCols = Seq("id"))
+    }
+    // the stream's .where lands in the batch relation's dataFilters and
+    // runs through the same bloom/stats pruning as a batch scan
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .where(col("id") === 217)
+      .writeStream.format("memory").queryName("mt_prune")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mt_prune").select("text").as[String]
+        .collect().toSeq === Seq("doc 217"))
+    } finally { q.stop(); spark.catalog.dropTempView("mt_prune") }
+  }
+
+  test("sinceVersion starts the feed after the named version, exclusively") {
+    val dir = tmp("since")
+    ManifestTable.append(batch(1), dir, "b0") // v1
+    ManifestTable.append(batch(2), dir, "b1") // v2
+    ManifestTable.append(batch(3), dir, "b2") // v3
+    val q = spark.readStream.format("graft-manifest")
+      .option("sinceVersion", "1").load(dir)
+      .writeStream.format("memory").queryName("mt_since")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mt_since").select("id").as[Long]
+        .collect().toSeq.sorted === Seq(2L, 3L))
+    } finally { q.stop(); spark.catalog.dropTempView("mt_since") }
+  }
+
+  test("a row-level commit fails the stream instead of drifting") {
+    val dir = tmp("rowop")
+    ManifestTable.append(batch(1, 2), dir, "b0")
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("mt_rowop")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ManifestTable.deleteWhere(spark, dir, "id = 1", "d0")
+      ManifestTable.append(batch(3), dir, "b1")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(e.getMessage.contains("delete") ||
+        e.getCause.getMessage.contains("delete"))
+    } finally { q.stop(); spark.catalog.dropTempView("mt_rowop") }
+  }
+}
