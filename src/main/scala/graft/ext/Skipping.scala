@@ -165,6 +165,18 @@ object Skipping {
           list.exists(l => litMay(c, l.asInstanceOf[Literal], "eq", st))
         case None => true
       }
+    // the optimizer rewrites IN lists past inSetConversionThreshold (10)
+    // into InSet with INTERNAL-representation values — the shape every
+    // pushed point-probe list of real size arrives in. Capped: a huge set
+    // would make this exists() O(files x keys) on the driver, so beyond
+    // the cap the file is kept (conservative, never wrong).
+    case s: InSet if s.hset.size <= InSetPruneMax =>
+      colName(s.child) match {
+        case Some(c) =>
+          s.hset.exists(v => v != null &&
+            litMay(c, Literal(v, s.child.dataType), "eq", st))
+        case None => true
+      }
     case IsNull(a) =>
       (for { c <- colName(a); cs <- st.cols.get(c) } yield cs.nulls > 0)
         .getOrElse(true)
@@ -214,8 +226,18 @@ object Skipping {
       case l: Literal => l.value != null; case _ => false
     } =>
       colName(a).map(c => (c, list.map(_.asInstanceOf[Literal]))).toSeq
+    case s: InSet if s.hset.nonEmpty && s.hset.size <= InSetPruneMax &&
+      !s.hset.contains(null) =>
+      colName(s.child).map(c =>
+        (c, s.hset.toSeq.map(v => Literal(v, s.child.dataType)))).toSeq
     case _ => Seq.empty
   }
+
+  /** Largest InSet the pruning passes will enumerate; bigger sets keep
+    * every file. Sized so the worst case stays trivial driver math
+    * (files x keys), in line with [[ManifestTable.merge]]'s probe cap.
+    */
+  private val InSetPruneMax = 1024
 
   private def eqPair(a: Expression, b: Expression)
   : Option[(String, Seq[Literal])] = (a, b) match {

@@ -93,6 +93,23 @@ class ManifestScanSpec extends SparkSpec {
     assert(df.select("text").as[String].collect().toSeq === Seq("doc 217"))
   }
 
+  test("large IN lists (the optimizer's InSet shape) still prune") {
+    val dir = tmp("inset")
+    (0 until 4).foreach { i =>
+      ManifestTable.append(
+        (0L until 400L).filter(_ % 4 == i).map(x => (x, s"doc $x"))
+          .toDF("id", "text").coalesce(1), dir, s"b$i",
+        bloomCols = Seq("id"))
+    }
+    // 12 keys > spark.sql.optimizer.inSetConversionThreshold (10): the
+    // filter reaches the FileIndex as InSet with internal values, not In.
+    // All keys ≡ 1 (mod 4), so only one file's bloom admits any of them.
+    val keys = (0 until 12).map(i => 1L + 4 * i)
+    val df = ManifestTable.scan(spark, dir).where(col("id").isin(keys: _*))
+    assert(filesRead(df) < 4)
+    assert(df.select("id").as[Long].collect().toSeq.sorted === keys)
+  }
+
   test("versionAsOf pins a historical snapshot with its own pruning") {
     val dir = tmp("travel")
     ManifestTable.append(batchDf(1L, 2L), dir, "b0") // v1
