@@ -40,7 +40,7 @@ object Explain {
       "train_ingest_stats_replay", "manifest_time_travel",
       "manifest_delete", "manifest_update", "manifest_merge",
       "manifest_changefeed", "manifest_schema_evolution",
-      "manifest_scan_pruned", "manifest_stream_replay")
+      "manifest_scan_pruned", "manifest_stream_replay", "manifest_cdf")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -92,6 +92,16 @@ object Explain {
           "the files the v2/v4 APPEND manifests added — the v3 " +
           "compaction's rewrites (which hold every b0/b1 row) contribute " +
           "nothing, by op provenance, not by file-list diffing"
+      }),
+      "manifest_cdf" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_cdf")
+        s"head: v${snap.version}, op=${snap.op}, cdc sidecar=" +
+          s"${snap.cdcPath.isDefined}; the plan above unions v1's data " +
+          "files (inserts read in place — the files ARE the changes) " +
+          "with the three row-level commits' CDC sidecars; each sidecar " +
+          "was one extra filtered pass over CANDIDATE files at op time, " +
+          "never a table scan"
       }),
       "manifest_stream_replay" -> (s => {
         "the audited plan above is just the collected sink re-sorted — " +

@@ -96,7 +96,8 @@ object ManifestTable {
                             batchIds: Set[String],
                             stats: Map[String, FileStats] = Map.empty,
                             op: String = "",
-                            schemaJson: Option[String] = None)
+                            schemaJson: Option[String] = None,
+                            cdcPath: Option[String] = None)
 
   /** The recorded table schema of a snapshot, if this table tracks one. */
   def tableSchema(s: Snapshot): Option[org.apache.spark.sql.types.StructType] =
@@ -214,6 +215,7 @@ object ManifestTable {
     *   batch:<id>                        one per absorbed append batch
     *   op:<kind>                         the commit kind of THIS version
     *   schema:<jsonEnc>                  table schema (StructType.json)
+    *   cdc:<dirname>                     CDC sidecar dir of THIS commit
     *   rows:<name>\t<rowCount>           one per file with footer stats
     *   col:<name>\t<colEnc>\t<typ>\t<nulls>\t<flag>\t<minEnc>\t<maxEnc>
     *
@@ -251,7 +253,8 @@ object ManifestTable {
       stats,
       lines.find(_.startsWith("op:")).map(_.stripPrefix("op:")).getOrElse(""),
       lines.find(_.startsWith("schema:"))
-        .map(l => dec(l.stripPrefix("schema:"))))
+        .map(l => dec(l.stripPrefix("schema:"))),
+      lines.find(_.startsWith("cdc:")).map(_.stripPrefix("cdc:")))
   }
 
   /** The snapshot's rows (schema comes from the listed files). A table
@@ -305,7 +308,8 @@ object ManifestTable {
       if (old.batchIds.contains(batchId)) None // lost the race to a replay
       else Some(old.copy(files = old.files ++ live,
         batchIds = old.batchIds + batchId, stats = old.stats ++ stats,
-        op = "append", schemaJson = mergedSchemaJson(old, df.schema)))
+        op = "append", schemaJson = mergedSchemaJson(old, df.schema),
+        cdcPath = None))
     }
   }
 
@@ -406,7 +410,7 @@ object ManifestTable {
       else Some(old.copy(
         files = old.files.filterNot(snap.files.contains) ++ live,
         stats = old.stats -- snap.files ++ rewrittenStats,
-        op = "compact"))
+        op = "compact", cdcPath = None))
     }
     if (committed) (snap.files.size, live.size) else (0, 0)
   }
@@ -444,6 +448,25 @@ object ManifestTable {
     if (f.exists(sd)) f.listStatus(sd)
       .filter(_.getModificationTime < cutoff)
       .foreach(s => f.delete(s.getPath, true))
+    // CDC sidecar dirs: referenced by the `cdc:` line of SOME manifest
+    // version forever (manifests are never deleted — the feed is
+    // replayable history); only a crashed cowCommit leaves an
+    // unreferenced dir, and that is what gets swept past the grace
+    val cd = p(cdcDir(dir))
+    if (f.exists(cd)) {
+      val md = p(manifestDir(dir))
+      val referenced: Set[String] =
+        if (!f.exists(md)) Set.empty
+        else f.listStatus(md)
+          .filter(s => s.isFile && s.getPath.getName.matches("v\\d{8,}"))
+          .flatMap(s => readManifest(spark, dir,
+            s.getPath.getName.drop(1).toLong).cdcPath)
+          .toSet
+      f.listStatus(cd)
+        .filter(s => !referenced.contains(s.getPath.getName) &&
+          s.getModificationTime < cutoff)
+        .foreach(s => f.delete(s.getPath, true))
+    }
     // bloom sidecars are keyed `<dataFile>.<col>.bloom`: sweep the ones
     // whose data file is dead (orphaned-then-deleted, or crashed append)
     val bd = p(bloomDir(dir))
@@ -476,13 +499,20 @@ object ManifestTable {
   //     anyway would resurrect rows the other rewrite removed, the same
   //     lost-update hazard [[compact]] aborts on.
 
+  private def cdcDir(dir: String) = s"$dir/_cdc"
+
   /** Write `out` (None = no rewritten rows) to new data files and swap
     * them for `candidates` in one commit, recording `opId` and `op`.
+    * `cdc` (rows already carrying `_change_type`) lands as a sidecar
+    * dataset under `_cdc/<uuid>` BEFORE the swap and is referenced by
+    * the commit's `cdc:` manifest line — a crash strands an orphan
+    * sidecar, never a commit claiming changes it didn't write.
     */
   private def cowCommit(spark: SparkSession, dir: String, snap: Snapshot,
                         candidates: Seq[String], out: Option[DataFrame],
                         op: String, opId: String, beforeSwap: () => Unit,
-                        bloomCols: Seq[String], bloomFpp: Double): Boolean = {
+                        bloomCols: Seq[String], bloomFpp: Double,
+                        cdc: Option[DataFrame] = None): Boolean = {
     val f = fs(spark, dir)
     val moved = out match {
       case None => Seq.empty[String]
@@ -504,6 +534,11 @@ object ManifestTable {
     val stats = footerStats(spark, dir, moved)
     val live = dropEmpty(f, dir, moved, stats)
     buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
+    val cdcName = cdc.map { changes =>
+      val name = java.util.UUID.randomUUID().toString
+      changes.write.parquet(s"${cdcDir(dir)}/$name")
+      name
+    }
     beforeSwap()
     commit(spark, dir) { old =>
       if (old.batchIds.contains(opId)) None // replayed op: already applied
@@ -512,7 +547,7 @@ object ManifestTable {
         files = old.files.filterNot(candidates.contains) ++ live,
         batchIds = old.batchIds + opId,
         stats = old.stats -- candidates ++ stats.filter(kv => live.contains(kv._1)),
-        op = op))
+        op = op, cdcPath = cdcName))
     }
   }
 
@@ -523,21 +558,31 @@ object ManifestTable {
     * true if this call committed; false = replayed `opId` (already
     * applied) or a conflicting concurrent rewrite (nothing applied —
     * re-run against the new head if the delete is still wanted).
+    *
+    * `cdc = true` additionally records the deleted rows as a CDC sidecar
+    * (`_change_type = "delete"`), making the commit consumable by
+    * [[changesBetween]] — one extra filtered pass over the candidate
+    * files, nothing over the rest of the table.
     */
   def deleteWhere(spark: SparkSession, dir: String, predicateSql: String,
                   opId: String, beforeSwap: () => Unit = () => (),
                   bloomCols: Seq[String] = Nil,
-                  bloomFpp: Double = 0.01): Boolean = {
+                  bloomFpp: Double = 0.01,
+                  cdc: Boolean = false): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val snap = snapshot(spark, dir)
     if (snap.batchIds.contains(opId)) return false
     val candidates = keptFiles(spark, dir, snap, predicateSql)
+    val cond = coalesce(expr(predicateSql), lit(false))
     val out =
       if (candidates.isEmpty) None
-      else Some(readFiles(spark, dir, snap, candidates)
-        .where(not(coalesce(expr(predicateSql), lit(false)))))
+      else Some(readFiles(spark, dir, snap, candidates).where(not(cond)))
+    val changes =
+      if (!cdc || candidates.isEmpty) None
+      else Some(readFiles(spark, dir, snap, candidates).where(cond)
+        .withColumn("_change_type", lit("delete")))
     cowCommit(spark, dir, snap, candidates, out, "delete", opId,
-      beforeSwap, bloomCols, bloomFpp)
+      beforeSwap, bloomCols, bloomFpp, changes)
   }
 
   /** UPDATE ... SET: rows where `predicateSql` is TRUE get each `set`
@@ -552,31 +597,47 @@ object ManifestTable {
                   set: Map[String, String], opId: String,
                   beforeSwap: () => Unit = () => (),
                   bloomCols: Seq[String] = Nil,
-                  bloomFpp: Double = 0.01): Boolean = {
+                  bloomFpp: Double = 0.01,
+                  cdc: Boolean = false): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     val snap = snapshot(spark, dir)
     if (snap.batchIds.contains(opId)) return false
     val candidates = keptFiles(spark, dir, snap, predicateSql)
+    val cond = coalesce(expr(predicateSql), lit(false))
+    // the SET projection against the OLD row; `onlyMatched` restricts it
+    // to matching rows (the CDC postimage), otherwise pass-through rows
+    // keep their values
+    def applied(df: DataFrame, onlyMatched: Boolean): DataFrame = {
+      set.keys.foreach(k => require(
+        df.schema.fields.exists(_.name.equalsIgnoreCase(k)),
+        s"updateWhere SET column $k does not exist (UPDATE is not a schema change)"))
+      val base = if (onlyMatched) df.where(cond) else df
+      base.select(base.schema.fields.map { fd =>
+        set.find(_._1.equalsIgnoreCase(fd.name)) match {
+          case Some((_, e)) =>
+            (if (onlyMatched) expr(e).cast(fd.dataType)
+             else when(cond, expr(e).cast(fd.dataType)).otherwise(col(fd.name)))
+              .as(fd.name)
+          case None => col(fd.name)
+        }
+      }.toSeq: _*)
+    }
     val out =
       if (candidates.isEmpty) None
+      else Some(applied(readFiles(spark, dir, snap, candidates),
+        onlyMatched = false))
+    val changes =
+      if (!cdc || candidates.isEmpty) None
       else {
         val df = readFiles(spark, dir, snap, candidates)
-        set.keys.foreach(k => require(
-          df.schema.fields.exists(_.name.equalsIgnoreCase(k)),
-          s"updateWhere SET column $k does not exist (UPDATE is not a schema change)"))
-        val cond = coalesce(expr(predicateSql), lit(false))
-        Some(df.select(df.schema.fields.map { fd =>
-          set.find(_._1.equalsIgnoreCase(fd.name)) match {
-            case Some((_, e)) =>
-              when(cond, expr(e).cast(fd.dataType))
-                .otherwise(col(fd.name)).as(fd.name)
-            case None => col(fd.name)
-          }
-        }.toSeq: _*))
+        Some(df.where(cond)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied(df, onlyMatched = true)
+            .withColumn("_change_type", lit("update_postimage"))))
       }
     cowCommit(spark, dir, snap, candidates, out, "update", opId,
-      beforeSwap, bloomCols, bloomFpp)
+      beforeSwap, bloomCols, bloomFpp, changes)
   }
 
   /** MERGE (upsert) `source` into the table on `keyCols`: a table row
@@ -607,8 +668,8 @@ object ManifestTable {
   def merge(source: DataFrame, dir: String, keyCols: Seq[String],
             opId: String, beforeSwap: () => Unit = () => (),
             bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
-            maxProbeKeys: Int = 1024): Boolean = {
-    import org.apache.spark.sql.functions.{col, max, min}
+            maxProbeKeys: Int = 1024, cdc: Boolean = false): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
     import org.apache.spark.sql.types._
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = source.sparkSession
@@ -624,7 +685,9 @@ object ManifestTable {
       col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
     if (snap.files.isEmpty)
       return cowCommit(spark, dir, snap, Nil, Some(aligned), "merge", opId,
-        beforeSwap, bloomCols, bloomFpp)
+        beforeSwap, bloomCols, bloomFpp,
+        if (cdc) Some(aligned.withColumn("_change_type", lit("insert")))
+        else None)
     // source-key pruning predicate: exact IN probe for a small key set
     // of bloom-able type, else [min, max] range conjuncts per key column
     def probeType(k: String): Boolean =
@@ -663,13 +726,34 @@ object ManifestTable {
     val candidates =
       if (pred == "1 = 0") Seq.empty[String]
       else keptFiles(spark, dir, snap, pred)
-    val survivors =
+    val candDf =
       if (candidates.isEmpty) None
-      else Some(readFiles(spark, dir, snap, candidates)
-        .join(keyDf, keyCols.toSeq, "left_anti"))
+      else Some(readFiles(spark, dir, snap, candidates))
+    val survivors = candDf.map(_.join(keyDf, keyCols.toSeq, "left_anti"))
     val out = Some(survivors.fold(aligned)(_ unionByName aligned))
+    // CDC: matched target rows are update_preimage; their replacing
+    // source rows update_postimage (source semi-joined on the MATCHED
+    // target keys — candidate files provably hold every possible match,
+    // so the join against candidates is the join against the table);
+    // the remaining source rows are inserts
+    val changes =
+      if (!cdc) None
+      else {
+        val matched = candDf.map(_.join(keyDf, keyCols.toSeq, "left_semi"))
+        val matchedKeys = matched.map(
+          _.select(keyCols.map(col).toSeq: _*).distinct())
+        val pre = matched.map(
+          _.withColumn("_change_type", lit("update_preimage")))
+        val post = matchedKeys.map(mk =>
+          aligned.join(mk, keyCols.toSeq, "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))
+        val ins = matchedKeys.fold(aligned)(mk =>
+          aligned.join(mk, keyCols.toSeq, "left_anti"))
+          .withColumn("_change_type", lit("insert"))
+        Some((pre.toSeq ++ post.toSeq :+ ins).reduce(_ unionByName _))
+      }
     cowCommit(spark, dir, snap, candidates, out, "merge", opId,
-      beforeSwap, bloomCols, bloomFpp)
+      beforeSwap, bloomCols, bloomFpp, changes)
   }
 
   // ---------------------------------------------- change feed
@@ -748,6 +832,79 @@ object ManifestTable {
         .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
       base.withColumn("commit_version", lit(v))
     }.reduce(_ unionByName _)
+  }
+
+  /** The FULL CHANGE DATA FEED over versions `(fromVersion, toVersion]`:
+    * every row-level change, typed by `_change_type` and tagged with the
+    * `commit_version` that made it —
+    *
+    *   - `append` commits yield their rows as `insert` (read straight
+    *     from the data files, no sidecar needed — the files ARE the
+    *     changes);
+    *   - `compact` commits yield nothing (pure rewrites);
+    *   - `delete` / `update` / `merge` commits yield their CDC sidecar:
+    *     `delete`, `update_preimage`/`update_postimage`, `insert` — IF
+    *     the op ran with `cdc = true`. A row-level commit WITHOUT a
+    *     sidecar raises: the feed will not silently skip changes it
+    *     cannot see (re-run such ops with CDC on, or consume the table
+    *     level instead).
+    *
+    * Rows are read with `toVersion`'s schema (union-compatible across
+    * schema evolution). This is what turns the table into a replicable
+    * log: a downstream consumer applying the feed in commit order
+    * reconstructs every intermediate state exactly.
+    */
+  def changesBetween(spark: SparkSession, dir: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"changesBetween needs 0 <= from <= to, got ($fromVersion, $toVersion)")
+    val to = snapshotAt(spark, dir, toVersion)
+    val baseSchema = tableSchema(to).getOrElse {
+      require(to.files.nonEmpty,
+        s"changesBetween: no schema and no files at $dir v$toVersion")
+      readFiles(spark, dir, to, to.files).schema
+    }
+    val cdcSchema = baseSchema.add("_change_type",
+      org.apache.spark.sql.types.StringType)
+    var prev =
+      if (fromVersion == 0L) Snapshot(0L, Seq.empty, Set.empty)
+      else snapshotAt(spark, dir, fromVersion)
+    val parts = ((fromVersion + 1L) to toVersion).flatMap { v =>
+      val cur = snapshotAt(spark, dir, v)
+      val fresh = cur.files.filterNot(prev.files.toSet)
+      val part = cur.op match {
+        case "append" =>
+          if (fresh.isEmpty) None
+          else Some(spark.read.schema(baseSchema)
+            .parquet(fresh.map(n => s"${dataDir(dir)}/$n"): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("commit_version", lit(v)))
+        case "compact" => None
+        case "delete" | "update" | "merge" => cur.cdcPath match {
+          case Some(name) =>
+            Some(spark.read.schema(cdcSchema)
+              .parquet(s"${cdcDir(dir)}/$name")
+              .withColumn("commit_version", lit(v)))
+          case None => throw new IllegalStateException(
+            s"changesBetween: version $v of $dir is a '${cur.op}' commit " +
+              "without a CDC sidecar (the op ran with cdc = false) — " +
+              "its changes cannot be reconstructed")
+        }
+        case "" => throw new IllegalStateException(
+          s"changesBetween: version $v of $dir has no op provenance " +
+            "(manifest written before op tracking)")
+        case other => throw new IllegalStateException(
+          s"changesBetween: version $v of $dir has unknown op '$other'")
+      }
+      prev = cur
+      part
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        cdcSchema.add("commit_version", org.apache.spark.sql.types.LongType))
+    else parts.reduce(_ unionByName _)
   }
 
   // ---------------------------------------------- data skipping
@@ -1086,6 +1243,7 @@ object ManifestTable {
           (files.map("file:" + _) ++
             (if (next0.op.nonEmpty) Seq("op:" + next0.op) else Nil) ++
             next0.schemaJson.map(j => "schema:" + enc(j)).toSeq ++
+            next0.cdcPath.map("cdc:" + _).toSeq ++
             next0.batchIds.toSeq.sorted.map("batch:" + _) ++ statLines)
             .mkString("\n").getBytes("UTF-8"))
         finally out.close()

@@ -1013,6 +1013,42 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The FULL CHANGE DATA FEED, oracle-replayed: a five-version fold —
+    * append, clustered compaction, CDC delete of a doc_id band, CDC
+    * update of the `de` rows, CDC merge (band of updates + re-keyed
+    * inserts) — then `changesBetween(0, 5)` must reproduce the typed
+    * log exactly: v1's inserts, nothing from the compaction, the delete
+    * band, update pre/postimages, and the merge's matched pre/post plus
+    * unmatched inserts, each tagged with its commit version. The oracle
+    * recomputes every change set from the source table INCLUDING the
+    * state dependencies (the v5 preimages carry v4's updated values),
+    * so a hash match certifies the feed is a faithful replayable log of
+    * the table's row-level history — the CDC contract itself.
+    */
+  def manifestCdfQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_cdf"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")           // v1
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))    // v2
+    require(graft.ext.ManifestTable.deleteWhere(s, root,
+      "doc_id >= 100 AND doc_id < 150", "d0", cdc = true))       // v3
+    require(graft.ext.ManifestTable.updateWhere(s, root, "lang = 'de'",
+      Map("n_chars" -> "n_chars + 7"), "u0", cdc = true))        // v4
+    val src = docs.filter(col("doc_id") >= 200 && col("doc_id") < 220)
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 31 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    require(graft.ext.ManifestTable.merge(src, root, Seq("doc_id"),
+      "m0", cdc = true))                                         // v5
+    graft.ext.ManifestTable.changesBetween(s, root, 0L, 5L)
+      .orderBy("commit_version", "_change_type", "doc_id")
+  }
+
   /** The MANIFEST TABLE AS A STREAM, oracle-replayed: the committed fold
     * (append v1, append v2, compact v3, append v4) is consumed by a
     * Structured Streaming query reading `format("graft-manifest")` with
@@ -1385,6 +1421,7 @@ object ExtQueries {
     "manifest_merge" -> (manifestMergeQ(_, _)),
     "manifest_changefeed" -> (manifestChangeFeedQ(_, _)),
     "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
+    "manifest_cdf" -> (manifestCdfQ(_, _)),
     "manifest_schema_evolution" -> (manifestSchemaEvolutionQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
@@ -2146,6 +2183,46 @@ object ExtQueries {
         |    AS commit_version
         |FROM documents WHERE doc_id % 3 IN (1, 2)
         |ORDER BY doc_id""".stripMargin,
+
+    // the typed change log: v1 inserts, v3 delete band, v4 update
+    // pre/post, v5 merge pre/post (over v4's state) + re-keyed inserts;
+    // the v2 compaction contributes nothing
+    "manifest_cdf" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |cur4 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN lang = 'de' THEN n_chars + 7 ELSE n_chars END
+        |      AS BIGINT) AS n_chars
+        |  FROM d WHERE NOT (doc_id >= 100 AND doc_id < 150)),
+        |src AS (
+        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |  FROM d WHERE doc_id >= 200 AND doc_id < 220
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT), lang, n_chars
+        |  FROM d WHERE doc_id % 31 = 0)
+        |SELECT doc_id, lang, n_chars, _change_type, commit_version FROM (
+        |  SELECT doc_id, lang, n_chars, 'insert' AS _change_type,
+        |    CAST(1 AS BIGINT) AS commit_version FROM d
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'delete', 3 FROM d
+        |  WHERE doc_id >= 100 AND doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'update_preimage', 4 FROM d
+        |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150)
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 7 AS BIGINT),
+        |    'update_postimage', 4 FROM d
+        |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150)
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'update_preimage', 5 FROM cur4
+        |  WHERE doc_id >= 200 AND doc_id < 220
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'update_postimage', 5 FROM src
+        |  WHERE doc_id >= 200 AND doc_id < 220
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'insert', 5 FROM src
+        |  WHERE doc_id >= 1000000)
+        |ORDER BY commit_version, _change_type, doc_id""".stripMargin,
 
     // the streamed feed since v1: batches b1 and b2, the compaction
     // contributes nothing

@@ -532,6 +532,63 @@ class ManifestTableSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq === Seq((3L, "doc 3", 3L)))
   }
 
+  test("changesBetween replays the full typed change log") {
+    val dir = tmp("cdf")
+    ManifestTable.append(batch(1, 2), dir, "b0")          // v1: inserts
+    ManifestTable.compact(spark, dir,
+      targetFileBytes = 1024L * 1024 * 1024)              // v2: nothing
+    ManifestTable.deleteWhere(spark, dir, "id = 1", "d0",
+      cdc = true)                                         // v3: delete
+    ManifestTable.updateWhere(spark, dir, "id = 2",
+      Map("text" -> "upper(text)"), "u0", cdc = true)     // v4: update
+    ManifestTable.merge(
+      Seq((2L, "doc 2 v3"), (9L, "doc 9")).toDF("id", "text"),
+      dir, Seq("id"), "m0", cdc = true)                   // v5: merge
+    val feed = ManifestTable.changesBetween(spark, dir, 0L, 5L)
+      .as[(Long, String, String, Long)].collect().toSeq.sorted
+    assert(feed === Seq(
+      (1L, "doc 1", "delete", 3L),
+      (1L, "doc 1", "insert", 1L),
+      (2L, "DOC 2", "update_postimage", 4L),
+      (2L, "DOC 2", "update_preimage", 5L),
+      (2L, "doc 2", "insert", 1L),
+      (2L, "doc 2", "update_preimage", 4L),
+      (2L, "doc 2 v3", "update_postimage", 5L),
+      (9L, "doc 9", "insert", 5L)))
+    // a consumer applying the feed in commit order reconstructs the
+    // table: inserts + postimages minus deletes + preimages
+    assert(ManifestTable.read(spark, dir).as[(Long, String)]
+      .collect().toSeq.sorted === Seq((2L, "doc 2 v3"), (9L, "doc 9")))
+  }
+
+  test("changesBetween raises on a row-level commit without a CDC sidecar") {
+    val dir = tmp("cdfmissing")
+    ManifestTable.append(batch(1, 2), dir, "b0")         // v1
+    ManifestTable.deleteWhere(spark, dir, "id = 1", "d0") // v2: cdc off
+    val e = intercept[IllegalStateException] {
+      ManifestTable.changesBetween(spark, dir, 0L, 2L)
+    }
+    assert(e.getMessage.contains("without a CDC sidecar"))
+    // ranges not covering the blind commit still serve
+    assert(ManifestTable.changesBetween(spark, dir, 0L, 1L).count() === 2)
+  }
+
+  test("vacuum sweeps only UNREFERENCED cdc sidecars") {
+    val dir = tmp("cdfvacuum")
+    ManifestTable.append(batch(1, 2), dir, "b0")
+    ManifestTable.deleteWhere(spark, dir, "id = 1", "d0", cdc = true)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // a crashed cowCommit's stranded sidecar: written, never referenced
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/_cdc/orphan-dir")
+    fs.mkdirs(orphan)
+    ManifestTable.vacuum(spark, dir, graceMs = 0L)
+    assert(!fs.exists(orphan))
+    // the committed sidecar survives — the feed is replayable history
+    assert(ManifestTable.changesBetween(spark, dir, 1L, 2L)
+      .where("_change_type = 'delete'").count() === 1)
+  }
+
   test("schema evolution: new columns null-fill, type changes reject") {
     val dir = tmp("evolve")
     ManifestTable.append(batch(1), dir, "b0")
