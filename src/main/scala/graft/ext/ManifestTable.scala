@@ -535,6 +535,12 @@ object ManifestTable {
     val live = dropEmpty(f, dir, moved, stats)
     buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
     val cdcName = cdc.map { changes =>
+      // _change_type is RESERVED when CDC is on: a table column of that
+      // name would be silently replaced in the sidecar, corrupting the
+      // feed — fail the op instead
+      require(!out.exists(_.columns.exists(c =>
+        c.equalsIgnoreCase("_change_type"))),
+        "CDC reserves the column name _change_type; this table has one")
       val name = java.util.UUID.randomUUID().toString
       changes.write.parquet(s"${cdcDir(dir)}/$name")
       name

@@ -573,6 +573,20 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.changesBetween(spark, dir, 0L, 1L).count() === 2)
   }
 
+  test("CDC reserves _change_type: a colliding table column fails the op") {
+    val dir = tmp("cdfreserved")
+    ManifestTable.append(Seq((1L, "x"))
+      .toDF("id", "_change_type"), dir, "b0")
+    intercept[IllegalArgumentException] {
+      ManifestTable.deleteWhere(spark, dir, "id = 1", "d0", cdc = true)
+    }
+    // without CDC the column name is the caller's business; deleting the
+    // only row leaves an EMPTY table (the rewritten file is provably
+    // empty and dropped, so no files remain)
+    assert(ManifestTable.deleteWhere(spark, dir, "id = 1", "d1"))
+    assert(ManifestTable.snapshot(spark, dir).files.isEmpty)
+  }
+
   test("vacuum sweeps only UNREFERENCED cdc sidecars") {
     val dir = tmp("cdfvacuum")
     ManifestTable.append(batch(1, 2), dir, "b0")
