@@ -40,7 +40,8 @@ object Explain {
       "train_ingest_stats_replay", "manifest_time_travel",
       "manifest_delete", "manifest_update", "manifest_merge",
       "manifest_changefeed", "manifest_schema_evolution",
-      "manifest_scan_pruned", "manifest_stream_replay", "manifest_cdf")
+      "manifest_scan_pruned", "manifest_stream_replay", "manifest_cdf",
+      "manifest_cdf_stream_replay")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -92,6 +93,14 @@ object Explain {
           "the files the v2/v4 APPEND manifests added — the v3 " +
           "compaction's rewrites (which hold every b0/b1 row) contribute " +
           "nothing, by op provenance, not by file-list diffing"
+      }),
+      "manifest_cdf_stream_replay" -> (s => {
+        "collected-sink re-sort (see manifest_stream_replay note); the " +
+          "engine work is in the streaming query's micro-batches: " +
+          "appends as StaticFileIndex parquet scans of their own data " +
+          "files tagged insert, row-level commits as scans of their CDC " +
+          "sidecars — the same DuckDB oracle as batch manifest_cdf " +
+          "certifies the two consumption paths agree row-for-row"
       }),
       "manifest_cdf" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

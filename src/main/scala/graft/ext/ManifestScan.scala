@@ -82,6 +82,27 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
   override def partitionSchema: StructType = StructType(Nil)
 }
 
+/** A [[FileIndex]] over an EXPLICIT file list, no pruning — the leaf
+  * relation [[ManifestStreamSource]]'s CDC batches are built from: each
+  * micro-batch names its exact files (appended data files or a commit's
+  * CDC sidecar), so there is nothing left to prune and nothing to list.
+  */
+class StaticFileIndex(spark: SparkSession,
+                      paths: Seq[Path]) extends FileIndex {
+  private val statuses: Array[FileStatus] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.map(p => p.getFileSystem(conf).getFileStatus(p)).toArray
+  }
+  override def rootPaths: Seq[Path] = paths
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  override def inputFiles: Array[String] = paths.map(_.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def partitionSchema: StructType = StructType(Nil)
+}
+
 /** The `graft-manifest` data source — batch AND streaming faces of the
   * manifest table:
   *
@@ -95,7 +116,9 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
   *     manifest versions). Option `sinceVersion` starts the feed AFTER
   *     the named version (exclusive, matching
   *     [[ManifestTable.appendsBetween]]); default 0 = from the table's
-  *     beginning.
+  *     beginning. Option `readChangeFeed = true` streams the FULL CDC
+  *     feed instead (`_change_type` + `commit_version` columns — the
+  *     streaming face of [[ManifestTable.changesBetween]]).
   *
   * Registered via META-INF/services so the short name works; the class
   * name (`graft.ext.ManifestSource`) always works.
@@ -134,14 +157,21 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
       options = Map.empty)(spark)
   }
 
+  private def cdcOn(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
   : (String, StructType) = {
     val dir = pathOf(parameters)
     val spark = sqlContext.sparkSession
-    (shortName(), schema.getOrElse(
-      schemaOf(spark, dir, ManifestTable.snapshot(spark, dir))))
+    val base = schema.getOrElse(
+      schemaOf(spark, dir, ManifestTable.snapshot(spark, dir)))
+    (shortName(),
+      if (!cdcOn(parameters)) base
+      else base.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("commit_version", org.apache.spark.sql.types.LongType))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -151,8 +181,12 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     val dir = pathOf(parameters)
     val spark = sqlContext.sparkSession
     val since = parameters.get("sinceVersion").map(_.toLong).getOrElse(0L)
-    new ManifestStreamSource(spark, dir,
-      schema.getOrElse(schemaOf(spark, dir, ManifestTable.snapshot(spark, dir))),
-      since)
+    // the base TABLE schema: when Spark hands back the source schema it
+    // includes the CDC columns — strip them, the source re-adds them
+    val base = schema.map(sc => org.apache.spark.sql.types.StructType(
+      sc.fields.filterNot(f => cdcOn(parameters) &&
+        (f.name == "_change_type" || f.name == "commit_version"))))
+      .getOrElse(schemaOf(spark, dir, ManifestTable.snapshot(spark, dir)))
+    new ManifestStreamSource(spark, dir, base, since, cdcOn(parameters))
   }
 }

@@ -1,11 +1,13 @@
 package graft.ext
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** The MANIFEST TABLE AS A STREAM — Structured Streaming's incremental
   * consumption of a committed table, the Delta streaming-source design
@@ -22,19 +24,32 @@ import org.apache.spark.sql.types.StructType
   *     commit (delete/update/merge) FAILS the stream rather than
   *     silently drifting from the table — the same honest contract as
   *     the batch feed, and what Delta does without ignoreChanges.
+  *   - `cdcMode` switches the batch to the FULL CHANGE FEED (the
+  *     streaming face of [[ManifestTable.changesBetween]]): appends
+  *     arrive as `insert` rows, row-level commits as their typed CDC
+  *     sidecars (`delete`, `update_preimage`/`update_postimage`,
+  *     `insert`), each tagged `commit_version` — so even a table under
+  *     deletes and upserts is consumable as a stream; a sidecar-less
+  *     row-level commit still fails the stream.
   *   - EXACTLY-ONCE follows from the two sides' idempotence: versions
   *     replay deterministically (manifests are immutable), and the sink
   *     dedups by batch id as usual. A restart re-reads `(lastCommitted,
   *     head]` — no rows lost, none doubled.
   *
-  * Each batch is a normal parquet relation over exactly the appended
+  * Each batch is a normal parquet relation over exactly the batch's
   * files (vectorized scan, pushdown intact), marked `isStreaming` as the
   * V1 source contract requires. At 100 TB the per-trigger driver cost is
   * O(appended files) — the table's size never enters the loop.
   */
 class ManifestStreamSource(spark: SparkSession, dir: String,
-                           override val schema: StructType,
-                           sinceVersion: Long) extends Source {
+                           baseSchema: StructType,
+                           sinceVersion: Long,
+                           cdcMode: Boolean = false) extends Source {
+
+  override val schema: StructType =
+    if (!cdcMode) baseSchema
+    else baseSchema.add("_change_type", StringType)
+      .add("commit_version", LongType)
 
   override def getOffset: Option[Offset] = {
     val v = ManifestTable.snapshot(spark, dir).version
@@ -47,25 +62,61 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
     case other => other.json.trim.toLong
   }
 
+  /** A streaming parquet relation over an explicit file list. */
+  private def rel(paths: Seq[Path], sc: StructType): DataFrame =
+    org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+      LogicalRelation(
+        HadoopFsRelation(new StaticFileIndex(spark, paths),
+          partitionSchema = StructType(Nil), dataSchema = sc,
+          bucketSpec = None, fileFormat = new ParquetFileFormat,
+          options = Map.empty)(spark),
+        isStreaming = true))
+
+  private def dataPaths(names: Seq[String]): Seq[Path] =
+    names.map(n => new Path(s"$dir/data/$n"))
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.fold(sinceVersion)(ver)
     val to = ver(end)
-    val names = ManifestTable.appendCommitsBetween(spark, dir, from, to)
-      .flatMap(_._2)
-    // restrict the batch's file index to exactly the appended files; the
-    // snapshot's stats ride along, so pushed filters prune WITHIN the
-    // batch too (a filtered stream never opens files its predicate
-    // excludes)
-    val snap = ManifestTable.snapshotAt(spark, dir, to).copy(files = names)
-    val rel = HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),
-      partitionSchema = StructType(Nil), dataSchema = schema,
-      bucketSpec = None, fileFormat = new ParquetFileFormat,
-      options = Map.empty)(spark)
-    org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
-      LogicalRelation(rel, isStreaming = true))
+    if (!cdcMode) {
+      val names = ManifestTable.appendCommitsBetween(spark, dir, from, to)
+        .flatMap(_._2)
+      // restrict the batch's file index to exactly the appended files;
+      // the snapshot's stats ride along, so pushed filters prune WITHIN
+      // the batch too (a filtered stream never opens files its predicate
+      // excludes)
+      val snap = ManifestTable.snapshotAt(spark, dir, to).copy(files = names)
+      org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+        LogicalRelation(
+          HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),
+            partitionSchema = StructType(Nil), dataSchema = baseSchema,
+            bucketSpec = None, fileFormat = new ParquetFileFormat,
+            options = Map.empty)(spark),
+          isStreaming = true))
+    } else {
+      val cdcSchema = baseSchema.add("_change_type", StringType)
+      val parts = ManifestTable.changeCommitsBetween(spark, dir, from, to)
+        .map {
+          case (v, Left(appended)) =>
+            rel(dataPaths(appended), baseSchema)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("commit_version", lit(v))
+          case (v, Right(sidecarDir)) =>
+            val conf = spark.sparkContext.hadoopConfiguration
+            val d = new Path(s"$dir/_cdc/$sidecarDir")
+            val files = d.getFileSystem(conf).listStatus(d)
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath).toSeq
+            rel(files, cdcSchema).withColumn("commit_version", lit(v))
+        }
+      if (parts.isEmpty) rel(Seq.empty, cdcSchema)
+        .withColumn("commit_version", lit(0L))
+      else parts.reduce(_ unionByName _)
+    }
   }
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"ManifestStreamSource[$dir]"
+  override def toString: String =
+    s"ManifestStreamSource[$dir${if (cdcMode) ", cdc" else ""}]"
 }

@@ -818,6 +818,45 @@ object ManifestTable {
     }
   }
 
+  /** The CDC walk over `(fromVersion, toVersion]`: per contributing
+    * version, `Left(files)` for an append's added data files or
+    * `Right(sidecarDir)` for a row-level commit's CDC sidecar.
+    * Compactions are skipped; a row-level commit without a sidecar and
+    * pre-provenance manifests raise (see [[changesBetween]]).
+    */
+  private[graft] def changeCommitsBetween(spark: SparkSession, dir: String,
+                                          fromVersion: Long, toVersion: Long)
+  : Seq[(Long, Either[Seq[String], String])] = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"change feed needs 0 <= from <= to, got ($fromVersion, $toVersion)")
+    var prev =
+      if (fromVersion == 0L) Snapshot(0L, Seq.empty, Set.empty)
+      else snapshotAt(spark, dir, fromVersion)
+    ((fromVersion + 1L) to toVersion).flatMap { v =>
+      val cur = snapshotAt(spark, dir, v)
+      val fresh = cur.files.filterNot(prev.files.toSet)
+      val part: Option[(Long, Either[Seq[String], String])] = cur.op match {
+        case "append" =>
+          if (fresh.isEmpty) None else Some((v, Left(fresh)))
+        case "compact" => None
+        case "delete" | "update" | "merge" => cur.cdcPath match {
+          case Some(name) => Some((v, Right(name)))
+          case None => throw new IllegalStateException(
+            s"change feed: version $v of $dir is a '${cur.op}' commit " +
+              "without a CDC sidecar (the op ran with cdc = false) — " +
+              "its changes cannot be reconstructed")
+        }
+        case "" => throw new IllegalStateException(
+          s"change feed: version $v of $dir has no op provenance " +
+            "(manifest written before op tracking)")
+        case other => throw new IllegalStateException(
+          s"change feed: version $v of $dir has unknown op '$other'")
+      }
+      prev = cur
+      part
+    }
+  }
+
   def appendsBetween(spark: SparkSession, dir: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -873,39 +912,18 @@ object ManifestTable {
     }
     val cdcSchema = baseSchema.add("_change_type",
       org.apache.spark.sql.types.StringType)
-    var prev =
-      if (fromVersion == 0L) Snapshot(0L, Seq.empty, Set.empty)
-      else snapshotAt(spark, dir, fromVersion)
-    val parts = ((fromVersion + 1L) to toVersion).flatMap { v =>
-      val cur = snapshotAt(spark, dir, v)
-      val fresh = cur.files.filterNot(prev.files.toSet)
-      val part = cur.op match {
-        case "append" =>
-          if (fresh.isEmpty) None
-          else Some(spark.read.schema(baseSchema)
+    val parts = changeCommitsBetween(spark, dir, fromVersion, toVersion)
+      .map {
+        case (v, Left(fresh)) =>
+          spark.read.schema(baseSchema)
             .parquet(fresh.map(n => s"${dataDir(dir)}/$n"): _*)
             .withColumn("_change_type", lit("insert"))
-            .withColumn("commit_version", lit(v)))
-        case "compact" => None
-        case "delete" | "update" | "merge" => cur.cdcPath match {
-          case Some(name) =>
-            Some(spark.read.schema(cdcSchema)
-              .parquet(s"${cdcDir(dir)}/$name")
-              .withColumn("commit_version", lit(v)))
-          case None => throw new IllegalStateException(
-            s"changesBetween: version $v of $dir is a '${cur.op}' commit " +
-              "without a CDC sidecar (the op ran with cdc = false) — " +
-              "its changes cannot be reconstructed")
-        }
-        case "" => throw new IllegalStateException(
-          s"changesBetween: version $v of $dir has no op provenance " +
-            "(manifest written before op tracking)")
-        case other => throw new IllegalStateException(
-          s"changesBetween: version $v of $dir has unknown op '$other'")
+            .withColumn("commit_version", lit(v))
+        case (v, Right(name)) =>
+          spark.read.schema(cdcSchema)
+            .parquet(s"${cdcDir(dir)}/$name")
+            .withColumn("commit_version", lit(v))
       }
-      prev = cur
-      part
-    }
     if (parts.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

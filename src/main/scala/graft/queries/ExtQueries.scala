@@ -1049,6 +1049,55 @@ object ExtQueries {
       .orderBy("commit_version", "_change_type", "doc_id")
   }
 
+  /** The STREAMING CHANGE FEED, oracle-replayed: the same five-version
+    * fold as [[manifestCdfQ]], but consumed through the real streaming
+    * engine — `readStream.format("graft-manifest").option(
+    * "readChangeFeed", true)` — whose micro-batches carry the typed CDC
+    * rows (appends as inserts from the data files themselves, row-level
+    * commits from their sidecars). The collected sink must hash-match
+    * the SAME DuckDB oracle as the batch feed: one oracle, two
+    * consumption paths, certifying the stream delivers exactly the
+    * batch feed's rows — nothing doubled across the compaction, nothing
+    * dropped across the row ops.
+    */
+  def manifestCdfStreamReplayQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_cdf_stream"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")           // v1
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))    // v2
+    require(graft.ext.ManifestTable.deleteWhere(s, root,
+      "doc_id >= 100 AND doc_id < 150", "d0", cdc = true))       // v3
+    require(graft.ext.ManifestTable.updateWhere(s, root, "lang = 'de'",
+      Map("n_chars" -> "n_chars + 7"), "u0", cdc = true))        // v4
+    val src = docs.filter(col("doc_id") >= 200 && col("doc_id") < 220)
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 31 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    require(graft.ext.ManifestTable.merge(src, root, Seq("doc_id"),
+      "m0", cdc = true))                                         // v5
+    val sink = "mt_cdf_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val rows = try {
+      q.processAllAvailable()
+      s.table(sink).collect().toSeq
+    } finally { q.stop(); s.catalog.dropTempView(sink) }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("n_chars", "long")
+        .add("_change_type", "string").add("commit_version", "long"))
+      .orderBy("commit_version", "_change_type", "doc_id")
+  }
+
   /** The MANIFEST TABLE AS A STREAM, oracle-replayed: the committed fold
     * (append v1, append v2, compact v3, append v4) is consumed by a
     * Structured Streaming query reading `format("graft-manifest")` with
@@ -1422,6 +1471,7 @@ object ExtQueries {
     "manifest_changefeed" -> (manifestChangeFeedQ(_, _)),
     "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
     "manifest_cdf" -> (manifestCdfQ(_, _)),
+    "manifest_cdf_stream_replay" -> (manifestCdfStreamReplayQ(_, _)),
     "manifest_schema_evolution" -> (manifestSchemaEvolutionQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
@@ -1455,6 +1505,48 @@ object ExtQueries {
   /** DuckDB: distinct word n-gram list over a `toks` list binding. */
   private def wordShinglesSql(toks: String, n: Int = 3): String =
     s"list_distinct([array_to_string($toks[i:i+${n - 1}], ' ') for i in range(1, greatest(len($toks) - ${n - 1}, 1) + 1)])"
+
+  /** DuckDB: the typed CDC log of the five-version manifest fold —
+    * shared by `manifest_cdf` (batch feed) and
+    * `manifest_cdf_stream_replay` (streaming source): one oracle, two
+    * consumption paths.
+    */
+  private val cdfOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+      |cur4 AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CASE WHEN lang = 'de' THEN n_chars + 7 ELSE n_chars END
+      |      AS BIGINT) AS n_chars
+      |  FROM d WHERE NOT (doc_id >= 100 AND doc_id < 150)),
+      |src AS (
+      |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+      |  FROM d WHERE doc_id >= 200 AND doc_id < 220
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 1000000 AS BIGINT), lang, n_chars
+      |  FROM d WHERE doc_id % 31 = 0)
+      |SELECT doc_id, lang, n_chars, _change_type, commit_version FROM (
+      |  SELECT doc_id, lang, n_chars, 'insert' AS _change_type,
+      |    CAST(1 AS BIGINT) AS commit_version FROM d
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'delete', 3 FROM d
+      |  WHERE doc_id >= 100 AND doc_id < 150
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'update_preimage', 4 FROM d
+      |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150)
+      |  UNION ALL
+      |  SELECT doc_id, lang, CAST(n_chars + 7 AS BIGINT),
+      |    'update_postimage', 4 FROM d
+      |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150)
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'update_preimage', 5 FROM cur4
+      |  WHERE doc_id >= 200 AND doc_id < 220
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'update_postimage', 5 FROM src
+      |  WHERE doc_id >= 200 AND doc_id < 220
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'insert', 5 FROM src
+      |  WHERE doc_id >= 1000000)
+      |ORDER BY commit_version, _change_type, doc_id""".stripMargin
 
   /** DuckDB: the planted 2-level near-dup corpus (doc + drop-8 mutation). */
   private def twoLevelDocsSql: String =
@@ -2186,43 +2278,10 @@ object ExtQueries {
 
     // the typed change log: v1 inserts, v3 delete band, v4 update
     // pre/post, v5 merge pre/post (over v4's state) + re-keyed inserts;
-    // the v2 compaction contributes nothing
-    "manifest_cdf" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
-        |cur4 AS (
-        |  SELECT doc_id, lang,
-        |    CAST(CASE WHEN lang = 'de' THEN n_chars + 7 ELSE n_chars END
-        |      AS BIGINT) AS n_chars
-        |  FROM d WHERE NOT (doc_id >= 100 AND doc_id < 150)),
-        |src AS (
-        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars
-        |  FROM d WHERE doc_id >= 200 AND doc_id < 220
-        |  UNION ALL
-        |  SELECT CAST(doc_id + 1000000 AS BIGINT), lang, n_chars
-        |  FROM d WHERE doc_id % 31 = 0)
-        |SELECT doc_id, lang, n_chars, _change_type, commit_version FROM (
-        |  SELECT doc_id, lang, n_chars, 'insert' AS _change_type,
-        |    CAST(1 AS BIGINT) AS commit_version FROM d
-        |  UNION ALL
-        |  SELECT doc_id, lang, n_chars, 'delete', 3 FROM d
-        |  WHERE doc_id >= 100 AND doc_id < 150
-        |  UNION ALL
-        |  SELECT doc_id, lang, n_chars, 'update_preimage', 4 FROM d
-        |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150)
-        |  UNION ALL
-        |  SELECT doc_id, lang, CAST(n_chars + 7 AS BIGINT),
-        |    'update_postimage', 4 FROM d
-        |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150)
-        |  UNION ALL
-        |  SELECT doc_id, lang, n_chars, 'update_preimage', 5 FROM cur4
-        |  WHERE doc_id >= 200 AND doc_id < 220
-        |  UNION ALL
-        |  SELECT doc_id, lang, n_chars, 'update_postimage', 5 FROM src
-        |  WHERE doc_id >= 200 AND doc_id < 220
-        |  UNION ALL
-        |  SELECT doc_id, lang, n_chars, 'insert', 5 FROM src
-        |  WHERE doc_id >= 1000000)
-        |ORDER BY commit_version, _change_type, doc_id""".stripMargin,
+    // the v2 compaction contributes nothing. The SAME oracle checks both
+    // consumption paths — the batch feed and the streaming source.
+    "manifest_cdf" -> cdfOracleSql,
+    "manifest_cdf_stream_replay" -> cdfOracleSql,
 
     // the streamed feed since v1: batches b1 and b2, the compaction
     // contributes nothing

@@ -85,6 +85,53 @@ class ManifestStreamSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("mt_since") }
   }
 
+  test("readChangeFeed streams the typed CDC log, row ops included") {
+    val dir = tmp("cdc")
+    ManifestTable.append(batch(1, 2), dir, "b0")              // v1
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName("mt_cdc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mt_cdc")
+        .select("id", "_change_type", "commit_version")
+        .as[(Long, String, Long)].collect().toSeq.sorted ===
+        Seq((1L, "insert", 1L), (2L, "insert", 1L)))
+      // row-level commits WITH cdc keep streaming as typed changes
+      ManifestTable.deleteWhere(spark, dir, "id = 1", "d0", cdc = true) // v2
+      ManifestTable.updateWhere(spark, dir, "id = 2",
+        Map("text" -> "upper(text)"), "u0", cdc = true)       // v3
+      q.processAllAvailable()
+      assert(spark.table("mt_cdc")
+        .select("id", "text", "_change_type", "commit_version")
+        .as[(Long, String, String, Long)].collect().toSeq.sorted ===
+        Seq((1L, "doc 1", "delete", 2L), (1L, "doc 1", "insert", 1L),
+          (2L, "DOC 2", "update_postimage", 3L),
+          (2L, "doc 2", "insert", 1L),
+          (2L, "doc 2", "update_preimage", 3L)))
+    } finally { q.stop(); spark.catalog.dropTempView("mt_cdc") }
+  }
+
+  test("readChangeFeed fails the stream on a sidecar-less row-level commit") {
+    val dir = tmp("cdcblind")
+    ManifestTable.append(batch(1), dir, "b0")
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName("mt_cdcblind")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ManifestTable.deleteWhere(spark, dir, "id = 1", "d0") // cdc off
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(e.getMessage.contains("CDC sidecar") ||
+        e.getCause.getMessage.contains("CDC sidecar"))
+    } finally { q.stop(); spark.catalog.dropTempView("mt_cdcblind") }
+  }
+
   test("a row-level commit fails the stream instead of drifting") {
     val dir = tmp("rowop")
     ManifestTable.append(batch(1, 2), dir, "b0")
