@@ -118,7 +118,9 @@ class StaticFileIndex(spark: SparkSession,
   *     [[ManifestTable.appendsBetween]]); default 0 = from the table's
   *     beginning. Option `readChangeFeed = true` streams the FULL CDC
   *     feed instead (`_change_type` + `commit_version` columns — the
-  *     streaming face of [[ManifestTable.changesBetween]]).
+  *     streaming face of [[ManifestTable.changesBetween]]). Option
+  *     `maxVersionsPerTrigger` bounds each micro-batch to that many
+  *     manifest versions — the backfill rate limiter.
   *
   * Registered via META-INF/services so the short name works; the class
   * name (`graft.ext.ManifestSource`) always works.
@@ -187,6 +189,7 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
       sc.fields.filterNot(f => cdcOn(parameters) &&
         (f.name == "_change_type" || f.name == "commit_version"))))
       .getOrElse(schemaOf(spark, dir, ManifestTable.snapshot(spark, dir)))
-    new ManifestStreamSource(spark, dir, base, since, cdcOn(parameters))
+    new ManifestStreamSource(spark, dir, base, since, cdcOn(parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
 }

@@ -44,7 +44,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
 class ManifestStreamSource(spark: SparkSession, dir: String,
                            baseSchema: StructType,
                            sinceVersion: Long,
-                           cdcMode: Boolean = false) extends Source {
+                           cdcMode: Boolean = false,
+                           maxVersionsPerTrigger: Option[Long] = None)
+    extends Source {
+
+  // Rate limiting: without a cap, a stream started on a year-old table
+  // reads its ENTIRE history as one micro-batch. `maxVersionsPerTrigger`
+  // bounds each batch to that many manifest versions past the last batch
+  // end this source has seen (`getBatch` keeps it current, including the
+  // engine's restart-recovery call, so a restarted query resumes capping
+  // from its committed offset, not from sinceVersion).
+  @volatile private var lastSeen: Long = sinceVersion
 
   override val schema: StructType =
     if (!cdcMode) baseSchema
@@ -52,8 +62,11 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
       .add("commit_version", LongType)
 
   override def getOffset: Option[Offset] = {
-    val v = ManifestTable.snapshot(spark, dir).version
-    if (v <= sinceVersion) None else Some(LongOffset(v))
+    val head = ManifestTable.snapshot(spark, dir).version
+    if (head <= sinceVersion) None
+    else Some(LongOffset(
+      maxVersionsPerTrigger.fold(head)(m =>
+        math.min(head, math.max(lastSeen, sinceVersion) + m))))
   }
 
   // a restarted query hands back SerializedOffset(json) — parse either
@@ -78,6 +91,7 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.fold(sinceVersion)(ver)
     val to = ver(end)
+    lastSeen = math.max(lastSeen, to)
     if (!cdcMode) {
       val names = ManifestTable.appendCommitsBetween(spark, dir, from, to)
         .flatMap(_._2)

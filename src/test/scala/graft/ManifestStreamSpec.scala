@@ -85,6 +85,25 @@ class ManifestStreamSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("mt_since") }
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch; nothing is lost") {
+    val dir = tmp("ratelimit")
+    (0 until 4).foreach(i =>
+      ManifestTable.append(batch(i.toLong), dir, s"b$i")) // v1..v4
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("mt_rate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // all rows arrive — the cap slices the backfill, it never drops it
+      assert(spark.table("mt_rate").select("id").as[Long]
+        .collect().toSeq.sorted === Seq(0L, 1L, 2L, 3L))
+      // and they arrived across MULTIPLE one-version batches, not one
+      // history-sized gulp
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    } finally { q.stop(); spark.catalog.dropTempView("mt_rate") }
+  }
+
   test("readChangeFeed streams the typed CDC log, row ops included") {
     val dir = tmp("cdc")
     ManifestTable.append(batch(1, 2), dir, "b0")              // v1
