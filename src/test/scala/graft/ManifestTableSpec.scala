@@ -603,6 +603,40 @@ class ManifestTableSpec extends SparkSpec {
       .where("_change_type = 'delete'").count() === 1)
   }
 
+  test("stress: racing appenders, compactors and deleters keep the table exact") {
+    val dir = tmp("stress")
+    // 8 threads x 4 appends race the CAS; every batch id is unique, so
+    // EVERY append must land exactly once regardless of who loses how
+    // many CAS rounds
+    val appenders = (0 until 8).map { t =>
+      new Thread(() => (0 until 4).foreach { i =>
+        ManifestTable.append(batch(t * 100L + i), dir, s"t$t-b$i")
+      })
+    }
+    appenders.foreach(_.start()); appenders.foreach(_.join())
+    val expected = (for (t <- 0 until 8; i <- 0 until 4)
+      yield t * 100L + i).sorted
+    assert(ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted === expected)
+    assert(ManifestTable.snapshot(spark, dir).version === 32L)
+    // now race a compaction against a delete: each either commits fully
+    // or aborts fully (the loser's candidates vanished), never a mix —
+    // the surviving row set is one of the two serializable outcomes
+    val compactor = new Thread(() =>
+      ManifestTable.compact(spark, dir, targetFileBytes = 1024L * 1024 * 1024))
+    val deleted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val deleter = new Thread(() => deleted.set(
+      ManifestTable.deleteWhere(spark, dir, "id % 100 = 3", "race-d0")))
+    compactor.start(); deleter.start()
+    compactor.join(); deleter.join()
+    val after = ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted
+    if (deleted.get) assert(after === expected.filterNot(_ % 100 == 3))
+    else assert(after === expected) // delete aborted on the conflict
+    // replays of every id are still absorbed after all the racing
+    assert(!ManifestTable.append(batch(999L), dir, "t0-b0"))
+  }
+
   test("schema evolution: new columns null-fill, type changes reject") {
     val dir = tmp("evolve")
     ManifestTable.append(batch(1), dir, "b0")
