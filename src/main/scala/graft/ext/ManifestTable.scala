@@ -963,6 +963,30 @@ object ManifestTable {
     else readFiles(spark, dir, s, kept).where(predicateSql)
   }
 
+  /** The table's COMMIT HISTORY as a DataFrame — one row per manifest
+    * version: (version, op, n_files, n_batches, rows_known, has_cdc).
+    * `rows_known` sums the footer row counts of the files that HAVE
+    * stats (null when any live file lacks them — a partial sum would
+    * read as a total). Driver cost is O(versions) small manifest reads;
+    * manifests are never deleted, so the full history always resolves.
+    * The observability face of the table: which commit grew it, which
+    * compacted it, which row-level op is CDC-consumable.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val head = snapshot(spark, dir).version
+    (1L to head).map { v =>
+      val s = snapshotAt(spark, dir, v)
+      val rowsKnown =
+        if (s.files.forall(s.stats.contains))
+          Some(s.files.map(f => s.stats(f).rows).sum)
+        else None
+      (v, s.op, s.files.size, s.batchIds.size, rowsKnown,
+        s.cdcPath.isDefined)
+    }.toDF("version", "op", "n_files", "n_batches", "rows_known",
+      "has_cdc")
+  }
+
   /** The PLANNER-INTEGRATED read (see [[ManifestFileIndex]]): a normal
     * DataFrame whose file list shrinks at planning time from whatever
     * filters Catalyst pushes toward the scan — `.where` chains, pushed

@@ -603,6 +603,24 @@ class ManifestTableSpec extends SparkSpec {
       .where("_change_type = 'delete'").count() === 1)
   }
 
+  test("history narrates the commit log: op kinds, file/row counts, CDC flags") {
+    val dir = tmp("history")
+    ManifestTable.append(batch(1, 2), dir, "b0")              // v1
+    ManifestTable.compact(spark, dir,
+      targetFileBytes = 1024L * 1024 * 1024)                  // v2
+    ManifestTable.deleteWhere(spark, dir, "id = 1", "d0",
+      cdc = true)                                             // v3
+    val h = ManifestTable.history(spark, dir)
+      .as[(Long, String, Int, Int, Option[Long], Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(h.map(r => (r._1, r._2, r._5, r._6)) === Seq(
+      (1L, "append", Some(2L), false),
+      (2L, "compact", Some(2L), false),
+      (3L, "delete", Some(1L), true)))
+    // absorbed batch ids accumulate (append + delete opIds)
+    assert(h.last._4 === 2)
+  }
+
   test("stress: racing appenders, compactors and deleters keep the table exact") {
     val dir = tmp("stress")
     // 8 threads x 4 appends race the CAS; every batch id is unique, so
