@@ -145,6 +145,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Skipping property: pruned reads equal full scans for random predicates") {
+    import graft.ext.ManifestTable
+    val dir = "/tmp/graft_test/skipping_property"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val rnd = new Random(1234)
+    // mixed families: long id, double x, string s (ascii + multi-byte,
+    // exercising UTF-8 byte order), nullable long n
+    val words = Seq("alpha", "bravo", "zulu", "mike", "ècho", "δelta", "తెలుగు")
+    val rows = (0L until 400L).map { id =>
+      (id, (id * 17 % 600 - 120) / 20.0,
+        words((id % words.size).toInt) + id,
+        if (id % 7 == 0) None else Some(id * 3 - 50))
+    }
+    // interleaved appends: full-span files, only blooms can prune points
+    (0 until 4).foreach { i =>
+      ManifestTable.append(
+        rows.filter(_._1 % 4 == i).toDF("id", "x", "s", "n").coalesce(1),
+        dir, s"b$i", bloomCols = Seq("id", "s"))
+    }
+    val cols = Seq("id", "x", "n")
+    val ops = Seq("<", "<=", ">", ">=", "=", "<>")
+    def lit(c: String): String = c match {
+      case "x" => ((rnd.nextInt(6000) - 1200) / 20.0).toString
+      case _ => (rnd.nextInt(500) - 50).toString
+    }
+    def leaf(): String = rnd.nextInt(7) match {
+      case 0 | 1 =>
+        val c = cols(rnd.nextInt(cols.size))
+        s"$c ${ops(rnd.nextInt(ops.size))} ${lit(c)}"
+      case 2 => "n IS NULL"
+      case 3 => "n IS NOT NULL"
+      case 4 => s"s LIKE '${words(rnd.nextInt(words.size))}%'"
+      case 5 => s"id IN (${Seq.fill(3)(rnd.nextInt(500) - 50).mkString(",")})"
+      // >10 literals: the optimizer rewrites to InSet on the planner
+      // path, while readWhere's parsed predicate stays In — one
+      // predicate covers both evaluator entries
+      case 6 => s"id IN (${Seq.fill(14)(rnd.nextInt(500) - 50).mkString(",")})"
+    }
+    def pred(depth: Int): String =
+      if (depth == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => s"(${pred(depth - 1)}) AND (${pred(depth - 1)})"
+        case 1 => s"(${pred(depth - 1)}) OR (${pred(depth - 1)})"
+        case 2 => s"NOT (${pred(depth - 1)})"
+      }
+    def check(n: Int): Unit = (1 to n).foreach { _ =>
+      val p = pred(1 + rnd.nextInt(2))
+      val full = ManifestTable.read(spark, dir).where(p)
+        .select("id").as[Long].collect().toSeq.sorted
+      val pruned = ManifestTable.readWhere(spark, dir, p)
+        .select("id").as[Long].collect().toSeq.sorted
+      assert(pruned === full, s"readWhere diverged for: $p")
+      val planner = ManifestTable.scan(spark, dir).where(p)
+        .select("id").as[Long].collect().toSeq.sorted
+      assert(planner === full, s"planner scan diverged for: $p")
+    }
+    check(30) // bloom phase: full-span files
+    // clustered phase: tight per-file ranges, stats do the pruning
+    ManifestTable.compact(spark, dir, targetFileBytes = 4L * 1024,
+      clusterBy = Seq("id"))
+    check(30)
+  }
+
   test("StatsSink property: any batch split folds to the one-shot aggregate") {
     val rnd = new Random(777)
     val docs = (1 to 80).map(i =>
