@@ -603,6 +603,44 @@ class ManifestTableSpec extends SparkSpec {
       .where("_change_type = 'delete'").count() === 1)
   }
 
+  test("a pre-stats/pre-provenance manifest stays readable, conservatively") {
+    val dir = tmp("legacy")
+    ManifestTable.append(batch(1, 2), dir, "b0")
+    ManifestTable.append(batch(3), dir, "b1")
+    // simulate a manifest written before stats/schema/op lines existed:
+    // strip every line but file:/batch: from the head version
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val head = new org.apache.hadoop.fs.Path(s"$dir/_manifest/v00000002")
+    val in = fs.open(head)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    val legacy = lines.filter(l =>
+      l.startsWith("file:") || l.startsWith("batch:"))
+    val out = fs.create(head, true)
+    try out.write(legacy.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val s = ManifestTable.snapshot(spark, dir)
+    assert(s.stats.isEmpty && s.op === "" && s.schemaJson.isEmpty)
+    // reads work; pruning keeps EVERY file (nothing provable, nothing
+    // dropped); results stay exact
+    assert(ManifestTable.pruneInfo(spark, dir, "id = 1") ===
+      ((s.files.size, s.files.size)))
+    assert(ManifestTable.readWhere(spark, dir, "id = 1").count() === 1)
+    assert(ManifestTable.scan(spark, dir).where("id >= 2")
+      .as[(Long, String)].collect().toSeq.sorted ===
+      Seq((2L, "doc 2"), (3L, "doc 3")))
+    // replay idempotence survives (batch ids were preserved)
+    assert(!ManifestTable.append(batch(3), dir, "b1"))
+    // the feeds refuse the provenance-less version instead of guessing
+    intercept[IllegalStateException] {
+      ManifestTable.appendsBetween(spark, dir, 0L, 2L)
+    }
+    // and the next commit re-establishes provenance for new versions
+    ManifestTable.append(batch(4), dir, "b2")
+    assert(ManifestTable.snapshot(spark, dir).op === "append")
+  }
+
   test("history narrates the commit log: op kinds, file/row counts, CDC flags") {
     val dir = tmp("history")
     ManifestTable.append(batch(1, 2), dir, "b0")              // v1
