@@ -42,23 +42,46 @@ import org.apache.spark.sql.types.StructType
 class ManifestFileIndex(spark: SparkSession, dir: String,
                         snap: ManifestTable.Snapshot) extends FileIndex {
 
+  // A FileIndex serves plain per-file scans; files carrying deletion
+  // vectors need their anti-join applied, which this seam cannot
+  // express — refuse loudly rather than resurrect deleted rows
+  require(snap.dvs.isEmpty,
+    s"ManifestTable at $dir v${snap.version} carries deletion vectors " +
+      s"on ${snap.dvs.size} file(s); the planner-integrated scan cannot " +
+      "apply them — read via ManifestTable.read/readWhere, or compact() " +
+      "to retire the vectors")
+
   private val dataPath = new Path(s"$dir/data")
 
-  // One listing at construction; data files are immutable and UUID-named,
-  // so these statuses can never go stale. A snapshot whose files were
-  // already vacuumed (historical read past the grace window) fails HERE,
-  // loudly, not with a mid-query FileNotFound.
-  private val statusByName: Map[String, FileStatus] = {
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = snap.files.toSet
-    fs.listStatus(dataPath).iterator
-      .filter(st => st.isFile && live(st.getPath.getName))
-      .map(st => st.getPath.getName -> st).toMap
-  }
-  require(statusByName.size == snap.files.size,
-    s"ManifestTable at $dir v${snap.version}: " +
-      s"${snap.files.size - statusByName.size} data files of the snapshot " +
-      "are gone from disk (vacuumed past the grace window?)")
+  // Data files are immutable and UUID-named, so statuses can never go
+  // stale. When the manifest recorded every file's size (any table
+  // committed since sizes existed), the statuses are built DIRECTLY
+  // from the snapshot — no LIST of data/ at all, the call object stores
+  // throttle at millions of entries. Pre-sizes manifests fall back to
+  // one listing at construction; there a snapshot whose files were
+  // already vacuumed (historical read past the grace window) fails
+  // HERE, loudly, not with a mid-query FileNotFound. (On the no-list
+  // path a vacuumed-away file surfaces as the scan's FileNotFound —
+  // the same grace-window contract, detected at first touch.)
+  private val statusByName: Map[String, FileStatus] =
+    if (snap.files.forall(snap.sizes.contains))
+      snap.files.map { n =>
+        n -> new FileStatus(snap.sizes(n), false, 1, 128L * 1024 * 1024,
+          0L, new Path(s"$dir/data/$n"))
+      }.toMap
+    else {
+      ManifestFileIndex.dataDirListings.incrementAndGet()
+      val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = snap.files.toSet
+      val listed = fs.listStatus(dataPath).iterator
+        .filter(st => st.isFile && live(st.getPath.getName))
+        .map(st => st.getPath.getName -> st).toMap
+      require(listed.size == snap.files.size,
+        s"ManifestTable at $dir v${snap.version}: " +
+          s"${snap.files.size - listed.size} data files of the snapshot " +
+          "are gone from disk (vacuumed past the grace window?)")
+      listed
+    }
 
   override def rootPaths: Seq[Path] = Seq(dataPath)
 
@@ -80,6 +103,15 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
   override def sizeInBytes: Long = statusByName.values.map(_.getLen).sum
 
   override def partitionSchema: StructType = StructType(Nil)
+}
+
+object ManifestFileIndex {
+  /** Listings of `data/` taken by index construction — the observable
+    * proof the manifest-recorded sizes keep the planner path LIST-free
+    * (only pre-sizes manifests should ever increment this).
+    */
+  private[graft] val dataDirListings =
+    new java.util.concurrent.atomic.AtomicLong()
 }
 
 /** A [[FileIndex]] over an EXPLICIT file list, no pruning — the leaf

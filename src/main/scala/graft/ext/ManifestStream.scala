@@ -56,13 +56,22 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
   // from its committed offset, not from sinceVersion).
   @volatile private var lastSeen: Long = sinceVersion
 
+  // the CDC stream adds these two columns to every row — a table column
+  // of the same name would be silently overwritten; fail at source
+  // construction, not deep inside a running query
+  if (cdcMode) ManifestTable.requireNoReservedFeedCols(baseSchema,
+    Seq("_change_type", "commit_version"), "the streaming change feed")
+
   override val schema: StructType =
     if (!cdcMode) baseSchema
     else baseSchema.add("_change_type", StringType)
       .add("commit_version", LongType)
 
   override def getOffset: Option[Offset] = {
-    val head = ManifestTable.snapshot(spark, dir).version
+    // headVersion is ONE _manifest/ listing, zero parse — the per-trigger
+    // idle cost of a stream on a quiet table is O(log files), never
+    // O(table files)
+    val head = ManifestTable.headVersion(spark, dir)
     if (head <= sinceVersion) None
     else Some(LongOffset(
       maxVersionsPerTrigger.fold(head)(m =>
@@ -99,7 +108,13 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
       // the snapshot's stats ride along, so pushed filters prune WITHIN
       // the batch too (a filtered stream never opens files its predicate
       // excludes)
-      val snap = ManifestTable.snapshotAt(spark, dir, to).copy(files = names)
+      // dvs restricted to the batch's own files (provably none: a
+      // dv-delete inside the range fails the append walk, and one after
+      // `to` is not visible at `to`) — table-wide DVs on OTHER files
+      // must not trip the index's no-DV guard
+      val snap0 = ManifestTable.snapshotAt(spark, dir, to)
+      val snap = snap0.copy(files = names,
+        dvs = snap0.dvs.view.filterKeys(names.toSet).toMap)
       org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
         LogicalRelation(
           HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),

@@ -72,6 +72,15 @@ object ManifestTable {
     */
   final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
+  /** One DELETION-VECTOR reference: a sidecar dataset under `_dv/<name>`
+    * holding (file name, row position) pairs; `rows` = how many of the
+    * referencing data file's positions it marks deleted (exact — the
+    * positions are distinct by construction, and refs stacked on one
+    * file mark disjoint positions because each new DV is computed on the
+    * already-DV-applied read).
+    */
+  final case class DvRef(name: String, rows: Long)
+
   /** (version, data-file names, absorbed batch ids, per-file column
     * stats); version 0 = empty table before the first commit. `stats`
     * may cover only a subset of `files` — manifests written before stats
@@ -91,13 +100,29 @@ object ManifestTable {
     * null-fills files written before a column existed. None on tables
     * whose first commit predates schema tracking (they keep today's
     * footer-derived behavior).
+    *
+    * `sizes` records each data file's byte length, captured when the
+    * file was moved into `data/` — what lets [[ManifestFileIndex]] build
+    * `FileStatus` objects without LISTing the data directory (on object
+    * stores a million-entry LIST per query is the throttled path) and
+    * [[compact]] size its output without per-file RPCs. May cover a
+    * subset of `files` on pre-sizes manifests (readers fall back to
+    * listing).
+    *
+    * `dvs` maps a data file to its stacked deletion-vector references
+    * (merge-on-read: the file's rows at those positions are deleted
+    * without rewriting the file). `constraints` are the table's named
+    * CHECK expressions, enforced at append/merge/update.
     */
   final case class Snapshot(version: Long, files: Seq[String],
                             batchIds: Set[String],
                             stats: Map[String, FileStats] = Map.empty,
                             op: String = "",
                             schemaJson: Option[String] = None,
-                            cdcPath: Option[String] = None)
+                            cdcPath: Option[String] = None,
+                            sizes: Map[String, Long] = Map.empty,
+                            dvs: Map[String, Seq[DvRef]] = Map.empty,
+                            constraints: Map[String, String] = Map.empty)
 
   /** The recorded table schema of a snapshot, if this table tracks one. */
   def tableSchema(s: Snapshot): Option[org.apache.spark.sql.types.StructType] =
@@ -146,12 +171,51 @@ object ManifestTable {
     * one exists — every file projects the FULL table column set (files
     * predating a column null-fill it); without a recorded schema the
     * parquet reader's first-footer schema applies, as before.
+    *
+    * Files carrying DELETION VECTORS get them applied here — merge-on-
+    * read: the file is scanned with its hidden `_metadata` file/position
+    * columns and anti-joined against the referenced `_dv/` position
+    * sets (small by construction — a point delete's DV is a handful of
+    * rows — so Spark broadcasts the probe side; the big scan never
+    * shuffles). Every DataFrame face of the table (read, readWhere,
+    * readVersion, the feeds, compact's rewrite, the row ops' candidate
+    * reads) flows through this method, so DV semantics hold everywhere
+    * by construction.
     */
   private def readFiles(spark: SparkSession, dir: String, s: Snapshot,
                         names: Seq[String]): DataFrame = {
     val r = tableSchema(s).fold(spark.read)(sc => spark.read.schema(sc))
-    r.parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+    def plain(ns: Seq[String]): DataFrame =
+      r.parquet(ns.map(n => s"${dataDir(dir)}/$n"): _*)
+    val (dvd, clean) = names.partition(n => s.dvs.get(n).exists(_.nonEmpty))
+    if (dvd.isEmpty) plain(names)
+    else {
+      import org.apache.spark.sql.functions.{col, element_at, split}
+      val refs = dvd.flatMap(n => s.dvs(n)).map(_.name).distinct
+      val dv = spark.read
+        .parquet(refs.map(n => s"${dvDir(dir)}/$n"): _*)
+        .select(col(DvFileCol), col(DvPosCol))
+      val fm = "_graft_meta_file"
+      val pm = "_graft_meta_pos"
+      val withMeta = plain(dvd)
+        .withColumn(fm,
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn(pm, col("_metadata.row_index"))
+      val applied = withMeta.join(dv,
+          withMeta(fm) === dv(DvFileCol) && withMeta(pm) === dv(DvPosCol),
+          "left_anti")
+        .drop(fm, pm)
+      if (clean.isEmpty) applied else applied.unionByName(plain(clean))
+    }
   }
+
+  /** Column names inside a `_dv/` sidecar dataset: the data file's NAME
+    * (not path — tables relocate) and the 0-based physical row position
+    * within it (`_metadata.row_index`, stable because data files are
+    * immutable).
+    */
+  private val DvFileCol = "_graft_dv_file"
+  private val DvPosCol = "_graft_dv_pos"
 
   private def manifestDir(dir: String) = s"$dir/_manifest"
   private def dataDir(dir: String) = s"$dir/data"
@@ -162,35 +226,144 @@ object ManifestTable {
   private def bloomPath(dir: String, file: String, colName: String) =
     s"${bloomDir(dir)}/$file.${enc(colName.toLowerCase)}.bloom"
 
-  /** Resolve the table's current snapshot: highest `v<NNNNNNNN>` in the
-    * manifest directory. A half-written manifest can never be resolved —
-    * manifests appear only by rename, which is all-or-nothing.
+  // ---------------------------------------------- the commit log
+  //
+  // INCREMENTAL, the Delta-log design: every commit publishes one small
+  // DELTA file `d<NNNNNNNN>` holding only that commit's ACTIONS
+  // (add:/remove: files + the new files' stats, newly absorbed batch
+  // ids, op kind, schema-if-changed, cdc/dv references) — O(change)
+  // bytes, never O(table). Every [[CheckpointInterval]]-th commit also
+  // writes a FULL listing `v<NNNNNNNN>` (a CHECKPOINT — the exact
+  // pre-r12 manifest format), so resolution replays at most
+  // CheckpointInterval deltas past the nearest checkpoint, and a table
+  // committed every 10 s for a year never rewrites its million-file
+  // listing per commit. Pre-incremental tables (all `v` files) read
+  // unchanged: a full manifest IS a checkpoint.
+
+  /** The (checkpoint, delta) log files of a table, from ONE listing of
+    * `_manifest/` — O(versions) names, no data I/O. `{8,}`: versions
+    * past 10^8 widen the zero-padded name rather than vanish (numeric
+    * max below).
     */
-  def snapshot(spark: SparkSession, dir: String): Snapshot = {
-    val f = fs(spark, dir)
-    val md = p(manifestDir(dir))
-    if (!f.exists(md)) return Snapshot(0L, Seq.empty, Set.empty)
-    // {8,}: versions past 10^8 widen the zero-padded name rather than
-    // vanish from resolution (names stay in lexicographic = numeric
-    // order up to the width change; the max() below is numeric anyway)
-    val versions = f.listStatus(md)
-      .filter(s => s.isFile && s.getPath.getName.matches("v\\d{8,}"))
-      .map(_.getPath.getName.drop(1).toLong)
-    if (versions.isEmpty) return Snapshot(0L, Seq.empty, Set.empty)
-    readManifest(spark, dir, versions.max)
+  private final case class LogFiles(
+      ckpt: Map[Long, org.apache.hadoop.fs.FileStatus],
+      delta: Map[Long, org.apache.hadoop.fs.FileStatus]) {
+    def head: Long =
+      (ckpt.keysIterator ++ delta.keysIterator).foldLeft(0L)(math.max)
+    def has(v: Long): Boolean = ckpt.contains(v) || delta.contains(v)
   }
 
-  /** The snapshot as of manifest `version` — TIME TRAVEL. Manifests are
-    * never deleted (they are one line per file/batch/column — kilobytes),
-    * so any historical version resolves as long as [[vacuum]]'s grace
-    * window has not swept the data files it references; a pinned reader
-    * inside the window sees the exact historical table.
+  private def listLog(spark: SparkSession, dir: String): LogFiles = {
+    val f = fs(spark, dir)
+    val md = p(manifestDir(dir))
+    if (!f.exists(md)) return LogFiles(Map.empty, Map.empty)
+    val sts = f.listStatus(md).filter(_.isFile)
+    LogFiles(
+      sts.filter(_.getPath.getName.matches("v\\d{8,}"))
+        .map(s => s.getPath.getName.drop(1).toLong -> s).toMap,
+      sts.filter(_.getPath.getName.matches("d\\d{8,}"))
+        .map(s => s.getPath.getName.drop(1).toLong -> s).toMap)
+  }
+
+  /** DRIVER SNAPSHOT CACHE. Snapshots are immutable once committed, so a
+    * resolved version caches forever; the key carries the log file's
+    * (length, mtime) identity so a table DELETED AND RECREATED at the
+    * same path — whose new v3 is a different file — can never serve the
+    * old table's snapshot. `getOffset` every trigger and repeated
+    * `snapshot()` calls become one `_manifest/` listing + a map hit:
+    * zero parse, zero O(files) work.
+    */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+  private val SnapCacheMax = 256
+
+  private def cacheKey(dir: String, v: Long, log: LogFiles): Option[String] =
+    log.ckpt.get(v).orElse(log.delta.get(v)).map(st =>
+      s"$dir#$v#${st.getLen}#${st.getModificationTime}")
+
+  private def cachePut(key: Option[String], s: Snapshot): Unit = key.foreach {
+    k =>
+      if (snapCache.size >= SnapCacheMax) snapCache.clear()
+      snapCache.put(k, s)
+  }
+
+  /** Log files parsed this JVM (checkpoints + deltas) — the observable
+    * proof the snapshot cache works: an unchanged table's repeated
+    * `snapshot()` adds zero.
+    */
+  private[graft] val logFileReads =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Test seam: a cleared cache simulates a FRESH DRIVER resolving the
+    * table cold — what the checkpoint cadence bounds.
+    */
+  private[graft] def clearSnapshotCacheForTest(): Unit = snapCache.clear()
+
+  /** Resolve `v` against an already-taken listing: nearest cached
+    * version or checkpoint at-or-below `v`, then replay the deltas up to
+    * `v` (each at most once per JVM — intermediates cache too). Cost is
+    * O(deltas since checkpoint) small file reads on a cold cache, a map
+    * hit on a warm one.
+    */
+  private def resolveAt(spark: SparkSession, dir: String, v: Long,
+                        log: LogFiles): Snapshot = {
+    if (v == 0L) return Snapshot(0L, Seq.empty, Set.empty)
+    var w = v
+    var base = Snapshot(0L, Seq.empty, Set.empty)
+    var found = false
+    while (!found && w > 0L) {
+      val cached = cacheKey(dir, w, log).flatMap(k => Option(snapCache.get(k)))
+      cached match {
+        case Some(s) => base = s; found = true
+        case None if log.ckpt.contains(w) =>
+          base = readManifest(spark, dir, w)
+          cachePut(cacheKey(dir, w, log), base)
+          found = true
+        case None =>
+          require(log.delta.contains(w),
+            s"ManifestTable at $dir: the log has no file for version $w " +
+              "(manifest directory corrupted?)")
+          w -= 1
+      }
+    }
+    var cur = base
+    ((base.version + 1L) to v).foreach { u =>
+      cur = applyDelta(cur, readDelta(spark, dir, u), u)
+      cachePut(cacheKey(dir, u, log), cur)
+    }
+    cur
+  }
+
+  /** Resolve the table's current snapshot: the highest committed version
+    * in the log. A half-written log file can never be resolved — they
+    * appear only by atomic link/rename.
+    */
+  def snapshot(spark: SparkSession, dir: String): Snapshot = {
+    val log = listLog(spark, dir)
+    val head = log.head
+    if (head == 0L) Snapshot(0L, Seq.empty, Set.empty)
+    else resolveAt(spark, dir, head, log)
+  }
+
+  /** The table's current committed version WITHOUT resolving the
+    * snapshot — one directory listing, zero parse. What a streaming
+    * source's per-trigger `getOffset` should pay.
+    */
+  def headVersion(spark: SparkSession, dir: String): Long =
+    listLog(spark, dir).head
+
+  /** The snapshot as of manifest `version` — TIME TRAVEL. Log files are
+    * never deleted (deltas are O(change); checkpoints kilobytes per
+    * thousand files), so any historical version resolves as long as
+    * [[vacuum]]'s grace window has not swept the data files it
+    * references; a pinned reader inside the window sees the exact
+    * historical table.
     */
   def snapshotAt(spark: SparkSession, dir: String, version: Long): Snapshot = {
-    val f = fs(spark, dir)
-    require(f.exists(p(s"${manifestDir(dir)}/v${"%08d".format(version)}")),
+    val log = listLog(spark, dir)
+    require(log.has(version),
       s"ManifestTable at $dir has no manifest version $version")
-    readManifest(spark, dir, version)
+    resolveAt(spark, dir, version, log)
   }
 
   /** Read rows as of manifest `version` (see [[snapshotAt]]). The
@@ -207,29 +380,42 @@ object ManifestTable {
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** Manifest line format. Readers ignore unknown prefixes, so the
-    * stats lines added after the format's first release parse as empty
-    * stats on old manifests (files stay readable, never pruned):
+  /** Log line format, shared by checkpoints and deltas. Readers ignore
+    * unknown prefixes, so lines added after the format's first release
+    * parse as absent on old manifests (files stay readable, never
+    * pruned):
     *
-    *   file:<name>                       one per live data file
-    *   batch:<id>                        one per absorbed append batch
+    *   file:<name>                       CHECKPOINT: one per live file
+    *   add:<name>                        DELTA: file added by the commit
+    *   remove:<name>                     DELTA: file removed (rewrites)
+    *   batch:<id>                        absorbed batch ids (checkpoint:
+    *                                     all; delta: new this commit)
     *   op:<kind>                         the commit kind of THIS version
-    *   schema:<jsonEnc>                  table schema (StructType.json)
+    *   schema:<jsonEnc>                  table schema (delta: only when
+    *                                     the commit changed it)
     *   cdc:<dirname>                     CDC sidecar dir of THIS commit
     *   rows:<name>\t<rowCount>           one per file with footer stats
     *   col:<name>\t<colEnc>\t<typ>\t<nulls>\t<flag>\t<minEnc>\t<maxEnc>
+    *   size:<name>\t<bytes>              file length at move time
+    *   dv:<name>\t<dvName>\t<rows>       deletion-vector ref (checkpoint:
+    *                                     all refs; delta: new refs)
+    *   constraint:<nameEnc>\t<exprEnc>   CHECK constraint (delta: added)
+    *   dropconstraint:<nameEnc>          DELTA: constraint dropped
     *
     * `flag` 1 = min/max present (URL-encoded canonical strings); 0 = the
     * column is entirely null in the file. Values are URL-encoded so
     * string min/max containing tabs or newlines cannot break the
     * line-oriented format.
     */
-  private def readManifest(spark: SparkSession, dir: String,
-                           v: Long): Snapshot = {
-    val f = fs(spark, dir)
-    val in = f.open(p(s"${manifestDir(dir)}/v${"%08d".format(v)}"))
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().toList finally in.close()
+  private final case class ParsedLog(
+      files: Seq[String], adds: Seq[String], removes: Seq[String],
+      batchIds: Set[String], op: String,
+      schemaJson: Option[String], cdcPath: Option[String],
+      stats: Map[String, FileStats], sizes: Map[String, Long],
+      dvs: Map[String, Seq[DvRef]],
+      consAdd: Seq[(String, String)], consDrop: Set[String])
+
+  private def parseLog(lines: List[String]): ParsedLog = {
     // limit -1: trailing empty fields SURVIVE the split. A column whose
     // min/max is the empty string writes "...\t1\t\t" (enc("") = ""), and
     // Java's default limit-0 split would drop those fields and brick every
@@ -247,14 +433,76 @@ object ManifestTable {
       file -> FileStats(n,
         cols.getOrElse(file, Nil).map(c => c._2 -> c._3).toMap)
     }
-    Snapshot(v,
-      lines.filter(_.startsWith("file:")).map(_.stripPrefix("file:")),
-      lines.filter(_.startsWith("batch:")).map(_.stripPrefix("batch:")).toSet,
-      stats,
-      lines.find(_.startsWith("op:")).map(_.stripPrefix("op:")).getOrElse(""),
-      lines.find(_.startsWith("schema:"))
+    ParsedLog(
+      files = lines.filter(_.startsWith("file:")).map(_.stripPrefix("file:")),
+      adds = lines.filter(_.startsWith("add:")).map(_.stripPrefix("add:")),
+      removes = lines.filter(_.startsWith("remove:"))
+        .map(_.stripPrefix("remove:")),
+      batchIds = lines.filter(_.startsWith("batch:"))
+        .map(_.stripPrefix("batch:")).toSet,
+      op = lines.find(_.startsWith("op:")).map(_.stripPrefix("op:"))
+        .getOrElse(""),
+      schemaJson = lines.find(_.startsWith("schema:"))
         .map(l => dec(l.stripPrefix("schema:"))),
-      lines.find(_.startsWith("cdc:")).map(_.stripPrefix("cdc:")))
+      cdcPath = lines.find(_.startsWith("cdc:")).map(_.stripPrefix("cdc:")),
+      stats = stats,
+      sizes = lines.filter(_.startsWith("size:")).map { l =>
+        val a = l.stripPrefix("size:").split("\t", -1); (a(0), a(1).toLong)
+      }.toMap,
+      dvs = lines.filter(_.startsWith("dv:")).map { l =>
+        val a = l.stripPrefix("dv:").split("\t", -1)
+        (a(0), DvRef(a(1), a(2).toLong))
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) },
+      consAdd = lines.filter(_.startsWith("constraint:")).map { l =>
+        val a = l.stripPrefix("constraint:").split("\t", -1)
+        (dec(a(0)), dec(a(1)))
+      },
+      consDrop = lines.filter(_.startsWith("dropconstraint:"))
+        .map(l => dec(l.stripPrefix("dropconstraint:"))).toSet)
+  }
+
+  private def readLogLines(spark: SparkSession, dir: String,
+                           name: String): List[String] = {
+    logFileReads.incrementAndGet()
+    val f = fs(spark, dir)
+    val in = f.open(p(s"${manifestDir(dir)}/$name"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** A CHECKPOINT (or a pre-incremental full manifest): the complete
+    * table state at `v`.
+    */
+  private def readManifest(spark: SparkSession, dir: String,
+                           v: Long): Snapshot = {
+    val pl = parseLog(readLogLines(spark, dir, s"v${"%08d".format(v)}"))
+    Snapshot(v, pl.files, pl.batchIds, pl.stats, pl.op, pl.schemaJson,
+      pl.cdcPath, pl.sizes, pl.dvs, pl.consAdd.toMap)
+  }
+
+  /** One commit's ACTIONS (the delta file for `v`). */
+  private def readDelta(spark: SparkSession, dir: String,
+                        v: Long): ParsedLog =
+    parseLog(readLogLines(spark, dir, s"d${"%08d".format(v)}"))
+
+  /** Apply one commit's actions to its base snapshot. Replay order is
+    * canonical: survivors keep the base's order, added files append at
+    * the end — exactly the shape every commit callback produces.
+    */
+  private def applyDelta(base: Snapshot, d: ParsedLog, v: Long): Snapshot = {
+    val gone = d.removes.toSet
+    Snapshot(v,
+      files = base.files.filterNot(gone) ++ d.adds,
+      batchIds = base.batchIds ++ d.batchIds,
+      stats = base.stats -- gone ++ d.stats,
+      op = d.op,
+      schemaJson = d.schemaJson.orElse(base.schemaJson),
+      cdcPath = d.cdcPath,
+      sizes = base.sizes -- gone ++ d.sizes,
+      dvs = d.dvs.foldLeft(base.dvs -- gone) { case (acc, (file, refs)) =>
+        acc.updated(file, acc.getOrElse(file, Seq.empty) ++ refs)
+      },
+      constraints = base.constraints ++ d.consAdd -- d.consDrop)
   }
 
   /** The snapshot's rows (schema comes from the listed files). A table
@@ -286,16 +534,7 @@ object ManifestTable {
     mergedSchemaJson(snap0, df.schema)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
     df.write.parquet(stage)
-    val moved = f.listStatus(p(stage))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val name = s"${java.util.UUID.randomUUID()}.parquet"
-        f.mkdirs(p(dataDir(dir)))
-        require(f.rename(s.getPath, p(s"${dataDir(dir)}/$name")),
-          s"move to data/ failed for ${s.getPath}")
-        name
-      }.toSeq
-    f.delete(p(stage), true)
+    val (moved, sizes) = moveToData(f, dir, stage)
     val stats = footerStats(spark, dir, moved)
     // a file the footer PROVES empty (0 rows) is dropped before the
     // commit — a fully-deduplicated batch otherwise litters the manifest
@@ -308,9 +547,30 @@ object ManifestTable {
       if (old.batchIds.contains(batchId)) None // lost the race to a replay
       else Some(old.copy(files = old.files ++ live,
         batchIds = old.batchIds + batchId, stats = old.stats ++ stats,
+        sizes = old.sizes ++ sizes.filter(kv => live.contains(kv._1)),
         op = "append", schemaJson = mergedSchemaJson(old, df.schema),
         cdcPath = None))
     }
+  }
+
+  /** Move every staged parquet file into `data/` under a fresh UUID
+    * name, returning the names and each file's byte length (captured
+    * here — rename preserves it — so the manifest can record sizes
+    * without a later RPC per file).
+    */
+  private def moveToData(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                         stage: String): (Seq[String], Map[String, Long]) = {
+    val moved = f.listStatus(p(stage))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        f.mkdirs(p(dataDir(dir)))
+        require(f.rename(s.getPath, p(s"${dataDir(dir)}/$name")),
+          s"move to data/ failed for ${s.getPath}")
+        name -> s.getLen
+      }.toSeq
+    f.delete(p(stage), true)
+    (moved.map(_._1), moved.toMap)
   }
 
   /** Delete and drop the files whose footer stats prove zero rows;
@@ -362,8 +622,10 @@ object ManifestTable {
     val f = fs(spark, dir)
     val snap = snapshot(spark, dir)
     if (snap.files.isEmpty) return (0, 0)
-    val paths = snap.files.map(n => s"${dataDir(dir)}/$n")
-    val totalBytes = paths.map(n => f.getFileStatus(p(n)).getLen).sum
+    // manifest-recorded sizes spare the per-file RPC; pre-sizes files
+    // fall back to getFileStatus
+    val totalBytes = snap.files.map(n => snap.sizes.getOrElse(n,
+      f.getFileStatus(p(s"${dataDir(dir)}/$n")).getLen)).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
     // schema-aware read: rewritten files MATERIALIZE the full column set,
@@ -382,15 +644,7 @@ object ManifestTable {
         .sortWithinPartitions(
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
     reshaped.write.parquet(stage)
-    val rewritten = f.listStatus(p(stage))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val name = s"${java.util.UUID.randomUUID()}.parquet"
-        require(f.rename(s.getPath, p(s"${dataDir(dir)}/$name")),
-          s"move to data/ failed for ${s.getPath}")
-        name
-      }.toSeq
-    f.delete(p(stage), true)
+    val (rewritten, rewrittenSizes) = moveToData(f, dir, stage)
     val rewrittenStats = footerStats(spark, dir, rewritten)
     // range partitioning can leave empty output partitions; drop the
     // provably-empty files instead of committing unprunable segments
@@ -406,10 +660,21 @@ object ManifestTable {
     // its rewrite becomes orphans for [[vacuum]] and the table keeps
     // exactly one copy. Returns (0, 0) on an aborted conflict.
     val committed = commit(spark, dir) { old =>
-      if (snap.files.exists(fn => !old.files.contains(fn))) None
+      // a candidate gone from the head, OR a deletion vector landed on
+      // one since we read it: either way our rewrite reflects a stale
+      // view — committing would resurrect removed rows. Abort.
+      if (snap.files.exists(fn => !old.files.contains(fn)) ||
+        snap.files.exists(fn => old.dvs.getOrElse(fn, Seq.empty) !=
+          snap.dvs.getOrElse(fn, Seq.empty))) None
       else Some(old.copy(
         files = old.files.filterNot(snap.files.contains) ++ live,
         stats = old.stats -- snap.files ++ rewrittenStats,
+        sizes = old.sizes -- snap.files ++
+          rewrittenSizes.filter(kv => live.contains(kv._1)),
+        // the rewrite read through the DV-applied view, so the deleted
+        // positions are gone from the output: the rewrite RETIRES the
+        // rewritten files' deletion vectors
+        dvs = old.dvs -- snap.files,
         op = "compact", cdcPath = None))
     }
     if (committed) (snap.files.size, live.size) else (0, 0)
@@ -448,21 +713,23 @@ object ManifestTable {
     if (f.exists(sd)) f.listStatus(sd)
       .filter(_.getModificationTime < cutoff)
       .foreach(s => f.delete(s.getPath, true))
-    // CDC sidecar dirs: referenced by the `cdc:` line of SOME manifest
-    // version forever (manifests are never deleted — the feed is
-    // replayable history); only a crashed cowCommit leaves an
-    // unreferenced dir, and that is what gets swept past the grace
+    // CDC sidecar dirs: referenced by the `cdc:` line of SOME log file
+    // forever (log files are never deleted — the feed is replayable
+    // history); only a crashed cowCommit leaves an unreferenced dir,
+    // and that is what gets swept past the grace. Same story for
+    // deletion-vector sidecars under `_dv/`.
     val cd = p(cdcDir(dir))
     if (f.exists(cd)) {
-      val md = p(manifestDir(dir))
-      val referenced: Set[String] =
-        if (!f.exists(md)) Set.empty
-        else f.listStatus(md)
-          .filter(s => s.isFile && s.getPath.getName.matches("v\\d{8,}"))
-          .flatMap(s => readManifest(spark, dir,
-            s.getPath.getName.drop(1).toLong).cdcPath)
-          .toSet
+      val referenced = referencedNames(spark, dir, "cdc:", 0)
       f.listStatus(cd)
+        .filter(s => !referenced.contains(s.getPath.getName) &&
+          s.getModificationTime < cutoff)
+        .foreach(s => f.delete(s.getPath, true))
+    }
+    val dvd = p(dvDir(dir))
+    if (f.exists(dvd)) {
+      val referenced = referencedNames(spark, dir, "dv:", 1)
+      f.listStatus(dvd)
         .filter(s => !referenced.contains(s.getPath.getName) &&
           s.getModificationTime < cutoff)
         .foreach(s => f.delete(s.getPath, true))
@@ -477,6 +744,24 @@ object ManifestTable {
           !live.contains(data) && !f.exists(p(s"${dataDir(dir)}/$data"))
       }.foreach(s => f.delete(s.getPath, false))
     removed
+  }
+
+  /** Sidecar names referenced by ANY log file's `<prefix>` lines (tab
+    * field `field`) — the conservative liveness set vacuum sweeps
+    * against. Raw line scan, no snapshot resolution: O(versions) small
+    * reads, never O(files x versions) parse work.
+    */
+  private def referencedNames(spark: SparkSession, dir: String,
+                              prefix: String, field: Int): Set[String] = {
+    val f = fs(spark, dir)
+    val md = p(manifestDir(dir))
+    if (!f.exists(md)) return Set.empty
+    f.listStatus(md)
+      .filter(s => s.isFile && s.getPath.getName.matches("[vd]\\d{8,}"))
+      .flatMap(s => readLogLines(spark, dir, s.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .map(l => l.stripPrefix(prefix).split("\t", -1)(field)))
+      .toSet
   }
 
   // ---------------------------------------------- row-level operations
@@ -500,6 +785,7 @@ object ManifestTable {
   //     lost-update hazard [[compact]] aborts on.
 
   private def cdcDir(dir: String) = s"$dir/_cdc"
+  private def dvDir(dir: String) = s"$dir/_dv"
 
   /** Write `out` (None = no rewritten rows) to new data files and swap
     * them for `candidates` in one commit, recording `opId` and `op`.
@@ -514,22 +800,12 @@ object ManifestTable {
                         bloomCols: Seq[String], bloomFpp: Double,
                         cdc: Option[DataFrame] = None): Boolean = {
     val f = fs(spark, dir)
-    val moved = out match {
-      case None => Seq.empty[String]
+    val (moved, sizes) = out match {
+      case None => (Seq.empty[String], Map.empty[String, Long])
       case Some(df) =>
         val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
         df.write.parquet(stage)
-        val names = f.listStatus(p(stage))
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map { s =>
-            val name = s"${java.util.UUID.randomUUID()}.parquet"
-            f.mkdirs(p(dataDir(dir)))
-            require(f.rename(s.getPath, p(s"${dataDir(dir)}/$name")),
-              s"move to data/ failed for ${s.getPath}")
-            name
-          }.toSeq
-        f.delete(p(stage), true)
-        names
+        moveToData(f, dir, stage)
     }
     val stats = footerStats(spark, dir, moved)
     val live = dropEmpty(f, dir, moved, stats)
@@ -548,11 +824,26 @@ object ManifestTable {
     beforeSwap()
     commit(spark, dir) { old =>
       if (old.batchIds.contains(opId)) None // replayed op: already applied
-      else if (candidates.exists(c => !old.files.contains(c))) None // conflict
+      // conflict: a candidate vanished, or a deletion vector landed on
+      // one after we read it (our rewrite would resurrect its rows)
+      else if (candidates.exists(c => !old.files.contains(c) ||
+        old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
+        None
       else Some(old.copy(
         files = old.files.filterNot(candidates.contains) ++ live,
         batchIds = old.batchIds + opId,
         stats = old.stats -- candidates ++ stats.filter(kv => live.contains(kv._1)),
+        sizes = old.sizes -- candidates ++
+          sizes.filter(kv => live.contains(kv._1)),
+        // rewrites read through the DV-applied view, so the rewritten
+        // candidates' deletion vectors are retired with their files
+        dvs = old.dvs -- candidates,
+        // a row-level op never changes the schema, but a table CREATED
+        // by one (merge into an empty table) must still record it —
+        // otherwise later appends adding columns would silently lose
+        // them to the first footer's schema on read
+        schemaJson = old.schemaJson.orElse(
+          out.flatMap(df => mergedSchemaJson(old, df.schema))),
         op = op, cdcPath = cdcName))
     }
   }
@@ -687,6 +978,16 @@ object ManifestTable {
     keyCols.foreach(k => require(
       tSchema.fields.exists(_.name.equalsIgnoreCase(k)),
       s"merge key column $k is not a table column"))
+    // MERGE is not a schema change in EITHER direction: a missing source
+    // column fails the select below, and an extra one is rejected here —
+    // silently dropping it would lose an evolving source's data column
+    // with no signal
+    val extra = source.columns.filterNot(c =>
+      tSchema.fields.exists(_.name.equalsIgnoreCase(c)))
+    require(extra.isEmpty,
+      s"merge source has columns the table lacks: ${extra.mkString(", ")} " +
+        "(merge is not a schema change — append with schema evolution, " +
+        "or drop them explicitly)")
     val aligned = source.select(tSchema.fields.map(fd =>
       col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
     if (snap.files.isEmpty)
@@ -694,8 +995,20 @@ object ManifestTable {
         beforeSwap, bloomCols, bloomFpp,
         if (cdc) Some(aligned.withColumn("_change_type", lit("insert")))
         else None)
-    // source-key pruning predicate: exact IN probe for a small key set
-    // of bloom-able type, else [min, max] range conjuncts per key column
+    // source-key pruning predicate, built as CATALYST EXPRESSIONS (never
+    // a SQL string round-trip: Spark's parser processes backslash
+    // escapes inside quoted literals, so a string key containing '\'
+    // would parse to a DIFFERENT bound and prune files that hold real
+    // matches — silent duplicate inserts): an exact IN probe for a small
+    // key set of bloom-able type, else [min, max] range conjuncts per
+    // key column. `keptForPredicate` consumes the expressions directly,
+    // the same entry point the planner's pushed filters use.
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def attr(k: String) = UnresolvedAttribute(Seq(k))
+    def cLit(v: Any): Option[ce.Literal] =
+      try Some(ce.Literal(v))
+      catch { case scala.util.control.NonFatal(_) => None }
     def probeType(k: String): Boolean =
       tSchema.fields.find(_.name.equalsIgnoreCase(k)).exists(_.dataType match {
         case ByteType | ShortType | IntegerType | LongType | StringType => true
@@ -709,29 +1022,36 @@ object ManifestTable {
         if (rows.length <= maxProbeKeys) Some(rows.map(_.get(0)).toSeq)
         else None
       } else None
-    val pred = smallKeys match {
-      case Some(keys) if keys.nonEmpty => inPredicate(keyCols.head, keys)
-      case Some(_) => // all source keys NULL: no row can match
-        "1 = 0"
+    // None = all source keys NULL (no row can match: zero candidates);
+    // Some(None) = nothing provable (keep every file); Some(Some(e)) =
+    // prune with e
+    val pred: Option[Option[ce.Expression]] = smallKeys match {
+      case Some(keys) if keys.isEmpty => None
+      case Some(keys) =>
+        val lits = keys.flatMap(cLit(_))
+        Some(if (lits.size == keys.size)
+          Some(ce.In(attr(keyCols.head), lits))
+        else None) // an un-literal-able key value: no pruning
       case None =>
         val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
         val b = aligned.agg(aggs.head, aggs.tail: _*).head()
-        val conjs = keyCols.zipWithIndex.flatMap { case (k, i) =>
-          if (b.isNullAt(2 * i)) None
-          else (b.get(2 * i), b.get(2 * i + 1)) match {
-            case (mn: String, mx: String) =>
-              Some(s"$k >= '${mn.replace("'", "''")}' AND " +
-                s"$k <= '${mx.replace("'", "''")}'")
-            case (mn: java.lang.Number, mx: java.lang.Number) =>
-              Some(s"$k >= $mn AND $k <= $mx")
-            case _ => None // un-literal-able key type: no pruning on it
+        val conjs: Seq[ce.Expression] =
+          keyCols.zipWithIndex.flatMap { case (k, i) =>
+            if (b.isNullAt(2 * i)) None
+            else for {
+              lo <- cLit(b.get(2 * i))
+              hi <- cLit(b.get(2 * i + 1))
+            } yield ce.And(ce.GreaterThanOrEqual(attr(k), lo),
+              ce.LessThanOrEqual(attr(k), hi)): ce.Expression
           }
-        }
-        if (conjs.isEmpty) "1 = 1" else conjs.mkString(" AND ")
+        Some(if (conjs.isEmpty) None
+        else Some(conjs.reduce(ce.And(_, _))))
     }
-    val candidates =
-      if (pred == "1 = 0") Seq.empty[String]
-      else keptFiles(spark, dir, snap, pred)
+    val candidates = pred match {
+      case None => Seq.empty[String]
+      case Some(None) => snap.files
+      case Some(Some(e)) => keptForPredicate(spark, dir, snap, e)
+    }
     val candDf =
       if (candidates.isEmpty) None
       else Some(readFiles(spark, dir, snap, candidates))
@@ -790,19 +1110,36 @@ object ManifestTable {
     * and the streaming source. Compactions contribute nothing; row-level
     * commits and pre-provenance manifests raise (see [[appendsBetween]]).
     */
+  /** One version's change summary for the feeds: its op kind, the files
+    * it ADDED, and its CDC sidecar. For a delta-logged version this is
+    * the delta file itself — O(change) bytes, no snapshot resolution at
+    * all; a checkpoint-only version (pre-incremental table) falls back
+    * to diffing consecutive snapshots, exactly the old walk.
+    */
+  private def versionChanges(spark: SparkSession, dir: String,
+                             fromVersion: Long, toVersion: Long)
+  : Seq[(Long, String, Seq[String], Option[String])] = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"change walk needs 0 <= from <= to, got ($fromVersion, $toVersion)")
+    val log = listLog(spark, dir)
+    ((fromVersion + 1L) to toVersion).map { v =>
+      if (log.delta.contains(v)) {
+        val d = readDelta(spark, dir, v)
+        (v, d.op, d.adds, d.cdcPath)
+      } else {
+        val cur = resolveAt(spark, dir, v, log)
+        val prev = resolveAt(spark, dir, v - 1L, log)
+        (v, cur.op, cur.files.filterNot(prev.files.toSet), cur.cdcPath)
+      }
+    }
+  }
+
   private[graft] def appendCommitsBetween(spark: SparkSession, dir: String,
                                           fromVersion: Long, toVersion: Long)
-  : Seq[(Long, Seq[String])] = {
-    require(0 <= fromVersion && fromVersion <= toVersion,
-      s"append feed needs 0 <= from <= to, got ($fromVersion, $toVersion)")
-    var prev =
-      if (fromVersion == 0L) Snapshot(0L, Seq.empty, Set.empty)
-      else snapshotAt(spark, dir, fromVersion)
-    ((fromVersion + 1L) to toVersion).flatMap { v =>
-      val cur = snapshotAt(spark, dir, v)
-      val fresh = cur.files.filterNot(prev.files.toSet)
-      val part = cur.op match {
-        case "append" => if (fresh.isEmpty) None else Some((v, fresh))
+  : Seq[(Long, Seq[String])] =
+    versionChanges(spark, dir, fromVersion, toVersion).flatMap {
+      case (v, op, added, _) => op match {
+        case "append" => if (added.isEmpty) None else Some((v, added))
         case "compact" => None
         case "" => throw new IllegalStateException(
           s"append feed: version $v of $dir has no op provenance " +
@@ -813,10 +1150,7 @@ object ManifestTable {
             "commit; an append-only feed cannot represent removed or " +
             "changed rows")
       }
-      prev = cur
-      part
     }
-  }
 
   /** The CDC walk over `(fromVersion, toVersion]`: per contributing
     * version, `Left(files)` for an append's added data files or
@@ -826,23 +1160,16 @@ object ManifestTable {
     */
   private[graft] def changeCommitsBetween(spark: SparkSession, dir: String,
                                           fromVersion: Long, toVersion: Long)
-  : Seq[(Long, Either[Seq[String], String])] = {
-    require(0 <= fromVersion && fromVersion <= toVersion,
-      s"change feed needs 0 <= from <= to, got ($fromVersion, $toVersion)")
-    var prev =
-      if (fromVersion == 0L) Snapshot(0L, Seq.empty, Set.empty)
-      else snapshotAt(spark, dir, fromVersion)
-    ((fromVersion + 1L) to toVersion).flatMap { v =>
-      val cur = snapshotAt(spark, dir, v)
-      val fresh = cur.files.filterNot(prev.files.toSet)
-      val part: Option[(Long, Either[Seq[String], String])] = cur.op match {
+  : Seq[(Long, Either[Seq[String], String])] =
+    versionChanges(spark, dir, fromVersion, toVersion).flatMap {
+      case (v, op, added, cdcPath) => op match {
         case "append" =>
-          if (fresh.isEmpty) None else Some((v, Left(fresh)))
+          if (added.isEmpty) None else Some((v, Left(added)))
         case "compact" => None
-        case "delete" | "update" | "merge" => cur.cdcPath match {
+        case "delete" | "update" | "merge" => cdcPath match {
           case Some(name) => Some((v, Right(name)))
           case None => throw new IllegalStateException(
-            s"change feed: version $v of $dir is a '${cur.op}' commit " +
+            s"change feed: version $v of $dir is a '$op' commit " +
               "without a CDC sidecar (the op ran with cdc = false) — " +
               "its changes cannot be reconstructed")
         }
@@ -852,9 +1179,23 @@ object ManifestTable {
         case other => throw new IllegalStateException(
           s"change feed: version $v of $dir has unknown op '$other'")
       }
-      prev = cur
-      part
     }
+
+  /** Columns the FEEDS add to every row they surface. A table column of
+    * the same name would be silently overwritten (`withColumn`
+    * replaces), corrupting the feed — the feed entry points raise
+    * instead. Appends themselves stay unrestricted: a table never
+    * consumed as a feed may call its columns whatever it likes.
+    */
+  private[graft] def requireNoReservedFeedCols(
+      sc: org.apache.spark.sql.types.StructType, reserved: Seq[String],
+      what: String): Unit = {
+    val hit = sc.fields.map(_.name)
+      .filter(n => reserved.exists(_.equalsIgnoreCase(n)))
+    require(hit.isEmpty,
+      s"$what reserves column name(s) ${hit.mkString(", ")}, which this " +
+        "table already has — the feed would silently overwrite their " +
+        "values; rename the column(s) or consume the table level instead")
   }
 
   def appendsBetween(spark: SparkSession, dir: String,
@@ -863,6 +1204,8 @@ object ManifestTable {
     val to = snapshotAt(spark, dir, toVersion)
     val added = appendCommitsBetween(spark, dir, fromVersion, toVersion)
     val schema = tableSchema(to)
+    schema.foreach(requireNoReservedFeedCols(_, Seq("commit_version"),
+      "the append feed"))
     if (added.isEmpty) {
       val sc = schema.getOrElse {
         require(to.files.nonEmpty,
@@ -875,6 +1218,10 @@ object ManifestTable {
     } else added.map { case (v, names) =>
       val base = schema.fold(spark.read)(sc => spark.read.schema(sc))
         .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+      // legacy tables (no tracked schema) surface their columns from the
+      // footers — the reservation must hold for those too
+      requireNoReservedFeedCols(base.schema, Seq("commit_version"),
+        "the append feed")
       base.withColumn("commit_version", lit(v))
     }.reduce(_ unionByName _)
   }
@@ -910,6 +1257,8 @@ object ManifestTable {
         s"changesBetween: no schema and no files at $dir v$toVersion")
       readFiles(spark, dir, to, to.files).schema
     }
+    requireNoReservedFeedCols(baseSchema,
+      Seq("_change_type", "commit_version"), "the change data feed")
     val cdcSchema = baseSchema.add("_change_type",
       org.apache.spark.sql.types.StringType)
     val parts = changeCommitsBetween(spark, dir, fromVersion, toVersion)
@@ -974,12 +1323,13 @@ object ManifestTable {
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val head = snapshot(spark, dir).version
-    (1L to head).map { v =>
-      val s = snapshotAt(spark, dir, v)
+    val log = listLog(spark, dir)
+    (1L to log.head).map { v =>
+      val s = resolveAt(spark, dir, v, log)
       val rowsKnown =
         if (s.files.forall(s.stats.contains))
-          Some(s.files.map(f => s.stats(f).rows).sum)
+          Some(s.files.map(f => s.stats(f).rows).sum -
+            s.dvs.valuesIterator.flatten.map(_.rows).sum)
         else None
       (v, s.op, s.files.size, s.batchIds.size, rowsKnown,
         s.cdcPath.isDefined)
@@ -1259,9 +1609,110 @@ object ManifestTable {
     } finally r.close()
   }
 
-  /** CAS loop: read head, apply `update` (None = no-op), stage the new
-    * manifest, rename into place; a failed rename means another commit
-    * won — re-read and retry. Returns true if this call committed.
+  /** Every this-many versions the commit path also writes a FULL
+    * checkpoint, bounding snapshot resolution to that many delta
+    * replays past the nearest checkpoint. 10 is Delta's default.
+    */
+  private[graft] val CheckpointInterval = 10L
+
+  /** The per-file detail lines (size, row count, column stats) for
+    * `files` — a checkpoint writes them for every live file, a delta
+    * only for the files its commit ADDED.
+    */
+  private def detailLines(files: Seq[String], stats: Map[String, FileStats],
+                          sizes: Map[String, Long]): Seq[String] =
+    files.flatMap { fn =>
+      sizes.get(fn).map(b => s"size:$fn\t$b").toSeq ++
+        stats.get(fn).toSeq.flatMap { fs =>
+          s"rows:$fn\t${fs.rows}" +: fs.cols.toSeq.sortBy(_._1).map {
+            case (c, cs) =>
+              s"col:$fn\t${enc(c)}\t${cs.typ}\t${cs.nulls}\t" +
+                (if (cs.min.isDefined) s"1\t${enc(cs.min.get)}\t${enc(cs.max.get)}"
+                 else "0\t\t")
+          }
+        }
+    }
+
+  /** Stage `lines` and publish them as `_manifest/<name>` with an atomic
+    * CREATE-IF-ABSENT, returning whether this writer won. Not
+    * exists-then-rename: on the local filesystem FileSystem.rename maps
+    * to POSIX rename(2), which silently REPLACES an existing
+    * destination, so two racing committers could both pass the exists
+    * check and the second would overwrite the first (lost commit).
+    * link(2) IS atomic create-if-absent, so for file:// we hardlink the
+    * staged file into place and let FileAlreadyExistsException signal
+    * the lost race. Elsewhere keep rename: HDFS rename refuses an
+    * existing destination atomically; object stores without that need a
+    * lock service (Delta's documented caveat).
+    */
+  private def publishLog(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                         name: String, lines: Seq[String]): Boolean = {
+    f.mkdirs(p(manifestDir(dir)))
+    val tmp = p(s"${manifestDir(dir)}/.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = p(s"${manifestDir(dir)}/$name")
+    val won =
+      if ("file".equalsIgnoreCase(f.getUri.getScheme)) {
+        try {
+          java.nio.file.Files.createLink(
+            new java.io.File(target.toUri.getPath).toPath,
+            new java.io.File(tmp.toUri.getPath).toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !f.exists(target) && f.rename(tmp, target)
+    f.delete(tmp, false)
+    won
+  }
+
+  /** Write a full checkpoint of `s` as `v<version>`. Best-effort and
+    * race-tolerant: the delta for the version is the commit of record,
+    * so a lost race (another committer checkpointed the same version —
+    * byte-identical content) or an I/O failure here costs only replay
+    * speed, never correctness.
+    */
+  private def writeCheckpoint(spark: SparkSession, dir: String,
+                              s: Snapshot): Unit =
+    try {
+      val lines =
+        s.files.map("file:" + _) ++
+          (if (s.op.nonEmpty) Seq("op:" + s.op) else Nil) ++
+          s.schemaJson.map(j => "schema:" + enc(j)).toSeq ++
+          s.cdcPath.map("cdc:" + _).toSeq ++
+          s.batchIds.toSeq.sorted.map("batch:" + _) ++
+          s.dvs.toSeq.sortBy(_._1).flatMap { case (file, refs) =>
+            refs.map(r => s"dv:$file\t${r.name}\t${r.rows}")
+          } ++
+          s.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+            s"constraint:${enc(n)}\t${enc(e)}"
+          } ++
+          detailLines(s.files, s.stats, s.sizes)
+      publishLog(fs(spark, dir), dir, s"v${"%08d".format(s.version)}", lines)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Force a checkpoint of the current head — LOG COMPACTION on demand
+    * (the commit path already checkpoints every [[CheckpointInterval]]
+    * versions). Returns the checkpointed version (0 = empty table,
+    * nothing written).
+    */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    val s = snapshot(spark, dir)
+    if (s.version > 0L) writeCheckpoint(spark, dir, s)
+    s.version
+  }
+
+  /** CAS loop: read head, apply `update` (None = no-op), publish the
+    * commit's DELTA (O(change) lines — the set difference between the
+    * head and the callback's result); a lost create-if-absent means
+    * another commit won — re-read and retry. After winning, the applied
+    * snapshot is cached (derived by REPLAYING the just-written delta, so
+    * cache and readers can never disagree) and every
+    * [[CheckpointInterval]]-th version also writes a full checkpoint.
+    * Returns true if this call committed.
     */
   @tailrec
   private def commit(spark: SparkSession, dir: String)
@@ -1272,54 +1723,48 @@ object ManifestTable {
     update(old) match {
       case None => false
       case Some(next0) =>
-        val files = next0.files
         val next = old.version + 1
-        f.mkdirs(p(manifestDir(dir)))
-        val tmp = p(s"${manifestDir(dir)}/.tmp-${java.util.UUID.randomUUID()}")
-        val statLines = files.flatMap { fn =>
-          next0.stats.get(fn).toSeq.flatMap { fs =>
-            s"rows:$fn\t${fs.rows}" +: fs.cols.toSeq.sortBy(_._1).map {
-              case (c, cs) =>
-                s"col:$fn\t${enc(c)}\t${cs.typ}\t${cs.nulls}\t" +
-                  (if (cs.min.isDefined) s"1\t${enc(cs.min.get)}\t${enc(cs.max.get)}"
-                   else "0\t\t")
-            }
-          }
+        val oldSet = old.files.toSet
+        val newSet = next0.files.toSet
+        val adds = next0.files.filterNot(oldSet)
+        val removes = old.files.filterNot(newSet)
+        val newBatches = (next0.batchIds -- old.batchIds).toSeq.sorted
+        val dvAdds = next0.dvs.toSeq.sortBy(_._1).flatMap {
+          case (file, refs) =>
+            // refs per file only ever APPEND (each new DV marks positions
+            // the prior ones don't) — the delta carries the new suffix
+            refs.drop(old.dvs.getOrElse(file, Seq.empty).size).map(file -> _)
         }
-        val out = f.create(tmp, true)
-        try out.write(
-          (files.map("file:" + _) ++
-            (if (next0.op.nonEmpty) Seq("op:" + next0.op) else Nil) ++
-            next0.schemaJson.map(j => "schema:" + enc(j)).toSeq ++
+        val consAdd = next0.constraints.toSeq.sortBy(_._1).filterNot {
+          case (k, v) => old.constraints.get(k).contains(v)
+        }
+        val consDrop =
+          (old.constraints.keySet -- next0.constraints.keySet).toSeq.sorted
+        val lines =
+          (if (next0.op.nonEmpty) Seq("op:" + next0.op) else Nil) ++
+            next0.schemaJson.filterNot(old.schemaJson.contains)
+              .map(j => "schema:" + enc(j)).toSeq ++
             next0.cdcPath.map("cdc:" + _).toSeq ++
-            next0.batchIds.toSeq.sorted.map("batch:" + _) ++ statLines)
-            .mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        val target = p(s"${manifestDir(dir)}/v${"%08d".format(next)}")
-        // The swap must be CREATE-IF-ABSENT, not exists-then-rename: on
-        // the local filesystem FileSystem.rename maps to POSIX rename(2),
-        // which silently REPLACES an existing destination, so two racing
-        // committers could both pass the exists check and the second
-        // would overwrite the first manifest (lost commit). link(2) IS
-        // atomic create-if-absent, so for file:// we hardlink the staged
-        // manifest into place and let FileAlreadyExistsException signal
-        // the lost race. Elsewhere keep rename: HDFS rename refuses an
-        // existing destination atomically; object stores without that
-        // need a lock service (Delta's documented caveat).
-        val won =
-          if ("file".equalsIgnoreCase(f.getUri.getScheme)) {
-            try {
-              java.nio.file.Files.createLink(
-                new java.io.File(target.toUri.getPath).toPath,
-                new java.io.File(tmp.toUri.getPath).toPath)
-              true
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException => false
-            }
-          } else !f.exists(target) && f.rename(tmp, target)
-        f.delete(tmp, false)
-        if (!won) commit(spark, dir)(update) // lost the race: retry on new head
-        else true
+            adds.map("add:" + _) ++
+            removes.map("remove:" + _) ++
+            newBatches.map("batch:" + _) ++
+            dvAdds.map { case (file, r) => s"dv:$file\t${r.name}\t${r.rows}" } ++
+            consAdd.map { case (n, e) => s"constraint:${enc(n)}\t${enc(e)}" } ++
+            consDrop.map(n => "dropconstraint:" + enc(n)) ++
+            detailLines(adds, next0.stats, next0.sizes)
+        if (!publishLog(f, dir, s"d${"%08d".format(next)}", lines))
+          commit(spark, dir)(update) // lost the race: retry on new head
+        else {
+          val applied = applyDelta(old, parseLog(lines.toList), next)
+          val st = f.getFileStatus(
+            p(s"${manifestDir(dir)}/d${"%08d".format(next)}"))
+          cachePut(
+            Some(s"$dir#$next#${st.getLen}#${st.getModificationTime}"),
+            applied)
+          if (next % CheckpointInterval == 0L)
+            writeCheckpoint(spark, dir, applied)
+          true
+        }
     }
   }
 }

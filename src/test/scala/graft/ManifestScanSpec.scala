@@ -110,6 +110,36 @@ class ManifestScanSpec extends SparkSpec {
     assert(df.select("id").as[Long].collect().toSeq.sorted === keys)
   }
 
+  test("the planner path never LISTs data/: statuses come from manifest sizes (VERDICT r11 #2)") {
+    val dir = clustered("nolist")
+    val n0 = graft.ext.ManifestFileIndex.dataDirListings.get()
+    val got = ManifestTable.scan(spark, dir).where("id < 40")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got === (0L until 40L))
+    assert(graft.ext.ManifestFileIndex.dataDirListings.get() === n0,
+      "ManifestFileIndex listed data/ despite manifest-recorded sizes")
+    // a PRE-SIZES manifest (size: lines stripped from the log) falls
+    // back to one listing and still answers exactly
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val md = new org.apache.hadoop.fs.Path(s"$dir/_manifest")
+    fs.listStatus(md).filter(_.getPath.getName.matches("[vd]\\d{8,}"))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        val out = fs.create(st.getPath, true)
+        try out.write(lines.filterNot(_.startsWith("size:"))
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    graft.ext.ManifestTable.clearSnapshotCacheForTest() // sizes changed on disk
+    val got2 = ManifestTable.scan(spark, dir).where("id < 40")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got2 === (0L until 40L))
+    assert(graft.ext.ManifestFileIndex.dataDirListings.get() === n0 + 1)
+  }
+
   test("versionAsOf pins a historical snapshot with its own pruning") {
     val dir = tmp("travel")
     ManifestTable.append(batchDf(1L, 2L), dir, "b0") // v1

@@ -607,19 +607,22 @@ class ManifestTableSpec extends SparkSpec {
     val dir = tmp("legacy")
     ManifestTable.append(batch(1, 2), dir, "b0")
     ManifestTable.append(batch(3), dir, "b1")
-    // simulate a manifest written before stats/schema/op lines existed:
-    // strip every line but file:/batch: from the head version
+    // simulate a table written before the incremental log, stats,
+    // schema and op lines existed: replace the delta log with FULL
+    // v-manifests carrying only file:/batch: lines (the original
+    // format), exactly what a pre-r12 writer left on disk
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val head = new org.apache.hadoop.fs.Path(s"$dir/_manifest/v00000002")
-    val in = fs.open(head)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().toList finally in.close()
-    val legacy = lines.filter(l =>
-      l.startsWith("file:") || l.startsWith("batch:"))
-    val out = fs.create(head, true)
-    try out.write(legacy.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    val snaps = Seq(1L, 2L).map(v => ManifestTable.snapshotAt(spark, dir, v))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest"), true)
+    snaps.foreach { s =>
+      val legacy = s.files.map("file:" + _) ++
+        s.batchIds.toSeq.sorted.map("batch:" + _)
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/_manifest/v${"%08d".format(s.version)}"), true)
+      try out.write(legacy.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     val s = ManifestTable.snapshot(spark, dir)
     assert(s.stats.isEmpty && s.op === "" && s.schemaJson.isEmpty)
     // reads work; pruning keeps EVERY file (nothing provable, nothing
@@ -639,6 +642,85 @@ class ManifestTableSpec extends SparkSpec {
     // and the next commit re-establishes provenance for new versions
     ManifestTable.append(batch(4), dir, "b2")
     assert(ManifestTable.snapshot(spark, dir).op === "append")
+  }
+
+  test("merge prunes string keys containing backslashes and quotes exactly (ADVICE r11)") {
+    val dir = tmp("mergeesc")
+    // keys chosen to break a SQL-string round-trip: backslash mid-key
+    // (parser would eat it as an escape), trailing backslash (parser
+    // would throw), embedded quote (covered by escaping, kept as a
+    // regression), and a plain key as control
+    val keys = Seq("a\\b", "trail\\", "qu'ote", "plain")
+    val t0 = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "v")
+    ManifestTable.append(t0, dir, "b0")
+    val src = keys.map(k => (k, 100L)).toDF("k", "v")
+    assert(ManifestTable.merge(src, dir, Seq("k"), "m0"))
+    // every key REPLACED (4 rows, all v=100) — a mis-parsed pruning
+    // bound would have inserted duplicates instead
+    val got = ManifestTable.read(spark, dir).as[(String, Long)]
+      .collect().toSeq.sorted
+    assert(got === keys.sorted.map(k => (k, 100L)))
+    // and the same keys as a RANGE (min/max conjuncts path): two-column
+    // key forces the range branch
+    val dir2 = tmp("mergeesc2")
+    ManifestTable.append(t0.withColumn("k2", col("k")), dir2, "b0")
+    val src2 = keys.map(k => (k, 200L, k)).toDF("k", "v", "k2")
+    assert(ManifestTable.merge(src2, dir2, Seq("k", "k2"), "m0"))
+    assert(ManifestTable.read(spark, dir2).select("v").as[Long]
+      .collect().toSeq === Seq.fill(4)(200L))
+  }
+
+  test("merge into an EMPTY table records the schema (ADVICE r11)") {
+    val dir = tmp("mergeschema")
+    assert(ManifestTable.merge(batch(1, 2), dir, Seq("id"), "m0"))
+    assert(ManifestTable.tableSchema(
+      ManifestTable.snapshot(spark, dir)).isDefined)
+    // schema evolution works on top: a later append adds a column and a
+    // full read surfaces it (null-filled for the merge-created file) —
+    // the exact loss mode schema tracking exists to prevent
+    ManifestTable.append(Seq((3L, "doc 3", "de")).toDF("id", "text", "lang"),
+      dir, "b1")
+    val got = ManifestTable.read(spark, dir)
+      .select("id", "lang").as[(Long, Option[String])]
+      .collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, None), (2L, None), (3L, Some("de"))))
+  }
+
+  test("merge rejects source columns the table lacks (ADVICE r11)") {
+    val dir = tmp("mergeextra")
+    ManifestTable.append(batch(1, 2), dir, "b0")
+    val src = Seq((1L, "doc 1 v2", "extra")).toDF("id", "text", "surprise")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.merge(src, dir, Seq("id"), "m0")
+    }
+    assert(e.getMessage.contains("surprise"))
+  }
+
+  test("the feeds refuse tables whose columns collide with feed columns (ADVICE r11)") {
+    val dir = tmp("feedreserved")
+    ManifestTable.append(Seq((1L, "x"))
+      .toDF("id", "_change_type"), dir, "b0")
+    // appends are unrestricted (r11 contract) but the CDC feed would
+    // silently overwrite the column — it must raise instead
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.changesBetween(spark, dir, 0L, 1L)
+    }
+    assert(e.getMessage.contains("_change_type"))
+    val dir2 = tmp("feedreserved2")
+    ManifestTable.append(Seq((1L, 7L))
+      .toDF("id", "commit_version"), dir2, "b0")
+    intercept[IllegalArgumentException] {
+      ManifestTable.appendsBetween(spark, dir2, 0L, 1L)
+    }
+    // the streaming CDC face fails at source construction too
+    val err = intercept[Exception] {
+      spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("memory").queryName("mt_reserved")
+        .start().processAllAvailable()
+    }
+    assert(err.getMessage != null)
   }
 
   test("history narrates the commit log: op kinds, file/row counts, CDC flags") {
