@@ -871,15 +871,23 @@ object ManifestTable {
     if (snap.batchIds.contains(opId)) return false
     val candidates = keptFiles(spark, dir, snap, predicateSql)
     val cond = coalesce(expr(predicateSql), lit(false))
-    val out =
+    // CDC needs the candidates TWICE (survivors + deleted rows): persist
+    // the one read so the second pass hits the cache, not the files —
+    // a CDC delete costs the same candidate I/O as a plain one
+    val candDf =
       if (candidates.isEmpty) None
-      else Some(readFiles(spark, dir, snap, candidates).where(not(cond)))
-    val changes =
-      if (!cdc || candidates.isEmpty) None
-      else Some(readFiles(spark, dir, snap, candidates).where(cond)
-        .withColumn("_change_type", lit("delete")))
-    cowCommit(spark, dir, snap, candidates, out, "delete", opId,
-      beforeSwap, bloomCols, bloomFpp, changes)
+      else Some(readFiles(spark, dir, snap, candidates))
+    if (cdc) candDf.foreach(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val out = candDf.map(_.where(not(cond)))
+      val changes =
+        if (!cdc) None
+        else candDf.map(_.where(cond)
+          .withColumn("_change_type", lit("delete")))
+      cowCommit(spark, dir, snap, candidates, out, "delete", opId,
+        beforeSwap, bloomCols, bloomFpp, changes)
+    } finally if (cdc) candDf.foreach(_.unpersist(false))
   }
 
   /** UPDATE ... SET: rows where `predicateSql` is TRUE get each `set`
@@ -920,21 +928,25 @@ object ManifestTable {
         }
       }.toSeq: _*)
     }
-    val out =
+    // CDC scans the candidates three times (pass-through rewrite,
+    // preimages, postimages): persist the one read so every pass past
+    // the first is a cache hit — same candidate I/O as a plain update
+    val candDf =
       if (candidates.isEmpty) None
-      else Some(applied(readFiles(spark, dir, snap, candidates),
-        onlyMatched = false))
-    val changes =
-      if (!cdc || candidates.isEmpty) None
-      else {
-        val df = readFiles(spark, dir, snap, candidates)
-        Some(df.where(cond)
+      else Some(readFiles(spark, dir, snap, candidates))
+    if (cdc) candDf.foreach(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val out = candDf.map(applied(_, onlyMatched = false))
+      val changes =
+        if (!cdc) None
+        else candDf.map(df => df.where(cond)
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(applied(df, onlyMatched = true)
             .withColumn("_change_type", lit("update_postimage"))))
-      }
-    cowCommit(spark, dir, snap, candidates, out, "update", opId,
-      beforeSwap, bloomCols, bloomFpp, changes)
+      cowCommit(spark, dir, snap, candidates, out, "update", opId,
+        beforeSwap, bloomCols, bloomFpp, changes)
+    } finally if (cdc) candDf.foreach(_.unpersist(false))
   }
 
   /** MERGE (upsert) `source` into the table on `keyCols`: a table row
@@ -1055,6 +1067,11 @@ object ManifestTable {
     val candDf =
       if (candidates.isEmpty) None
       else Some(readFiles(spark, dir, snap, candidates))
+    // CDC reads the candidates twice more (matched preimages + their
+    // keys): persist the one read, same contract as delete/update
+    if (cdc) candDf.foreach(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
     val survivors = candDf.map(_.join(keyDf, keyCols.toSeq, "left_anti"))
     val out = Some(survivors.fold(aligned)(_ unionByName aligned))
     // CDC: matched target rows are update_preimage; their replacing
@@ -1080,6 +1097,7 @@ object ManifestTable {
       }
     cowCommit(spark, dir, snap, candidates, out, "merge", opId,
       beforeSwap, bloomCols, bloomFpp, changes)
+    } finally if (cdc) candDf.foreach(_.unpersist(false))
   }
 
   // ---------------------------------------------- change feed
