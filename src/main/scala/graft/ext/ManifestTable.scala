@@ -184,28 +184,45 @@ object ManifestTable {
     */
   private def readFiles(spark: SparkSession, dir: String, s: Snapshot,
                         names: Seq[String]): DataFrame = {
-    val r = tableSchema(s).fold(spark.read)(sc => spark.read.schema(sc))
-    def plain(ns: Seq[String]): DataFrame =
-      r.parquet(ns.map(n => s"${dataDir(dir)}/$n"): _*)
     val (dvd, clean) = names.partition(n => s.dvs.get(n).exists(_.nonEmpty))
-    if (dvd.isEmpty) plain(names)
+    if (dvd.isEmpty) plainRead(spark, dir, s, names)
     else {
-      import org.apache.spark.sql.functions.{col, element_at, split}
-      val refs = dvd.flatMap(n => s.dvs(n)).map(_.name).distinct
-      val dv = spark.read
-        .parquet(refs.map(n => s"${dvDir(dir)}/$n"): _*)
-        .select(col(DvFileCol), col(DvPosCol))
       val fm = "_graft_meta_file"
       val pm = "_graft_meta_pos"
-      val withMeta = plain(dvd)
-        .withColumn(fm,
-          element_at(split(col("_metadata.file_path"), "/"), -1))
-        .withColumn(pm, col("_metadata.row_index"))
-      val applied = withMeta.join(dv,
-          withMeta(fm) === dv(DvFileCol) && withMeta(pm) === dv(DvPosCol),
-          "left_anti")
-        .drop(fm, pm)
-      if (clean.isEmpty) applied else applied.unionByName(plain(clean))
+      val applied = readWithPos(spark, dir, s, dvd, fm, pm).drop(fm, pm)
+      if (clean.isEmpty) applied
+      else applied.unionByName(plainRead(spark, dir, s, clean))
+    }
+  }
+
+  private def plainRead(spark: SparkSession, dir: String, s: Snapshot,
+                        names: Seq[String]): DataFrame =
+    tableSchema(s).fold(spark.read)(sc => spark.read.schema(sc))
+      .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+
+  /** `names` read with two extra columns (`fm` = data file NAME, `pm` =
+    * physical row position from `_metadata.row_index`), with the files'
+    * existing deletion vectors already APPLIED — the shared primitive
+    * under DV-aware reads and DV creation (a new vector computed on this
+    * view can never mark an already-deleted position twice, which is
+    * what keeps per-ref `rows` counts additive).
+    */
+  private def readWithPos(spark: SparkSession, dir: String, s: Snapshot,
+                          names: Seq[String], fm: String,
+                          pm: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val base = plainRead(spark, dir, s, names)
+      .withColumn(fm, element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(pm, col("_metadata.row_index"))
+    val refs = names.flatMap(n => s.dvs.getOrElse(n, Seq.empty))
+      .map(_.name).distinct
+    if (refs.isEmpty) base
+    else {
+      val dv = spark.read.parquet(refs.map(n => s"${dvDir(dir)}/$n"): _*)
+        .select(col(DvFileCol), col(DvPosCol))
+      base.join(dv,
+        base(fm) === dv(DvFileCol) && base(pm) === dv(DvPosCol),
+        "left_anti")
     }
   }
 
@@ -947,6 +964,200 @@ object ManifestTable {
       cowCommit(spark, dir, snap, candidates, out, "update", opId,
         beforeSwap, bloomCols, bloomFpp, changes)
     } finally if (cdc) candDf.foreach(_.unpersist(false))
+  }
+
+  // ------------------------------------------ merge-on-read (DV) ops
+  //
+  // Copy-on-write makes a 1-row delete rewrite whole files — on a 100 TB
+  // table with 512 MB files a point delete is a 512 MB rewrite. The
+  // MERGE-ON-READ strategy (Delta's deletion vectors, Iceberg's
+  // positional deletes) writes O(matched rows) instead: a sidecar of
+  // (file, position) pairs the readers anti-join away. Reads get a
+  // broadcast anti-join per DV'd file until [[compact]] rewrites the
+  // file and RETIRES its vectors — write cost proportional to the
+  // change, read cost amortized away at the next compaction. Same
+  // pruning (only candidate files are scanned to find matches), same
+  // opId idempotence, same conflict-abort, same CDC contract as the
+  // copy-on-write ops.
+
+  /** Commit that changes NO data (zero matches / zero candidates): the
+    * opId must still be absorbed so a crash-replay of the op stays a
+    * no-op, and the op kind recorded for feed provenance.
+    */
+  private def emptyOpCommit(spark: SparkSession, dir: String, op: String,
+                            opId: String): Boolean =
+    commit(spark, dir) { old =>
+      if (old.batchIds.contains(opId)) None
+      else Some(old.copy(batchIds = old.batchIds + opId, op = op,
+        cdcPath = None))
+    }
+
+  /** `set` applied to every row of `df` (expressions see the OLD row;
+    * values cast back to the column's type — SQL UPDATE semantics).
+    */
+  private def applySet(df: DataFrame, set: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    set.keys.foreach(k => require(
+      df.schema.fields.exists(_.name.equalsIgnoreCase(k)),
+      s"SET column $k does not exist (UPDATE is not a schema change)"))
+    df.select(df.schema.fields.map { fd =>
+      set.find(_._1.equalsIgnoreCase(fd.name)) match {
+        case Some((_, e)) => expr(e).cast(fd.dataType).as(fd.name)
+        case None => col(fd.name)
+      }
+    }.toSeq: _*)
+  }
+
+  /** DELETE FROM, merge-on-read: same row semantics, idempotence and
+    * conflict contract as [[deleteWhere]], but the matched rows' file
+    * positions land as ONE deletion-vector sidecar (O(matched rows)
+    * bytes) and no data file is rewritten — the point-delete path for
+    * tables where a CoW rewrite would dwarf the change. Readers apply
+    * the vector; [[compact]] retires it. `cdc = true` records the
+    * deleted rows exactly as the CoW delete does.
+    */
+  def deleteWhereDV(spark: SparkSession, dir: String, predicateSql: String,
+                    opId: String, beforeSwap: () => Unit = () => (),
+                    cdc: Boolean = false): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val snap = snapshot(spark, dir)
+    if (snap.batchIds.contains(opId)) return false
+    val candidates = keptFiles(spark, dir, snap, predicateSql)
+    if (candidates.isEmpty)
+      return emptyOpCommit(spark, dir, "delete", opId)
+    val cond = coalesce(expr(predicateSql), lit(false))
+    val fm = "_graft_meta_file"
+    val pm = "_graft_meta_pos"
+    val matched = readWithPos(spark, dir, snap, candidates, fm, pm)
+      .where(cond)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = matched.groupBy(col(fm)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty)
+        return emptyOpCommit(spark, dir, "delete", opId)
+      val dvName = java.util.UUID.randomUUID().toString
+      matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
+        .coalesce(1).write.parquet(s"${dvDir(dir)}/$dvName")
+      val cdcName =
+        if (!cdc) None
+        else {
+          require(!matched.columns.exists(c =>
+            c.equalsIgnoreCase("_change_type")),
+            "CDC reserves the column name _change_type; this table has one")
+          val name = java.util.UUID.randomUUID().toString
+          matched.drop(fm, pm).withColumn("_change_type", lit("delete"))
+            .write.parquet(s"${cdcDir(dir)}/$name")
+          Some(name)
+        }
+      beforeSwap()
+      commit(spark, dir) { old =>
+        if (old.batchIds.contains(opId)) None
+        // conflict: a candidate was rewritten away, or another DV landed
+        // on one after we computed positions (ours could double-mark)
+        else if (candidates.exists(c => !old.files.contains(c) ||
+          old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
+          None
+        else Some(old.copy(
+          batchIds = old.batchIds + opId,
+          dvs = counts.foldLeft(old.dvs) { case (acc, (file, n)) =>
+            acc.updated(file, acc.getOrElse(file, Seq.empty) :+
+              DvRef(dvName, n))
+          },
+          op = "delete", cdcPath = cdcName))
+      }
+    } finally matched.unpersist(false)
+  }
+
+  /** UPDATE ... SET, merge-on-read: the matched rows' positions land as
+    * a deletion vector and their REWRITTEN versions append as new files
+    * — O(matched rows) written, unmatched rows never touched (the CoW
+    * update rewrites whole candidate files even when one row matched).
+    * Same SET semantics, idempotence, conflict and CDC contract as
+    * [[updateWhere]].
+    */
+  def updateWhereDV(spark: SparkSession, dir: String, predicateSql: String,
+                    set: Map[String, String], opId: String,
+                    beforeSwap: () => Unit = () => (),
+                    bloomCols: Seq[String] = Nil,
+                    bloomFpp: Double = 0.01,
+                    cdc: Boolean = false): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    require(set.nonEmpty, "updateWhereDV needs at least one SET column")
+    val f = fs(spark, dir)
+    val snap = snapshot(spark, dir)
+    if (snap.batchIds.contains(opId)) return false
+    val candidates = keptFiles(spark, dir, snap, predicateSql)
+    if (candidates.isEmpty)
+      return emptyOpCommit(spark, dir, "update", opId)
+    val cond = coalesce(expr(predicateSql), lit(false))
+    val fm = "_graft_meta_file"
+    val pm = "_graft_meta_pos"
+    val matched = readWithPos(spark, dir, snap, candidates, fm, pm)
+      .where(cond)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = matched.groupBy(col(fm)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty)
+        return emptyOpCommit(spark, dir, "update", opId)
+      val dvName = java.util.UUID.randomUUID().toString
+      matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
+        .coalesce(1).write.parquet(s"${dvDir(dir)}/$dvName")
+      val updated = applySet(matched.drop(fm, pm), set)
+      val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
+      updated.write.parquet(stage)
+      val (moved, sizes) = moveToData(f, dir, stage)
+      val stats = footerStats(spark, dir, moved)
+      val live = dropEmpty(f, dir, moved, stats)
+      buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
+      val cdcName =
+        if (!cdc) None
+        else {
+          require(!updated.columns.exists(c =>
+            c.equalsIgnoreCase("_change_type")),
+            "CDC reserves the column name _change_type; this table has one")
+          val name = java.util.UUID.randomUUID().toString
+          matched.drop(fm, pm)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(updated
+              .withColumn("_change_type", lit("update_postimage")))
+            .write.parquet(s"${cdcDir(dir)}/$name")
+          Some(name)
+        }
+      beforeSwap()
+      commit(spark, dir) { old =>
+        if (old.batchIds.contains(opId)) None
+        else if (candidates.exists(c => !old.files.contains(c) ||
+          old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
+          None
+        else Some(old.copy(
+          files = old.files ++ live,
+          batchIds = old.batchIds + opId,
+          stats = old.stats ++ stats.filter(kv => live.contains(kv._1)),
+          sizes = old.sizes ++ sizes.filter(kv => live.contains(kv._1)),
+          dvs = counts.foldLeft(old.dvs) { case (acc, (file, n)) =>
+            acc.updated(file, acc.getOrElse(file, Seq.empty) :+
+              DvRef(dvName, n))
+          },
+          op = "update", cdcPath = cdcName))
+      }
+    } finally matched.unpersist(false)
+  }
+
+  /** `count(*)` answered ENTIRELY from manifest metadata — footer row
+    * counts minus deletion-vector position counts, zero data-file I/O —
+    * or None when any live file lacks footer stats (a partial sum would
+    * read as a total; the caller then runs the real count). The same
+    * one-sided honesty as skipping: metadata answers only what it can
+    * PROVE. `asOf` counts a pinned historical version.
+    */
+  def metaCount(spark: SparkSession, dir: String,
+                asOf: Option[Long] = None): Option[Long] = {
+    val s = asOf.fold(snapshot(spark, dir))(snapshotAt(spark, dir, _))
+    if (!s.files.forall(s.stats.contains)) None
+    else Some(s.files.map(f => s.stats(f).rows).sum -
+      s.dvs.valuesIterator.flatten.map(_.rows).sum)
   }
 
   /** MERGE (upsert) `source` into the table on `keyCols`: a table row

@@ -951,6 +951,91 @@ object ExtQueries {
     graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
   }
 
+  /** MERGE-ON-READ delete, oracle-replayed against the SAME DuckDB
+    * DELETE oracle as [[manifestDeleteQ]]: one table, two delete
+    * strategies, one truth. The REQUIRE pins the strategy's whole point
+    * at the file level — the data file set is UNCHANGED after the op
+    * (a deletion-vector sidecar of O(matched rows) was written instead
+    * of any rewrite; at 100 TB that is a few KB for a point delete
+    * where copy-on-write rewrites half a GB). The op replays as a no-op
+    * before the read, and the read itself applies the vector via a
+    * broadcast anti-join on (file, position).
+    */
+  def manifestDeleteDvQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_delete_dv"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    val pred = "doc_id >= 100 AND doc_id < 220"
+    val before = graft.ext.ManifestTable.snapshot(s, root)
+    require(graft.ext.ManifestTable.deleteWhereDV(s, root, pred, "d0"),
+      "deleteWhereDV did not commit")
+    val after = graft.ext.ManifestTable.snapshot(s, root)
+    require(after.files == before.files,
+      "DV delete rewrote data files — merge-on-read wrote O(file), not O(rows)")
+    require(after.dvs.nonEmpty, "DV delete recorded no deletion vector")
+    require(!graft.ext.ManifestTable.deleteWhereDV(s, root, pred, "d0"),
+      "replayed DV delete opId was not absorbed")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
+  /** MERGE-ON-READ update against the SAME oracle as [[manifestUpdateQ]]:
+    * matched rows land as a deletion vector + O(matched) appended
+    * rewrites; every pre-existing data file survives untouched (the
+    * REQUIRE), unmatched rows are never read back through a rewrite.
+    */
+  def manifestUpdateDvQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_update_dv"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    val set = Map("n_chars" -> "n_chars * 2 + 1", "lang" -> "'de-DE'")
+    val before = graft.ext.ManifestTable.snapshot(s, root)
+    require(graft.ext.ManifestTable.updateWhereDV(s, root, "lang = 'de'",
+      set, "u0"), "updateWhereDV did not commit")
+    val after = graft.ext.ManifestTable.snapshot(s, root)
+    require(before.files.forall(after.files.contains),
+      "DV update rewrote pre-existing files — merge-on-read should append only")
+    require(!graft.ext.ManifestTable.updateWhereDV(s, root, "lang = 'de'",
+      set, "u0"), "replayed DV update opId was not absorbed")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
+  /** METADATA-ONLY COUNT, oracle-replayed: after an append and a DV
+    * delete, `count(*)` is answered purely from the manifest's footer
+    * row counts minus the deletion vectors' position counts — zero data
+    * files opened (pinned at the FS seam by ManifestDvSpec; here the
+    * REQUIRE pins the answer exists, the oracle pins it EQUALS DuckDB's
+    * real COUNT(*)). The one-sided honesty contract: a table where any
+    * live file lacks stats answers None and the caller runs the real
+    * count — metadata answers only what it can prove.
+    */
+  def manifestCountMetaQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = "/tmp/graft_fix/manifest_count_meta"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    require(graft.ext.ManifestTable.deleteWhereDV(s, root,
+      "doc_id >= 100 AND doc_id < 150", "d0"), "DV delete did not commit")
+    val n = graft.ext.ManifestTable.metaCount(s, root)
+    require(n.isDefined, "metaCount could not prove a total despite stats")
+    Seq(n.get).toDF("cnt")
+  }
+
   /** MERGE (upsert), oracle-replayed: the source carries one tight
     * doc_id band as UPDATES (n_chars shifted) plus ~1/11 of the table
     * re-keyed as INSERTS (doc_id offset past the table's range).
@@ -1466,7 +1551,10 @@ object ExtQueries {
     "manifest_time_travel" -> (manifestTimeTravelQ(_, _)),
     "manifest_scan_pruned" -> (manifestScanPrunedQ(_, _)),
     "manifest_delete" -> (manifestDeleteQ(_, _)),
+    "manifest_delete_dv" -> (manifestDeleteDvQ(_, _)),
     "manifest_update" -> (manifestUpdateQ(_, _)),
+    "manifest_update_dv" -> (manifestUpdateDvQ(_, _)),
+    "manifest_count_meta" -> (manifestCountMetaQ(_, _)),
     "manifest_merge" -> (manifestMergeQ(_, _)),
     "manifest_changefeed" -> (manifestChangeFeedQ(_, _)),
     "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
@@ -2242,6 +2330,27 @@ object ExtQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (doc_id >= 100 AND doc_id < 220)
         |ORDER BY doc_id""".stripMargin,
+
+    // merge-on-read DELETE: the SAME oracle as the copy-on-write path —
+    // one truth, two strategies
+    "manifest_delete_dv" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (doc_id >= 100 AND doc_id < 220)
+        |ORDER BY doc_id""".stripMargin,
+
+    // metadata-only count: footer row sums minus DV position counts
+    // must equal the real COUNT(*) after the DV delete
+    "manifest_count_meta" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
+        |WHERE NOT (doc_id >= 100 AND doc_id < 150)""".stripMargin,
+
+    // merge-on-read UPDATE: same oracle as the copy-on-write update
+    "manifest_update_dv" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'de' THEN 'de-DE' ELSE lang END AS lang,
+        |  CAST(CASE WHEN lang = 'de' THEN n_chars * 2 + 1
+        |       ELSE n_chars END AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // UPDATE semantics replayed: CASE recomputes the row-conditional SET
     "manifest_update" ->
