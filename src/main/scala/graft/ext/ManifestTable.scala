@@ -549,6 +549,9 @@ object ManifestTable {
     // fail a type-conflicting batch BEFORE writing its data files (the
     // commit callback re-merges against the CAS-fresh head anyway)
     mergedSchemaJson(snap0, df.schema)
+    // and a constraint-violating one (one aggregate pass, all
+    // constraints at once; free when the table has none)
+    enforceConstraints(df, snap0.constraints, s"append batch $batchId")
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
     df.write.parquet(stage)
     val (moved, sizes) = moveToData(f, dir, stage)
@@ -954,6 +957,10 @@ object ManifestTable {
     if (cdc) candDf.foreach(_.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
+      // only the CHANGED rows need constraint validation (pass-through
+      // rows already satisfy the table's invariants)
+      candDf.foreach(df => enforceConstraints(
+        applied(df, onlyMatched = true), snap.constraints, "updateWhere"))
       val out = candDf.map(applied(_, onlyMatched = false))
       val changes =
         if (!cdc) None
@@ -1101,10 +1108,11 @@ object ManifestTable {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       if (counts.isEmpty)
         return emptyOpCommit(spark, dir, "update", opId)
+      val updated = applySet(matched.drop(fm, pm), set)
+      enforceConstraints(updated, snap.constraints, "updateWhereDV")
       val dvName = java.util.UUID.randomUUID().toString
       matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
         .coalesce(1).write.parquet(s"${dvDir(dir)}/$dvName")
-      val updated = applySet(matched.drop(fm, pm), set)
       val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
       updated.write.parquet(stage)
       val (moved, sizes) = moveToData(f, dir, stage)
@@ -1144,6 +1152,80 @@ object ManifestTable {
       }
     } finally matched.unpersist(false)
   }
+
+  // ---------------------------------------------- constraints
+  //
+  // Named CHECK expressions recorded in the manifest and enforced on
+  // every path that introduces or changes rows (append, merge, the
+  // updates). SQL CHECK semantics: a row fails only when the expression
+  // is FALSE (NULL passes — express NOT NULL as `col IS NOT NULL`).
+  // A training-corpus table that silently absorbs null text is a
+  // pipeline bug factory; the table layer refuses, loudly, with counts.
+
+  /** The violating-rows condition for a CHECK expression. */
+  private def violates(exprSql: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    not(coalesce(expr(exprSql), lit(true)))
+  }
+
+  /** One aggregate pass over `df` counting violations of EVERY
+    * constraint at once; raises naming each violated constraint with
+    * its row count. Tables without constraints pay nothing.
+    */
+  private def enforceConstraints(df: DataFrame,
+                                 cons: Map[String, String],
+                                 what: String): Unit = {
+    import org.apache.spark.sql.functions.{lit, sum, when}
+    if (cons.isEmpty) return
+    val ordered = cons.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (n, e) =>
+      sum(when(violates(e), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bad = ordered.zipWithIndex.flatMap { case ((n, e), i) =>
+      val c = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (c > 0L) Some(s"$n [$e]: $c row(s)") else None
+    }
+    require(bad.isEmpty,
+      s"$what violates CHECK constraint(s): ${bad.mkString("; ")}")
+  }
+
+  /** Record CHECK constraint `name` = `exprSql`. EXISTING rows are
+    * validated first (inside the commit callback, so a CAS retry
+    * re-validates against rows a racing append just landed — a
+    * constraint can never commit over data that violates it). Returns
+    * false when the identical constraint is already present. The commit
+    * is op `metadata`: the feeds skip it, like a compaction.
+    */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+                    exprSql: String): Boolean = {
+    require(name.nonEmpty && !name.contains("\t"),
+      "constraint names must be non-empty and tab-free")
+    spark.sessionState.sqlParser.parseExpression(exprSql) // parse early
+    commit(spark, dir) { old =>
+      if (old.constraints.get(name).contains(exprSql)) None
+      else {
+        if (old.files.nonEmpty) {
+          val n = readFiles(spark, dir, old, old.files)
+            .where(violates(exprSql)).count()
+          require(n == 0L,
+            s"cannot add CHECK constraint $name [$exprSql]: " +
+              s"$n existing row(s) violate it")
+        }
+        Some(old.copy(constraints = old.constraints + (name -> exprSql),
+          op = "metadata", cdcPath = None))
+      }
+    }
+  }
+
+  /** Drop constraint `name`; false if it does not exist. */
+  def dropConstraint(spark: SparkSession, dir: String,
+                     name: String): Boolean =
+    commit(spark, dir) { old =>
+      if (!old.constraints.contains(name)) None
+      else Some(old.copy(constraints = old.constraints - name,
+        op = "metadata", cdcPath = None))
+    }
 
   /** `count(*)` answered ENTIRELY from manifest metadata — footer row
     * counts minus deletion-vector position counts, zero data-file I/O —
@@ -1213,6 +1295,7 @@ object ManifestTable {
         "or drop them explicitly)")
     val aligned = source.select(tSchema.fields.map(fd =>
       col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
+    enforceConstraints(aligned, snap.constraints, "merge source")
     if (snap.files.isEmpty)
       return cowCommit(spark, dir, snap, Nil, Some(aligned), "merge", opId,
         beforeSwap, bloomCols, bloomFpp,
@@ -1369,7 +1452,7 @@ object ManifestTable {
     versionChanges(spark, dir, fromVersion, toVersion).flatMap {
       case (v, op, added, _) => op match {
         case "append" => if (added.isEmpty) None else Some((v, added))
-        case "compact" => None
+        case "compact" | "metadata" => None // no rows changed
         case "" => throw new IllegalStateException(
           s"append feed: version $v of $dir has no op provenance " +
             "(manifest written before op tracking) — cannot prove its " +
@@ -1394,7 +1477,7 @@ object ManifestTable {
       case (v, op, added, cdcPath) => op match {
         case "append" =>
           if (added.isEmpty) None else Some((v, Left(added)))
-        case "compact" => None
+        case "compact" | "metadata" => None // no rows changed
         case "delete" | "update" | "merge" => cdcPath match {
           case Some(name) => Some((v, Right(name)))
           case None => throw new IllegalStateException(
