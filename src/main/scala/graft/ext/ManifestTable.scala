@@ -1423,73 +1423,109 @@ object ManifestTable {
     * commits and pre-provenance manifests raise (see [[appendsBetween]]).
     */
   /** One version's change summary for the feeds: its op kind, the files
-    * it ADDED, and its CDC sidecar. For a delta-logged version this is
-    * the delta file itself — O(change) bytes, no snapshot resolution at
-    * all; a checkpoint-only version (pre-incremental table) falls back
-    * to diffing consecutive snapshots, exactly the old walk.
+    * it ADDED and REMOVED, whether it stacked new deletion vectors, and
+    * its CDC sidecar. For a delta-logged version this is the delta file
+    * itself — O(change) bytes, no snapshot resolution at all; a
+    * checkpoint-only version (pre-incremental table) falls back to
+    * diffing consecutive snapshots, exactly the old walk.
     */
+  private final case class VersionChange(v: Long, op: String,
+                                         adds: Seq[String],
+                                         removedOrDvd: Boolean,
+                                         cdcPath: Option[String]) {
+    /** PROOF the commit's added files hold only NEW rows: nothing was
+      * removed and no deletion vector landed, so every previously
+      * visible row is still visible through its original file — the
+      * adds can only be inserts, whatever the op label says. This is
+      * what lets a pure-insert `merge` (op "merge", zero candidates
+      * touched) ride the append-only feed, and lets a zero-match
+      * delete/update (op recorded for idempotence, no delta at all)
+      * contribute nothing instead of poisoning the feed.
+      */
+    def pureInsert: Boolean = !removedOrDvd
+  }
+
   private def versionChanges(spark: SparkSession, dir: String,
                              fromVersion: Long, toVersion: Long)
-  : Seq[(Long, String, Seq[String], Option[String])] = {
+  : Seq[VersionChange] = {
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"change walk needs 0 <= from <= to, got ($fromVersion, $toVersion)")
     val log = listLog(spark, dir)
     ((fromVersion + 1L) to toVersion).map { v =>
       if (log.delta.contains(v)) {
         val d = readDelta(spark, dir, v)
-        (v, d.op, d.adds, d.cdcPath)
+        VersionChange(v, d.op, d.adds,
+          d.removes.nonEmpty || d.dvs.nonEmpty, d.cdcPath)
       } else {
         val cur = resolveAt(spark, dir, v, log)
         val prev = resolveAt(spark, dir, v - 1L, log)
-        (v, cur.op, cur.files.filterNot(prev.files.toSet), cur.cdcPath)
+        val prevSet = prev.files.toSet
+        val curSet = cur.files.toSet
+        val dvGrew = cur.dvs.exists { case (fn, refs) =>
+          refs.size > prev.dvs.getOrElse(fn, Seq.empty).size
+        }
+        VersionChange(v, cur.op, cur.files.filterNot(prevSet),
+          prev.files.exists(!curSet.contains(_)) || dvGrew, cur.cdcPath)
       }
     }
   }
 
+  /** Feed classification is by ACTUAL DELTA CONTENT, not op label:
+    *
+    *   - `compact` / `metadata` commits are known row-preserving
+    *     (rewrites / no data at all) — skipped;
+    *   - a commit that removed nothing and stacked no deletion vector
+    *     provably added only new rows ([[VersionChange.pureInsert]]) —
+    *     surfaced as inserts regardless of label ("append", a
+    *     pure-insert "merge", even a pre-provenance manifest whose
+    *     add-only diff is its own proof);
+    *   - anything that removed files or landed a DV changed visible
+    *     rows — the append feed raises (it cannot represent removal).
+    */
   private[graft] def appendCommitsBetween(spark: SparkSession, dir: String,
                                           fromVersion: Long, toVersion: Long)
   : Seq[(Long, Seq[String])] =
-    versionChanges(spark, dir, fromVersion, toVersion).flatMap {
-      case (v, op, added, _) => op match {
-        case "append" => if (added.isEmpty) None else Some((v, added))
-        case "compact" | "metadata" => None // no rows changed
+    versionChanges(spark, dir, fromVersion, toVersion).flatMap { c =>
+      c.op match {
+        case "compact" | "metadata" => None // rewrites: no rows changed
+        case _ if c.pureInsert =>
+          if (c.adds.isEmpty) None else Some((c.v, c.adds))
         case "" => throw new IllegalStateException(
-          s"append feed: version $v of $dir has no op provenance " +
-            "(manifest written before op tracking) — cannot prove its " +
-            "files are appends")
+          s"append feed: version ${c.v} of $dir removed or DV-marked " +
+            "files and has no op provenance (manifest written before op " +
+            "tracking) — cannot prove its changes are appends")
         case other => throw new IllegalStateException(
-          s"append feed: version $v of $dir is a row-level '$other' " +
-            "commit; an append-only feed cannot represent removed or " +
-            "changed rows")
+          s"append feed: version ${c.v} of $dir is a row-level '$other' " +
+            "commit that removed or changed visible rows; an append-only " +
+            "feed cannot represent it")
       }
     }
 
   /** The CDC walk over `(fromVersion, toVersion]`: per contributing
-    * version, `Left(files)` for an append's added data files or
-    * `Right(sidecarDir)` for a row-level commit's CDC sidecar.
-    * Compactions are skipped; a row-level commit without a sidecar and
-    * pre-provenance manifests raise (see [[changesBetween]]).
+    * version, `Right(sidecarDir)` when the commit recorded a CDC sidecar
+    * (the authoritative change record), else `Left(files)` when the
+    * commit provably added only new rows ([[VersionChange.pureInsert]] —
+    * the files ARE the changes, all inserts). Compactions are skipped;
+    * a commit that removed or DV-marked rows without a sidecar raises
+    * (see [[changesBetween]]).
     */
   private[graft] def changeCommitsBetween(spark: SparkSession, dir: String,
                                           fromVersion: Long, toVersion: Long)
   : Seq[(Long, Either[Seq[String], String])] =
-    versionChanges(spark, dir, fromVersion, toVersion).flatMap {
-      case (v, op, added, cdcPath) => op match {
-        case "append" =>
-          if (added.isEmpty) None else Some((v, Left(added)))
+    versionChanges(spark, dir, fromVersion, toVersion).flatMap { c =>
+      c.op match {
         case "compact" | "metadata" => None // no rows changed
-        case "delete" | "update" | "merge" => cdcPath match {
-          case Some(name) => Some((v, Right(name)))
+        case _ => c.cdcPath match {
+          case Some(name) => Some((c.v, Right(name)))
+          case None if c.pureInsert =>
+            if (c.adds.isEmpty) None else Some((c.v, Left(c.adds)))
           case None => throw new IllegalStateException(
-            s"change feed: version $v of $dir is a '$op' commit " +
-              "without a CDC sidecar (the op ran with cdc = false) — " +
-              "its changes cannot be reconstructed")
+            s"change feed: version ${c.v} of $dir is a " +
+              s"'${if (c.op.isEmpty) "unknown" else c.op}' commit that " +
+              "removed or changed visible rows without a CDC sidecar " +
+              "(the op ran with cdc = false) — its changes cannot be " +
+              "reconstructed")
         }
-        case "" => throw new IllegalStateException(
-          s"change feed: version $v of $dir has no op provenance " +
-            "(manifest written before op tracking)")
-        case other => throw new IllegalStateException(
-          s"change feed: version $v of $dir has unknown op '$other'")
       }
     }
 

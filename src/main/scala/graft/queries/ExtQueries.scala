@@ -1098,6 +1098,45 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The append feed classifying by DELTA CONTENT (r12 verdict order):
+    * a PURE-INSERT merge — every source key above the clustered table's
+    * file maxima, so pruning proves zero candidates and the commit
+    * (op "merge") removes nothing — must ride the append-only feed,
+    * and a zero-match `deleteWhereDV(cdc = true)` (op "delete", no
+    * delta at all — just the absorbed opId) must contribute nothing
+    * instead of poisoning it. The REQUIREs pin that the merge really
+    * took the zero-candidate path (no pre-merge file rewritten) and
+    * that both ops committed; the oracle rebuilds all three insert
+    * waves with their commit versions, so a hash match certifies the
+    * feed serves provably-insert-only commits regardless of op label.
+    */
+  def manifestFeedInsertMergeQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_feed_im"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def b(i: Long) = docs.filter(col("doc_id") % 3 === i)
+    graft.ext.ManifestTable.append(b(0), root, "b0")          // v1
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id")) // v2: rewrite
+    val src = b(1).withColumn("doc_id", col("doc_id") + 1000000)
+    val before = graft.ext.ManifestTable.snapshot(s, root)
+    require(graft.ext.ManifestTable.merge(src, root, Seq("doc_id"), "m0"),
+      "merge did not commit")                                 // v3
+    val after = graft.ext.ManifestTable.snapshot(s, root)
+    require(after.op == "merge" &&
+      before.files.forall(after.files.contains),
+      "expected a pure-insert merge: op 'merge', zero files rewritten")
+    require(graft.ext.ManifestTable.deleteWhereDV(s, root, "doc_id < 0",
+      "d0", cdc = true),
+      "zero-match DV delete did not absorb its opId")         // v4
+    graft.ext.ManifestTable.append(b(2), root, "b1")          // v5
+    graft.ext.ManifestTable.appendsBetween(s, root, 0L, 5L)
+      .orderBy("doc_id")
+  }
+
   /** The FULL CHANGE DATA FEED, oracle-replayed: a five-version fold —
     * append, clustered compaction, CDC delete of a doc_id band, CDC
     * update of the `de` rows, CDC merge (band of updates + re-keyed
@@ -1557,6 +1596,7 @@ object ExtQueries {
     "manifest_count_meta" -> (manifestCountMetaQ(_, _)),
     "manifest_merge" -> (manifestMergeQ(_, _)),
     "manifest_changefeed" -> (manifestChangeFeedQ(_, _)),
+    "manifest_feed_insert_merge" -> (manifestFeedInsertMergeQ(_, _)),
     "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
     "manifest_cdf" -> (manifestCdfQ(_, _)),
     "manifest_cdf_stream_replay" -> (manifestCdfStreamReplayQ(_, _)),
@@ -2383,6 +2423,23 @@ object ExtQueries {
         |  CAST(CASE doc_id % 3 WHEN 1 THEN 2 ELSE 4 END AS BIGINT)
         |    AS commit_version
         |FROM documents WHERE doc_id % 3 IN (1, 2)
+        |ORDER BY doc_id""".stripMargin,
+
+    // content-classified feed: b0 at v1, the pure-insert merge's
+    // re-keyed rows at v3 (op "merge", nothing removed), b2 at v5;
+    // the v2 compaction and the v4 zero-match DV delete contribute
+    // nothing
+    "manifest_feed_insert_merge" ->
+      """SELECT doc_id, lang, n_chars, commit_version FROM (
+        |  SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS commit_version
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT), lang, n_chars,
+        |    CAST(3 AS BIGINT)
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, CAST(5 AS BIGINT)
+        |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY doc_id""".stripMargin,
 
     // the typed change log: v1 inserts, v3 delete band, v4 update

@@ -635,13 +635,42 @@ class ManifestTableSpec extends SparkSpec {
       Seq((2L, "doc 2"), (3L, "doc 3")))
     // replay idempotence survives (batch ids were preserved)
     assert(!ManifestTable.append(batch(3), dir, "b1"))
-    // the feeds refuse the provenance-less version instead of guessing
-    intercept[IllegalStateException] {
-      ManifestTable.appendsBetween(spark, dir, 0L, 2L)
-    }
+    // the feed classifies by DELTA CONTENT: these legacy versions are
+    // add-only diffs (nothing removed, no DVs), which PROVES their files
+    // hold only new rows — the feed serves them despite the missing op
+    assert(ManifestTable.appendsBetween(spark, dir, 0L, 2L).count() === 3)
     // and the next commit re-establishes provenance for new versions
     ManifestTable.append(batch(4), dir, "b2")
     assert(ManifestTable.snapshot(spark, dir).op === "append")
+  }
+
+  test("the feeds refuse a provenance-less version that removed files") {
+    val dir = tmp("legacyrm")
+    ManifestTable.append(batch(1, 2), dir, "b0")
+    ManifestTable.compact(spark, dir,
+      targetFileBytes = 1024L * 1024 * 1024) // v2: rewrite (remove + add)
+    // strip the op lines: now v2's diff shows removes with NO provenance
+    // — it could be a compact (row-preserving) or a delete (not); the
+    // feed cannot prove which, so it raises instead of guessing
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val snaps = Seq(1L, 2L).map(v => ManifestTable.snapshotAt(spark, dir, v))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifest"), true)
+    snaps.foreach { s =>
+      val legacy = s.files.map("file:" + _) ++
+        s.batchIds.toSeq.sorted.map("batch:" + _)
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/_manifest/v${"%08d".format(s.version)}"), true)
+      try out.write(legacy.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    ManifestTable.clearSnapshotCacheForTest()
+    intercept[IllegalStateException] {
+      ManifestTable.appendsBetween(spark, dir, 0L, 2L)
+    }
+    intercept[IllegalStateException] {
+      ManifestTable.changesBetween(spark, dir, 0L, 2L)
+    }
   }
 
   test("merge prunes string keys containing backslashes and quotes exactly (ADVICE r11)") {
