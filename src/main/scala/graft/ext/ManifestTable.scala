@@ -43,8 +43,10 @@ import scala.annotation.tailrec
   *
   * Scale: the manifest holds one line per live data file plus one per
   * absorbed batch id — kilobytes for thousands of files; resolution is
-  * one directory listing of `_manifest/` + one small file read, and the
-  * data read is an explicit file list (no recursive directory scan).
+  * one `_last_checkpoint` pointer read + O(since-checkpoint) probes
+  * (no directory listing), the data read is an explicit file list (no
+  * recursive directory scan), and [[expireLog]] bounds the log
+  * directory itself.
   */
 object ManifestTable {
 
@@ -270,7 +272,17 @@ object ManifestTable {
     def has(v: Long): Boolean = ckpt.contains(v) || delta.contains(v)
   }
 
+  /** Directory LISTINGS of `_manifest/` this JVM — the observable proof
+    * the `_last_checkpoint` pointer path never lists (a 10 s-cadence
+    * streaming sink writes millions of log names over a year; a LIST
+    * per `snapshot()`/`getOffset` is the throttled path on object
+    * stores, and O(all versions ever) names on any store).
+    */
+  private[graft] val logListings =
+    new java.util.concurrent.atomic.AtomicLong()
+
   private def listLog(spark: SparkSession, dir: String): LogFiles = {
+    logListings.incrementAndGet()
     val f = fs(spark, dir)
     val md = p(manifestDir(dir))
     if (!f.exists(md)) return LogFiles(Map.empty, Map.empty)
@@ -281,6 +293,86 @@ object ManifestTable {
       sts.filter(_.getPath.getName.matches("d\\d{8,}"))
         .map(s => s.getPath.getName.drop(1).toLong -> s).toMap)
   }
+
+  // ------------------------------------- the _last_checkpoint pointer
+  //
+  // Delta's design: a tiny `_manifest/_last_checkpoint` file names the
+  // latest checkpoint version, so HEAD resolution is one pointer read +
+  // one getFileStatus per version SINCE that checkpoint (forward
+  // existence probes — versions are dense by CAS construction, so the
+  // first missing delta IS the head), never a listing of the whole log
+  // directory. The pointer is a HINT, not a commit: it is overwritten
+  // in place (monotonically — a racing writer can only lose to a newer
+  // checkpoint), and any torn read, missing file or stale value falls
+  // back to the full listing / extra delta replays, costing speed only.
+
+  private def lastCheckpointPath(dir: String) =
+    p(s"${manifestDir(dir)}/_last_checkpoint")
+
+  private def readLastCheckpoint(spark: SparkSession,
+                                 dir: String): Option[Long] =
+    try {
+      val f = fs(spark, dir)
+      val in = f.open(lastCheckpointPath(dir))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      val v = s.toLong
+      if (v > 0L) Some(v) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeLastCheckpoint(spark: SparkSession, dir: String,
+                                  v: Long): Unit =
+    try {
+      if (readLastCheckpoint(spark, dir).forall(_ < v)) {
+        val f = fs(spark, dir)
+        val out = f.create(lastCheckpointPath(dir), true)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The log reachable FROM THE POINTER: the pointed-at checkpoint, any
+    * newer checkpoint on the deterministic [[CheckpointInterval]] grid
+    * (one probe — covers a stale pointer), and the deltas probed
+    * forward until the first gap. O(head - checkpoint) getFileStatus
+    * calls, NO directory listing. None = no pointer / pointed-at
+    * checkpoint missing — caller falls back to [[listLog]].
+    */
+  private def probeLog(spark: SparkSession, dir: String): Option[LogFiles] =
+    readLastCheckpoint(spark, dir).flatMap { c =>
+      val f = fs(spark, dir)
+      def stat(name: String): Option[org.apache.hadoop.fs.FileStatus] =
+        try Some(f.getFileStatus(p(s"${manifestDir(dir)}/$name")))
+        catch { case _: java.io.FileNotFoundException => None }
+      stat(s"v${"%08d".format(c)}").map { ckptSt =>
+        var ckpt = Map(c -> ckptSt)
+        var delta = Map.empty[Long, org.apache.hadoop.fs.FileStatus]
+        var w = c + 1L
+        var miss = false
+        while (!miss) {
+          stat(s"d${"%08d".format(w)}") match {
+            case Some(st) => delta += (w -> st); w += 1L
+            case None => miss = true
+          }
+        }
+        val head = w - 1L
+        // a stale pointer (checkpoint write raced or a later one landed
+        // after this reader cached the pointer): the newest checkpoint
+        // sits on the interval grid — one extra probe recovers it and
+        // keeps replay bounded by the interval, not the staleness
+        val gridC = (head / CheckpointInterval) * CheckpointInterval
+        if (gridC > c)
+          stat(s"v${"%08d".format(gridC)}").foreach(st => ckpt += (gridC -> st))
+        LogFiles(ckpt, delta)
+      }
+    }
+
+  /** [[probeLog]] when the pointer exists, else one full listing — the
+    * HEAD-resolution entry point for [[snapshot]]/[[headVersion]]/
+    * [[commit]]. Time travel, history and expiry keep the full listing
+    * (they need versions BEHIND the pointer).
+    */
+  private def headLog(spark: SparkSession, dir: String): LogFiles =
+    probeLog(spark, dir).getOrElse(listLog(spark, dir))
 
   /** DRIVER SNAPSHOT CACHE. Snapshots are immutable once committed, so a
     * resolved version caches forever; the key carries the log file's
@@ -356,25 +448,26 @@ object ManifestTable {
     * appear only by atomic link/rename.
     */
   def snapshot(spark: SparkSession, dir: String): Snapshot = {
-    val log = listLog(spark, dir)
+    val log = headLog(spark, dir)
     val head = log.head
     if (head == 0L) Snapshot(0L, Seq.empty, Set.empty)
     else resolveAt(spark, dir, head, log)
   }
 
   /** The table's current committed version WITHOUT resolving the
-    * snapshot — one directory listing, zero parse. What a streaming
-    * source's per-trigger `getOffset` should pay.
+    * snapshot — a pointer read + O(since-checkpoint) existence probes
+    * (one directory listing on pointer-less tables), zero parse. What a
+    * streaming source's per-trigger `getOffset` should pay.
     */
   def headVersion(spark: SparkSession, dir: String): Long =
-    listLog(spark, dir).head
+    headLog(spark, dir).head
 
-  /** The snapshot as of manifest `version` — TIME TRAVEL. Log files are
-    * never deleted (deltas are O(change); checkpoints kilobytes per
-    * thousand files), so any historical version resolves as long as
+  /** The snapshot as of manifest `version` — TIME TRAVEL. Any version
+    * inside the [[expireLog]] retention window resolves (deltas are
+    * O(change); checkpoints kilobytes per thousand files) as long as
     * [[vacuum]]'s grace window has not swept the data files it
     * references; a pinned reader inside the window sees the exact
-    * historical table.
+    * historical table. Versions expired from the log raise here.
     */
   def snapshotAt(spark: SparkSession, dir: String, version: Long): Snapshot = {
     val log = listLog(spark, dir)
@@ -734,9 +827,10 @@ object ManifestTable {
       .filter(_.getModificationTime < cutoff)
       .foreach(s => f.delete(s.getPath, true))
     // CDC sidecar dirs: referenced by the `cdc:` line of SOME log file
-    // forever (log files are never deleted — the feed is replayable
-    // history); only a crashed cowCommit leaves an unreferenced dir,
-    // and that is what gets swept past the grace. Same story for
+    // for as long as that log file lives (the feed is replayable
+    // history inside [[expireLog]]'s retention window); a crashed
+    // cowCommit's unreferenced dir — or a sidecar whose last referencing
+    // log file was expired — gets swept past the grace. Same story for
     // deletion-vector sidecars under `_dv/`.
     val cd = p(cdcDir(dir))
     if (f.exists(cd)) {
@@ -1664,15 +1758,22 @@ object ManifestTable {
     * version: (version, op, n_files, n_batches, rows_known, has_cdc).
     * `rows_known` sums the footer row counts of the files that HAVE
     * stats (null when any live file lacks them — a partial sum would
-    * read as a total). Driver cost is O(versions) small manifest reads;
-    * manifests are never deleted, so the full history always resolves.
-    * The observability face of the table: which commit grew it, which
-    * compacted it, which row-level op is CDC-consumable.
+    * read as a total). Driver cost is O(versions) small manifest reads
+    * over the [[expireLog]]-retained window (expired versions are
+    * simply absent). The observability face of the table: which commit
+    * grew it, which compacted it, which row-level op is CDC-consumable.
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val log = listLog(spark, dir)
-    (1L to log.head).map { v =>
+    // the oldest RESOLVABLE version: 1 when the log is complete, else
+    // the oldest surviving checkpoint ([[expireLog]] deletes only below
+    // one, so everything from there resolves)
+    val start =
+      if (log.has(1L)) 1L
+      else if (log.ckpt.nonEmpty) log.ckpt.keysIterator.min
+      else 1L
+    (start to log.head).map { v =>
       val s = resolveAt(spark, dir, v, log)
       val rowsKnown =
         if (s.files.forall(s.stats.contains))
@@ -2039,7 +2140,9 @@ object ManifestTable {
           } ++
           detailLines(s.files, s.stats, s.sizes)
       publishLog(fs(spark, dir), dir, s"v${"%08d".format(s.version)}", lines)
-      ()
+      // advance the pointer even on a lost publish race — the content
+      // at this version is byte-identical whoever wrote it
+      writeLastCheckpoint(spark, dir, s.version)
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Force a checkpoint of the current head — LOG COMPACTION on demand
@@ -2051,6 +2154,44 @@ object ManifestTable {
     val s = snapshot(spark, dir)
     if (s.version > 0L) writeCheckpoint(spark, dir, s)
     s.version
+  }
+
+  /** LOG RETENTION — the other half of what keeps `_manifest/` bounded
+    * (the pointer stops per-query LISTs; this stops the directory
+    * itself growing forever: a 10 s-cadence streaming sink writes ~3M
+    * log names a year). Deletes every log file STRICTLY BELOW the
+    * newest checkpoint at or below `head - retainVersions`, then bumps
+    * the pointer there, so:
+    *
+    *   - every version in the retained window still resolves (the
+    *     oldest surviving file is a full checkpoint; all deltas above
+    *     it survive) — time travel, the feeds and the streaming source
+    *     keep working over `[keepFrom, head]`;
+    *   - versions below it become UNRESOLVABLE — the documented
+    *     retention contract (Delta's `logRetentionDuration`). Their
+    *     CDC/DV sidecars lose their last reference and the next
+    *     [[vacuum]] sweeps them past its grace window.
+    *
+    * Run it with [[vacuum]] as table maintenance. Returns the number of
+    * log files deleted (0 when no checkpoint is old enough — including
+    * always on a pre-checkpoint table, whose whole log is younger than
+    * one interval).
+    */
+  def expireLog(spark: SparkSession, dir: String,
+                retainVersions: Long = 1000L): Int = {
+    require(retainVersions >= 0L, "retainVersions must be >= 0")
+    val f = fs(spark, dir)
+    val log = listLog(spark, dir) // maintenance pass: the one full LIST
+    val cutoff = log.head - retainVersions
+    val keepFrom = log.ckpt.keysIterator.filter(_ <= cutoff)
+      .foldLeft(0L)(math.max)
+    if (keepFrom <= 0L) return 0
+    val doomed =
+      log.ckpt.filter(_._1 < keepFrom).values ++
+        log.delta.filter(_._1 < keepFrom).values
+    val n = doomed.count { st => f.delete(st.getPath, false) }
+    writeLastCheckpoint(spark, dir, keepFrom)
+    n
   }
 
   /** CAS loop: read head, apply `update` (None = no-op), publish the

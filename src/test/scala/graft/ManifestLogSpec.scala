@@ -155,4 +155,52 @@ class ManifestLogSpec extends SparkSpec {
       .collect().toSeq.sorted
     assert(feed === Seq((10L, 10L), (11L, 11L), (12L, 12L)))
   }
+
+  test("_last_checkpoint: head resolution probes from the pointer, never lists; expireLog bounds the log") {
+    val dir = tmp("retention")
+    ManifestTable.append(batch(1L, 2L, 3L), dir, "b0") // v1
+    // metadata commits build a deep version history without a Spark
+    // write job per version — the 10 s-cadence-sink shape in miniature
+    (2 to 56).foreach { v =>
+      if (v % 2 == 0)
+        ManifestTable.addConstraint(spark, dir, s"c$v", "id IS NOT NULL")
+      else ManifestTable.dropConstraint(spark, dir, s"c${v - 1}")
+    }
+    assert(ManifestTable.headVersion(spark, dir) === 56L)
+    // a COLD driver resolves the head with ZERO directory listings and
+    // O(since-checkpoint) log reads: the pointer names v50, probes find
+    // d51..d56 — on a 1,000-version (or 3M-version) log the cost is
+    // identical, which is the whole point
+    ManifestTable.clearSnapshotCacheForTest()
+    val l0 = ManifestTable.logListings.get()
+    val n0 = ManifestTable.logFileReads.get()
+    val s = ManifestTable.snapshot(spark, dir)
+    assert(s.version === 56L)
+    assert(ManifestTable.logListings.get() === l0, "snapshot() listed _manifest/")
+    assert(ManifestTable.logFileReads.get() - n0 === 7) // v50 + d51..d56
+    assert(ManifestTable.headVersion(spark, dir) === 56L)
+    assert(ManifestTable.logListings.get() === l0, "headVersion() listed _manifest/")
+    // retention: head 56, retain 10 → cutoff 46 → newest checkpoint at
+    // or below is v40; everything under it is deleted
+    val removed = ManifestTable.expireLog(spark, dir, retainVersions = 10L)
+    assert(removed > 0)
+    val names = logNames(dir)
+    assert(names.contains("v00000040"))
+    assert(!names.exists(_.drop(1).toLong < 40L), s"expiry left $names")
+    // the retained window still resolves — reads, time travel, history
+    assert(ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted === Seq(1L, 2L, 3L))
+    ManifestTable.clearSnapshotCacheForTest()
+    assert(ManifestTable.readVersion(spark, dir, 41L).select("id").as[Long]
+      .collect().toSeq.sorted === Seq(1L, 2L, 3L))
+    assert(ManifestTable.history(spark, dir).count() === 17L) // v40..v56
+    // an expired version raises cleanly instead of resolving garbage
+    intercept[IllegalArgumentException] {
+      ManifestTable.snapshotAt(spark, dir, 5L)
+    }
+    // and the table keeps committing + checkpointing past the expiry
+    ManifestTable.append(batch(4L), dir, "b1") // v57
+    assert(ManifestTable.snapshot(spark, dir).version === 57L)
+    assert(ManifestTable.read(spark, dir).count() === 4L)
+  }
 }
