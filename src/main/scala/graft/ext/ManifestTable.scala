@@ -793,6 +793,68 @@ object ManifestTable {
     if (committed) (snap.files.size, live.size) else (0, 0)
   }
 
+  /** DV MAINTENANCE — the targeted flip side of [[compact]]'s full-table
+    * purge: rewrite ONLY the data files whose deletion-vector'd fraction
+    * has crossed `maxDeletedFraction`, retiring their vectors. Merge-on-
+    * read trades write cost for read cost (every read of a DV'd file
+    * pays an anti-join); once a file is mostly deleted that rent exceeds
+    * the one-time rewrite, and this call collects it — per FILE, not per
+    * table, so a 100 TB table with one delete-heavy region rewrites just
+    * that region. Files are rewritten through the DV-applied view with
+    * NO repartitioning (one slightly-smaller file per input file's
+    * partitions — clustering layout survives, zero shuffle). Same
+    * atomic-swap, conflict-abort contract as [[compact]]: returns
+    * (files rewritten, files written), (0, 0) when nothing crossed the
+    * threshold or a concurrent rewrite won. Files without footer row
+    * counts are skipped (their fraction is unknowable — the safe
+    * direction; the next full [[compact]] retires their vectors).
+    */
+  def purgeDeletes(spark: SparkSession, dir: String,
+                   maxDeletedFraction: Double = 0.3,
+                   beforeSwap: () => Unit = () => (),
+                   bloomCols: Seq[String] = Nil,
+                   bloomFpp: Double = 0.01): (Int, Int) = {
+    require(maxDeletedFraction > 0.0,
+      "maxDeletedFraction must be > 0 (0 would rewrite every DV'd file " +
+        "— that is compact())")
+    val f = fs(spark, dir)
+    val snap = snapshot(spark, dir)
+    val candidates = snap.files.filter { fn =>
+      val dvRows = snap.dvs.getOrElse(fn, Seq.empty).map(_.rows).sum
+      dvRows > 0L && snap.stats.get(fn).exists(st =>
+        st.rows > 0L && dvRows.toDouble / st.rows >= maxDeletedFraction)
+    }
+    if (candidates.isEmpty) return (0, 0)
+    val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
+    readFiles(spark, dir, snap, candidates).write.parquet(stage)
+    val (rewritten, rewrittenSizes) = moveToData(f, dir, stage)
+    val rewrittenStats = footerStats(spark, dir, rewritten)
+    // a file DV'd down to zero live rows rewrites to nothing: drop it
+    val live = dropEmpty(f, dir, rewritten, rewrittenStats)
+    buildBlooms(spark, dir, live, bloomCols, rewrittenStats, bloomFpp)
+    beforeSwap()
+    val committed = commit(spark, dir) { old =>
+      // same staleness hazards as compact: a candidate rewritten away,
+      // or a NEW vector stacked since we read (our rewrite would
+      // resurrect its rows)
+      if (candidates.exists(c => !old.files.contains(c) ||
+        old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
+        None
+      else Some(old.copy(
+        files = old.files.filterNot(candidates.contains) ++ live,
+        stats = old.stats -- candidates ++
+          rewrittenStats.filter(kv => live.contains(kv._1)),
+        sizes = old.sizes -- candidates ++
+          rewrittenSizes.filter(kv => live.contains(kv._1)),
+        // the rewrite applied the vectors; they retire with their files
+        dvs = old.dvs -- candidates,
+        // a row-preserving rewrite, exactly like compact: the feeds
+        // skip it instead of re-surfacing survivor rows
+        op = "compact", cdcPath = None))
+    }
+    if (committed) (candidates.size, live.size) else (0, 0)
+  }
+
   /** Delete data files no longer referenced by the CURRENT manifest and
     * leftover stage directories — but only those whose modification time
     * is older than `graceMs` (default 24 h), the standard table-format
@@ -1138,8 +1200,11 @@ object ManifestTable {
       if (counts.isEmpty)
         return emptyOpCommit(spark, dir, "delete", opId)
       val dvName = java.util.UUID.randomUUID().toString
+      // written from the matched scan's own partitioning: no shuffle, no
+      // single-task funnel — a wide delete's positions land in parallel
+      // (a point delete naturally occupies one task anyway)
       matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
-        .coalesce(1).write.parquet(s"${dvDir(dir)}/$dvName")
+        .write.parquet(s"${dvDir(dir)}/$dvName")
       val cdcName =
         if (!cdc) None
         else {
@@ -1205,8 +1270,9 @@ object ManifestTable {
       val updated = applySet(matched.drop(fm, pm), set)
       enforceConstraints(updated, snap.constraints, "updateWhereDV")
       val dvName = java.util.UUID.randomUUID().toString
+      // no coalesce(1): parallel positions write, same as deleteWhereDV
       matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
-        .coalesce(1).write.parquet(s"${dvDir(dir)}/$dvName")
+        .write.parquet(s"${dvDir(dir)}/$dvName")
       val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
       updated.write.parquet(stage)
       val (moved, sizes) = moveToData(f, dir, stage)
@@ -1334,6 +1400,62 @@ object ManifestTable {
     if (!s.files.forall(s.stats.contains)) None
     else Some(s.files.map(f => s.stats(f).rows).sum -
       s.dvs.valuesIterator.flatten.map(_.rows).sum)
+  }
+
+  /** `min(col)`/`max(col)` answered ENTIRELY from manifest ColStats —
+    * zero data-file I/O — with the same one-sided honesty as
+    * [[metaCount]]: Some only when the answer is PROVABLE, i.e.
+    *
+    *   - the table tracks a schema and the column's type is integral,
+    *     double/float, string or boolean (date/timestamp columns share
+    *     the long stats family — a long answer would be the wrong type,
+    *     so they fall back);
+    *   - EVERY live file carries usable footer stats for the column (a
+    *     single stats-less file could hide the true extremum);
+    *   - NO live file carries a deletion vector (a deleted row may BE
+    *     the extremum — the file min/max describes pre-delete bytes).
+    *
+    * The inner options mirror SQL MIN/MAX null semantics: a table whose
+    * column is entirely null answers Some((None, None)). Values decode
+    * from the canonical stats family: Long, Double, String or Boolean
+    * (cast to the column's exact width at the call site if needed).
+    * `asOf` answers against a pinned historical version.
+    */
+  def metaMinMax(spark: SparkSession, dir: String, colName: String,
+                 asOf: Option[Long] = None)
+  : Option[(Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.types._
+    val s = asOf.fold(snapshot(spark, dir))(snapshotAt(spark, dir, _))
+    val safeType = tableSchema(s).exists(_.fields.exists(fd =>
+      fd.name.equalsIgnoreCase(colName) && (fd.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType | BooleanType => true
+        case _ => false
+      })))
+    if (!safeType || s.files.isEmpty) return None
+    if (s.files.exists(fn => s.dvs.get(fn).exists(_.nonEmpty))) return None
+    val key = colName.toLowerCase
+    val perFile = s.files.map(fn => s.stats.get(fn).flatMap(_.cols.get(key)))
+    if (perFile.exists(_.isEmpty)) return None
+    val cs = perFile.flatten
+    val fams = cs.map(_.typ).distinct
+    if (fams.size != 1) return None
+    val fam = fams.head
+    // belt-and-braces: the schema gate above should make this
+    // unreachable, but a family/schema disagreement must fall back,
+    // never decode to the wrong type
+    if (!Set("long", "double", "string", "bool").contains(fam)) return None
+    def decode(v: String): Any = fam match {
+      case "long" => v.toLong
+      case "double" => v.toDouble
+      case "bool" => v.toBoolean
+      case _ => v
+    }
+    val mn = cs.foldLeft(Option.empty[String])((acc, c) =>
+      Skipping.fold(fam, acc, c.min, keepMin = true))
+    val mx = cs.foldLeft(Option.empty[String])((acc, c) =>
+      Skipping.fold(fam, acc, c.max, keepMin = false))
+    Some((mn.map(decode), mx.map(decode)))
   }
 
   /** MERGE (upsert) `source` into the table on `keyCols`: a table row

@@ -984,6 +984,45 @@ object ExtQueries {
     graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
   }
 
+  /** DV MAINTENANCE, oracle-replayed against the SAME DuckDB DELETE
+    * oracle as [[manifestDeleteQ]] a third time: after a clustered DV
+    * delete of a doc_id band, `purgeDeletes` must rewrite ONLY the
+    * files whose deleted fraction crossed the threshold (the band's
+    * files — the REQUIREs pin that every other file survives
+    * byte-identical and that the rewritten files' vector references
+    * are cleared), and the table must read identically before and
+    * after — a purge is invisible to readers, it just stops the
+    * per-read anti-join rent on delete-heavy files.
+    */
+  def manifestDvCompactQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_dv_compact"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    require(graft.ext.ManifestTable.deleteWhereDV(s, root,
+      "doc_id >= 100 AND doc_id < 220", "d0"),
+      "deleteWhereDV did not commit")
+    val before = graft.ext.ManifestTable.snapshot(s, root)
+    require(before.dvs.nonEmpty, "DV delete recorded no deletion vector")
+    val (rewritten, _) = graft.ext.ManifestTable.purgeDeletes(s, root,
+      maxDeletedFraction = 0.2)
+    require(rewritten > 0, "purge rewrote nothing despite a deleted band")
+    require(rewritten < before.files.size,
+      s"purge rewrote all ${before.files.size} files — not targeted")
+    val after = graft.ext.ManifestTable.snapshot(s, root)
+    require(before.files.count(after.files.contains) ==
+      before.files.size - rewritten,
+      "purge touched files outside its candidates")
+    require(after.dvs.keySet.subsetOf(after.files.toSet),
+      "purge left a vector reference on a retired file")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
   /** MERGE-ON-READ update against the SAME oracle as [[manifestUpdateQ]]:
     * matched rows land as a deletion vector + O(matched) appended
     * rewrites; every pre-existing data file survives untouched (the
@@ -1034,6 +1073,44 @@ object ExtQueries {
     val n = graft.ext.ManifestTable.metaCount(s, root)
     require(n.isDefined, "metaCount could not prove a total despite stats")
     Seq(n.get).toDF("cnt")
+  }
+
+  /** METADATA-ONLY MIN/MAX, oracle-replayed: across two appends (so the
+    * fold spans files), `metaMinMax` must answer min/max of a long and
+    * a string column purely from manifest ColStats — zero data I/O —
+    * and EQUAL DuckDB's real MIN/MAX. The REQUIREs also pin the honesty
+    * edges here (a DV'd table answers None — the deleted row could be
+    * the extremum — and an unknown column answers None), with the full
+    * fallback matrix in ManifestDvSpec.
+    */
+  def manifestMetaMinMaxQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = "/tmp/graft_fix/manifest_meta_minmax"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs.filter(col("doc_id") % 2 === 0),
+      root, "even")
+    graft.ext.ManifestTable.append(docs.filter(col("doc_id") % 2 === 1),
+      root, "odd")
+    require(graft.ext.ManifestTable.metaMinMax(s, root, "missing").isEmpty,
+      "metaMinMax answered for a column that does not exist")
+    val idMm = graft.ext.ManifestTable.metaMinMax(s, root, "doc_id")
+    val langMm = graft.ext.ManifestTable.metaMinMax(s, root, "lang")
+    require(idMm.isDefined && langMm.isDefined,
+      "metaMinMax could not prove an answer despite full stats")
+    // the honesty edge: one DV'd file forces fallback table-wide
+    require(graft.ext.ManifestTable.deleteWhereDV(s, root, "doc_id = 0",
+      "d0"), "DV delete did not commit")
+    require(graft.ext.ManifestTable.metaMinMax(s, root, "doc_id").isEmpty,
+      "metaMinMax answered over a deletion vector")
+    Seq((idMm.get._1.get.asInstanceOf[Long],
+      idMm.get._2.get.asInstanceOf[Long],
+      langMm.get._1.get.asInstanceOf[String],
+      langMm.get._2.get.asInstanceOf[String]))
+      .toDF("min_doc", "max_doc", "min_lang", "max_lang")
   }
 
   /** MERGE (upsert), oracle-replayed: the source carries one tight
@@ -1591,9 +1668,11 @@ object ExtQueries {
     "manifest_scan_pruned" -> (manifestScanPrunedQ(_, _)),
     "manifest_delete" -> (manifestDeleteQ(_, _)),
     "manifest_delete_dv" -> (manifestDeleteDvQ(_, _)),
+    "manifest_dv_compact" -> (manifestDvCompactQ(_, _)),
     "manifest_update" -> (manifestUpdateQ(_, _)),
     "manifest_update_dv" -> (manifestUpdateDvQ(_, _)),
     "manifest_count_meta" -> (manifestCountMetaQ(_, _)),
+    "manifest_meta_minmax" -> (manifestMetaMinMaxQ(_, _)),
     "manifest_merge" -> (manifestMergeQ(_, _)),
     "manifest_changefeed" -> (manifestChangeFeedQ(_, _)),
     "manifest_feed_insert_merge" -> (manifestFeedInsertMergeQ(_, _)),
@@ -2383,6 +2462,21 @@ object ExtQueries {
     "manifest_count_meta" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
         |WHERE NOT (doc_id >= 100 AND doc_id < 150)""".stripMargin,
+
+    // DV maintenance: purge of delete-heavy files is reader-invisible —
+    // the SAME delete oracle a third time
+    "manifest_dv_compact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (doc_id >= 100 AND doc_id < 220)
+        |ORDER BY doc_id""".stripMargin,
+
+    // metadata-only min/max: folded ColStats must equal the real
+    // MIN/MAX over both the long and the string family
+    "manifest_meta_minmax" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+        |  MIN(lang) AS min_lang, MAX(lang) AS max_lang
+        |FROM documents""".stripMargin,
 
     // merge-on-read UPDATE: same oracle as the copy-on-write update
     "manifest_update_dv" ->

@@ -196,4 +196,81 @@ class ManifestDvSpec extends SparkSpec {
     ManifestTable.clearSnapshotCacheForTest()
     assert(ManifestTable.metaCount(spark, legacy) === None)
   }
+
+  test("metaMinMax answers from stats, falls back on DVs, wrong types and stats gaps") {
+    val dir = tmp("minmax")
+    ManifestTable.append(
+      (10L until 60L).map(x => (x, s"doc $x")).toDF("id", "text")
+        .coalesce(1), dir, "b0")
+    ManifestTable.append(
+      (60L until 110L).map(x => (x, s"doc $x")).toDF("id", "text")
+        .coalesce(1), dir, "b1")
+    assert(ManifestTable.metaMinMax(spark, dir, "id") ===
+      Some((Some(10L), Some(109L))))
+    assert(ManifestTable.metaMinMax(spark, dir, "text") ===
+      Some((Some("doc 10"), Some("doc 99"))))
+    // unknown column / unsafe type: None, never a guess
+    assert(ManifestTable.metaMinMax(spark, dir, "nope") === None)
+    // a deletion vector could have removed the extremum: fall back
+    assert(ManifestTable.deleteWhereDV(spark, dir, "id = 109", "d0"))
+    assert(ManifestTable.metaMinMax(spark, dir, "id") === None)
+    // ... but the pre-delete version still answers (pinned history)
+    assert(ManifestTable.metaMinMax(spark, dir, "id", asOf = Some(2L)) ===
+      Some((Some(10L), Some(109L))))
+    // purging the vector rewrites the file with fresh stats: provable again
+    assert(ManifestTable.purgeDeletes(spark, dir, 0.001)._1 === 1)
+    assert(ManifestTable.metaMinMax(spark, dir, "id") ===
+      Some((Some(10L), Some(108L))))
+  }
+
+  test("purgeDeletes rewrites ONLY delete-heavy files and retires their vectors") {
+    val dir = tmp("purge")
+    // four single-file appends: id bands [0,100) [100,200) [200,300) [300,400)
+    (0 to 3).foreach { i =>
+      ManifestTable.append(
+        (i * 100L until (i + 1) * 100L).map(x => (x, s"doc $x"))
+          .toDF("id", "text").coalesce(1), dir, s"b$i")
+    }
+    // 50% of file 0 deleted, 1% of file 1, files 2-3 untouched
+    assert(ManifestTable.deleteWhereDV(spark, dir, "id < 50", "d0"))
+    assert(ManifestTable.deleteWhereDV(spark, dir, "id = 150", "d1"))
+    val before = ManifestTable.snapshot(spark, dir)
+    assert(before.dvs.size === 2)
+    val (rewritten, written) = ManifestTable.purgeDeletes(spark, dir,
+      maxDeletedFraction = 0.3)
+    assert(rewritten === 1 && written === 1)
+    val after = ManifestTable.snapshot(spark, dir)
+    // the heavy file is gone, its replacement carries no vector; the
+    // 1%-deleted file keeps BOTH its bytes and its vector (under the
+    // threshold, the anti-join rent is cheaper than a rewrite)
+    assert(after.files.size === 4)
+    assert(before.files.count(after.files.contains) === 3)
+    assert(after.dvs.size === 1)
+    assert(after.dvs.keys.forall(before.files.contains))
+    // rows identical before/after — purge is invisible to readers
+    assert(ids(dir) === ((50L until 150L) ++ (151L until 400L)))
+    // the feeds skip it like any compaction (row-preserving rewrite)
+    assert(ManifestTable.appendsBetween(spark, dir,
+      after.version - 1L, after.version).count() === 0L)
+    // metadata-only count stays exact across the purge
+    assert(ManifestTable.metaCount(spark, dir) === Some(349L))
+    // nothing left above the threshold: second purge is a no-op
+    assert(ManifestTable.purgeDeletes(spark, dir, 0.3) === ((0, 0)))
+  }
+
+  test("purgeDeletes aborts when a new vector lands on a candidate mid-rewrite") {
+    val dir = tmp("purgerace")
+    ManifestTable.append(
+      (0L until 100L).map(x => (x, s"doc $x")).toDF("id", "text")
+        .coalesce(1), dir, "b0")
+    assert(ManifestTable.deleteWhereDV(spark, dir, "id < 40", "d0"))
+    val res = ManifestTable.purgeDeletes(spark, dir, 0.3,
+      beforeSwap = () => {
+        // a racing delete stacks a NEW vector after the purge read its
+        // candidates: committing the rewrite would resurrect id 60
+        assert(ManifestTable.deleteWhereDV(spark, dir, "id = 60", "dx"))
+      })
+    assert(res === ((0, 0)), "purge must abort on a DV conflict")
+    assert(ids(dir) === ((40L until 60L) ++ (61L until 100L)))
+  }
 }
