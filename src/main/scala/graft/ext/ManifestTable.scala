@@ -124,7 +124,19 @@ object ManifestTable {
                             cdcPath: Option[String] = None,
                             sizes: Map[String, Long] = Map.empty,
                             dvs: Map[String, Seq[DvRef]] = Map.empty,
-                            constraints: Map[String, String] = Map.empty)
+                            constraints: Map[String, String] = Map.empty,
+                            partitionCols: Seq[String] = Nil,
+                            pvals: Map[String, Map[String, PartValue]] = Map.empty)
+
+  /** One data file's value for one PARTITION column: the canonical
+    * comparison family (the [[Skipping]] vocabulary — "long", "string",
+    * "bool") and the value in canonical form; None = the hive null
+    * partition. Exact by construction — the partitioned write puts every
+    * row of the file in this partition — so pruning on it is equality
+    * against a point, not a [min, max] interval (same machinery, always
+    * tight).
+    */
+  final case class PartValue(fam: String, value: Option[String])
 
   /** The recorded table schema of a snapshot, if this table tracks one. */
   def tableSchema(s: Snapshot): Option[org.apache.spark.sql.types.StructType] =
@@ -511,6 +523,12 @@ object ManifestTable {
     *                                     all refs; delta: new refs)
     *   constraint:<nameEnc>\t<exprEnc>   CHECK constraint (delta: added)
     *   dropconstraint:<nameEnc>          DELTA: constraint dropped
+    *   partcols:<colEnc>[\t<colEnc>...]  the table's PARTITION layout
+    *                                     (declared at creation, immutable)
+    *   pv:<name>\t<colEnc>\t<fam>\t<flag>\t<valEnc>
+    *                                     one file's partition value for
+    *                                     one column (flag 0 = the hive
+    *                                     null partition)
     *
     * `flag` 1 = min/max present (URL-encoded canonical strings); 0 = the
     * column is entirely null in the file. Values are URL-encoded so
@@ -523,7 +541,9 @@ object ManifestTable {
       schemaJson: Option[String], cdcPath: Option[String],
       stats: Map[String, FileStats], sizes: Map[String, Long],
       dvs: Map[String, Seq[DvRef]],
-      consAdd: Seq[(String, String)], consDrop: Set[String])
+      consAdd: Seq[(String, String)], consDrop: Set[String],
+      partitionCols: Option[Seq[String]],
+      pvals: Map[String, Map[String, PartValue]])
 
   private def parseLog(lines: List[String]): ParsedLog = {
     // limit -1: trailing empty fields SURVIVE the split. A column whose
@@ -568,7 +588,16 @@ object ManifestTable {
         (dec(a(0)), dec(a(1)))
       },
       consDrop = lines.filter(_.startsWith("dropconstraint:"))
-        .map(l => dec(l.stripPrefix("dropconstraint:"))).toSet)
+        .map(l => dec(l.stripPrefix("dropconstraint:"))).toSet,
+      partitionCols = lines.find(_.startsWith("partcols:"))
+        .map(_.stripPrefix("partcols:").split("\t", -1).toSeq.map(dec)),
+      pvals = lines.filter(_.startsWith("pv:")).map { l =>
+        val a = l.stripPrefix("pv:").split("\t", -1)
+        (a(0), dec(a(1)),
+          PartValue(a(2), if (a(3) == "1") Some(dec(a(4))) else None))
+      }.groupBy(_._1).map { case (file, vs) =>
+        file -> vs.map(v => v._2 -> v._3).toMap
+      })
   }
 
   private def readLogLines(spark: SparkSession, dir: String,
@@ -587,7 +616,8 @@ object ManifestTable {
                            v: Long): Snapshot = {
     val pl = parseLog(readLogLines(spark, dir, s"v${"%08d".format(v)}"))
     Snapshot(v, pl.files, pl.batchIds, pl.stats, pl.op, pl.schemaJson,
-      pl.cdcPath, pl.sizes, pl.dvs, pl.consAdd.toMap)
+      pl.cdcPath, pl.sizes, pl.dvs, pl.consAdd.toMap,
+      pl.partitionCols.getOrElse(Nil), pl.pvals)
   }
 
   /** One commit's ACTIONS (the delta file for `v`). */
@@ -612,7 +642,9 @@ object ManifestTable {
       dvs = d.dvs.foldLeft(base.dvs -- gone) { case (acc, (file, refs)) =>
         acc.updated(file, acc.getOrElse(file, Seq.empty) ++ refs)
       },
-      constraints = base.constraints ++ d.consAdd -- d.consDrop)
+      constraints = base.constraints ++ d.consAdd -- d.consDrop,
+      partitionCols = d.partitionCols.getOrElse(base.partitionCols),
+      pvals = base.pvals -- gone ++ d.pvals)
   }
 
   /** The snapshot's rows (schema comes from the listed files). A table
@@ -625,16 +657,63 @@ object ManifestTable {
     readFiles(spark, dir, s, s.files)
   }
 
+  /** The layout an append must stage with: an existing table's declared
+    * partition columns always win (a conflicting `partitionBy` request
+    * is a loud error — partitioning is immutable, like Delta/Iceberg);
+    * a nonempty `partitionBy` on a table with no files and no layout
+    * DECLARES it, after validating every column exists with a
+    * stats-faithful type (integral, string, boolean — the families
+    * whose canonical form round-trips a hive directory name exactly).
+    */
+  private def resolveLayout(snap: Snapshot,
+                            schema: org.apache.spark.sql.types.StructType,
+                            partitionBy: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types._
+    if (snap.partitionCols.nonEmpty) {
+      require(partitionBy.isEmpty ||
+        partitionBy.map(_.toLowerCase) ==
+          snap.partitionCols.map(_.toLowerCase),
+        s"table is partitioned by (${snap.partitionCols.mkString(", ")}); " +
+          s"an append cannot re-partition it by (${partitionBy.mkString(", ")})")
+      snap.partitionCols
+    } else if (partitionBy.isEmpty) Nil
+    else {
+      require(snap.files.isEmpty,
+        "partitioning must be declared at table creation (the table " +
+          "already has data files laid out without it)")
+      partitionBy.foreach { c =>
+        val fd = schema.fields.find(_.name.equalsIgnoreCase(c))
+        require(fd.isDefined, s"partition column $c is not in the batch")
+        require(fd.get.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               StringType | BooleanType => true
+          case _ => false
+        }, s"partition column $c has type ${fd.get.dataType.simpleString}; " +
+          "only integral, string and boolean columns can partition")
+      }
+      partitionBy
+    }
+  }
+
   /** Append `df` as batch `batchId`. Returns true if the batch committed,
     * false if an earlier commit already absorbed this `batchId` (the
     * idempotent-replay no-op). `beforeCommit` is a test seam between the
     * (invisible) data-file write and the manifest swap — the crash
     * window whose worst case is orphan files.
+    *
+    * `partitionBy` on the FIRST append declares the table's partition
+    * layout: every data file then holds exactly one partition tuple,
+    * the tuple is recorded in the manifest per file, and predicates on
+    * the partition columns prune files EXACTLY (point stats) through
+    * [[readWhere]] and the planner-integrated [[scan]] — hive-style
+    * partition pruning without directories. Later appends inherit the
+    * layout automatically (passing a conflicting one raises).
     */
   def append(df: DataFrame, dir: String, batchId: String,
              beforeCommit: () => Unit = () => (),
              bloomCols: Seq[String] = Nil,
-             bloomFpp: Double = 0.01): Boolean = {
+             bloomFpp: Double = 0.01,
+             partitionBy: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val snap0 = snapshot(spark, dir)
@@ -645,9 +724,11 @@ object ManifestTable {
     // and a constraint-violating one (one aggregate pass, all
     // constraints at once; free when the table has none)
     enforceConstraints(df, snap0.constraints, s"append batch $batchId")
+    val layout = resolveLayout(snap0, df.schema, partitionBy)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-    df.write.parquet(stage)
-    val (moved, sizes) = moveToData(f, dir, stage)
+    stageWrite(df, stage, layout)
+    val (moved, sizes, pvals) =
+      moveToData(f, dir, stage, partFamilies(df.schema, layout))
     val stats = footerStats(spark, dir, moved)
     // a file the footer PROVES empty (0 rows) is dropped before the
     // commit — a fully-deduplicated batch otherwise litters the manifest
@@ -658,32 +739,109 @@ object ManifestTable {
     beforeCommit()
     commit(spark, dir) { old =>
       if (old.batchIds.contains(batchId)) None // lost the race to a replay
-      else Some(old.copy(files = old.files ++ live,
-        batchIds = old.batchIds + batchId, stats = old.stats ++ stats,
-        sizes = old.sizes ++ sizes.filter(kv => live.contains(kv._1)),
-        op = "append", schemaJson = mergedSchemaJson(old, df.schema),
-        cdcPath = None))
+      else {
+        // the layout was resolved against snap0; a racing creation that
+        // declared a DIFFERENT layout makes this staged data wrong —
+        // raise rather than commit a mixed table
+        require(old.partitionCols.map(_.toLowerCase) ==
+          snap0.partitionCols.map(_.toLowerCase),
+          s"concurrent commit changed the partition layout of $dir")
+        Some(old.copy(files = old.files ++ live,
+          batchIds = old.batchIds + batchId, stats = old.stats ++ stats,
+          sizes = old.sizes ++ sizes.filter(kv => live.contains(kv._1)),
+          pvals = old.pvals ++ pvals.filter(kv => live.contains(kv._1)),
+          partitionCols = if (layout.nonEmpty) layout else old.partitionCols,
+          op = "append", schemaJson = mergedSchemaJson(old, df.schema),
+          cdcPath = None))
+      }
     }
   }
 
+  /** The duplicated-column prefix a PARTITIONED stage write uses as its
+    * hive directory key (see [[stageWrite]]). Never lands in data file
+    * bytes — `partitionBy` consumes it into the path.
+    */
+  private val PartPrefix = "_gp_"
+
+  /** Stage `df` for a table partitioned on `partCols` (flat parquet when
+    * empty). Spark's `partitionBy` strips its key columns from the file
+    * bytes, which would break every flat read of `data/` — so the write
+    * partitions on a DUPLICATED copy of each column instead: the copy
+    * becomes the `_gp_<col>=<value>` directory (consumed by the layout,
+    * decoded into manifest `pv:` lines by [[moveToData]]), the original
+    * column stays physically in every file. Result: each data file holds
+    * exactly ONE partition tuple, and all read paths (plain, DV-applied,
+    * feeds, time travel) keep working unchanged on the flat directory.
+    */
+  private def stageWrite(df: DataFrame, stage: String,
+                         partCols: Seq[String]): Unit =
+    if (partCols.isEmpty) df.write.parquet(stage)
+    else {
+      import org.apache.spark.sql.functions.col
+      val dup = partCols.foldLeft(df)((d, c) =>
+        d.withColumn(PartPrefix + c, col(c)))
+      dup.write.partitionBy(partCols.map(PartPrefix + _): _*).parquet(stage)
+    }
+
+  /** Canonical-family map (the [[Skipping]] vocabulary) for the table's
+    * partition columns, from the written frame's schema — what
+    * [[moveToData]] stamps into each file's [[PartValue]]s. Declaration
+    * already restricted the columns to these types.
+    */
+  private def partFamilies(schema: org.apache.spark.sql.types.StructType,
+                           partCols: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    partCols.flatMap { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          c.toLowerCase -> "long"
+        case BooleanType => c.toLowerCase -> "bool"
+        case _ => c.toLowerCase -> "string"
+      })
+    }.toMap
+  }
+
   /** Move every staged parquet file into `data/` under a fresh UUID
-    * name, returning the names and each file's byte length (captured
-    * here — rename preserves it — so the manifest can record sizes
-    * without a later RPC per file).
+    * name, returning the names, each file's byte length (captured here —
+    * rename preserves it — so the manifest can record sizes without a
+    * later RPC per file), and each file's partition values decoded from
+    * the hive-style `_gp_<col>=<value>` directories a partitioned
+    * [[stageWrite]] produced (empty map per file on flat stages).
     */
   private def moveToData(f: org.apache.hadoop.fs.FileSystem, dir: String,
-                         stage: String): (Seq[String], Map[String, Long]) = {
-    val moved = f.listStatus(p(stage))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val name = s"${java.util.UUID.randomUUID()}.parquet"
-        f.mkdirs(p(dataDir(dir)))
-        require(f.rename(s.getPath, p(s"${dataDir(dir)}/$name")),
-          s"move to data/ failed for ${s.getPath}")
-        name -> s.getLen
-      }.toSeq
+                         stage: String,
+                         partFams: Map[String, String] = Map.empty)
+  : (Seq[String], Map[String, Long], Map[String, Map[String, PartValue]]) = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def walk(at: org.apache.hadoop.fs.Path, pv: Map[String, PartValue])
+    : Seq[(org.apache.hadoop.fs.FileStatus, Map[String, PartValue])] =
+      f.listStatus(at).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val eq = name.indexOf('=')
+          if (name.startsWith(PartPrefix) && eq > 0) {
+            val c = ExternalCatalogUtils.unescapePathName(
+              name.substring(0, eq)).stripPrefix(PartPrefix).toLowerCase
+            val raw = name.substring(eq + 1)
+            val v =
+              if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+              else Some(ExternalCatalogUtils.unescapePathName(raw))
+            walk(st.getPath,
+              pv + (c -> PartValue(partFams.getOrElse(c, "string"), v)))
+          } else walk(st.getPath, pv)
+        } else if (st.isFile && name.endsWith(".parquet")) Seq((st, pv))
+        else Nil
+      }
+    val moved = walk(p(stage), Map.empty).map { case (st, pv) =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      f.mkdirs(p(dataDir(dir)))
+      require(f.rename(st.getPath, p(s"${dataDir(dir)}/$name")),
+        s"move to data/ failed for ${st.getPath}")
+      (name, st.getLen, pv)
+    }
     f.delete(p(stage), true)
-    (moved.map(_._1), moved.toMap)
+    (moved.map(_._1), moved.map(m => m._1 -> m._2).toMap,
+      moved.collect { case (n, _, pv) if pv.nonEmpty => n -> pv }.toMap)
   }
 
   /** Delete and drop the files whose footer stats prove zero rows;
@@ -745,8 +903,14 @@ object ManifestTable {
     // so after one compaction every live file carries every table column
     val base = readFiles(spark, dir, snap, snap.files)
     val reshaped =
-      if (clusterBy.isEmpty) base.repartition(nOut)
-      else if (zorder) {
+      if (clusterBy.isEmpty) {
+        // partitioned tables reshuffle ON the partition columns, so each
+        // task holds whole tuples and the partitioned stage write emits
+        // one file per (task, tuple) — ~one per tuple, no file explosion
+        if (snap.partitionCols.isEmpty) base.repartition(nOut)
+        else base.repartition(nOut,
+          snap.partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      } else if (zorder) {
         val zk = "_graft_zkey"
         base.withColumn(zk, zvalue(base, clusterBy))
           .repartitionByRange(nOut, org.apache.spark.sql.functions.col(zk))
@@ -756,8 +920,9 @@ object ManifestTable {
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
-    reshaped.write.parquet(stage)
-    val (rewritten, rewrittenSizes) = moveToData(f, dir, stage)
+    stageWrite(reshaped, stage, snap.partitionCols)
+    val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
+      stage, partFamilies(base.schema, snap.partitionCols))
     val rewrittenStats = footerStats(spark, dir, rewritten)
     // range partitioning can leave empty output partitions; drop the
     // provably-empty files instead of committing unprunable segments
@@ -784,6 +949,8 @@ object ManifestTable {
         stats = old.stats -- snap.files ++ rewrittenStats,
         sizes = old.sizes -- snap.files ++
           rewrittenSizes.filter(kv => live.contains(kv._1)),
+        pvals = old.pvals -- snap.files ++
+          rewrittenPvals.filter(kv => live.contains(kv._1)),
         // the rewrite read through the DV-applied view, so the deleted
         // positions are gone from the output: the rewrite RETIRES the
         // rewritten files' deletion vectors
@@ -826,8 +993,10 @@ object ManifestTable {
     }
     if (candidates.isEmpty) return (0, 0)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-    readFiles(spark, dir, snap, candidates).write.parquet(stage)
-    val (rewritten, rewrittenSizes) = moveToData(f, dir, stage)
+    val purgeRead = readFiles(spark, dir, snap, candidates)
+    stageWrite(purgeRead, stage, snap.partitionCols)
+    val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
+      stage, partFamilies(purgeRead.schema, snap.partitionCols))
     val rewrittenStats = footerStats(spark, dir, rewritten)
     // a file DV'd down to zero live rows rewrites to nothing: drop it
     val live = dropEmpty(f, dir, rewritten, rewrittenStats)
@@ -846,6 +1015,8 @@ object ManifestTable {
           rewrittenStats.filter(kv => live.contains(kv._1)),
         sizes = old.sizes -- candidates ++
           rewrittenSizes.filter(kv => live.contains(kv._1)),
+        pvals = old.pvals -- candidates ++
+          rewrittenPvals.filter(kv => live.contains(kv._1)),
         // the rewrite applied the vectors; they retire with their files
         dvs = old.dvs -- candidates,
         // a row-preserving rewrite, exactly like compact: the feeds
@@ -976,12 +1147,14 @@ object ManifestTable {
                         bloomCols: Seq[String], bloomFpp: Double,
                         cdc: Option[DataFrame] = None): Boolean = {
     val f = fs(spark, dir)
-    val (moved, sizes) = out match {
-      case None => (Seq.empty[String], Map.empty[String, Long])
+    val (moved, sizes, pvals) = out match {
+      case None => (Seq.empty[String], Map.empty[String, Long],
+        Map.empty[String, Map[String, PartValue]])
       case Some(df) =>
         val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-        df.write.parquet(stage)
-        moveToData(f, dir, stage)
+        stageWrite(df, stage, snap.partitionCols)
+        moveToData(f, dir, stage,
+          partFamilies(df.schema, snap.partitionCols))
     }
     val stats = footerStats(spark, dir, moved)
     val live = dropEmpty(f, dir, moved, stats)
@@ -1011,6 +1184,8 @@ object ManifestTable {
         stats = old.stats -- candidates ++ stats.filter(kv => live.contains(kv._1)),
         sizes = old.sizes -- candidates ++
           sizes.filter(kv => live.contains(kv._1)),
+        pvals = old.pvals -- candidates ++
+          pvals.filter(kv => live.contains(kv._1)),
         // rewrites read through the DV-applied view, so the rewritten
         // candidates' deletion vectors are retired with their files
         dvs = old.dvs -- candidates,
@@ -1274,8 +1449,9 @@ object ManifestTable {
       matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
         .write.parquet(s"${dvDir(dir)}/$dvName")
       val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-      updated.write.parquet(stage)
-      val (moved, sizes) = moveToData(f, dir, stage)
+      stageWrite(updated, stage, snap.partitionCols)
+      val (moved, sizes, pvals) = moveToData(f, dir, stage,
+        partFamilies(updated.schema, snap.partitionCols))
       val stats = footerStats(spark, dir, moved)
       val live = dropEmpty(f, dir, moved, stats)
       buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
@@ -1304,6 +1480,7 @@ object ManifestTable {
           batchIds = old.batchIds + opId,
           stats = old.stats ++ stats.filter(kv => live.contains(kv._1)),
           sizes = old.sizes ++ sizes.filter(kv => live.contains(kv._1)),
+          pvals = old.pvals ++ pvals.filter(kv => live.contains(kv._1)),
           dvs = counts.foldLeft(old.dvs) { case (acc, (file, n)) =>
             acc.updated(file, acc.getOrElse(file, Seq.empty) :+
               DvRef(dvName, n))
@@ -1908,6 +2085,41 @@ object ManifestTable {
       "has_cdc")
   }
 
+  /** The table's live PARTITIONS (SHOW PARTITIONS face): one row per
+    * distinct partition tuple — each declared column's value as its
+    * canonical string (null = the hive null partition) — with the
+    * tuple's file count and stats-known row count (null when any of its
+    * files lacks footer stats; deletion-vector positions subtracted).
+    * Pure manifest math, zero data I/O. Raises on unpartitioned tables.
+    */
+  def partitions(spark: SparkSession, dir: String): DataFrame = {
+    val s = snapshot(spark, dir)
+    require(s.partitionCols.nonEmpty,
+      s"ManifestTable at $dir has no declared partition columns")
+    val cols = s.partitionCols.map(_.toLowerCase)
+    val rows = s.files.groupBy(f => cols.map(c =>
+      s.pvals.getOrElse(f, Map.empty).get(c).flatMap(_.value)))
+      .toSeq.map { case (tuple, fs2) =>
+        val rowsKnown: Option[Long] =
+          if (fs2.forall(s.stats.contains))
+            Some(fs2.map(f => s.stats(f).rows).sum -
+              fs2.flatMap(f => s.dvs.getOrElse(f, Seq.empty)).map(_.rows).sum)
+          else None
+        org.apache.spark.sql.Row.fromSeq(
+          tuple.map(_.orNull) ++
+            Seq(fs2.size, rowsKnown.map(Long.box).orNull))
+      }
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)) ++ Seq(
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("rows_known",
+          org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** The PLANNER-INTEGRATED read (see [[ManifestFileIndex]]): a normal
     * DataFrame whose file list shrinks at planning time from whatever
     * filters Catalyst pushes toward the scan — `.where` chains, pushed
@@ -1966,9 +2178,27 @@ object ManifestTable {
                                       s: Snapshot,
                                       pred: org.apache.spark.sql.catalyst.expressions.Expression)
   : Seq[String] = {
+    // PARTITION pruning first (cheapest, exact): a file's recorded
+    // partition values are point stats — min = max = value (or all-null
+    // for the hive null partition) — so the same one-sided evaluator
+    // proves non-matches exactly; files without recorded values (never
+    // written by a partitioned stage) just skip the pass
+    val partKept =
+      if (s.pvals.isEmpty) s.files
+      else s.files.filter { f =>
+        s.pvals.get(f) match {
+          case None => true
+          case Some(pv) =>
+            val cols = pv.map { case (c, pvv) =>
+              c -> ColStats(pvv.fam, pvv.value, pvv.value,
+                if (pvv.value.isEmpty) 1L else 0L)
+            }
+            !Skipping.skips(pred, FileStats(1L, cols))
+        }
+      }
     // rows == 0 is a PROOF no row matches any predicate — footer-backed,
     // so still one-sided (files without stats are never dropped)
-    val kept = s.files.filter(f =>
+    val kept = partKept.filter(f =>
       !s.stats.get(f).exists(st =>
         st.rows == 0L || Skipping.skips(pred, st)))
     val eqs = Skipping.eqConjuncts(pred)
@@ -2204,6 +2434,20 @@ object ManifestTable {
         }
     }
 
+  /** The `pv:` lines for `files` (a checkpoint passes every live file, a
+    * delta only its adds — same split as [[detailLines]]).
+    */
+  private def pvLines(files: Seq[String],
+                      pvals: Map[String, Map[String, PartValue]]): Seq[String] =
+    files.flatMap(fn => pvals.get(fn).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
+      case (c, pvv) =>
+        s"pv:$fn\t${enc(c)}\t${pvv.fam}\t" +
+          (if (pvv.value.isDefined) s"1\t${enc(pvv.value.get)}" else "0\t")
+    }))
+
+  private def partColsLine(cols: Seq[String]): String =
+    "partcols:" + cols.map(enc).mkString("\t")
+
   /** Stage `lines` and publish them as `_manifest/<name>` with an atomic
     * CREATE-IF-ABSENT, returning whether this writer won. Not
     * exists-then-rename: on the local filesystem FileSystem.rename maps
@@ -2253,6 +2497,8 @@ object ManifestTable {
           (if (s.op.nonEmpty) Seq("op:" + s.op) else Nil) ++
           s.schemaJson.map(j => "schema:" + enc(j)).toSeq ++
           s.cdcPath.map("cdc:" + _).toSeq ++
+          (if (s.partitionCols.nonEmpty) Seq(partColsLine(s.partitionCols))
+           else Nil) ++
           s.batchIds.toSeq.sorted.map("batch:" + _) ++
           s.dvs.toSeq.sortBy(_._1).flatMap { case (file, refs) =>
             refs.map(r => s"dv:$file\t${r.name}\t${r.rows}")
@@ -2260,6 +2506,7 @@ object ManifestTable {
           s.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
             s"constraint:${enc(n)}\t${enc(e)}"
           } ++
+          pvLines(s.files, s.pvals) ++
           detailLines(s.files, s.stats, s.sizes)
       publishLog(fs(spark, dir), dir, s"v${"%08d".format(s.version)}", lines)
       // advance the pointer even on a lost publish race — the content
@@ -2356,12 +2603,15 @@ object ManifestTable {
             next0.schemaJson.filterNot(old.schemaJson.contains)
               .map(j => "schema:" + enc(j)).toSeq ++
             next0.cdcPath.map("cdc:" + _).toSeq ++
+            (if (next0.partitionCols != old.partitionCols)
+              Seq(partColsLine(next0.partitionCols)) else Nil) ++
             adds.map("add:" + _) ++
             removes.map("remove:" + _) ++
             newBatches.map("batch:" + _) ++
             dvAdds.map { case (file, r) => s"dv:$file\t${r.name}\t${r.rows}" } ++
             consAdd.map { case (n, e) => s"constraint:${enc(n)}\t${enc(e)}" } ++
             consDrop.map(n => "dropconstraint:" + enc(n)) ++
+            pvLines(adds, next0.pvals) ++
             detailLines(adds, next0.stats, next0.sizes)
         if (!publishLog(f, dir, s"d${"%08d".format(next)}", lines))
           commit(spark, dir)(update) // lost the race: retry on new head

@@ -894,6 +894,54 @@ object ExtQueries {
     df.orderBy("doc_id")
   }
 
+  /** PARTITIONED manifest table, oracle-replayed: the table declares
+    * `partitionBy = lang` at creation (the second append INHERITS the
+    * layout), so every data file holds exactly one lang and carries its
+    * value in the manifest. The REQUIREs pin the partition contract at
+    * the file level: every file has a recorded tuple, `pruneInfo` on a
+    * partition predicate keeps EXACTLY the matching partition's files
+    * (exact, not interval pruning), the planner-integrated scan reads
+    * exactly those files (FileSourceScanExec numFiles), and
+    * `partitions()` enumerates the layout with stats-known row counts.
+    * The oracle replays the partition filter in DuckDB.
+    */
+  def manifestPartitionPrunedQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_partition"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs.filter(col("doc_id") % 2 === 0),
+      root, "even", partitionBy = Seq("lang"))
+    graft.ext.ManifestTable.append(docs.filter(col("doc_id") % 2 === 1),
+      root, "odd") // inherits the declared layout
+    val snap = graft.ext.ManifestTable.snapshot(s, root)
+    require(snap.partitionCols == Seq("lang"), "layout not recorded")
+    require(snap.files.forall(f =>
+      snap.pvals.get(f).exists(_.contains("lang"))),
+      "a data file is missing its recorded partition tuple")
+    val deFiles = snap.files.count(f =>
+      snap.pvals(f)("lang").value.contains("de"))
+    val total = snap.files.size
+    require(deFiles > 0 && deFiles < total,
+      s"fixture degenerate: $deFiles de files of $total")
+    val (kept, tot) = graft.ext.ManifestTable.pruneInfo(s, root, "lang = 'de'")
+    require(kept == deFiles && tot == total,
+      s"partition pruning kept $kept of $tot; expected exactly $deFiles")
+    val nParts = graft.ext.ManifestTable.partitions(s, root).count()
+    require(nParts > 1, s"partitions() listed $nParts tuples")
+    val df = graft.ext.ManifestTable.scan(s, root).where("lang = 'de'")
+    df.collect()
+    val read = df.queryExecution.executedPlan.collect {
+      case fsc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        fsc.metrics("numFiles").value
+    }.sum
+    require(read == deFiles,
+      s"planner scan read $read files; partition pruning promised $deFiles")
+    df.orderBy("doc_id")
+  }
+
   /** Copy-on-write DELETE, oracle-replayed: the documents table lands in
     * a manifest table, a clustered compaction builds per-file doc_id
     * ranges, then `deleteWhere` removes a doc_id band. The REQUIRE pins
@@ -1666,6 +1714,7 @@ object ExtQueries {
     "manifest_bloom_skipping" -> (manifestBloomSkippingQ(_, _)),
     "manifest_time_travel" -> (manifestTimeTravelQ(_, _)),
     "manifest_scan_pruned" -> (manifestScanPrunedQ(_, _)),
+    "manifest_partition_pruned" -> (manifestPartitionPrunedQ(_, _)),
     "manifest_delete" -> (manifestDeleteQ(_, _)),
     "manifest_delete_dv" -> (manifestDeleteDvQ(_, _)),
     "manifest_dv_compact" -> (manifestDvCompactQ(_, _)),
@@ -2518,6 +2567,12 @@ object ExtQueries {
         |    AS commit_version
         |FROM documents WHERE doc_id % 3 IN (1, 2)
         |ORDER BY doc_id""".stripMargin,
+
+    // hive-style partition pruning without directories: the lang
+    // partition filter reads exactly the matching partition's files
+    "manifest_partition_pruned" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'de' ORDER BY doc_id""".stripMargin,
 
     // content-classified feed: b0 at v1, the pure-insert merge's
     // re-keyed rows at v3 (op "merge", nothing removed), b2 at v5;
