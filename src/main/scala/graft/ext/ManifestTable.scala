@@ -388,25 +388,48 @@ object ManifestTable {
 
   /** DRIVER SNAPSHOT CACHE. Snapshots are immutable once committed, so a
     * resolved version caches forever; the key carries the log file's
-    * (length, mtime) identity so a table DELETED AND RECREATED at the
-    * same path — whose new v3 is a different file — can never serve the
-    * old table's snapshot. `getOffset` every trigger and repeated
+    * (length, mtime) identity — plus the PREVIOUS version's file
+    * identity when the listing has it — so a table DELETED AND RECREATED
+    * at the same path can only serve a stale snapshot if BOTH adjacent
+    * new log files collide with the old ones on (length, mtime), two
+    * independent coincidences even on coarse-mtime filesystems. (Exact
+    * identity would need a content read per resolve — the RPC the cache
+    * exists to avoid.) `getOffset` every trigger and repeated
     * `snapshot()` calls become one `_manifest/` listing + a map hit:
-    * zero parse, zero O(files) work.
+    * zero parse, zero O(files) work. Overflow evicts ONE arbitrary
+    * entry, not the map — a 300-table driver keeps its working set.
     */
   private val snapCache =
     new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
-  private val SnapCacheMax = 256
+  private[graft] var snapCacheMaxForTest = 256
 
   private def cacheKey(dir: String, v: Long, log: LogFiles): Option[String] =
-    log.ckpt.get(v).orElse(log.delta.get(v)).map(st =>
-      s"$dir#$v#${st.getLen}#${st.getModificationTime}")
+    log.ckpt.get(v) match {
+      // a checkpoint is a full-state file — its own (len, mtime) is the
+      // identity (v-1 may be absent from a pointer-probed listing, so
+      // folding it in would make the key listing-dependent)
+      case Some(st) => Some(s"$dir#$v#${st.getLen}#${st.getModificationTime}")
+      case None => log.delta.get(v).map { st =>
+        // delta-keyed: fold in v-1's file identity, present in EVERY
+        // listing that can see delta v (probeLog probes forward from its
+        // checkpoint; listLog sees everything) — log files are immutable
+        // once published, so the suffix is stable across resolves
+        val prev = log.ckpt.get(v - 1L).orElse(log.delta.get(v - 1L))
+          .map(ps => s"#${ps.getLen}#${ps.getModificationTime}").getOrElse("")
+        s"$dir#$v#${st.getLen}#${st.getModificationTime}$prev"
+      }
+    }
 
   private def cachePut(key: Option[String], s: Snapshot): Unit = key.foreach {
     k =>
-      if (snapCache.size >= SnapCacheMax) snapCache.clear()
+      while (snapCache.size >= snapCacheMaxForTest) {
+        val it = snapCache.keySet.iterator
+        if (it.hasNext) snapCache.remove(it.next()) else snapCache.clear()
+      }
       snapCache.put(k, s)
   }
+
+  private[graft] def snapshotCacheSizeForTest: Int = snapCache.size
 
   /** Log files parsed this JVM (checkpoints + deltas) — the observable
     * proof the snapshot cache works: an unchanged table's repeated
@@ -2246,7 +2269,12 @@ object ManifestTable {
           finally in.close()
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    if (bloomCache.size >= BloomCacheMax) bloomCache.clear()
+    // evict one entry, not the map: a multi-table driver at the bound
+    // keeps its working set warm instead of re-reading every sidecar
+    while (bloomCache.size >= BloomCacheMax) {
+      val it = bloomCache.keySet.iterator
+      if (it.hasNext) bloomCache.remove(it.next()) else bloomCache.clear()
+    }
     bloomCache.put(key, loaded)
     loaded
   }
@@ -2619,8 +2647,20 @@ object ManifestTable {
           val applied = applyDelta(old, parseLog(lines.toList), next)
           val st = f.getFileStatus(
             p(s"${manifestDir(dir)}/d${"%08d".format(next)}"))
+          // mirror cacheKey's delta-key shape (v-1's identity folded in,
+          // checkpoint file preferred) so the next read resolves warm;
+          // one extra getFileStatus on the WRITE path only
+          def prevStat(name: String) =
+            try Some(f.getFileStatus(p(s"${manifestDir(dir)}/$name")))
+            catch { case _: java.io.FileNotFoundException => None }
+          val prev =
+            if (old.version == 0L) ""
+            else prevStat(s"v${"%08d".format(old.version)}")
+              .orElse(prevStat(s"d${"%08d".format(old.version)}"))
+              .map(ps => s"#${ps.getLen}#${ps.getModificationTime}")
+              .getOrElse("")
           cachePut(
-            Some(s"$dir#$next#${st.getLen}#${st.getModificationTime}"),
+            Some(s"$dir#$next#${st.getLen}#${st.getModificationTime}$prev"),
             applied)
           if (next % CheckpointInterval == 0L)
             writeCheckpoint(spark, dir, applied)

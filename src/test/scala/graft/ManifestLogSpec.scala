@@ -139,6 +139,35 @@ class ManifestLogSpec extends SparkSpec {
       .collect().toSeq.sorted === Seq(101L, 102L))
   }
 
+  test("cache overflow evicts one entry, not the working set") {
+    val dir = tmp("evict")
+    ManifestTable.append(batch(1L, 2L, 3L), dir, "b0") // v1
+    (2 to 20).foreach { v =>
+      if (v % 2 == 0)
+        ManifestTable.addConstraint(spark, dir, s"c$v", "id IS NOT NULL")
+      else ManifestTable.dropConstraint(spark, dir, s"c${v - 1}")
+    }
+    val oldMax = ManifestTable.snapCacheMaxForTest
+    try {
+      ManifestTable.snapCacheMaxForTest = 8
+      ManifestTable.clearSnapshotCacheForTest()
+      // resolving 20 versions pushes well past the bound of 8
+      (1 to 20).foreach(v => ManifestTable.snapshotAt(spark, dir, v.toLong))
+      val size = ManifestTable.snapshotCacheSizeForTest
+      // the old clear()-on-overflow left 1 entry here; single eviction
+      // keeps the map full at the bound
+      assert(size === 8, s"cache held $size entries after overflow")
+      // and the most recent resolution is warm: re-resolving the head
+      // parses nothing
+      val n0 = ManifestTable.logFileReads.get()
+      assert(ManifestTable.snapshot(spark, dir).version === 20L)
+      assert(ManifestTable.logFileReads.get() === n0)
+    } finally {
+      ManifestTable.snapCacheMaxForTest = oldMax
+      ManifestTable.clearSnapshotCacheForTest()
+    }
+  }
+
   test("time travel and the feeds resolve across deltas, checkpoints and their mix") {
     val dir = tmp("travel")
     (1 to 12).foreach(i => ManifestTable.append(batch(i.toLong), dir, s"b$i"))
