@@ -41,7 +41,10 @@ object Explain {
       "manifest_delete", "manifest_update", "manifest_merge",
       "manifest_changefeed", "manifest_schema_evolution",
       "manifest_scan_pruned", "manifest_stream_replay", "manifest_cdf",
-      "manifest_cdf_stream_replay")
+      "manifest_cdf_stream_replay",
+      "manifest_delete_dv", "manifest_update_dv", "manifest_dv_compact",
+      "manifest_count_meta", "manifest_meta_minmax",
+      "manifest_feed_insert_merge", "manifest_partition_pruned")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -140,6 +143,63 @@ object Explain {
         s"schema-on-manifest: ${sc.map(_.simpleString).getOrElse("(none)")} — " +
           "the scan's ReadSchema above carries all three columns even " +
           "though b0's files predate `lang`"
+      }),
+      // merge-on-read: the interesting facts are in the post-op
+      // snapshot (file set preserved, vectors recorded) — the plan
+      // above shows the READ side's broadcast anti-join per DV'd file
+      "manifest_delete_dv" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_delete_dv")
+        s"post-DV-delete snapshot: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} files (builder REQUIREd the file set " +
+          s"UNCHANGED), ${snap.dvs.size} files carry deletion vectors " +
+          s"(${snap.dvs.valuesIterator.flatten.map(_.rows).sum} positions " +
+          "total — O(matched rows) written, not O(file))"
+      }),
+      "manifest_update_dv" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_update_dv")
+        s"post-DV-update snapshot: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} files, ${snap.dvs.size} DV'd (builder " +
+          "REQUIREd every pre-existing file to survive — matched rows " +
+          "landed as vector + appended rewrites only)"
+      }),
+      "manifest_dv_compact" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_dv_compact")
+        s"post-purge snapshot: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} files, ${snap.dvs.size} DV'd (builder " +
+          "REQUIREd the purge rewrote ONLY the threshold-crossing files " +
+          "and cleared their vector references; readers see no change)"
+      }),
+      "manifest_count_meta" -> (s => {
+        val n = graft.ext.ManifestTable.metaCount(s,
+          "/tmp/graft_fix/manifest_count_meta")
+        s"metaCount = ${n.getOrElse(-1L)} from footer row counts minus " +
+          "DV positions — zero data files opened (FS-seam-pinned by " +
+          "ManifestDvSpec); the trivial plan above is just the answer row"
+      }),
+      "manifest_meta_minmax" -> (s => {
+        "min/max answered from manifest ColStats across both appends' " +
+          "files — zero data I/O; honesty edges (DV'd file, unknown " +
+          "column → None + real-scan fallback) REQUIREd in the builder"
+      }),
+      "manifest_feed_insert_merge" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_feed_im")
+        s"head: v${snap.version}; the append feed classified commits by " +
+          "DELTA CONTENT, not op label: the pure-insert merge's adds " +
+          "surfaced, the compaction and the zero-match DV delete " +
+          "contributed nothing, and a row-removing commit would raise"
+      }),
+      "manifest_partition_pruned" -> (s => {
+        val (k, t) = graft.ext.ManifestTable.pruneInfo(s,
+          "/tmp/graft_fix/manifest_partition", "lang = 'de'")
+        val nParts = graft.ext.ManifestTable.partitions(s,
+          "/tmp/graft_fix/manifest_partition").count()
+        s"pruneInfo (partition tuple, exact point stats): kept $k of $t " +
+          s"files across $nParts partitions; builder REQUIREd the " +
+          "planner scan's numFiles to equal the partition's file count"
       }),
       // the ADC coarse pass executes eagerly inside searchPq (its
       // candidate ids feed the rerank plan above), so audit its scan
