@@ -44,7 +44,8 @@ object Explain {
       "manifest_cdf_stream_replay",
       "manifest_delete_dv", "manifest_update_dv", "manifest_dv_compact",
       "manifest_count_meta", "manifest_meta_minmax",
-      "manifest_feed_insert_merge", "manifest_partition_pruned")
+      "manifest_feed_insert_merge", "manifest_partition_pruned",
+      "manifest_cdf_dv", "manifest_cdf_dv_stream_replay")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -200,6 +201,22 @@ object Explain {
         s"pruneInfo (partition tuple, exact point stats): kept $k of $t " +
           s"files across $nParts partitions; builder REQUIREd the " +
           "planner scan's numFiles to equal the partition's file count"
+      }),
+      "manifest_cdf_dv" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_cdf_dv")
+        s"head: v${snap.version}, ${snap.dvs.size} DV'd files; the feed " +
+          "unions v1's data files (inserts in place) with the DV ops' " +
+          "CDC sidecars, and walks ACROSS v4's zero-match cdc=true " +
+          "delete (an empty commit, no sidecar) without raising — " +
+          "classification is by delta content"
+      }),
+      "manifest_cdf_dv_stream_replay" -> (s => {
+        "collected-sink re-sort (see manifest_stream_replay note); the " +
+          "engine work is the streaming CDF's micro-batches over a " +
+          "MERGE-ON-READ history — DV sidecars as change rows, the " +
+          "zero-match empty commit skipped — hash-matched to the same " +
+          "DuckDB oracle as batch manifest_cdf_dv"
       }),
       // the ADC coarse pass executes eagerly inside searchPq (its
       // candidate ids feed the rerank plan above), so audit its scan

@@ -1347,6 +1347,75 @@ object ExtQueries {
       .orderBy("commit_version", "_change_type", "doc_id")
   }
 
+  /** The CDC fold where every row-level op is MERGE-ON-READ: a DV
+    * delete (sidecar + deletion vector, no rewrite), a ZERO-MATCH DV
+    * delete ran with cdc = true (commits as an empty op — the feed must
+    * skip it by delta content instead of demanding a sidecar it never
+    * needed), and a DV update. The REQUIREs pin the merge-on-read
+    * shape (file set unchanged by the delete, pre-existing files
+    * surviving the update) and that the feed walks ACROSS the empty op
+    * without raising; the DuckDB oracle pins that the sidecars recorded
+    * exactly the CoW ops' change rows — one CDC contract, both write
+    * strategies.
+    */
+  private def buildCdfDvFixture(s: SparkSession, d: String,
+                                root: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")           // v1
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))    // v2
+    val v2 = graft.ext.ManifestTable.snapshot(s, root)
+    require(graft.ext.ManifestTable.deleteWhereDV(s, root,
+      "doc_id >= 100 AND doc_id < 150", "d0", cdc = true))       // v3
+    val v3 = graft.ext.ManifestTable.snapshot(s, root)
+    require(v3.files == v2.files && v3.dvs.nonEmpty,
+      "DV delete should leave the file set unchanged and record a vector")
+    require(graft.ext.ManifestTable.deleteWhereDV(s, root,
+      "doc_id < 0", "d1", cdc = true))                           // v4: empty
+    require(graft.ext.ManifestTable.updateWhereDV(s, root, "lang = 'de'",
+      Map("n_chars" -> "n_chars + 7"), "u0", cdc = true))        // v5
+    val v5 = graft.ext.ManifestTable.snapshot(s, root)
+    require(v3.files.forall(v5.files.contains),
+      "DV update rewrote pre-existing files")
+  }
+
+  def manifestCdfDvQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_cdf_dv"
+    buildCdfDvFixture(s, d, root)
+    // the walk spans the sidecar-less empty v4 — must not raise
+    graft.ext.ManifestTable.changesBetween(s, root, 0L, 5L)
+      .orderBy("commit_version", "_change_type", "doc_id")
+  }
+
+  /** [[manifestCdfDvQ]]'s history consumed through the real streaming
+    * engine — same oracle, certifying the stream carries DV-op sidecar
+    * rows and skips the empty cdc commit exactly like the batch feed.
+    */
+  def manifestCdfDvStreamReplayQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_cdf_dv_stream"
+    buildCdfDvFixture(s, d, root)
+    val sink = "mt_cdf_dv_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val rows = try {
+      q.processAllAvailable()
+      s.table(sink).collect().toSeq
+    } finally { q.stop(); s.catalog.dropTempView(sink) }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("n_chars", "long")
+        .add("_change_type", "string").add("commit_version", "long"))
+      .orderBy("commit_version", "_change_type", "doc_id")
+  }
+
   /** The MANIFEST TABLE AS A STREAM, oracle-replayed: the committed fold
     * (append v1, append v2, compact v3, append v4) is consumed by a
     * Structured Streaming query reading `format("graft-manifest")` with
@@ -1728,6 +1797,8 @@ object ExtQueries {
     "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
     "manifest_cdf" -> (manifestCdfQ(_, _)),
     "manifest_cdf_stream_replay" -> (manifestCdfStreamReplayQ(_, _)),
+    "manifest_cdf_dv" -> (manifestCdfDvQ(_, _)),
+    "manifest_cdf_dv_stream_replay" -> (manifestCdfDvStreamReplayQ(_, _)),
     "manifest_schema_evolution" -> (manifestSchemaEvolutionQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
@@ -1802,6 +1873,28 @@ object ExtQueries {
       |  UNION ALL
       |  SELECT doc_id, lang, n_chars, 'insert', 5 FROM src
       |  WHERE doc_id >= 1000000)
+      |ORDER BY commit_version, _change_type, doc_id""".stripMargin
+
+  /** DuckDB: the CDC log of the merge-on-read fold — insert at v1,
+    * DV-delete band at v3 (v4's zero-match delete contributes nothing),
+    * DV-update pre/postimages at v5. Shared by `manifest_cdf_dv` and
+    * `manifest_cdf_dv_stream_replay`.
+    */
+  private val cdfDvOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+      |SELECT doc_id, lang, n_chars, _change_type, commit_version FROM (
+      |  SELECT doc_id, lang, n_chars, 'insert' AS _change_type,
+      |    CAST(1 AS BIGINT) AS commit_version FROM d
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'delete', 3 FROM d
+      |  WHERE doc_id >= 100 AND doc_id < 150
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'update_preimage', 5 FROM d
+      |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150)
+      |  UNION ALL
+      |  SELECT doc_id, lang, CAST(n_chars + 7 AS BIGINT),
+      |    'update_postimage', 5 FROM d
+      |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150))
       |ORDER BY commit_version, _change_type, doc_id""".stripMargin
 
   /** DuckDB: the planted 2-level near-dup corpus (doc + drop-8 mutation). */
@@ -2597,6 +2690,8 @@ object ExtQueries {
     // consumption paths — the batch feed and the streaming source.
     "manifest_cdf" -> cdfOracleSql,
     "manifest_cdf_stream_replay" -> cdfOracleSql,
+    "manifest_cdf_dv" -> cdfDvOracleSql,
+    "manifest_cdf_dv_stream_replay" -> cdfDvOracleSql,
 
     // the streamed feed since v1: batches b1 and b2, the compaction
     // contributes nothing
