@@ -45,7 +45,8 @@ object Explain {
       "manifest_delete_dv", "manifest_update_dv", "manifest_dv_compact",
       "manifest_count_meta", "manifest_meta_minmax",
       "manifest_feed_insert_merge", "manifest_partition_pruned",
-      "manifest_cdf_dv", "manifest_cdf_dv_stream_replay")
+      "manifest_cdf_dv", "manifest_cdf_dv_stream_replay",
+      "manifest_delete_meta")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -201,6 +202,15 @@ object Explain {
         s"pruneInfo (partition tuple, exact point stats): kept $k of $t " +
           s"files across $nParts partitions; builder REQUIREd the " +
           "planner scan's numFiles to equal the partition's file count"
+      }),
+      "manifest_delete_meta" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_delete_meta")
+        s"post-delete snapshot: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} files — the partition's files dropped by " +
+          "pure metadata (builder REQUIREd zero adds and exact drop set; " +
+          "Skipping.provesAll proved every candidate row matches, so " +
+          "nothing was read or rewritten)"
       }),
       "manifest_cdf_dv" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

@@ -1225,15 +1225,23 @@ object ManifestTable {
   /** DELETE FROM the table: rows where `predicateSql` is TRUE are
     * removed (FALSE or NULL survive — SQL DELETE semantics). Only the
     * files whose stats/blooms admit a match are rewritten; files the
-    * pruning PROVES clean are never read, let alone rewritten. Returns
-    * true if this call committed; false = replayed `opId` (already
-    * applied) or a conflicting concurrent rewrite (nothing applied —
-    * re-run against the new head if the delete is still wanted).
+    * pruning PROVES clean are never read, let alone rewritten; and a
+    * candidate whose stats prove EVERY row matches
+    * ([[Skipping.provesAll]] — a whole-partition or whole-band delete)
+    * is dropped from the manifest outright, never read OR rewritten.
+    * `DELETE WHERE lang = 'de'` on a lang-partitioned 100 TB table is
+    * therefore a pure metadata commit: zero data I/O, O(dropped files)
+    * manifest lines. Returns true if this call committed; false =
+    * replayed `opId` (already applied) or a conflicting concurrent
+    * rewrite (nothing applied — re-run against the new head if the
+    * delete is still wanted).
     *
     * `cdc = true` additionally records the deleted rows as a CDC sidecar
     * (`_change_type = "delete"`), making the commit consumable by
     * [[changesBetween]] — one extra filtered pass over the candidate
-    * files, nothing over the rest of the table.
+    * files, nothing over the rest of the table. (CDC must enumerate the
+    * dropped rows, so whole-file drops are read once for the sidecar —
+    * still write-free on the data path.)
     */
   def deleteWhere(spark: SparkSession, dir: String, predicateSql: String,
                   opId: String, beforeSwap: () => Unit = () => (),
@@ -1244,21 +1252,41 @@ object ManifestTable {
     val snap = snapshot(spark, dir)
     if (snap.batchIds.contains(opId)) return false
     val candidates = keptFiles(spark, dir, snap, predicateSql)
+    // METADATA-ONLY split: stats proving a full match mean the file's
+    // DV-invisible rows are deleted too by dropping it — sound, they
+    // were already invisible. Conflict detection below still covers
+    // these files (a racing DV or rewrite aborts the commit).
+    val predE = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val (whole, partial) = candidates.partition(f =>
+      snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
     val cond = coalesce(expr(predicateSql), lit(false))
-    // CDC needs the candidates TWICE (survivors + deleted rows): persist
-    // the one read so the second pass hits the cache, not the files —
-    // a CDC delete costs the same candidate I/O as a plain one
+    // CDC needs the partial candidates TWICE (survivors + deleted rows):
+    // persist the one read so the second pass hits the cache, not the
+    // files — a CDC delete costs the same candidate I/O as a plain one
     val candDf =
-      if (candidates.isEmpty) None
-      else Some(readFiles(spark, dir, snap, candidates))
+      if (partial.isEmpty) None
+      else Some(readFiles(spark, dir, snap, partial))
     if (cdc) candDf.foreach(_.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val out = candDf.map(_.where(not(cond)))
       val changes =
         if (!cdc) None
-        else candDf.map(_.where(cond)
-          .withColumn("_change_type", lit("delete")))
+        else {
+          val wholeDf =
+            if (whole.isEmpty) None
+            else Some(readFiles(spark, dir, snap, whole))
+          (candDf.map(_.where(cond)).toSeq ++ wholeDf)
+            .reduceOption(_.unionByName(_))
+            .map { dels =>
+              // checked here too: on an all-whole delete cowCommit's
+              // out-based reserve check has nothing to inspect
+              require(!dels.columns.exists(c =>
+                c.equalsIgnoreCase("_change_type")),
+                "CDC reserves the column name _change_type; this table has one")
+              dels.withColumn("_change_type", lit("delete"))
+            }
+        }
       cowCommit(spark, dir, snap, candidates, out, "delete", opId,
         beforeSwap, bloomCols, bloomFpp, changes)
     } finally if (cdc) candDf.foreach(_.unpersist(false))
@@ -1386,33 +1414,55 @@ object ManifestTable {
     val candidates = keptFiles(spark, dir, snap, predicateSql)
     if (candidates.isEmpty)
       return emptyOpCommit(spark, dir, "delete", opId)
+    // a candidate whose stats prove EVERY row matches is DROPPED from
+    // the manifest instead of DV'd — a deletion vector naming all of a
+    // file's positions is strictly worse than removing the file (same
+    // visibility, plus per-read anti-join rent until a purge). Same
+    // metadata-only split as the CoW delete.
+    val predE = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val (whole, partial) = candidates.partition(f =>
+      snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
     val cond = coalesce(expr(predicateSql), lit(false))
     val fm = "_graft_meta_file"
     val pm = "_graft_meta_pos"
-    val matched = readWithPos(spark, dir, snap, candidates, fm, pm)
-      .where(cond)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched =
+      if (partial.isEmpty) None
+      else Some(readWithPos(spark, dir, snap, partial, fm, pm)
+        .where(cond)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
-      val counts = matched.groupBy(col(fm)).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (counts.isEmpty)
+      val counts = matched.map(_.groupBy(col(fm)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty[String, Long])
+      if (counts.isEmpty && whole.isEmpty)
         return emptyOpCommit(spark, dir, "delete", opId)
-      val dvName = java.util.UUID.randomUUID().toString
-      // written from the matched scan's own partitioning: no shuffle, no
-      // single-task funnel — a wide delete's positions land in parallel
-      // (a point delete naturally occupies one task anyway)
-      matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
-        .write.parquet(s"${dvDir(dir)}/$dvName")
+      val dvName =
+        if (counts.isEmpty) None
+        else {
+          val name = java.util.UUID.randomUUID().toString
+          // written from the matched scan's own partitioning: no
+          // shuffle, no single-task funnel — a wide delete's positions
+          // land in parallel (a point delete occupies one task anyway)
+          matched.get.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
+            .write.parquet(s"${dvDir(dir)}/$name")
+          Some(name)
+        }
       val cdcName =
         if (!cdc) None
         else {
-          require(!matched.columns.exists(c =>
-            c.equalsIgnoreCase("_change_type")),
-            "CDC reserves the column name _change_type; this table has one")
-          val name = java.util.UUID.randomUUID().toString
-          matched.drop(fm, pm).withColumn("_change_type", lit("delete"))
-            .write.parquet(s"${cdcDir(dir)}/$name")
-          Some(name)
+          val wholeDf =
+            if (whole.isEmpty) None
+            else Some(readFiles(spark, dir, snap, whole))
+          (matched.map(_.drop(fm, pm)).toSeq ++ wholeDf)
+            .reduceOption(_.unionByName(_)).map { dels =>
+              require(!dels.columns.exists(c =>
+                c.equalsIgnoreCase("_change_type")),
+                "CDC reserves the column name _change_type; this table has one")
+              val name = java.util.UUID.randomUUID().toString
+              dels.withColumn("_change_type", lit("delete"))
+                .write.parquet(s"${cdcDir(dir)}/$name")
+              name
+            }
         }
       beforeSwap()
       commit(spark, dir) { old =>
@@ -1423,14 +1473,19 @@ object ManifestTable {
           old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
           None
         else Some(old.copy(
+          files = old.files.filterNot(whole.contains),
+          stats = old.stats -- whole,
+          sizes = old.sizes -- whole,
+          pvals = old.pvals -- whole,
           batchIds = old.batchIds + opId,
-          dvs = counts.foldLeft(old.dvs) { case (acc, (file, n)) =>
-            acc.updated(file, acc.getOrElse(file, Seq.empty) :+
-              DvRef(dvName, n))
+          dvs = counts.foldLeft(old.dvs -- whole) {
+            case (acc, (file, n)) =>
+              acc.updated(file, acc.getOrElse(file, Seq.empty) :+
+                DvRef(dvName.get, n))
           },
           op = "delete", cdcPath = cdcName))
       }
-    } finally matched.unpersist(false)
+    } finally matched.foreach(_.unpersist(false))
   }
 
   /** UPDATE ... SET, merge-on-read: the matched rows' positions land as

@@ -144,6 +144,71 @@ object Skipping {
     try !may(pred, st)
     catch { case scala.util.control.NonFatal(_) => false }
 
+  /** True iff the stats PROVE every row of the file satisfies `pred` as
+    * TRUE — the dual of [[skips]], powering metadata-only DELETE (drop
+    * the whole file from the manifest, rewrite nothing). Each comparison
+    * is proven by refuting its negation against the file interval
+    * ([[litMay]] with the dual operator) AND requiring the column
+    * null-free in the file: a row where the predicate evaluates NULL is
+    * KEPT by SQL DELETE, so it must never be dropped wholesale. Parquet
+    * stats truncation only ever widens [min, max], which makes every
+    * proof here conservative, never wrong. Unknown shapes and any
+    * internal surprise answer false (the file gets the ordinary
+    * rewrite).
+    */
+  def provesAll(pred: Expression, st: FileStats): Boolean =
+    try all(pred, st)
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  private def all(e: Expression, st: FileStats): Boolean = e match {
+    case And(l, r) => all(l, st) && all(r, st)
+    case Or(l, r) => all(l, st) || all(r, st)
+    case Not(EqualTo(a, b)) => cmpAll(a, b, "ne", st)
+    case EqualTo(a, b) => cmpAll(a, b, "eq", st)
+    case LessThan(a, b) => cmpAll(a, b, "lt", st)
+    case LessThanOrEqual(a, b) => cmpAll(a, b, "le", st)
+    case GreaterThan(a, b) => cmpAll(a, b, "gt", st)
+    case GreaterThanOrEqual(a, b) => cmpAll(a, b, "ge", st)
+    // provable only when the file is a point (min == max) sitting on a
+    // member — the partitioned-table shape, where every file holds one
+    // tuple value
+    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists(l => cmpAll(a, l.asInstanceOf[Literal], "eq", st))
+    case s: InSet if s.hset.size <= InSetPruneMax =>
+      s.hset.exists(v => v != null &&
+        cmpAll(s.child, Literal(v, s.child.dataType), "eq", st))
+    case IsNull(a) =>
+      (for { c <- colName(a); cs <- st.cols.get(c) }
+        yield cs.nulls == st.rows).getOrElse(false)
+    case IsNotNull(a) =>
+      (for { c <- colName(a); cs <- st.cols.get(c) }
+        yield cs.nulls == 0L).getOrElse(false)
+    case l: Literal => l.value match {
+      case b: java.lang.Boolean => b.booleanValue
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def cmpAll(a: Expression, b: Expression, op: String,
+                     st: FileStats): Boolean = {
+    def one(c: String, l: Literal, o: String): Boolean =
+      l.value != null && st.cols.get(c).exists(cs =>
+        cs.nulls == 0L && !litMay(c, l, dualOp(o), st))
+    (colName(a), b, a, colName(b)) match {
+      case (Some(c), l: Literal, _, _) => one(c, l, op)
+      case (_, _, l: Literal, Some(c)) => one(c, l, flip(op))
+      case _ => false
+    }
+  }
+
+  private def dualOp(op: String): String = op match {
+    case "eq" => "ne"; case "ne" => "eq"
+    case "lt" => "ge"; case "le" => "gt"
+    case "gt" => "le"; case "ge" => "lt"
+    case other => other
+  }
+
   /** Might some row of the file satisfy `e`? (true = keep; unknown
     * shapes are true.) SQL three-valued semantics make null-valued
     * predicates filter like false, so an all-null column lets every

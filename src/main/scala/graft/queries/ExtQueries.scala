@@ -999,15 +999,49 @@ object ExtQueries {
     graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
   }
 
+  /** METADATA-ONLY DELETE, oracle-replayed: on a lang-partitioned
+    * table, `DELETE WHERE lang = 'de'` drops exactly the partition's
+    * files from the manifest — zero rewrites (the REQUIREs pin no adds
+    * and survivors byte-identical by name), zero data reads (every
+    * candidate's stats prove a full match via Skipping.provesAll). At
+    * 100 TB this is the difference between a partition drop being one
+    * manifest commit and being a multi-TB rewrite. The oracle replays
+    * the delete's visible result in DuckDB.
+    */
+  def manifestDeleteMetaQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_delete_meta"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs",
+      partitionBy = Seq("lang"))
+    val before = graft.ext.ManifestTable.snapshot(s, root)
+    val deFiles = before.files.filter(f =>
+      before.pvals(f)("lang").value.contains("de")).toSet
+    require(deFiles.nonEmpty && deFiles.size < before.files.size,
+      s"fixture degenerate: ${deFiles.size} de files of ${before.files.size}")
+    require(graft.ext.ManifestTable.deleteWhere(s, root, "lang = 'de'",
+      "d0"), "deleteWhere did not commit")
+    val after = graft.ext.ManifestTable.snapshot(s, root)
+    require(after.files.toSet == before.files.toSet -- deFiles,
+      "partition delete should drop exactly the partition's files " +
+        "and rewrite nothing")
+    require(!graft.ext.ManifestTable.deleteWhere(s, root, "lang = 'de'",
+      "d0"), "replayed delete opId was not absorbed")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
   /** MERGE-ON-READ delete, oracle-replayed against the SAME DuckDB
     * DELETE oracle as [[manifestDeleteQ]]: one table, two delete
     * strategies, one truth. The REQUIRE pins the strategy's whole point
-    * at the file level — the data file set is UNCHANGED after the op
-    * (a deletion-vector sidecar of O(matched rows) was written instead
-    * of any rewrite; at 100 TB that is a few KB for a point delete
-    * where copy-on-write rewrites half a GB). The op replays as a no-op
-    * before the read, and the read itself applies the vector via a
-    * broadcast anti-join on (file, position).
+    * at the file level — NOTHING is rewritten: files the stats prove
+    * fully inside the band drop by pure metadata, the edge files earn
+    * deletion-vector sidecars of O(matched rows) (at 100 TB that is a
+    * few KB for a point delete where copy-on-write rewrites half a
+    * GB). The op replays as a no-op before the read, and the read
+    * applies the vectors via a broadcast anti-join on (file, position).
     */
   def manifestDeleteDvQ(s: SparkSession, d: String): DataFrame = {
     val root = "/tmp/graft_fix/manifest_delete_dv"
@@ -1021,11 +1055,18 @@ object ExtQueries {
       targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
     val pred = "doc_id >= 100 AND doc_id < 220"
     val before = graft.ext.ManifestTable.snapshot(s, root)
+    // the files whose stats PROVE full coverage must drop by metadata;
+    // every other candidate earns a vector; nothing is rewritten
+    val expectWhole = before.files.filter(f =>
+      before.stats.get(f).exists(_.cols.get("doc_id").exists(c =>
+        c.nulls == 0L && c.min.exists(_.toLong >= 100L) &&
+          c.max.exists(_.toLong < 220L)))).toSet
     require(graft.ext.ManifestTable.deleteWhereDV(s, root, pred, "d0"),
       "deleteWhereDV did not commit")
     val after = graft.ext.ManifestTable.snapshot(s, root)
-    require(after.files == before.files,
-      "DV delete rewrote data files — merge-on-read wrote O(file), not O(rows)")
+    require(after.files.toSet == before.files.toSet -- expectWhole,
+      s"DV delete should drop EXACTLY the ${expectWhole.size} provably-" +
+        "covered files and rewrite nothing")
     require(after.dvs.nonEmpty, "DV delete recorded no deletion vector")
     require(!graft.ext.ManifestTable.deleteWhereDV(s, root, pred, "d0"),
       "replayed DV delete opId was not absorbed")
@@ -1369,11 +1410,18 @@ object ExtQueries {
     graft.ext.ManifestTable.compact(s, root,
       targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))    // v2
     val v2 = graft.ext.ManifestTable.snapshot(s, root)
+    // files whose stats prove full band coverage drop by metadata, the
+    // edge files earn vectors, nothing is rewritten (no adds)
+    val expectWhole = v2.files.filter(f =>
+      v2.stats.get(f).exists(_.cols.get("doc_id").exists(c =>
+        c.nulls == 0L && c.min.exists(_.toLong >= 100L) &&
+          c.max.exists(_.toLong < 220L)))).toSet
     require(graft.ext.ManifestTable.deleteWhereDV(s, root,
-      "doc_id >= 100 AND doc_id < 150", "d0", cdc = true))       // v3
+      "doc_id >= 100 AND doc_id < 220", "d0", cdc = true))       // v3
     val v3 = graft.ext.ManifestTable.snapshot(s, root)
-    require(v3.files == v2.files && v3.dvs.nonEmpty,
-      "DV delete should leave the file set unchanged and record a vector")
+    require(v3.files.toSet == v2.files.toSet -- expectWhole &&
+      v3.dvs.nonEmpty,
+      "DV delete should drop exactly the covered files, vector the edges")
     require(graft.ext.ManifestTable.deleteWhereDV(s, root,
       "doc_id < 0", "d1", cdc = true))                           // v4: empty
     require(graft.ext.ManifestTable.updateWhereDV(s, root, "lang = 'de'",
@@ -1785,6 +1833,7 @@ object ExtQueries {
     "manifest_scan_pruned" -> (manifestScanPrunedQ(_, _)),
     "manifest_partition_pruned" -> (manifestPartitionPrunedQ(_, _)),
     "manifest_delete" -> (manifestDeleteQ(_, _)),
+    "manifest_delete_meta" -> (manifestDeleteMetaQ(_, _)),
     "manifest_delete_dv" -> (manifestDeleteDvQ(_, _)),
     "manifest_dv_compact" -> (manifestDvCompactQ(_, _)),
     "manifest_update" -> (manifestUpdateQ(_, _)),
@@ -1887,14 +1936,14 @@ object ExtQueries {
       |    CAST(1 AS BIGINT) AS commit_version FROM d
       |  UNION ALL
       |  SELECT doc_id, lang, n_chars, 'delete', 3 FROM d
-      |  WHERE doc_id >= 100 AND doc_id < 150
+      |  WHERE doc_id >= 100 AND doc_id < 220
       |  UNION ALL
       |  SELECT doc_id, lang, n_chars, 'update_preimage', 5 FROM d
-      |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150)
+      |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 220)
       |  UNION ALL
       |  SELECT doc_id, lang, CAST(n_chars + 7 AS BIGINT),
       |    'update_postimage', 5 FROM d
-      |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 150))
+      |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 220))
       |ORDER BY commit_version, _change_type, doc_id""".stripMargin
 
   /** DuckDB: the planted 2-level near-dup corpus (doc + drop-8 mutation). */
@@ -2590,6 +2639,13 @@ object ExtQueries {
     "manifest_delete" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (doc_id >= 100 AND doc_id < 220)
+        |ORDER BY doc_id""".stripMargin,
+
+    // metadata-only DELETE of a whole partition: files dropped from
+    // the manifest, nothing read or rewritten — same visible result
+    "manifest_delete_meta" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (lang = 'de')
         |ORDER BY doc_id""".stripMargin,
 
     // merge-on-read DELETE: the SAME oracle as the copy-on-write path —
