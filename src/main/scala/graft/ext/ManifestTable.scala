@@ -1049,10 +1049,10 @@ object ManifestTable {
     if (committed) (candidates.size, live.size) else (0, 0)
   }
 
-  /** Delete data files no longer referenced by the CURRENT manifest and
-    * leftover stage directories — but only those whose modification time
-    * is older than `graceMs` (default 24 h), the standard table-format
-    * answer (Delta's vacuum retention) to vacuum's two races:
+  /** Delete data files no longer referenced by any version a reader
+    * inside the `graceMs` window (default 24 h) could still be pinned
+    * to, plus leftover stage directories — the standard table-format
+    * answer (Delta's vacuum retention) to vacuum's races:
     *
     *   - a CONCURRENT APPEND moves its data files into `data/` BEFORE
     *     committing the manifest; a grace-less vacuum in that window
@@ -1060,19 +1060,57 @@ object ManifestTable {
     *     deleted files — permanent snapshot corruption. Fresh files are
     *     inside the grace window, so the append survives.
     *   - a READER pinned to an older version still needs its (now
-    *     orphaned) compacted-away files; any reader younger than the
-    *     grace window keeps its snapshot intact.
+    *     orphaned) compacted-away files. The liveness set is therefore
+    *     NOT just the head: it is the state just before the first
+    *     commit inside the grace window plus every add since — exactly
+    *     what any in-grace pin can reference. Time travel to versions
+    *     OLDER than the grace is the documented sacrifice (same as
+    *     Delta: vacuum bounds how far back you can travel).
     *
-    * `graceMs = 0` restores sweep-everything (tests, quiesced tables).
-    * Orphans are judged by file mtime — rename preserves it, so the
-    * clock starts at the original write, conservative in the right
-    * direction.
+    * `graceMs = 0` restores sweep-everything-but-head (tests, quiesced
+    * tables). Orphans are judged by file mtime — rename preserves it,
+    * so the clock starts at the original write, conservative in the
+    * right direction.
     */
   def vacuum(spark: SparkSession, dir: String,
              graceMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs(spark, dir)
     val cutoff = System.currentTimeMillis() - graceMs
-    val live = snapshot(spark, dir).files.toSet
+    val head = snapshot(spark, dir)
+    val log = listLog(spark, dir)
+    // commit time = the delta file's mtime (immutable once published)
+    val inGrace = (log.ckpt.keySet ++ log.delta.keySet).filter(v =>
+      log.delta.get(v).orElse(log.ckpt.get(v))
+        .exists(_.getModificationTime >= cutoff))
+    val live: Set[String] =
+      if (inGrace.isEmpty) head.files.toSet
+      else try {
+        val vG = inGrace.min
+        val base =
+          if (vG <= 1L) Set.empty[String]
+          else resolveAt(spark, dir, vG - 1L, log).files.toSet
+        val adds = (vG to head.version).iterator.flatMap { v =>
+          // every commit publishes a delta; an expired-delta checkpoint
+          // version contributes its full state instead (a superset of
+          // its adds — conservative, keeps more)
+          if (log.delta.contains(v)) readDelta(spark, dir, v).adds
+          else resolveAt(spark, dir, v, log).files
+        }.toSet
+        base ++ adds ++ head.files
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          // resolution hiccup (mid-expiry race): keep every name any
+          // log file mentions — maximally conservative, sweeps less
+          head.files.toSet ++ (log.ckpt.keys ++ log.delta.keys)
+            .flatMap { v =>
+              val name = if (log.delta.contains(v))
+                s"d${"%08d".format(v)}" else s"v${"%08d".format(v)}"
+              try readLogLines(spark, dir, name).collect {
+                case l if l.startsWith("add:") => l.stripPrefix("add:")
+                case l if l.startsWith("file:") => l.stripPrefix("file:")
+              } catch { case scala.util.control.NonFatal(_) => Nil }
+            }
+      }
     val dd = p(dataDir(dir))
     val removed = if (!f.exists(dd)) 0 else f.listStatus(dd)
       .filter(s => s.isFile && !live.contains(s.getPath.getName) &&

@@ -109,6 +109,24 @@ class ManifestTableSpec extends SparkSpec {
     assert(rows(dir) === before)
   }
 
+  test("vacuum keeps every file an in-grace time travel can reach") {
+    val dir = tmp("vacgrace")
+    ManifestTable.append(batch(1, 2), dir, "b0") // v1
+    ManifestTable.append(batch(3), dir, "b1")    // v2
+    ManifestTable.compact(spark, dir)            // v3: originals orphaned
+    val before = rows(dir)
+    // every commit is seconds old — inside a 1 h grace the liveness set
+    // is v2's full state plus the compaction's adds, so NOTHING sweeps
+    // and time travel within the window stays intact
+    assert(ManifestTable.vacuum(spark, dir, graceMs = 3600L * 1000) === 0)
+    assert(ManifestTable.readVersion(spark, dir, 2L).count() === 3L)
+    assert(ManifestTable.readVersion(spark, dir, 1L).count() === 2L)
+    // grace 0: only the head survives — the documented trade (bounded
+    // storage for bounded time travel), same as Delta's vacuum
+    assert(ManifestTable.vacuum(spark, dir, graceMs = 0L) >= 2)
+    assert(rows(dir) === before)
+  }
+
   test("footer stats land in the manifest at append") {
     val dir = tmp("stats")
     ManifestTable.append(batch(1, 2, 3).coalesce(1), dir, "b0")
