@@ -46,7 +46,7 @@ object Explain {
       "manifest_count_meta", "manifest_meta_minmax",
       "manifest_feed_insert_merge", "manifest_partition_pruned",
       "manifest_cdf_dv", "manifest_cdf_dv_stream_replay",
-      "manifest_delete_meta")
+      "manifest_delete_meta", "manifest_overwrite")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -202,6 +202,15 @@ object Explain {
         s"pruneInfo (partition tuple, exact point stats): kept $k of $t " +
           s"files across $nParts partitions; builder REQUIREd the " +
           "planner scan's numFiles to equal the partition's file count"
+      }),
+      "manifest_overwrite" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_overwrite")
+        s"post-overwrite snapshot: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} files — the de partition's old files " +
+          "dropped by metadata, the fresh frame staged under the same " +
+          "layout (builder REQUIREd exact drop set + new files' tuples); " +
+          "replaceWhere = one atomic commit, O(region) work"
       }),
       "manifest_delete_meta" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

@@ -1751,6 +1751,88 @@ object ManifestTable {
     Some((mn.map(decode), mx.map(decode)))
   }
 
+  /** INSERT OVERWRITE ... WHERE (Delta's replaceWhere): one atomic
+    * commit replaces exactly the rows matching `predicateSql` with
+    * `df`'s rows. Every incoming row must itself satisfy the predicate
+    * — the contract that keeps the op a targeted backfill (rewrite one
+    * partition/band) instead of a silent full-table overwrite;
+    * violations fail loudly with a count before anything lands. File
+    * work mirrors [[deleteWhere]]: candidates come from one-sided
+    * pruning, candidates whose stats PROVE full coverage drop by pure
+    * metadata ([[Skipping.provesAll]]), only straddling files are
+    * rewritten without their matching rows, and the new data stages
+    * like an append (partition layout respected, stats + blooms
+    * recorded). On a lang-partitioned table
+    * `overwriteWhere(df, dir, "lang = 'de'", ...)` is therefore: drop
+    * the de files, write df — the partition-backfill idiom, O(replaced
+    * region) at any table size. Same idempotence (opId) and
+    * conflict-abort contract as the other row ops; `cdc = true` records
+    * the replaced rows as deletes and `df`'s rows as inserts in one
+    * sidecar.
+    */
+  def overwriteWhere(df: DataFrame, dir: String, predicateSql: String,
+                     opId: String, beforeSwap: () => Unit = () => (),
+                     bloomCols: Seq[String] = Nil,
+                     bloomFpp: Double = 0.01,
+                     cdc: Boolean = false): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val spark = df.sparkSession
+    val snap = snapshot(spark, dir)
+    if (snap.batchIds.contains(opId)) return false
+    val cond = coalesce(expr(predicateSql), lit(false))
+    val nBad = df.where(not(cond)).count()
+    require(nBad == 0L,
+      s"overwriteWhere: $nBad incoming row(s) do not satisfy " +
+        s"[$predicateSql] — an overwrite may only write rows inside the " +
+        "region it replaces")
+    enforceConstraints(df, snap.constraints, s"overwriteWhere $opId")
+    // align to the table's column order and types (an overwrite is not
+    // a schema change); a schema-less legacy table takes df as-is and
+    // unionByName below stays the loud check
+    val aligned = tableSchema(snap) match {
+      case None => df
+      case Some(ts) =>
+        val have = df.columns.map(_.toLowerCase).toSet
+        val want = ts.fields.map(_.name.toLowerCase).toSet
+        require(have == want,
+          s"overwriteWhere: incoming columns (${have.toSeq.sorted
+            .mkString(", ")}) do not match the table's (${want.toSeq.sorted
+            .mkString(", ")}) — an overwrite is not a schema change")
+        df.select(ts.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
+    if (cdc) require(!aligned.columns.exists(c =>
+      c.equalsIgnoreCase("_change_type")),
+      "CDC reserves the column name _change_type; this table has one")
+    val candidates = keptFiles(spark, dir, snap, predicateSql)
+    val predE = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val (whole, partial) = candidates.partition(f =>
+      snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
+    val candDf =
+      if (partial.isEmpty) None
+      else Some(readFiles(spark, dir, snap, partial))
+    if (cdc) candDf.foreach(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val out = (candDf.map(_.where(not(cond))).toSeq :+ aligned)
+        .reduceOption(_.unionByName(_))
+      val changes =
+        if (!cdc) None
+        else {
+          val wholeDf =
+            if (whole.isEmpty) None
+            else Some(readFiles(spark, dir, snap, whole))
+          val dels = (candDf.map(_.where(cond)).toSeq ++ wholeDf)
+            .reduceOption(_.unionByName(_))
+            .map(_.withColumn("_change_type", lit("delete")))
+          val ins = aligned.withColumn("_change_type", lit("insert"))
+          Some(dels.map(_.unionByName(ins)).getOrElse(ins))
+        }
+      cowCommit(spark, dir, snap, candidates, out, "overwrite", opId,
+        beforeSwap, bloomCols, bloomFpp, changes)
+    } finally if (cdc) candDf.foreach(_.unpersist(false))
+  }
+
   /** MERGE (upsert) `source` into the table on `keyCols`: a table row
     * whose key matches a source row is REPLACED by it; source rows with
     * no match are INSERTED — `WHEN MATCHED THEN UPDATE SET * / WHEN NOT

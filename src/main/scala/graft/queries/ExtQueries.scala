@@ -1033,6 +1033,46 @@ object ExtQueries {
     graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
   }
 
+  /** INSERT OVERWRITE WHERE (replaceWhere), oracle-replayed: the de
+    * partition of a lang-partitioned table is atomically replaced by a
+    * re-derived frame (n_chars shifted). The REQUIREs pin the backfill
+    * shape — old de files dropped by pure metadata (partition point
+    * stats prove full coverage), non-de files untouched, every new file
+    * recorded under the de partition tuple — and the replay-absorbed
+    * opId. The oracle rebuilds the swap with NOT/UNION ALL, so a hash
+    * match certifies replaced-exactly and untouched-survive.
+    */
+  def manifestOverwriteQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_overwrite"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs",
+      partitionBy = Seq("lang"))
+    val before = graft.ext.ManifestTable.snapshot(s, root)
+    val deFiles = before.files.filter(f =>
+      before.pvals(f)("lang").value.contains("de")).toSet
+    require(deFiles.nonEmpty && deFiles.size < before.files.size,
+      s"fixture degenerate: ${deFiles.size} de files")
+    val fresh = docs.filter(col("lang") === "de")
+      .withColumn("n_chars", col("n_chars") + 1000)
+    require(graft.ext.ManifestTable.overwriteWhere(fresh, root,
+      "lang = 'de'", "o0"), "overwriteWhere did not commit")
+    val after = graft.ext.ManifestTable.snapshot(s, root)
+    require(deFiles.forall(f => !after.files.contains(f)) &&
+      (before.files.toSet -- deFiles).subsetOf(after.files.toSet),
+      "overwrite should drop exactly the old partition's files")
+    val added = after.files.toSet -- before.files.toSet
+    require(added.nonEmpty && added.forall(f =>
+      after.pvals.get(f).exists(_("lang").value.contains("de"))),
+      "overwrite's new files must land under the de partition tuple")
+    require(!graft.ext.ManifestTable.overwriteWhere(fresh, root,
+      "lang = 'de'", "o0"), "replayed overwrite opId was not absorbed")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
   /** MERGE-ON-READ delete, oracle-replayed against the SAME DuckDB
     * DELETE oracle as [[manifestDeleteQ]]: one table, two delete
     * strategies, one truth. The REQUIRE pins the strategy's whole point
@@ -1834,6 +1874,7 @@ object ExtQueries {
     "manifest_partition_pruned" -> (manifestPartitionPrunedQ(_, _)),
     "manifest_delete" -> (manifestDeleteQ(_, _)),
     "manifest_delete_meta" -> (manifestDeleteMetaQ(_, _)),
+    "manifest_overwrite" -> (manifestOverwriteQ(_, _)),
     "manifest_delete_dv" -> (manifestDeleteDvQ(_, _)),
     "manifest_dv_compact" -> (manifestDvCompactQ(_, _)),
     "manifest_update" -> (manifestUpdateQ(_, _)),
@@ -2639,6 +2680,17 @@ object ExtQueries {
     "manifest_delete" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (doc_id >= 100 AND doc_id < 220)
+        |ORDER BY doc_id""".stripMargin,
+
+    // INSERT OVERWRITE WHERE: the de partition atomically swapped for
+    // the re-derived frame; everything else byte-identical
+    "manifest_overwrite" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE NOT (lang = 'de')
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE lang = 'de')
         |ORDER BY doc_id""".stripMargin,
 
     // metadata-only DELETE of a whole partition: files dropped from
