@@ -46,7 +46,8 @@ object Explain {
       "manifest_count_meta", "manifest_meta_minmax",
       "manifest_feed_insert_merge", "manifest_partition_pruned",
       "manifest_cdf_dv", "manifest_cdf_dv_stream_replay",
-      "manifest_delete_meta", "manifest_overwrite")
+      "manifest_delete_meta", "manifest_overwrite",
+      "manifest_sink_replay")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -202,6 +203,16 @@ object Explain {
         s"pruneInfo (partition tuple, exact point stats): kept $k of $t " +
           s"files across $nParts partitions; builder REQUIREd the " +
           "planner scan's numFiles to equal the partition's file count"
+      }),
+      "manifest_sink_replay" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_sink_dst")
+        s"piped table: v${snap.version}, batches ${snap.batchIds.toSeq.sorted
+          .mkString(", ")} — one manifest commit per micro-batch " +
+          "(stream-<n> ids = the exactly-once dedup key), partitioned by " +
+          "(${snap.partitionCols.mkString(\", \")}) from the writer's " +
+          "partitionBy; the engine work is two real streaming queries, " +
+          "no driver data path"
       }),
       "manifest_overwrite" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** PLANNER-INTEGRATED manifest reads — the [[ManifestTable]] as a real
@@ -158,7 +159,7 @@ class StaticFileIndex(spark: SparkSession,
   * name (`graft.ext.ManifestSource`) always works.
   */
 class ManifestSource extends RelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
 
@@ -208,6 +209,31 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
         .add("commit_version", org.apache.spark.sql.types.LongType))
   }
 
+  /** `df.writeStream.format("graft-manifest").start(dir)` — the
+    * manifest table as a streaming SINK. Each micro-batch appends as
+    * manifest batch id `stream-<queryBatchId>`, so a restarted query
+    * re-delivering a batch is absorbed by the table's own idempotence:
+    * exactly-once END TO END when the source replays deterministically
+    * (the same transactional-sink contract as Delta's txn version).
+    * `.partitionBy(cols)` on the writer declares the table's partition
+    * layout on the first batch; later batches inherit it. Option
+    * `bloomCols` (comma-separated) builds bloom sidecars per batch.
+    * Append output mode only — a manifest table is an append-feed log,
+    * not a keyed store.
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-manifest sink supports Append output mode only, got $outputMode")
+    val dir = pathOf(parameters)
+    val blooms = parameters.get("bloomCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    new ManifestSink(dir, partitionColumns, blooms)
+  }
+
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
@@ -224,4 +250,28 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     new ManifestStreamSource(spark, dir, base, since, cdcOn(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
+}
+
+/** The V1 streaming sink over a [[ManifestTable]] (see
+  * [[ManifestSource.createSink]]). `addBatch` rebuilds a batch frame
+  * over the micro-batch's already-computed rows
+  * ([[org.apache.spark.sql.graft.GraftSqlShims.asBatch]] — a streaming
+  * plan cannot be re-planned by a writer) and appends it under the
+  * deterministic batch id `stream-<batchId>`: a crash-replayed batch
+  * hits the manifest's id dedup and commits nothing, which is the whole
+  * exactly-once contract. The append path does the rest — stats,
+  * blooms, partition layout, constraint enforcement — so a streamed
+  * table is indistinguishable from a batch-built one to every reader,
+  * feed and maintenance op.
+  */
+class ManifestSink(dir: String, partitionCols: Seq[String],
+                   bloomCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.GraftSqlShims.asBatch(data)
+    ManifestTable.append(batch, dir, s"stream-$batchId",
+      bloomCols = bloomCols, partitionBy = partitionCols)
+  }
+  override def toString: String = s"ManifestSink[$dir]"
 }

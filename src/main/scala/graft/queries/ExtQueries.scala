@@ -1504,6 +1504,47 @@ object ExtQueries {
       .orderBy("commit_version", "_change_type", "doc_id")
   }
 
+  /** The manifest table as a streaming SINK, oracle-replayed through an
+    * engine-to-engine pipe: a staging table's APPEND FEED (real
+    * streaming source, one manifest version per micro-batch) writes
+    * into a lang-PARTITIONED manifest table via
+    * `writeStream.format("graft-manifest")`. The REQUIREs pin the
+    * transactional-sink shape — one `stream-<n>` manifest commit per
+    * micro-batch, the writer's partitionBy declaring the layout, every
+    * file carrying its tuple — and the DuckDB oracle certifies the
+    * piped table holds exactly the source rows: exactly-once end to
+    * end, no driver-side data movement anywhere.
+    */
+  def manifestSinkReplayQ(s: SparkSession, d: String): DataFrame = {
+    val src = "/tmp/graft_fix/manifest_sink_src"
+    val dst = "/tmp/graft_fix/manifest_sink_dst"
+    val ckpt = "/tmp/graft_fix/manifest_sink_ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(src), s.sparkContext.hadoopConfiguration)
+    Seq(src, dst, ckpt).foreach(pth =>
+      fs.delete(new org.apache.hadoop.fs.Path(pth), true))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 to 2).foreach(k => graft.ext.ManifestTable.append(
+      docs.filter(col("doc_id") % 3 === k), src, s"b$k"))
+    val q = s.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt)
+      .partitionBy("lang")
+      .outputMode("append").start(dst)
+    try q.processAllAvailable() finally q.stop()
+    val snap = graft.ext.ManifestTable.snapshot(s, dst)
+    require(snap.batchIds == Set("stream-0", "stream-1", "stream-2"),
+      s"expected one manifest commit per micro-batch, got ${snap.batchIds}")
+    require(snap.partitionCols == Seq("lang"),
+      "the writer's partitionBy did not declare the table layout")
+    require(snap.files.forall(f =>
+      snap.pvals.get(f).exists(_.contains("lang"))),
+      "a streamed file is missing its partition tuple")
+    graft.ext.ManifestTable.read(s, dst).orderBy("doc_id")
+  }
+
   /** The MANIFEST TABLE AS A STREAM, oracle-replayed: the committed fold
     * (append v1, append v2, compact v3, append v4) is consumed by a
     * Structured Streaming query reading `format("graft-manifest")` with
@@ -1885,6 +1926,7 @@ object ExtQueries {
     "manifest_changefeed" -> (manifestChangeFeedQ(_, _)),
     "manifest_feed_insert_merge" -> (manifestFeedInsertMergeQ(_, _)),
     "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
+    "manifest_sink_replay" -> (manifestSinkReplayQ(_, _)),
     "manifest_cdf" -> (manifestCdfQ(_, _)),
     "manifest_cdf_stream_replay" -> (manifestCdfStreamReplayQ(_, _)),
     "manifest_cdf_dv" -> (manifestCdfDvQ(_, _)),
@@ -2800,6 +2842,12 @@ object ExtQueries {
     "manifest_cdf_stream_replay" -> cdfOracleSql,
     "manifest_cdf_dv" -> cdfDvOracleSql,
     "manifest_cdf_dv_stream_replay" -> cdfDvOracleSql,
+
+    // source -> sink pipe: the destination table holds exactly the
+    // staged source rows, streamed exactly-once
+    "manifest_sink_replay" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // the streamed feed since v1: batches b1 and b2, the compaction
     // contributes nothing

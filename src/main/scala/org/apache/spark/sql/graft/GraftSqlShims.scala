@@ -17,4 +17,18 @@ object GraftSqlShims {
              plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The inverse seam, for the V1 streaming SINK: `Sink.addBatch`
+    * receives a DataFrame whose plan belongs to the streaming
+    * incremental execution and cannot be re-planned by a writer — the
+    * connector must rebuild a BATCH frame over the already-computed
+    * rows. Spark's own sinks (and Delta's) do exactly this via
+    * `internalCreateDataFrame`.
+    */
+  def asBatch(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, df.schema, isStreaming = false)
+  }
 }

@@ -151,6 +151,76 @@ class ManifestStreamSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("mt_cdcblind") }
   }
 
+  test("the manifest SINK: exactly-once streamed appends, layout + blooms, end-to-end roundtrip") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("sink")
+    val ckpt = tmp("sink_ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("id", "city")
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt)
+      .partitionBy("city")
+      .outputMode("append").start(dir)
+    try {
+      source.addData((1L, "sf"), (2L, "nyc"))
+      q.processAllAvailable()
+      source.addData((3L, "sf"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = ManifestTable.snapshot(spark, dir)
+    // each micro-batch is one manifest commit under a deterministic id
+    assert(snap.batchIds === Set("stream-0", "stream-1"))
+    // the writer's partitionBy declared the table layout; every file
+    // carries its tuple
+    assert(snap.partitionCols === Seq("city"))
+    assert(snap.files.forall(f => snap.pvals.get(f).exists(_.contains("city"))))
+    assert(ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted === Seq(1L, 2L, 3L))
+    // exactly-once: a replay of an absorbed batch id commits nothing
+    val sink = new graft.ext.ManifestSink(dir, Seq("city"), Nil)
+    sink.addBatch(1L, Seq((99L, "ber")).toDF("id", "city"))
+    assert(ManifestTable.read(spark, dir).count() === 3L)
+    assert(ManifestTable.snapshot(spark, dir).version === snap.version)
+    // a RESTARTED query on the same checkpoint replays nothing either
+    val q2 = source.toDF().toDF("id", "city")
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt)
+      .partitionBy("city")
+      .outputMode("append").start(dir)
+    try {
+      source.addData((4L, "ber"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted === Seq(1L, 2L, 3L, 4L))
+    // the streamed table feeds the manifest SOURCE: sink -> source
+    // roundtrip through two real streaming queries
+    val sinkView = "mt_sink_rt"
+    val q3 = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName(sinkView)
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table(sinkView).select("id").as[Long]
+        .collect().toSeq.sorted === Seq(1L, 2L, 3L, 4L))
+    } finally { q3.stop(); spark.catalog.dropTempView(sinkView) }
+  }
+
+  test("the sink refuses non-append output modes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("sinkmode")
+    val source = MemoryStream[(Long, String)]
+    val e = intercept[Exception] {
+      source.toDF().toDF("id", "city").groupBy("city").count()
+        .writeStream.format("graft-manifest")
+        .option("checkpointLocation", tmp("sinkmode_ckpt"))
+        .outputMode("complete").start(dir)
+    }
+    assert(e.getMessage.toLowerCase.contains("append"))
+  }
+
   test("a row-level commit fails the stream instead of drifting") {
     val dir = tmp("rowop")
     ManifestTable.append(batch(1, 2), dir, "b0")
