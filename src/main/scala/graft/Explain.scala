@@ -47,7 +47,7 @@ object Explain {
       "manifest_feed_insert_merge", "manifest_partition_pruned",
       "manifest_cdf_dv", "manifest_cdf_dv_stream_replay",
       "manifest_delete_meta", "manifest_overwrite",
-      "manifest_sink_replay")
+      "manifest_sink_replay", "manifest_restore")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -203,6 +203,14 @@ object Explain {
         s"pruneInfo (partition tuple, exact point stats): kept $k of $t " +
           s"files across $nParts partitions; builder REQUIREd the " +
           "planner scan's numFiles to equal the partition's file count"
+      }),
+      "manifest_restore" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_restore")
+        s"head: v${snap.version}, op=${snap.op} — the band delete undone " +
+          "by one metadata commit (builder REQUIREd v1's byte-identical " +
+          "file set back, zero rewrites); the delta carries cleardv+adds " +
+          "so a cold driver replays the rewind exactly"
       }),
       "manifest_sink_replay" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

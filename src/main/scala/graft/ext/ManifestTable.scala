@@ -522,6 +522,74 @@ object ManifestTable {
     readFiles(spark, dir, s, s.files)
   }
 
+  /** The newest version committed at or before `tsMillis` — time travel
+    * by TIMESTAMP. A commit's time is its published log file's mtime
+    * (immutable once linked into place; the delta preferred, a
+    * checkpoint standing in when [[expireLog]] dropped the delta).
+    * Raises when `tsMillis` predates the oldest retained commit: an
+    * expired-history read must fail loudly, never resolve to a
+    * different version than it would have yesterday.
+    */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val log = listLog(spark, dir)
+    val times = (log.delta.keySet ++ log.ckpt.keySet).toSeq.map(v =>
+      v -> log.delta.get(v).orElse(log.ckpt.get(v)).get.getModificationTime)
+    require(times.nonEmpty, s"ManifestTable at $dir has no commits")
+    val at = times.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"ManifestTable at $dir: no commit at or before $tsMillis " +
+        s"(oldest retained commit is v${times.minBy(_._2)._1} at " +
+        s"${times.map(_._2).min}) — the requested history is expired " +
+        "or predates the table")
+    at.maxBy(_._1)._1
+  }
+
+  /** [[readVersion]] keyed by timestamp (see [[versionAt]]). */
+  def readTimestamp(spark: SparkSession, dir: String,
+                    tsMillis: Long): DataFrame =
+    readVersion(spark, dir, versionAt(spark, dir, tsMillis))
+
+  /** RESTORE the table to version `v`'s state — one metadata commit
+    * that makes the target's files/stats/sizes/DVs/schema the new head,
+    * rewriting nothing. The intervening history is NOT erased: the
+    * restore is itself a new version, so the mis-step stays auditable
+    * and a second restore can undo the first. Current CHECK constraints
+    * and the partition layout are KEPT (they are table properties, not
+    * data), and absorbed batch/op ids stay absorbed — a replayed append
+    * from before the restore still no-ops. Raises if any restored file
+    * was already vacuumed past the grace window (a restore must be
+    * whole or not at all). The append feed refuses a restore commit
+    * (it un-deletes and un-inserts — not expressible as appends);
+    * [[changesBetween]] likewise raises without a sidecar, which a
+    * restore never writes.
+    */
+  def restore(spark: SparkSession, dir: String, v: Long,
+              opId: String): Boolean = {
+    val target = snapshotAt(spark, dir, v)
+    val f = fs(spark, dir)
+    val head0 = snapshot(spark, dir)
+    if (head0.batchIds.contains(opId)) return false
+    // files the restore would resurrect must still exist on disk
+    val missing = target.files.filterNot(head0.files.contains)
+      .filterNot(n => f.exists(p(s"${dataDir(dir)}/$n")))
+    require(missing.isEmpty,
+      s"restore to v$v needs ${missing.size} data file(s) already " +
+        s"vacuumed past the grace window (first: ${missing.headOption
+          .getOrElse("")}) — the version is no longer restorable")
+    commit(spark, dir) { old =>
+      if (old.batchIds.contains(opId)) None
+      else Some(old.copy(
+        files = target.files,
+        stats = target.stats,
+        sizes = target.sizes,
+        pvals = target.pvals,
+        dvs = target.dvs,
+        schemaJson = target.schemaJson.orElse(old.schemaJson),
+        batchIds = old.batchIds + opId,
+        op = "restore", cdcPath = None))
+    }
+  }
+
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
@@ -546,6 +614,9 @@ object ManifestTable {
     *                                     all refs; delta: new refs)
     *   constraint:<nameEnc>\t<exprEnc>   CHECK constraint (delta: added)
     *   dropconstraint:<nameEnc>          DELTA: constraint dropped
+    *   cleardv:<name>                    DELTA: the file's deletion-vector
+    *                                     refs RESET before this delta's
+    *                                     dv: lines (restore only)
     *   partcols:<colEnc>[\t<colEnc>...]  the table's PARTITION layout
     *                                     (declared at creation, immutable)
     *   pv:<name>\t<colEnc>\t<fam>\t<flag>\t<valEnc>
@@ -563,7 +634,7 @@ object ManifestTable {
       batchIds: Set[String], op: String,
       schemaJson: Option[String], cdcPath: Option[String],
       stats: Map[String, FileStats], sizes: Map[String, Long],
-      dvs: Map[String, Seq[DvRef]],
+      dvs: Map[String, Seq[DvRef]], dvClear: Set[String],
       consAdd: Seq[(String, String)], consDrop: Set[String],
       partitionCols: Option[Seq[String]],
       pvals: Map[String, Map[String, PartValue]])
@@ -606,6 +677,8 @@ object ManifestTable {
         val a = l.stripPrefix("dv:").split("\t", -1)
         (a(0), DvRef(a(1), a(2).toLong))
       }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) },
+      dvClear = lines.filter(_.startsWith("cleardv:"))
+        .map(_.stripPrefix("cleardv:")).toSet,
       consAdd = lines.filter(_.startsWith("constraint:")).map { l =>
         val a = l.stripPrefix("constraint:").split("\t", -1)
         (dec(a(0)), dec(a(1)))
@@ -662,8 +735,9 @@ object ManifestTable {
       schemaJson = d.schemaJson.orElse(base.schemaJson),
       cdcPath = d.cdcPath,
       sizes = base.sizes -- gone ++ d.sizes,
-      dvs = d.dvs.foldLeft(base.dvs -- gone) { case (acc, (file, refs)) =>
-        acc.updated(file, acc.getOrElse(file, Seq.empty) ++ refs)
+      dvs = d.dvs.foldLeft(base.dvs -- gone -- d.dvClear) {
+        case (acc, (file, refs)) =>
+          acc.updated(file, acc.getOrElse(file, Seq.empty) ++ refs)
       },
       constraints = base.constraints ++ d.consAdd -- d.consDrop,
       partitionCols = d.partitionCols.getOrElse(base.partitionCols),
@@ -2790,11 +2864,23 @@ object ManifestTable {
         val adds = next0.files.filterNot(oldSet)
         val removes = old.files.filterNot(newSet)
         val newBatches = (next0.batchIds -- old.batchIds).toSeq.sorted
+        // refs per file normally APPEND (each new DV marks positions
+        // the prior ones don't) and the delta carries the new suffix; a
+        // commit that SHRINKS or rewrites a surviving file's refs (only
+        // restore does this) emits cleardv: + the full new list, so a
+        // cold replay reconstructs the exact state
+        val dvCleared = next0.files.filter { fn =>
+          oldSet.contains(fn) && {
+            val o = old.dvs.getOrElse(fn, Seq.empty)
+            val n = next0.dvs.getOrElse(fn, Seq.empty)
+            !(n.size >= o.size && n.take(o.size) == o)
+          }
+        }.toSet
         val dvAdds = next0.dvs.toSeq.sortBy(_._1).flatMap {
           case (file, refs) =>
-            // refs per file only ever APPEND (each new DV marks positions
-            // the prior ones don't) — the delta carries the new suffix
-            refs.drop(old.dvs.getOrElse(file, Seq.empty).size).map(file -> _)
+            val pre = if (dvCleared.contains(file)) Seq.empty
+                      else old.dvs.getOrElse(file, Seq.empty)
+            refs.drop(pre.size).map(file -> _)
         }
         val consAdd = next0.constraints.toSeq.sortBy(_._1).filterNot {
           case (k, v) => old.constraints.get(k).contains(v)
@@ -2811,6 +2897,7 @@ object ManifestTable {
             adds.map("add:" + _) ++
             removes.map("remove:" + _) ++
             newBatches.map("batch:" + _) ++
+            dvCleared.toSeq.sorted.map("cleardv:" + _) ++
             dvAdds.map { case (file, r) => s"dv:$file\t${r.name}\t${r.rows}" } ++
             consAdd.map { case (n, e) => s"constraint:${enc(n)}\t${enc(e)}" } ++
             consDrop.map(n => "dropconstraint:" + enc(n)) ++

@@ -1504,6 +1504,39 @@ object ExtQueries {
       .orderBy("commit_version", "_change_type", "doc_id")
   }
 
+  /** RESTORE + timestamp travel, oracle-replayed: a band DELETE is
+    * undone by `restore(v1)` — one metadata commit, nothing rewritten
+    * (the REQUIREs pin the restored file set IS v1's byte-identical
+    * set, the deleted state still time-travels, and `versionAt(now)`
+    * resolves to the restore commit). The oracle is the untouched
+    * documents table: a hash match certifies the rewind is exact.
+    */
+  def manifestRestoreQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_restore"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")            // v1
+    val v1 = graft.ext.ManifestTable.snapshot(s, root)
+    require(graft.ext.ManifestTable.deleteWhere(s, root,
+      "doc_id >= 100 AND doc_id < 220", "d0"))                    // v2
+    require(graft.ext.ManifestTable.restore(s, root, 1L, "r0"))   // v3
+    val head = graft.ext.ManifestTable.snapshot(s, root)
+    require(head.version == 3L && head.op == "restore" &&
+      head.files == v1.files,
+      "restore should make v1's exact file set the head, rewriting nothing")
+    require(graft.ext.ManifestTable.readVersion(s, root, 2L).count() <
+      docs.count(), "the deleted state must still time-travel")
+    require(graft.ext.ManifestTable.versionAt(s, root,
+      System.currentTimeMillis()) == 3L,
+      "versionAt(now) should resolve the restore commit")
+    require(!graft.ext.ManifestTable.restore(s, root, 1L, "r0"),
+      "replayed restore opId was not absorbed")
+    graft.ext.ManifestTable.read(s, root).orderBy("doc_id")
+  }
+
   /** The manifest table as a streaming SINK, oracle-replayed through an
     * engine-to-engine pipe: a staging table's APPEND FEED (real
     * streaming source, one manifest version per micro-batch) writes
@@ -1927,6 +1960,7 @@ object ExtQueries {
     "manifest_feed_insert_merge" -> (manifestFeedInsertMergeQ(_, _)),
     "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
     "manifest_sink_replay" -> (manifestSinkReplayQ(_, _)),
+    "manifest_restore" -> (manifestRestoreQ(_, _)),
     "manifest_cdf" -> (manifestCdfQ(_, _)),
     "manifest_cdf_stream_replay" -> (manifestCdfStreamReplayQ(_, _)),
     "manifest_cdf_dv" -> (manifestCdfDvQ(_, _)),
@@ -2842,6 +2876,12 @@ object ExtQueries {
     "manifest_cdf_stream_replay" -> cdfOracleSql,
     "manifest_cdf_dv" -> cdfDvOracleSql,
     "manifest_cdf_dv_stream_replay" -> cdfDvOracleSql,
+
+    // restore undoes the band delete exactly: the table equals its
+    // pre-delete self
+    "manifest_restore" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // source -> sink pipe: the destination table holds exactly the
     // staged source rows, streamed exactly-once
