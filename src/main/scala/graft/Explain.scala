@@ -47,7 +47,8 @@ object Explain {
       "manifest_feed_insert_merge", "manifest_partition_pruned",
       "manifest_cdf_dv", "manifest_cdf_dv_stream_replay",
       "manifest_delete_meta", "manifest_overwrite",
-      "manifest_sink_replay", "manifest_restore")
+      "manifest_sink_replay", "manifest_restore",
+      "manifest_compact_small")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -203,6 +204,14 @@ object Explain {
         s"pruneInfo (partition tuple, exact point stats): kept $k of $t " +
           s"files across $nParts partitions; builder REQUIREd the " +
           "planner scan's numFiles to equal the partition's file count"
+      }),
+      "manifest_compact_small" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_compact_small")
+        s"post-pack snapshot: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} files — only the under-sized trickle " +
+          "repacked (builder REQUIREd the big file byte-identical and " +
+          "the feeds silent); O(small bytes) maintenance, never O(table)"
       }),
       "manifest_restore" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

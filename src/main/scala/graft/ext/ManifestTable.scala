@@ -1057,6 +1057,66 @@ object ManifestTable {
     if (committed) (snap.files.size, live.size) else (0, 0)
   }
 
+  /** BIN-PACKING compaction — rewrite ONLY the files smaller than
+    * `minFileBytes` into ~`targetFileBytes` files, leaving every
+    * right-sized file untouched. [[compact]] rewrites the whole table;
+    * on a 100 TB table fed by a 10 s-cadence streaming sink that is a
+    * 100 TB rewrite to fix a few thousand small files — this pass is
+    * O(small bytes) instead, so it can run on a tight maintenance
+    * cadence forever. Sizes come from the manifest (no per-file RPC);
+    * DV'd candidates rewrite through the applied view and retire their
+    * vectors; partitioned tables reshuffle on their partition columns
+    * so the one-tuple-per-file invariant survives. Needs at least two
+    * candidates (packing one file buys nothing). Same atomic-swap,
+    * conflict-abort, feeds-skip-it contract as [[compact]]. Returns
+    * (files rewritten, files written); (0, 0) = nothing to pack or a
+    * concurrent rewrite won.
+    */
+  def compactSmall(spark: SparkSession, dir: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   minFileBytes: Long = 64L * 1024 * 1024,
+                   beforeSwap: () => Unit = () => (),
+                   bloomCols: Seq[String] = Nil,
+                   bloomFpp: Double = 0.01): (Int, Int) = {
+    val f = fs(spark, dir)
+    val snap = snapshot(spark, dir)
+    def sizeOf(n: String): Long = snap.sizes.getOrElse(n,
+      f.getFileStatus(p(s"${dataDir(dir)}/$n")).getLen)
+    val candidates = snap.files.filter(sizeOf(_) < minFileBytes)
+    if (candidates.size < 2) return (0, 0)
+    val candBytes = candidates.map(sizeOf).sum
+    val nOut = math.max(1,
+      math.ceil(candBytes.toDouble / targetFileBytes).toInt)
+    val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
+    val base = readFiles(spark, dir, snap, candidates)
+    val reshaped =
+      if (snap.partitionCols.isEmpty) base.repartition(nOut)
+      else base.repartition(nOut,
+        snap.partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    stageWrite(reshaped, stage, snap.partitionCols)
+    val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
+      stage, partFamilies(base.schema, snap.partitionCols))
+    val rewrittenStats = footerStats(spark, dir, rewritten)
+    val live = dropEmpty(f, dir, rewritten, rewrittenStats)
+    buildBlooms(spark, dir, live, bloomCols, rewrittenStats, bloomFpp)
+    beforeSwap()
+    val committed = commit(spark, dir) { old =>
+      if (candidates.exists(fn => !old.files.contains(fn)) ||
+        candidates.exists(fn => old.dvs.getOrElse(fn, Seq.empty) !=
+          snap.dvs.getOrElse(fn, Seq.empty))) None
+      else Some(old.copy(
+        files = old.files.filterNot(candidates.contains) ++ live,
+        stats = old.stats -- candidates ++ rewrittenStats,
+        sizes = old.sizes -- candidates ++
+          rewrittenSizes.filter(kv => live.contains(kv._1)),
+        pvals = old.pvals -- candidates ++
+          rewrittenPvals.filter(kv => live.contains(kv._1)),
+        dvs = old.dvs -- candidates,
+        op = "compact", cdcPath = None))
+    }
+    if (committed) (candidates.size, live.size) else (0, 0)
+  }
+
   /** DV MAINTENANCE — the targeted flip side of [[compact]]'s full-table
     * purge: rewrite ONLY the data files whose deletion-vector'd fraction
     * has crossed `maxDeletedFraction`, retiring their vectors. Merge-on-

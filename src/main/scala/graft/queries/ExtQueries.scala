@@ -1504,6 +1504,45 @@ object ExtQueries {
       .orderBy("commit_version", "_change_type", "doc_id")
   }
 
+  /** BIN-PACKING compaction, oracle-replayed: one right-sized file
+    * plus a trickle of tiny appends (the streaming-sink shape), then
+    * `compactSmall` — the REQUIREs pin that EXACTLY the under-sized
+    * files repacked (the big file survives with its recorded size
+    * untouched, fewer files out than in) and that the feeds skip the
+    * rewrite. The oracle certifies the packed table still holds every
+    * row: O(small bytes) maintenance, not O(table).
+    */
+  def manifestCompactSmallQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_compact_small"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    graft.ext.ManifestTable.append(
+      docs.filter(col("doc_id") >= 20).coalesce(1), root, "big")
+    (0 until 5).foreach(k => graft.ext.ManifestTable.append(
+      docs.filter(col("doc_id") >= k * 4 && col("doc_id") < (k + 1) * 4)
+        .coalesce(1), root, s"small$k"))
+    val s0 = graft.ext.ManifestTable.snapshot(s, root)
+    val bigFile = s0.files.maxBy(s0.sizes)
+    val thr = s0.sizes(bigFile)
+    val (in, out) = graft.ext.ManifestTable.compactSmall(s, root,
+      minFileBytes = thr)
+    require(in == s0.files.size - 1 && out >= 1 && out < in,
+      s"expected the ${s0.files.size - 1} small files to pack, " +
+        s"got ($in, $out)")
+    val s1 = graft.ext.ManifestTable.snapshot(s, root)
+    require(s1.files.contains(bigFile) &&
+      s1.sizes(bigFile) == s0.sizes(bigFile),
+      "the right-sized file must survive byte-identical")
+    require(graft.ext.ManifestTable.appendsBetween(s, root,
+      s0.version, s1.version).isEmpty,
+      "the feeds must skip a row-preserving repack")
+    graft.ext.ManifestTable.read(s, root)
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+  }
+
   /** RESTORE + timestamp travel, oracle-replayed: a band DELETE is
     * undone by `restore(v1)` — one metadata commit, nothing rewritten
     * (the REQUIREs pin the restored file set IS v1's byte-identical
@@ -1961,6 +2000,7 @@ object ExtQueries {
     "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
     "manifest_sink_replay" -> (manifestSinkReplayQ(_, _)),
     "manifest_restore" -> (manifestRestoreQ(_, _)),
+    "manifest_compact_small" -> (manifestCompactSmallQ(_, _)),
     "manifest_cdf" -> (manifestCdfQ(_, _)),
     "manifest_cdf_stream_replay" -> (manifestCdfStreamReplayQ(_, _)),
     "manifest_cdf_dv" -> (manifestCdfDvQ(_, _)),
@@ -2876,6 +2916,12 @@ object ExtQueries {
     "manifest_cdf_stream_replay" -> cdfOracleSql,
     "manifest_cdf_dv" -> cdfDvOracleSql,
     "manifest_cdf_dv_stream_replay" -> cdfDvOracleSql,
+
+    // bin-packing repack is row-preserving: the table still equals
+    // the union of every append
+    "manifest_compact_small" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // restore undoes the band delete exactly: the table equals its
     // pre-delete self
