@@ -94,6 +94,24 @@ class ManifestCompactSmallSpec extends SparkSpec {
       minFileBytes = 1024L * 1024) === ((0, 0)))
   }
 
+  test("disjoint writers commit in parallel: a DV delete and an append both land") {
+    val dir = tmp("parallel")
+    ManifestTable.append(wide(0 until 50).coalesce(1), dir, "b0")
+    ManifestTable.append(wide(50 until 100).coalesce(1), dir, "b1")
+    // the append lands INSIDE the delete's read->commit window; the
+    // delete's candidates (b0's file) are untouched by it, so BOTH
+    // commit — writer conflicts are per-file, not per-table
+    assert(ManifestTable.deleteWhereDV(spark, dir, "id = 7", "d0",
+      beforeSwap = () => {
+        assert(ManifestTable.append(
+          wide(100 until 150).coalesce(1), dir, "b2"))
+      }))
+    val s = ManifestTable.snapshot(spark, dir)
+    assert(s.batchIds === Set("b0", "b1", "b2", "d0"))
+    assert(ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted === (0L until 150L).filterNot(_ == 7L))
+  }
+
   test("8 concurrent appenders: every batch lands exactly once through the CAS") {
     val dir = tmp("race")
     import java.util.concurrent.Executors

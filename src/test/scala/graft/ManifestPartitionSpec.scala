@@ -118,6 +118,35 @@ class ManifestPartitionSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir).count() === 4L)
   }
 
+  test("clustered and z-ordered compaction preserve the partition invariant") {
+    val dir = tmp("cluster")
+    val d = (0L until 400L)
+      .map(i => (i, Seq("sf", "nyc")((i % 2).toInt), i * 7 % 400, s"doc $i"))
+      .toDF("id", "city", "score", "text")
+    ManifestTable.append(d, dir, "b0", partitionBy = Seq("city"))
+    // range-clustering on id: each output file still holds one tuple
+    // (the partitioned stage write splits each range by tuple)
+    ManifestTable.compact(spark, dir, targetFileBytes = 4L * 1024,
+      clusterBy = Seq("id"))
+    val s1 = ManifestTable.snapshot(spark, dir)
+    s1.files.foreach(f => assert(
+      s1.pvals.get(f).exists(_.contains("city")),
+      "clustered compaction lost a partition tuple"))
+    // clustering built id-skipping power WITHIN the partition layout:
+    // an (id band AND partition) predicate prunes on both axes
+    val (kept, total) = ManifestTable.pruneInfo(spark, dir,
+      "city = 'sf' AND id >= 100 AND id < 140")
+    assert(kept < total / 2, s"clustered+partitioned pruning kept $kept/$total")
+    // z-order on two numeric dims over the same partitioned table
+    ManifestTable.compact(spark, dir, targetFileBytes = 4L * 1024,
+      clusterBy = Seq("id", "score"), zorder = true)
+    val s2 = ManifestTable.snapshot(spark, dir)
+    s2.files.foreach(f => assert(
+      s2.pvals.get(f).exists(_.contains("city")),
+      "z-ordered compaction lost a partition tuple"))
+    assert(ManifestTable.read(spark, dir).count() === 400L)
+  }
+
   test("row ops, DV purge and compaction preserve the partition invariant") {
     val dir = tmp("ops")
     ManifestTable.append(docs(0 until 300, cityOf), dir, "b0",
