@@ -2417,6 +2417,29 @@ object ManifestTable {
       "has_cdc")
   }
 
+  /** One-row table summary (DESCRIBE DETAIL face): head version, live
+    * file count and total recorded bytes, stats-known row count (DV
+    * positions subtracted, null when any live file lacks footer stats),
+    * partition layout, deletion-vector'd file count, constraint count,
+    * absorbed batch-id count, and whether a schema is tracked. Pure
+    * manifest math, zero data I/O — the operational at-a-glance read a
+    * 100 TB table must answer without listing or scanning anything.
+    */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, dir)
+    val rowsKnown: Option[Long] = metaCount(spark, dir)
+    Seq((s.version, s.files.size.toLong,
+      s.files.map(f => s.sizes.getOrElse(f, 0L)).sum,
+      rowsKnown.map(Long.box).orNull: java.lang.Long,
+      s.partitionCols.mkString(","),
+      s.dvs.size.toLong, s.constraints.size.toLong,
+      s.batchIds.size.toLong, s.schemaJson.isDefined))
+      .toDF("version", "n_files", "size_bytes", "rows_known",
+        "partition_cols", "n_dv_files", "n_constraints", "n_batches",
+        "has_schema")
+  }
+
   /** The table's live PARTITIONS (SHOW PARTITIONS face): one row per
     * distinct partition tuple — each declared column's value as its
     * canonical string (null = the hive null partition) — with the

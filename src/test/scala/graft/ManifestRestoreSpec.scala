@@ -105,6 +105,44 @@ class ManifestRestoreSpec extends SparkSpec {
     assert(e.getMessage.contains("no commit at or before"))
   }
 
+  test("restore to an expired version raises cleanly") {
+    val dir = tmp("expired")
+    ManifestTable.append(batch(1L, 2L, 3L), dir, "b0") // v1
+    (2 to 26).foreach { v =>
+      if (v % 2 == 0)
+        ManifestTable.addConstraint(spark, dir, s"c$v", "id IS NOT NULL")
+      else ManifestTable.dropConstraint(spark, dir, s"c${v - 1}")
+    }
+    assert(ManifestTable.expireLog(spark, dir, retainVersions = 5L) > 0)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.restore(spark, dir, 2L, "r0")
+    }
+    assert(e.getMessage.contains("no manifest version"))
+    // retained versions still restore
+    assert(ManifestTable.restore(spark, dir,
+      ManifestTable.headVersion(spark, dir) - 1L, "r1"))
+  }
+
+  test("detail(): the one-row metadata summary, zero data I/O") {
+    val dir = tmp("detail")
+    val d = (0L until 60L)
+      .map(i => (i, Seq("sf", "nyc")((i % 2).toInt), s"doc $i"))
+      .toDF("id", "city", "text")
+    ManifestTable.append(d, dir, "b0", partitionBy = Seq("city"))
+    ManifestTable.addConstraint(spark, dir, "idnn", "id IS NOT NULL")
+    assert(ManifestTable.deleteWhereDV(spark, dir, "id = 3", "dv0"))
+    val row = ManifestTable.detail(spark, dir).collect()(0)
+    assert(row.getAs[Long]("version") === 3L)
+    assert(row.getAs[Long]("n_files") > 0L)
+    assert(row.getAs[Long]("size_bytes") > 0L)
+    assert(row.getAs[java.lang.Long]("rows_known") === 59L)
+    assert(row.getAs[String]("partition_cols") === "city")
+    assert(row.getAs[Long]("n_dv_files") === 1L)
+    assert(row.getAs[Long]("n_constraints") === 1L)
+    assert(row.getAs[Long]("n_batches") === 2L) // b0 + dv0
+    assert(row.getAs[Boolean]("has_schema"))
+  }
+
   test("the feeds refuse a restore commit instead of mis-reporting it") {
     val dir = tmp("feeds")
     ManifestTable.append(batch(1, 2), dir, "b0")                 // v1
