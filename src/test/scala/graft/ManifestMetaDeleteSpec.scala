@@ -132,6 +132,35 @@ class ManifestMetaDeleteSpec extends SparkSpec {
     assert(ManifestTable.metaCount(spark, dir) === Some(200L))
   }
 
+  test("a partition delete opens ZERO data files (FS-seam proof) and commits O(region)") {
+    CountingFs.install(spark)
+    val dir = "cfile:///tmp/graft_test/mmeta_zeroio"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val rows = (0L until 300L)
+      .map(i => (i, Seq("sf", "nyc", "ber")((i % 3).toInt), s"doc $i"))
+      .toDF("id", "city", "text")
+    ManifestTable.append(rows, dir, "b0", partitionBy = Seq("city"))
+    val s0 = ManifestTable.snapshot(spark, dir)
+    val sfFiles = s0.files.filter(f =>
+      s0.pvals(f)("city").value.contains("sf")).toSet
+    ManifestTable.snapshot(spark, dir) // resolve before counting opens
+    CountingFs.reset()
+    assert(ManifestTable.deleteWhere(spark, dir, "city = 'sf'", "d0"))
+    assert(CountingFs.opensUnder(
+      new java.net.URI(dir).getPath + "/data/") === 0L,
+      "a whole-partition delete read data files")
+    // and the commit's DELTA names only the region: one remove per sf
+    // file, no adds, no full file list — O(dropped files) log bytes on
+    // any table size
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_manifest/d00000002"))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    assert(lines.count(_.startsWith("remove:")) === sfFiles.size)
+    assert(!lines.exists(l => l.startsWith("add:") || l.startsWith("file:")))
+  }
+
   test("rows with NULL in the predicate column survive (no wholesale drop)") {
     val dir = tmp("nulls")
     val rows = (0L until 40L)
