@@ -142,8 +142,11 @@ class StaticFileIndex(spark: SparkSession,
   *   - `spark.read.format("graft-manifest").load(dir)` resolves the
   *     manifest snapshot and returns a parquet relation planned through
   *     [[ManifestFileIndex]]. Option `versionAsOf` pins a historical
-  *     version (time travel); pruning then runs against that version's
-  *     own stats and files.
+  *     version (time travel); `timestampAsOf` (epoch millis) pins the
+  *     newest commit at or before the instant via
+  *     [[ManifestTable.versionAt]] — mutually exclusive with
+  *     `versionAsOf`. Pruning then runs against that version's own
+  *     stats and files.
   *   - `spark.readStream.format("graft-manifest").load(dir)` returns the
   *     table's APPEND FEED as a [[ManifestStreamSource]] (offsets =
   *     manifest versions). Option `sinceVersion` starts the feed AFTER
@@ -181,9 +184,15 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
                               parameters: Map[String, String]): BaseRelation = {
     val dir = pathOf(parameters)
     val spark = sqlContext.sparkSession
-    val snap = parameters.get("versionAsOf")
+    require(!(parameters.contains("versionAsOf") &&
+      parameters.contains("timestampAsOf")),
+      "graft-manifest: versionAsOf and timestampAsOf are mutually exclusive")
+    val pinned = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        ManifestTable.versionAt(spark, dir, ts.toLong)))
+    val snap = pinned
       .fold(ManifestTable.snapshot(spark, dir))(v =>
-        ManifestTable.snapshotAt(spark, dir, v.toLong))
+        ManifestTable.snapshotAt(spark, dir, v))
     require(snap.files.nonEmpty,
       s"ManifestTable at $dir has no committed data")
     HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),

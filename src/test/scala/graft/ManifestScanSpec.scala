@@ -151,6 +151,28 @@ class ManifestScanSpec extends SparkSpec {
       .as[Long].collect().toSeq.sorted === Seq(1L, 2L, 3L))
   }
 
+  test("timestampAsOf pins the newest commit at or before the instant") {
+    val dir = tmp("tstravel")
+    ManifestTable.append(batchDf(1L, 2L), dir, "b0") // v1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    ManifestTable.append(batchDf(3L), dir, "b1")     // v2
+    assert(spark.read.format("graft-manifest")
+      .option("timestampAsOf", between.toString).load(dir)
+      .count() === 2L)
+    assert(spark.read.format("graft-manifest")
+      .option("timestampAsOf", System.currentTimeMillis().toString)
+      .load(dir).count() === 3L)
+    // the two pins are mutually exclusive, loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest")
+        .option("versionAsOf", "1").option("timestampAsOf", "1")
+        .load(dir).count()
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("schema evolution: the scan projects the recorded table schema") {
     val dir = tmp("evolve")
     ManifestTable.append(batchDf(1L), dir, "b0")
