@@ -229,6 +229,14 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     * `bloomCols` (comma-separated) builds bloom sidecars per batch.
     * Append output mode only — a manifest table is an append-feed log,
     * not a keyed store.
+    *
+    * SELF-MAINTENANCE options make the streamed table sustainable
+    * indefinitely: `packSmallBytes` runs [[ManifestTable.compactSmall]]
+    * (repack files under that size) and `retainVersions` runs
+    * checkpoint + [[ManifestTable.expireLog]], both every
+    * `maintainEvery` batches (default 100) — bounded log, bounded
+    * small-file count, O(small bytes)/O(expired names) per maintenance
+    * tick, and a maintenance failure never fails the data batch.
     */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -240,7 +248,11 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     val blooms = parameters.get("bloomCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    new ManifestSink(dir, partitionColumns, blooms)
+    new ManifestSink(dir, partitionColumns, blooms,
+      retainVersions = parameters.get("retainVersions").map(_.toLong),
+      packSmallBytes = parameters.get("packSmallBytes").map(_.toLong),
+      maintainEvery = parameters.get("maintainEvery")
+        .map(_.toLong).getOrElse(100L))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -274,13 +286,34 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
   * feed and maintenance op.
   */
 class ManifestSink(dir: String, partitionCols: Seq[String],
-                   bloomCols: Seq[String])
+                   bloomCols: Seq[String],
+                   retainVersions: Option[Long] = None,
+                   packSmallBytes: Option[Long] = None,
+                   maintainEvery: Long = 100L)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long,
                         data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.GraftSqlShims.asBatch(data)
+    val spark = data.sparkSession
     ManifestTable.append(batch, dir, s"stream-$batchId",
       bloomCols = bloomCols, partitionBy = partitionCols)
+    // SELF-MAINTENANCE on a batch cadence: without it a 10 s-cadence
+    // sink grows its log and small-file count forever. Every
+    // `maintainEvery`-th batch: pack the accumulated under-sized files
+    // (O(small bytes), right-sized files untouched), then expire the
+    // log past the retention window (O(expired names)). Both are
+    // crash-safe no-ops to replay, and a maintenance failure must
+    // never fail the data batch — the next cadence point retries.
+    if ((retainVersions.nonEmpty || packSmallBytes.nonEmpty) &&
+      batchId > 0L && batchId % maintainEvery == 0L)
+      try {
+        packSmallBytes.foreach(minBytes =>
+          ManifestTable.compactSmall(spark, dir, minFileBytes = minBytes))
+        retainVersions.foreach { retain =>
+          ManifestTable.checkpoint(spark, dir)
+          ManifestTable.expireLog(spark, dir, retainVersions = retain)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
   }
   override def toString: String = s"ManifestSink[$dir]"
 }

@@ -207,6 +207,50 @@ class ManifestStreamSpec extends SparkSpec {
     } finally { q3.stop(); spark.catalog.dropTempView(sinkView) }
   }
 
+  test("sink self-maintenance: bounded log, repacked small files, data intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("sinkmaint")
+    val ckpt = tmp("sinkmaint_ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("id", "text")
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt)
+      .option("retainVersions", "3")
+      .option("packSmallBytes", (1024L * 1024).toString)
+      .option("maintainEvery", "2")
+      .outputMode("append").start(dir)
+    try {
+      (0 until 8).foreach { k =>
+        source.addData((0L until 20L).map(i =>
+          (k * 20L + i, s"doc ${k * 20L + i}")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val snap = ManifestTable.snapshot(spark, dir)
+    // every streamed row present, exactly once
+    assert(ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted === (0L until 160L))
+    // the trickle repacked: far fewer live files than commits
+    assert(snap.files.size < 8, s"${snap.files.size} files — packing never ran")
+    // the log expired on cadence: version 1's delta is gone, the head
+    // window resolves, and a cold driver still reads the table
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val logNames = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/_manifest"))
+      .map(_.getPath.getName).filter(_.matches("[vd]\\d{8,}")).toSeq
+    assert(!logNames.contains("d00000001"),
+      s"log never expired: ${logNames.sorted.mkString(", ")}")
+    ManifestTable.clearSnapshotCacheForTest()
+    assert(ManifestTable.read(spark, dir).count() === 160L)
+    // replays of absorbed stream batches are still no-ops after all
+    // the maintenance commits in between
+    val sink = new graft.ext.ManifestSink(dir, Nil, Nil)
+    sink.addBatch(3L, Seq((9999L, "dup")).toDF("id", "text"))
+    assert(ManifestTable.read(spark, dir).count() === 160L)
+  }
+
   test("the sink refuses non-append output modes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
