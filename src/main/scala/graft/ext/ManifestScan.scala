@@ -152,7 +152,9 @@ class StaticFileIndex(spark: SparkSession,
   *     manifest versions). Option `sinceVersion` starts the feed AFTER
   *     the named version (exclusive, matching
   *     [[ManifestTable.appendsBetween]]); default 0 = from the table's
-  *     beginning. Option `readChangeFeed = true` streams the FULL CDC
+  *     beginning. `sinceTimestamp` (epoch millis, mutually exclusive)
+  *     starts after the newest commit at or before the instant —
+  *     "changes since when I last looked". Option `readChangeFeed = true` streams the FULL CDC
   *     feed instead (`_change_type` + `commit_version` columns — the
   *     streaming face of [[ManifestTable.changesBetween]]). Option
   *     `maxVersionsPerTrigger` bounds each micro-batch to that many
@@ -261,7 +263,15 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
   : org.apache.spark.sql.execution.streaming.Source = {
     val dir = pathOf(parameters)
     val spark = sqlContext.sparkSession
-    val since = parameters.get("sinceVersion").map(_.toLong).getOrElse(0L)
+    require(!(parameters.contains("sinceVersion") &&
+      parameters.contains("sinceTimestamp")),
+      "graft-manifest: sinceVersion and sinceTimestamp are mutually exclusive")
+    // sinceTimestamp: start AFTER the newest commit at or before the
+    // instant — "changes since when I last looked", clock-keyed
+    val since = parameters.get("sinceVersion").map(_.toLong)
+      .orElse(parameters.get("sinceTimestamp").map(ts =>
+        ManifestTable.versionAt(spark, dir, ts.toLong)))
+      .getOrElse(0L)
     // the base TABLE schema: when Spark hands back the source schema it
     // includes the CDC columns — strip them, the source re-adds them
     val base = schema.map(sc => org.apache.spark.sql.types.StructType(

@@ -85,6 +85,39 @@ class ManifestStreamSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("mt_since") }
   }
 
+  test("sinceTimestamp starts the feed after the instant's newest commit") {
+    val dir = tmp("sincets")
+    ManifestTable.append(batch(1, 2), dir, "b0") // v1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    ManifestTable.append(batch(3), dir, "b1")    // v2
+    val sink = "mt_sincets"
+    val q = spark.readStream.format("graft-manifest")
+      .option("sinceTimestamp", between.toString).load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only v2's rows: v1 predates the instant
+      assert(spark.table(sink).select("id").as[Long]
+        .collect().toSeq.sorted === Seq(3L))
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+    // the two pins are mutually exclusive; the error surfaces on the
+    // stream thread (createSource runs there), so await it
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("sinceVersion", "1").option("sinceTimestamp", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("mt_sincets_bad")
+      .outputMode("append").start()
+    val e = intercept[Exception] {
+      try { q2.processAllAvailable(); q2.awaitTermination(10000) }
+      finally q2.stop()
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")))
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch; nothing is lost") {
     val dir = tmp("ratelimit")
     (0 until 4).foreach(i =>
