@@ -284,6 +284,43 @@ class ManifestStreamSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir).count() === 160L)
   }
 
+  test("the CDC stream over a sink-maintained table: packs invisible, inserts exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("sinkcdc")
+    val ckpt = tmp("sinkcdc_ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("id", "text")
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt)
+      .option("packSmallBytes", (1024L * 1024).toString)
+      .option("maintainEvery", "2")
+      .outputMode("append").start(dir)
+    try {
+      (0 until 5).foreach { k =>
+        source.addData((0L until 10L).map(i =>
+          (k * 10L + i, s"doc ${k * 10L + i}")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // maintenance compactions happened (more commits than data batches)
+    assert(ManifestTable.snapshot(spark, dir).version > 5L)
+    // the full CDC replay sees each row ONCE, as an insert, at its own
+    // data commit — every pack commit contributes nothing
+    val sink = "mt_sinkcdc"
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("id", "_change_type").as[(Long, String)].collect().toSeq
+      assert(rows.forall(_._2 == "insert"))
+      assert(rows.map(_._1).sorted === (0L until 50L))
+    } finally { q2.stop(); spark.catalog.dropTempView(sink) }
+  }
+
   test("the sink refuses non-append output modes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
