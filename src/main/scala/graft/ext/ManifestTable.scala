@@ -874,11 +874,25 @@ object ManifestTable {
                          partCols: Seq[String]): Unit =
     if (partCols.isEmpty) df.write.parquet(stage)
     else {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      // the directory key is "v" + canonical value, null kept null:
+      // Spark's path writer sends BOTH null and '' to
+      // __HIVE_DEFAULT_PARTITION__, so a raw duplicate would conflate
+      // them and the "exact" point stats would prove `c = ''` matches
+      // nothing — silently dropping rows. The prefix keeps every
+      // non-null value (including '') out of the null directory;
+      // [[moveToData]] strips it back off.
       val dup = partCols.foldLeft(df)((d, c) =>
-        d.withColumn(PartPrefix + c, col(c)))
+        d.withColumn(PartPrefix + c,
+          when(col(c).isNull, lit(null: String))
+            .otherwise(concat(lit(PartValueTag), col(c).cast("string")))))
       dup.write.partitionBy(partCols.map(PartPrefix + _): _*).parquet(stage)
     }
+
+  /** Prefix on every non-null `_gp_` directory value (see [[stageWrite]]).
+    * Exists only in the transient stage path, never in manifests or data.
+    */
+  private val PartValueTag = "v"
 
   /** Canonical-family map (the [[Skipping]] vocabulary) for the table's
     * partition columns, from the written frame's schema — what
@@ -920,9 +934,18 @@ object ManifestTable {
             val c = ExternalCatalogUtils.unescapePathName(
               name.substring(0, eq)).stripPrefix(PartPrefix).toLowerCase
             val raw = name.substring(eq + 1)
+            // only a true null reaches the hive default directory —
+            // [[stageWrite]] tags every non-null value (so '' becomes
+            // the bare tag, distinct from null); strip the tag back off
             val v =
               if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
-              else Some(ExternalCatalogUtils.unescapePathName(raw))
+              else {
+                val dec0 = ExternalCatalogUtils.unescapePathName(raw)
+                require(dec0.startsWith(PartValueTag),
+                  s"staged partition directory $name lacks the " +
+                    s"'$PartValueTag' value tag — not a graft stage")
+                Some(dec0.substring(PartValueTag.length))
+              }
             walk(st.getPath,
               pv + (c -> PartValue(partFams.getOrElse(c, "string"), v)))
           } else walk(st.getPath, pv)
@@ -2179,18 +2202,27 @@ object ManifestTable {
     ((fromVersion + 1L) to toVersion).map { v =>
       if (log.delta.contains(v)) {
         val d = readDelta(spark, dir, v)
+        // dvClear counts as a row-visibility change: a restore whose only
+        // action RESETS surviving files' deletion vectors (cleardv: with
+        // no removes and no new dv: suffix) resurrects rows — a feed that
+        // classified it pureInsert would silently skip the commit and
+        // drift from the table
         VersionChange(v, d.op, d.adds,
-          d.removes.nonEmpty || d.dvs.nonEmpty, d.cdcPath)
+          d.removes.nonEmpty || d.dvs.nonEmpty || d.dvClear.nonEmpty,
+          d.cdcPath)
       } else {
         val cur = resolveAt(spark, dir, v, log)
         val prev = resolveAt(spark, dir, v - 1L, log)
         val prevSet = prev.files.toSet
         val curSet = cur.files.toSet
-        val dvGrew = cur.dvs.exists { case (fn, refs) =>
-          refs.size > prev.dvs.getOrElse(fn, Seq.empty).size
+        // ANY dv-ref difference — growth, shrinkage, or rewrite — means
+        // visible rows changed (shrinkage is the restore shape the
+        // growth-only check used to miss)
+        val dvChanged = (cur.dvs.keySet ++ prev.dvs.keySet).exists { fn =>
+          cur.dvs.getOrElse(fn, Seq.empty) != prev.dvs.getOrElse(fn, Seq.empty)
         }
         VersionChange(v, cur.op, cur.files.filterNot(prevSet),
-          prev.files.exists(!curSet.contains(_)) || dvGrew, cur.cdcPath)
+          prev.files.exists(!curSet.contains(_)) || dvChanged, cur.cdcPath)
       }
     }
   }

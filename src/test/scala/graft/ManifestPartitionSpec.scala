@@ -118,6 +118,46 @@ class ManifestPartitionSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir).count() === 4L)
   }
 
+  test("'' and null partition values stay DISTINCT through read, delete, overwrite") {
+    // Spark's path writer sends both null and '' to
+    // __HIVE_DEFAULT_PARTITION__; a raw directory decode conflated them,
+    // recorded '' as the null tuple, and the "exact" point pruning then
+    // proved `city = ''` matched nothing — read, deleteWhere and
+    // overwriteWhere silently dropped rows whose bytes were in the file.
+    val dir = tmp("emptykey")
+    val d = Seq((1L, "", "a"), (2L, null, "b"), (3L, "sf", "c"),
+      (4L, "", "d"), (5L, null, "e")).toDF("id", "city", "text")
+    ManifestTable.append(d, dir, "b0", partitionBy = Seq("city"))
+    val s = ManifestTable.snapshot(spark, dir)
+    // the manifest records '' as Some("") and null as None — distinct
+    val emptyFiles = s.files.filter(f => s.pvals(f)("city").value.contains(""))
+    val nullFiles = s.files.filter(f => s.pvals(f)("city").value.isEmpty)
+    assert(emptyFiles.nonEmpty && nullFiles.nonEmpty)
+    assert(emptyFiles.toSet.intersect(nullFiles.toSet).isEmpty)
+    // read: equality on '' finds its rows; IS NULL finds only true nulls
+    assert(ManifestTable.readWhere(spark, dir, "city = ''")
+      .select("id").as[Long].collect().toSeq.sorted === Seq(1L, 4L))
+    assert(ManifestTable.readWhere(spark, dir, "city IS NULL")
+      .select("id").as[Long].collect().toSeq.sorted === Seq(2L, 5L))
+    assert(ManifestTable.pruneInfo(spark, dir, "city = ''")._1 ===
+      emptyFiles.size)
+    // the planner-integrated scan agrees
+    assert(ManifestTable.scan(spark, dir).where("city = ''")
+      .select("id").as[Long].collect().toSeq.sorted === Seq(1L, 4L))
+    // overwriteWhere: replaces exactly the '' partition
+    ManifestTable.overwriteWhere(
+      Seq((6L, "", "f")).toDF("id", "city", "text"), dir, "city = ''", "o0")
+    assert(ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted === Seq(2L, 3L, 5L, 6L))
+    // deleteWhere: removes exactly the '' partition's rows
+    assert(ManifestTable.deleteWhere(spark, dir, "city = ''", "d0"))
+    assert(ManifestTable.read(spark, dir).select("id").as[Long]
+      .collect().toSeq.sorted === Seq(2L, 3L, 5L))
+    // nulls survived both ops untouched
+    assert(ManifestTable.readWhere(spark, dir, "city IS NULL")
+      .select("id").as[Long].collect().toSeq.sorted === Seq(2L, 5L))
+  }
+
   test("clustered and z-ordered compaction preserve the partition invariant") {
     val dir = tmp("cluster")
     val d = (0L until 400L)

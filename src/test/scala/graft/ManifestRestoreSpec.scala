@@ -143,6 +143,27 @@ class ManifestRestoreSpec extends SparkSpec {
     assert(row.getAs[Boolean]("has_schema"))
   }
 
+  test("the feeds refuse a DV-ONLY restore (cleardv with no removes)") {
+    // The silent-skip shape: the restore's delta carries ONLY cleardv:
+    // lines — files unchanged, no new dv refs — yet it resurrects rows.
+    // A feed that classified it pureInsert would skip the commit and
+    // never surface the resurrected rows to consumers.
+    val dir = tmp("dvonly_feed")
+    ManifestTable.append(batch(1L to 20L: _*), dir, "b0")            // v1
+    assert(ManifestTable.deleteWhereDV(spark, dir, "id <= 5", "d0")) // v2
+    assert(ManifestTable.restore(spark, dir, 1L, "r0"))              // v3
+    assert(ManifestTable.snapshot(spark, dir).dvs.isEmpty)
+    val e = intercept[IllegalStateException] {
+      ManifestTable.appendsBetween(spark, dir, 2L, 3L).count()
+    }
+    assert(e.getMessage.contains("restore"),
+      s"DV-only restore must raise in the append feed, got: ${e.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      ManifestTable.changesBetween(spark, dir, 2L, 3L).count()
+    }
+    assert(e2.getMessage.contains("restore"))
+  }
+
   test("the feeds refuse a restore commit instead of mis-reporting it") {
     val dir = tmp("feeds")
     ManifestTable.append(batch(1, 2), dir, "b0")                 // v1
