@@ -16,6 +16,7 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -48,7 +49,8 @@ object Explain {
       "manifest_cdf_dv", "manifest_cdf_dv_stream_replay",
       "manifest_delete_meta", "manifest_overwrite",
       "manifest_sink_replay", "manifest_restore",
-      "manifest_compact_small")
+      "manifest_compact_small",
+      "manifest_sql_ddl", "manifest_scan_dv")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -227,9 +229,30 @@ object Explain {
         s"piped table: v${snap.version}, batches ${snap.batchIds.toSeq.sorted
           .mkString(", ")} — one manifest commit per micro-batch " +
           "(stream-<n> ids = the exactly-once dedup key), partitioned by " +
-          "(${snap.partitionCols.mkString(\", \")}) from the writer's " +
+          s"(${snap.partitionCols.mkString(", ")}) from the writer's " +
           "partitionBy; the engine work is two real streaming queries, " +
           "no driver data path"
+      }),
+      "manifest_sql_ddl" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/sqlddl_wh/sqlddl")
+        s"SQL-built table: v${snap.version}, op=${snap.op}, " +
+          s"partitioned by (${snap.partitionCols.mkString(", ")}) — the " +
+          "whole CREATE/INSERT/DELETE/re-INSERT cycle ran through " +
+          "spark.sql against the DSv2 catalog; the SELECT's " +
+          "FileSourceScanExec below IS the ManifestFileIndex plan " +
+          "(builder REQUIREd the partition probe read exactly the " +
+          "partition's files)"
+      }),
+      "manifest_scan_dv" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_scan_dv")
+        val dvd = snap.files.count(f => snap.dvs.get(f).exists(_.nonEmpty))
+        s"head: v${snap.version}, $dvd of ${snap.files.size} files carry " +
+          "outstanding deletion vectors — the union plan below scans " +
+          "clean files through the pruned FileIndex branch " +
+          "(FileSourceScanExec) and anti-joins only the DV'd files; " +
+          "one point delete no longer costs the table its planner pruning"
       }),
       "manifest_overwrite" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

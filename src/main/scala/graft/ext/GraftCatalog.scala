@@ -1,0 +1,377 @@
+package graft.ext
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SQL DDL/DML face of [[ManifestTable]] — a DataSource V2
+  * `TableCatalog` (VERDICT r13 order #1), so the table layer works from
+  * plain `spark.sql`:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.ext.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/wh")
+  *   spark.sql("CREATE TABLE graft.docs (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+  *   spark.sql("INSERT INTO graft.docs VALUES (1, 'de')")
+  *   spark.sql("SELECT * FROM graft.docs WHERE lang = 'de'")
+  *   spark.sql("DELETE FROM graft.docs WHERE id = 1")
+  *   spark.sql("SELECT * FROM graft.docs VERSION AS OF 2")
+  * }}}
+  *
+  * An identifier `graft.a.b.t` maps to the directory `<warehouse>/a/b/t`
+  * — namespaces are directories, a table is a directory holding a
+  * `_manifest/` log, exactly the layout every Scala-API caller already
+  * uses, so SQL and Scala callers interoperate on the SAME tables.
+  *
+  * Reads resolve to [[GraftTableV2]], whose relations
+  * [[graft.plans.GraftExtensions]] converts to the planner-integrated
+  * [[ManifestFileIndex]] scan (FileSourceScanExec: stats+bloom file
+  * pruning, vectorized parquet, whole-stage codegen). Without the
+  * extension the table still answers through its V1Scan fallback —
+  * correct and filter-pruned, minus the codegen'd scan node.
+  *
+  * Writes go through the V1 write bridge: `INSERT INTO` appends a batch
+  * (stats, blooms, constraints, partition layout — indistinguishable
+  * from a Scala append), `INSERT OVERWRITE` maps to
+  * [[ManifestTable.overwriteWhere]] (one atomic replace commit), and
+  * `DELETE FROM ... WHERE` maps to [[ManifestTable.deleteWhere]] — the
+  * same metadata-or-CoW row-level delete, file-pruned, so a partition
+  * drop stays a manifest-only commit at any scale.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+      .stripSuffix("/")
+  }
+
+  override def name(): String = catName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def nsDir(namespace: Array[String]): String =
+    (warehouse +: namespace.toSeq).mkString("/")
+
+  // -------------------------------------------------------------- tables
+
+  override def tableExists(ident: Identifier): Boolean =
+    ManifestTable.exists(spark, dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTableV2(spark, dirOf(ident),
+      (catName +: (ident.namespace() :+ ident.name()).toSeq).mkString("."),
+      pinned = None)
+  }
+
+  /** SQL time travel: `VERSION AS OF <v>` — the loaded table pins the
+    * named manifest version (reads only; a pinned table refuses writes
+    * upstream in Spark).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTableV2(spark, dirOf(ident),
+      (catName +: (ident.namespace() :+ ident.name()).toSeq).mkString("."),
+      pinned = Some(version.toLong))
+  }
+
+  /** SQL time travel: `TIMESTAMP AS OF <ts>` (Spark hands micros). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = ManifestTable.versionAt(spark, dirOf(ident), timestamp / 1000L)
+    new GraftTableV2(spark, dirOf(ident),
+      (catName +: (ident.namespace() :+ ident.name()).toSeq).mkString("."),
+      pinned = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      org.apache.spark.sql.graft.GraftSqlShims.identityColumn(t).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-manifest tables partition by column identity only " +
+            s"(got transform $t); bucketing/clustering is a compaction " +
+            "policy (compact clusterBy/zorder), not a write layout"))
+    }
+    ManifestTable.create(spark, dirOf(ident), schema, partCols)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported on graft-manifest tables yet; " +
+        "schema evolves through appends (new nullable columns merge), " +
+        "constraints through ManifestTable.addConstraint/dropConstraint")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs(dirOf(ident))
+      .delete(new Path(dirOf(ident)), true)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    // a data-file-relative format relocates freely: nothing in the
+    // manifest records an absolute path
+    require(fs(dirOf(from)).rename(new Path(dirOf(from)),
+      new Path(dirOf(to))), s"rename $from -> $to failed")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = new Path(nsDir(namespace))
+    val f = fs(nsDir(namespace))
+    if (!f.exists(d)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
+    f.listStatus(d).iterator.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => ManifestTable.exists(spark, s"${nsDir(namespace)}/$n"))
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  // ---------------------------------------------------------- namespaces
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  private def isNamespaceDir(path: String): Boolean =
+    fs(path).exists(new Path(path)) && !ManifestTable.exists(spark, path)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespaceDir(nsDir(namespace))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+  : Array[Array[String]] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    val d = new Path(nsDir(namespace))
+    val f = fs(nsDir(namespace))
+    if (!f.exists(d)) Array.empty
+    else f.listStatus(d).iterator.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => ManifestTable.exists(spark, s"${nsDir(namespace)}/$n"))
+      .map(n => namespace :+ n).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+  : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsDir(namespace)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    fs(nsDir(namespace)).mkdirs(new Path(nsDir(namespace)))
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are directories; they carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade)
+      require(listTables(namespace).isEmpty &&
+        listNamespaces(namespace).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs(nsDir(namespace)).delete(new Path(nsDir(namespace)), true)
+  }
+}
+
+/** One manifest table through the DSv2 `Table` seam (see
+  * [[GraftCatalog]]). The snapshot pins at table LOAD — one SQL
+  * statement sees one manifest version, the same swap isolation every
+  * other read path gives — and `pinned` carries SQL time travel.
+  *
+  * Reads: [[graft.plans.GraftExtensions]] rewrites this table's
+  * relations to [[ManifestPlan.dataFrame]] (FileIndex-pruned,
+  * DV-aware); [[GraftScanBuilder]] is the self-contained V1Scan
+  * fallback for sessions without the extension. Writes:
+  * [[GraftWriteBuilder]] (V1 bridge). Deletes: `SupportsDeleteV2`,
+  * translated to predicate SQL — Spark only routes a DELETE here when
+  * every conjunct translates, so a dropped filter can never widen one.
+  */
+class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
+                   val pinned: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+
+  /** Resolved once per catalog load (= per SQL statement). */
+  lazy val snap: ManifestTable.Snapshot =
+    pinned.fold(ManifestTable.snapshot(spark, dir))(v =>
+      ManifestTable.snapshotAt(spark, dir, v))
+
+  override def name(): String = ident
+
+  override def schema(): StructType = ManifestPlan.schemaOf(spark, dir, snap)
+
+  override def partitioning(): Array[Transform] =
+    snap.partitionCols.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    Map("location" -> dir, "provider" -> "graft-manifest",
+      "version" -> snap.version.toString).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  /** The DV-aware, FileIndex-pruned read plan (what the extension's
+    * conversion rule swaps in for this table's relations).
+    */
+  def readDataFrame(session: SparkSession): DataFrame =
+    ManifestPlan.dataFrame(session, dir, snap)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = new GraftScanBuilder(spark, dir, snap, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty,
+      s"cannot write to a time-travel pinned version of $ident")
+    new GraftWriteBuilder(dir, ident)
+  }
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    deleteSql(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val sql = deleteSql(predicates).getOrElse(throw
+      new UnsupportedOperationException(
+        s"DELETE predicate not translatable: ${predicates.mkString(", ")}"))
+    ManifestTable.deleteWhere(spark, dir, sql,
+      s"sql-delete-${java.util.UUID.randomUUID()}")
+  }
+
+  private def deleteSql(predicates: Array[Predicate]): Option[String] = {
+    val v1 = predicates.toSeq.map(org.apache.spark.sql.graft.GraftSqlShims.predicateToV1)
+    if (v1.exists(_.isEmpty)) None
+    else FilterSql.conjunctionSql(v1.flatten)
+  }
+
+  override def toString: String = s"GraftTableV2($ident)"
+}
+
+/** The self-contained DSv2 read path (no session extension required):
+  * pushed filters translate to predicate SQL and pre-filter
+  * [[ManifestPlan.dataFrame]] — so file pruning via the clean branch's
+  * [[ManifestFileIndex]] still happens — while every filter is ALSO
+  * reported unhandled, so Spark re-applies them above (a filter the
+  * translation drops only widens the scan). Column pruning projects
+  * before the collect into the V1 RDD.
+  */
+class GraftScanBuilder(spark: SparkSession, dir: String,
+                       snap: ManifestTable.Snapshot,
+                       tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushedSql: Option[String] = None
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val translatable = filters.toSeq.filter(f => FilterSql.toSql(f).isDefined)
+    pushedSql = FilterSql.conjunctionSql(translatable)
+      .filter(_ => translatable.nonEmpty)
+    filters // all residual: Spark re-applies exactly, we prune only
+  }
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val (sql, req) = (pushedSql, required)
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = req
+        override def buildScan()
+        : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val base = ManifestPlan.dataFrame(context.sparkSession, dir, snap)
+          val filtered = sql.fold(base)(base.where)
+          filtered.select(req.fieldNames.toSeq
+            .map(org.apache.spark.sql.functions.col): _*).rdd
+        }
+      }.asInstanceOf[T]
+    }
+  }
+}
+
+/** The V1 write bridge: `INSERT INTO` → [[ManifestTable.append]] under
+  * a fresh `sql-insert-*` batch id; `INSERT OVERWRITE` (truncate or
+  * filtered) → [[ManifestTable.overwriteWhere]] — one atomic
+  * replace-commit, file-pruned by the predicate, refusing replacement
+  * rows that violate it (replaceWhere). The append path carries the
+  * whole table contract — stats, blooms, CHECK constraints, declared
+  * partition layout — so a SQL-written table is indistinguishable from
+  * a Scala-written one.
+  */
+class GraftWriteBuilder(dir: String, ident: String) extends WriteBuilder
+    with SupportsOverwriteV2 {
+
+  private var overwriteSql: Option[String] = None
+
+  override def truncate(): WriteBuilder = { overwriteSql = Some("true"); this }
+
+  override def canOverwrite(predicates: Array[Predicate]): Boolean = {
+    val v1 = predicates.toSeq.map(org.apache.spark.sql.graft.GraftSqlShims.predicateToV1)
+    !v1.exists(_.isEmpty) && FilterSql.conjunctionSql(v1.flatten).isDefined
+  }
+
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    val v1 = predicates.toSeq.map(org.apache.spark.sql.graft.GraftSqlShims.predicateToV1)
+    overwriteSql = FilterSql.conjunctionSql(
+      v1.map(_.getOrElse(throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE predicate not translatable on $ident"))))
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          overwriteSql match {
+            case Some(pred) =>
+              ManifestTable.overwriteWhere(data, dir, pred,
+                s"sql-overwrite-${java.util.UUID.randomUUID()}")
+            case None =>
+              ManifestTable.append(data, dir,
+                s"sql-insert-${java.util.UUID.randomUUID()}")
+          }
+      }
+  }
+}

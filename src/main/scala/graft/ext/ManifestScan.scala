@@ -115,6 +115,96 @@ object ManifestFileIndex {
     new java.util.concurrent.atomic.AtomicLong()
 }
 
+/** The shared PLAN BUILDERS behind every planner-integrated read of a
+  * manifest snapshot — the format face ([[ManifestSource]]), the Scala
+  * face ([[ManifestTable.scan]]), and the SQL catalog face
+  * ([[GraftTableV2]]) all produce the same plan shapes from here.
+  */
+object ManifestPlan {
+
+  /** The snapshot's table schema: manifest-tracked when present (files
+    * predating a column null-fill it, same contract as
+    * [[ManifestTable.read]]); footer-derived otherwise. A schema-less
+    * EMPTY table is unreadable (nothing to derive columns from).
+    */
+  def schemaOf(spark: SparkSession, dir: String,
+               snap: ManifestTable.Snapshot): StructType =
+    ManifestTable.tableSchema(snap).getOrElse {
+      require(snap.files.nonEmpty,
+        s"ManifestTable at $dir has no committed data (and no tracked schema)")
+      spark.read.parquet(snap.files.map(n => s"$dir/data/$n"): _*).schema
+    }
+
+  /** The parquet relation over the snapshot's DV-LESS files, planned
+    * through [[ManifestFileIndex]] — `FileSourceScanExec`, vectorized
+    * reader, whole-stage codegen, stats+bloom file pruning. The caller
+    * must have split off DV-carrying files ([[dataFrame]] does).
+    */
+  def relation(spark: SparkSession, dir: String,
+               snap: ManifestTable.Snapshot): HadoopFsRelation =
+    HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),
+      partitionSchema = StructType(Nil),
+      dataSchema = schemaOf(spark, dir, snap),
+      bucketSpec = None, fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+
+  /** The DV-AWARE planner read (VERDICT r13 order: lift the deletion-
+    * vector refusal): files WITHOUT outstanding deletion vectors plan
+    * through [[ManifestFileIndex]] — the full Catalyst-pruned,
+    * codegen'd path — and files WITH vectors contribute their
+    * anti-joined frame, unioned on top. Filters a caller stacks above
+    * push into BOTH branches (union pushdown), so the clean branch
+    * still prunes on manifest stats and the DV branch prunes at the
+    * parquet row-group level. A table with one outstanding point-delete
+    * keeps planner pruning for every untouched file — at 100 TB the
+    * alternative (this whole read falling back to an unpruned path
+    * until compaction retires the vector) is a cliff.
+    */
+  def dataFrame(spark: SparkSession, dir: String,
+                snap: ManifestTable.Snapshot): org.apache.spark.sql.DataFrame = {
+    val (dvd, clean) =
+      snap.files.partition(n => snap.dvs.get(n).exists(_.nonEmpty))
+    val cleanDf = spark.baseRelationToDataFrame(
+      relation(spark, dir, snap.copy(files = clean, dvs = Map.empty)))
+    if (dvd.isEmpty) cleanDf
+    else {
+      val dvdDf = ManifestTable.readDvApplied(spark, dir, snap, dvd)
+      // align to the table schema's column order on both branches
+      val cols = cleanDf.schema.fieldNames
+        .map(org.apache.spark.sql.functions.col).toSeq
+      cleanDf.select(cols: _*).unionByName(dvdDf.select(cols: _*))
+    }
+  }
+}
+
+/** The format face's fallback relation for a DV-CARRYING snapshot: a
+  * `RelationProvider` must return one `BaseRelation`, which cannot be
+  * the union plan [[ManifestPlan.dataFrame]] builds — so this relation
+  * answers `buildScan` by RUNNING that plan, with the pushed filters
+  * re-applied as a SQL conjunction (file pruning via the clean branch's
+  * [[ManifestFileIndex]], DV anti-join intact). `unhandledFilters`
+  * keeps Spark's own Filter above (the default), so a filter this
+  * translation drops only widens the scan, never the answer.
+  */
+class ManifestDvRelation(spark: SparkSession, dir: String,
+                         snap: ManifestTable.Snapshot)
+    extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = ManifestPlan.schemaOf(spark, dir, snap)
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[org.apache.spark.sql.sources.Filter])
+  : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val base = ManifestPlan.dataFrame(spark, dir, snap)
+    val filtered = filters.flatMap(FilterSql.toSql)
+      .foldLeft(base)((d, sql) => d.where(sql))
+    // project to EXACTLY the requested columns (possibly zero, for a
+    // pure count) — the contract is rows shaped as requiredColumns
+    filtered.select(requiredColumns.toSeq
+      .map(org.apache.spark.sql.functions.col): _*).rdd
+  }
+}
+
 /** A [[FileIndex]] over an EXPLICIT file list, no pruning — the leaf
   * relation [[ManifestStreamSource]]'s CDC batches are built from: each
   * micro-batch names its exact files (appended data files or a commit's
@@ -172,16 +262,6 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-manifest needs a path: spark.read.format(\"graft-manifest\").load(dir)"))
 
-  // schema-on-manifest when tracked (files predating a column null-fill
-  // it, same contract as ManifestTable.read); footer-derived otherwise
-  private def schemaOf(spark: SparkSession, dir: String,
-                       snap: ManifestTable.Snapshot): StructType =
-    ManifestTable.tableSchema(snap).getOrElse {
-      require(snap.files.nonEmpty,
-        s"ManifestTable at $dir has no committed data (and no tracked schema)")
-      spark.read.parquet(snap.files.map(n => s"$dir/data/$n"): _*).schema
-    }
-
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val dir = pathOf(parameters)
@@ -195,12 +275,16 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     val snap = pinned
       .fold(ManifestTable.snapshot(spark, dir))(v =>
         ManifestTable.snapshotAt(spark, dir, v))
-    require(snap.files.nonEmpty,
-      s"ManifestTable at $dir has no committed data")
-    HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),
-      partitionSchema = StructType(Nil), dataSchema = schemaOf(spark, dir, snap),
-      bucketSpec = None, fileFormat = new ParquetFileFormat,
-      options = Map.empty)(spark)
+    // an EMPTY table with a tracked schema is legitimately readable
+    // (CREATE TABLE before the first INSERT) — the zero-file index
+    // plans an empty scan with real columns; only a schema-less empty
+    // table has nothing to offer (schemaOf raises there)
+    if (snap.dvs.exists(_._2.nonEmpty))
+      // DV-carrying snapshots answer through the union plan; a
+      // RelationProvider cannot return it directly, so this fallback
+      // relation runs it per buildScan (pruned via the clean branch)
+      new ManifestDvRelation(spark, dir, snap)
+    else ManifestPlan.relation(spark, dir, snap)
   }
 
   private def cdcOn(parameters: Map[String, String]): Boolean =
@@ -213,7 +297,7 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     val dir = pathOf(parameters)
     val spark = sqlContext.sparkSession
     val base = schema.getOrElse(
-      schemaOf(spark, dir, ManifestTable.snapshot(spark, dir)))
+      ManifestPlan.schemaOf(spark, dir, ManifestTable.snapshot(spark, dir)))
     (shortName(),
       if (!cdcOn(parameters)) base
       else base.add("_change_type", org.apache.spark.sql.types.StringType)
@@ -277,7 +361,7 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     val base = schema.map(sc => org.apache.spark.sql.types.StructType(
       sc.fields.filterNot(f => cdcOn(parameters) &&
         (f.name == "_change_type" || f.name == "commit_version"))))
-      .getOrElse(schemaOf(spark, dir, ManifestTable.snapshot(spark, dir)))
+      .getOrElse(ManifestPlan.schemaOf(spark, dir, ManifestTable.snapshot(spark, dir)))
     new ManifestStreamSource(spark, dir, base, since, cdcOn(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }

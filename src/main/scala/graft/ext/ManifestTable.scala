@@ -196,6 +196,15 @@ object ManifestTable {
     * reads) flows through this method, so DV semantics hold everywhere
     * by construction.
     */
+  /** `names` of `s` read with their deletion vectors applied — the seam
+    * [[ManifestPlan.dataFrame]]'s DV branch reads through (same
+    * primitive as [[read]]).
+    */
+  private[graft] def readDvApplied(spark: SparkSession, dir: String,
+                                   s: Snapshot,
+                                   names: Seq[String]): DataFrame =
+    readFiles(spark, dir, s, names)
+
   private def readFiles(spark: SparkSession, dir: String, s: Snapshot,
                         names: Seq[String]): DataFrame = {
     val (dvd, clean) = names.partition(n => s.dvs.get(n).exists(_.nonEmpty))
@@ -778,19 +787,55 @@ object ManifestTable {
       require(snap.files.isEmpty,
         "partitioning must be declared at table creation (the table " +
           "already has data files laid out without it)")
-      partitionBy.foreach { c =>
-        val fd = schema.fields.find(_.name.equalsIgnoreCase(c))
-        require(fd.isDefined, s"partition column $c is not in the batch")
-        require(fd.get.dataType match {
-          case ByteType | ShortType | IntegerType | LongType |
-               StringType | BooleanType => true
-          case _ => false
-        }, s"partition column $c has type ${fd.get.dataType.simpleString}; " +
-          "only integral, string and boolean columns can partition")
-      }
+      validatePartitionDecl(schema, partitionBy)
       partitionBy
     }
   }
+
+  /** Every declared partition column must exist in `schema` with a
+    * stats-faithful type (see [[resolveLayout]]) — shared by the
+    * first-append declaration and [[create]]'s DDL declaration.
+    */
+  private def validatePartitionDecl(
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    partitionBy.foreach { c =>
+      val fd = schema.fields.find(_.name.equalsIgnoreCase(c))
+      require(fd.isDefined, s"partition column $c is not in the schema")
+      require(fd.get.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             StringType | BooleanType => true
+        case _ => false
+      }, s"partition column $c has type ${fd.get.dataType.simpleString}; " +
+        "only integral, string and boolean columns can partition")
+    }
+  }
+
+  /** CREATE TABLE: declare the schema (and optional partition layout)
+    * as version 1's METADATA COMMIT, before any data arrives — the SQL
+    * DDL face's entry point ([[GraftCatalog]]). The tracked schema makes
+    * an empty table readable (zero-file scan with real columns), and
+    * the declared layout binds every later append exactly as a
+    * first-append `partitionBy` would. Raises if the table already has
+    * any committed version.
+    */
+  def create(spark: SparkSession, dir: String,
+             schema: org.apache.spark.sql.types.StructType,
+             partitionBy: Seq[String] = Nil): Unit = {
+    validatePartitionDecl(schema, partitionBy)
+    commit(spark, dir) { old =>
+      require(old.version == 0L,
+        s"ManifestTable at $dir already exists (v${old.version})")
+      Some(old.copy(schemaJson = Some(schema.json),
+        partitionCols = partitionBy, op = "create", cdcPath = None))
+    }
+    ()
+  }
+
+  /** True when `dir` holds a manifest table (any committed version). */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    headVersion(spark, dir) > 0L
 
   /** Append `df` as batch `batchId`. Returns true if the batch committed,
     * false if an earlier commit already absorbed this `batchId` (the
@@ -2516,8 +2561,11 @@ object ManifestTable {
     */
   def scan(spark: SparkSession, dir: String,
            asOf: Option[Long] = None): DataFrame = {
-    val r = spark.read.format("graft-manifest")
-    asOf.fold(r)(v => r.option("versionAsOf", v.toString)).load(dir)
+    // built directly (not via the format face): a DV-carrying snapshot
+    // returns the union plan — clean files through the pruned
+    // FileIndex, DV'd files anti-joined — instead of refusing
+    val snap = asOf.fold(snapshot(spark, dir))(snapshotAt(spark, dir, _))
+    ManifestPlan.dataFrame(spark, dir, snap)
   }
 
   /** `keyCol IN (keys...)` as predicate SQL for [[readWhere]] /

@@ -14,10 +14,61 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `GraftFunctions.register(spark)` for a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectPostHocResolutionRule(session => new GraftV2Reads(session))
+  }
+}
+
+/** Converts a [[graft.ext.GraftCatalog]] table's resolved V2 relations
+  * into the planner-integrated V1 read
+  * ([[graft.ext.ManifestPlan.dataFrame]]): `SELECT` over a graft table
+  * plans as a `FileSourceScanExec` whose file list the
+  * [[graft.ext.ManifestFileIndex]] prunes with manifest stats, blooms
+  * and partition tuples — the same plan `ManifestTable.scan` builds —
+  * instead of the V1Scan fallback's row-at-a-time bridge. The standard
+  * table-format move (Delta's DeltaAnalysis does exactly this).
+  *
+  * WRITE TARGETS must stay V2 relations — a converted target would send
+  * `INSERT` through a raw parquet write, bypassing the manifest commit —
+  * so the traversal skips `V2WriteCommand.table`, `InsertIntoStatement`
+  * targets and `DeleteFromTable` entirely (their data still flows
+  * through the manifest via the V1 write bridge / SupportsDeleteV2).
+  * Relations this rule leaves untouched (e.g. inside subquery
+  * expressions, which it does not descend into) remain CORRECT through
+  * the table's own V1Scan fallback — conversion is a plan upgrade, not
+  * a correctness requirement.
+  */
+class GraftV2Reads(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, Project, V2WriteCommand}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def convert(plan: LogicalPlan): LogicalPlan = plan match {
+    case w: V2WriteCommand => w.withNewQuery(convert(w.query))
+    case i: InsertIntoStatement => i.copy(query = convert(i.query))
+    case d: DeleteFromTable => d
+    case r: DataSourceV2Relation
+        if r.table.isInstanceOf[graft.ext.GraftTableV2] =>
+      val t = r.table.asInstanceOf[graft.ext.GraftTableV2]
+      val v1 = t.readDataFrame(session).queryExecution.analyzed
+      if (v1.output.size != r.output.size) r // shape drifted: keep V2
+      else
+        // rebind to the V2 relation's attribute ids so every parent
+        // operator's resolved references keep pointing at this scan
+        Project(r.output.zip(v1.output).map { case (tgt, src) =>
+          Alias(src, tgt.name)(exprId = tgt.exprId,
+            qualifier = tgt.qualifier)
+        }, v1)
+    case other => other.mapChildren(convert)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = convert(plan)
 }
 
 object GraftFunctions {

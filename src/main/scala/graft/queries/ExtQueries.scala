@@ -942,6 +942,89 @@ object ExtQueries {
     df.orderBy("doc_id")
   }
 
+  /** The SQL DDL/DML face, oracle-replayed END TO END (VERDICT r13
+    * order #1): a `GraftCatalog` over a scratch warehouse, then pure
+    * `spark.sql` — CREATE TABLE (partitioned), INSERT INTO, a
+    * partition DELETE, a re-INSERT of the derived replacement — and a
+    * pure-SQL read back. The REQUIREs pin that the SQL read planned
+    * through [[graft.ext.ManifestFileIndex]] (a FileSourceScanExec
+    * exists) and that a partition-predicate SELECT read EXACTLY the
+    * partition's files (numFiles metric) — SQL callers get the same
+    * pruned plan Scala callers do, not a compatibility bridge. Every
+    * statement is re-runnable (DROP IF EXISTS; fresh opIds), so warm
+    * bench passes replay the whole DDL/DML cycle.
+    */
+  def manifestSqlDdlQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/sqlddl_wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlddl")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlddl_src")
+    s.sql("CREATE TABLE graft_fix.sqlddl " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    s.sql("INSERT INTO graft_fix.sqlddl " +
+      "SELECT doc_id, lang, n_chars FROM sqlddl_src")
+    // partition-pruned SQL read: exactly the partition's files
+    val snap = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlddl")
+    val deFiles = snap.files.count(f =>
+      snap.pvals(f)("lang").value.contains("de"))
+    require(deFiles > 0 && deFiles < snap.files.size,
+      s"fixture degenerate: $deFiles de files of ${snap.files.size}")
+    val probe = s.sql("SELECT * FROM graft_fix.sqlddl WHERE lang = 'de'")
+    probe.collect()
+    val read = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    require(read.nonEmpty,
+      "SQL read did not plan through ManifestFileIndex/FileSourceScanExec")
+    require(read.sum == deFiles,
+      s"SQL partition read touched ${read.sum} files; pruning promised $deFiles")
+    // DML: drop the partition (pure metadata), re-insert it re-derived
+    s.sql("DELETE FROM graft_fix.sqlddl WHERE lang = 'de'")
+    s.sql("INSERT INTO graft_fix.sqlddl SELECT doc_id, lang, " +
+      "CAST(n_chars + 2000 AS BIGINT) FROM sqlddl_src WHERE lang = 'de'")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlddl ORDER BY doc_id")
+  }
+
+  /** The DV-AWARE planner scan, oracle-replayed (VERDICT r13 order #2):
+    * after a merge-on-read delete leaves deletion vectors outstanding,
+    * `scan().where(...)` must answer — clean files through the pruned
+    * [[graft.ext.ManifestFileIndex]] branch, DV'd files anti-joined —
+    * instead of refusing until compaction. The REQUIREs pin that the
+    * vectors really were outstanding at read time and that the clean
+    * branch still PRUNED on manifest stats (numFiles strictly below the
+    * clean-file count): the one-point-delete-kills-planner-pruning
+    * cliff is gone. The oracle replays delete + filter in DuckDB.
+    */
+  def manifestScanDvQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_scan_dv"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    require(graft.ext.ManifestTable.deleteWhereDV(s, root,
+      "doc_id >= 100 AND doc_id < 220", "d0"), "deleteWhereDV did not commit")
+    val snap = graft.ext.ManifestTable.snapshot(s, root)
+    val dvd = snap.files.filter(f => snap.dvs.get(f).exists(_.nonEmpty))
+    require(dvd.nonEmpty, "fixture degenerate: no outstanding DVs")
+    val clean = snap.files.size - dvd.size
+    val df = graft.ext.ManifestTable.scan(s, root).where("doc_id >= 150")
+    df.collect()
+    val read = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+    require(read < clean,
+      s"DV-aware scan read $read of $clean clean files — no pruning")
+    df.orderBy("doc_id")
+  }
+
   /** Copy-on-write DELETE, oracle-replayed: the documents table lands in
     * a manifest table, a clustered compaction builds per-file doc_id
     * ranges, then `deleteWhere` removes a doc_id band. The REQUIRE pins
@@ -1985,6 +2068,8 @@ object ExtQueries {
     "manifest_time_travel" -> (manifestTimeTravelQ(_, _)),
     "manifest_scan_pruned" -> (manifestScanPrunedQ(_, _)),
     "manifest_partition_pruned" -> (manifestPartitionPrunedQ(_, _)),
+    "manifest_sql_ddl" -> (manifestSqlDdlQ(_, _)),
+    "manifest_scan_dv" -> (manifestScanDvQ(_, _)),
     "manifest_delete" -> (manifestDeleteQ(_, _)),
     "manifest_delete_meta" -> (manifestDeleteMetaQ(_, _)),
     "manifest_overwrite" -> (manifestOverwriteQ(_, _)),
@@ -2789,6 +2874,24 @@ object ExtQueries {
     "manifest_scan_pruned" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id >= 100 AND doc_id < 220 AND lang <> 'de'
+        |ORDER BY doc_id""".stripMargin,
+
+    // the SQL DDL/DML cycle replayed: partition delete + re-insert of
+    // the re-derived partition; everything else byte-identical
+    "manifest_sql_ddl" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE NOT (lang = 'de')
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 2000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE lang = 'de')
+        |ORDER BY doc_id""".stripMargin,
+
+    // DV-aware planner scan: merge-on-read delete + a pushed filter,
+    // answered without compaction
+    "manifest_scan_dv" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (doc_id >= 100 AND doc_id < 220) AND doc_id >= 150
         |ORDER BY doc_id""".stripMargin,
 
     // DELETE semantics replayed: rows where the predicate is TRUE are

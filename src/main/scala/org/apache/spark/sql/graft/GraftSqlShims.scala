@@ -31,4 +31,24 @@ object GraftSqlShims {
     df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, df.schema, isStreaming = false)
   }
+
+  /** The identity-transform extractor (`PARTITIONED BY (col)`) — the
+    * `IdentityTransform` case class is `private[sql]`, so the catalog
+    * matches through this seam.
+    */
+  def identityColumn(t: org.apache.spark.sql.connector.expressions.Transform)
+  : Option[String] = t match {
+    case id: org.apache.spark.sql.connector.expressions.IdentityTransform =>
+      Some(id.ref.fieldNames.mkString("."))
+    case _ => None
+  }
+
+  /** V2 `Predicate` → V1 `Filter` via Spark's own bridge
+    * (`private[sql] PredicateUtils`) — what lets the catalog reuse ONE
+    * filter-to-SQL translation for scans, deletes and overwrites.
+    */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+  : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 }

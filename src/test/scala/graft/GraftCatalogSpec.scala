@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ext.ManifestTable
+
+/** The SQL DDL/DML face (VERDICT r13 order #1) and the DV-aware planner
+  * scan (order #2): a DSv2 `TableCatalog` over manifest tables, so
+  * CREATE/INSERT/SELECT/DELETE/OVERWRITE/time-travel run from plain
+  * `spark.sql`, with SELECT planning through `ManifestFileIndex`
+  * (FileSourceScanExec + manifest stats pruning — pinned by numFiles
+  * metrics), and tables carrying outstanding deletion vectors answering
+  * the union plan instead of refusing.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = "/tmp/graft_test/gcat_wh"
+
+  private def sql(q: String): DataFrame = spark.sql(q)
+
+  override def withFixture(test: NoArgTest) = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.ext.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    super.withFixture(test)
+  }
+
+  private def fsDel(path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
+  /** Files read by every FileSourceScanExec in df's executed plan —
+    * the observable pinning that SQL reads go through the pruned
+    * ManifestFileIndex (collect() first: metrics fill on execution).
+    */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    require(scans.nonEmpty, "plan has no FileSourceScanExec — the SQL " +
+      "read did not go through ManifestFileIndex:\n" +
+      df.queryExecution.executedPlan.toString)
+    scans.sum
+  }
+
+  test("CREATE TABLE + empty SELECT + INSERT + SELECT round-trip, all SQL") {
+    fsDel(s"$wh/t_basic")
+    sql("CREATE TABLE graft.t_basic (id BIGINT, lang STRING, n BIGINT)")
+    // a created-but-empty table is readable with real columns
+    val empty = sql("SELECT * FROM graft.t_basic")
+    assert(empty.columns.toSeq === Seq("id", "lang", "n"))
+    assert(empty.count() === 0L)
+    sql("INSERT INTO graft.t_basic VALUES (1, 'de', 10), (2, 'en', 20)")
+    sql("INSERT INTO graft.t_basic SELECT id + 10, lang, n FROM graft.t_basic")
+    assert(sql("SELECT * FROM graft.t_basic").count() === 4L)
+    assert(sql("SELECT CAST(sum(n) AS BIGINT) AS s FROM graft.t_basic")
+      .as[Long].head() === 60L)
+    // the SQL write went through the manifest: the Scala face agrees
+    assert(ManifestTable.read(spark, s"$wh/t_basic").count() === 4L)
+    assert(ManifestTable.snapshot(spark, s"$wh/t_basic").op === "append")
+  }
+
+  test("SQL SELECT plans through ManifestFileIndex and PRUNES (numFiles)") {
+    fsDel(s"$wh/t_prune")
+    val docs = (0L until 4000L)
+      .map(i => (i, s"document body $i with some ballast text"))
+      .toDF("id", "text")
+    ManifestTable.append(docs, s"$wh/t_prune", "b0")
+    ManifestTable.compact(spark, s"$wh/t_prune",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    val total = ManifestTable.snapshot(spark, s"$wh/t_prune").files.size
+    require(total > 3, s"fixture degenerate: $total files")
+    // full scan touches every file; a selective band PRUNES
+    assert(scannedFiles(sql("SELECT * FROM graft.t_prune")) === total)
+    val banded = sql("SELECT * FROM graft.t_prune WHERE id >= 100 AND id < 140")
+    assert(banded.count() === 40L) // scannedFiles re-collects for metrics
+    val read = scannedFiles(banded)
+    assert(read < total / 2,
+      s"SQL band read $read of $total files — manifest stats did not prune")
+  }
+
+  test("partitioned DDL: PARTITIONED BY prunes exactly; DELETE is metadata") {
+    fsDel(s"$wh/t_part")
+    sql("CREATE TABLE graft.t_part (id BIGINT, city STRING) PARTITIONED BY (city)")
+    sql("INSERT INTO graft.t_part SELECT id, CASE WHEN id % 3 = 0 THEN 'sf' " +
+      "WHEN id % 3 = 1 THEN 'nyc' ELSE 'ber' END FROM range(90)")
+    val s = ManifestTable.snapshot(spark, s"$wh/t_part")
+    assert(s.partitionCols === Seq("city"))
+    val sfFiles = s.files.count(f => s.pvals(f)("city").value.contains("sf"))
+    assert(sfFiles > 0 && sfFiles < s.files.size)
+    assert(scannedFiles(
+      sql("SELECT * FROM graft.t_part WHERE city = 'sf'")) === sfFiles)
+    // DELETE of a whole partition: pure metadata commit (no new files)
+    sql("DELETE FROM graft.t_part WHERE city = 'sf'")
+    val after = ManifestTable.snapshot(spark, s"$wh/t_part")
+    assert(after.files.toSet.subsetOf(s.files.toSet),
+      "partition delete must not rewrite files")
+    assert(sql("SELECT count(*) FROM graft.t_part").as[Long].head() === 60L)
+    assert(sql("SELECT count(*) FROM graft.t_part WHERE city = 'sf'")
+      .as[Long].head() === 0L)
+  }
+
+  test("row-level DELETE (CoW), INSERT OVERWRITE, and TIME TRAVEL via SQL") {
+    fsDel(s"$wh/t_ops")
+    sql("CREATE TABLE graft.t_ops (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft.t_ops SELECT id, id * 2 FROM range(100)") // v2
+    sql("DELETE FROM graft.t_ops WHERE id >= 90")                    // v3
+    assert(sql("SELECT count(*) FROM graft.t_ops").as[Long].head() === 90L)
+    sql("INSERT OVERWRITE graft.t_ops SELECT id, id * 3 FROM range(10)") // v4
+    assert(sql("SELECT CAST(sum(n) AS BIGINT) FROM graft.t_ops")
+      .as[Long].head() === (0L until 10L).map(_ * 3).sum)
+    // time travel reads the pre-overwrite, pre-delete states
+    assert(sql("SELECT count(*) FROM graft.t_ops VERSION AS OF 2")
+      .as[Long].head() === 100L)
+    assert(sql("SELECT count(*) FROM graft.t_ops VERSION AS OF 3")
+      .as[Long].head() === 90L)
+  }
+
+  test("CTAS, SHOW TABLES, DROP TABLE, and catalog/Scala interop") {
+    fsDel(s"$wh/t_ctas")
+    fsDel(s"$wh/t_src")
+    ManifestTable.append(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$wh/t_src", "b0")
+    sql("CREATE TABLE graft.t_ctas AS SELECT id, upper(v) AS v FROM graft.t_src")
+    assert(sql("SELECT * FROM graft.t_ctas ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "A"), (2L, "B")))
+    val listed = sql("SHOW TABLES IN graft").select("tableName")
+      .as[String].collect().toSet
+    assert(listed.contains("t_ctas") && listed.contains("t_src"))
+    sql("DROP TABLE graft.t_ctas")
+    assert(!spark.catalog.tableExists("graft.t_ctas"))
+    val e = intercept[Exception] { sql("SELECT * FROM graft.t_ctas") }
+    assert(e.getMessage.contains("t_ctas"))
+  }
+
+  test("DV-carrying tables answer SQL and scan() — the refusal is lifted") {
+    fsDel(s"$wh/t_dv")
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("id", "text")
+    ManifestTable.append(docs, s"$wh/t_dv", "b0")
+    ManifestTable.compact(spark, s"$wh/t_dv",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    // a point delete lands a DV on ONE file, everything else untouched
+    assert(ManifestTable.deleteWhereDV(spark, s"$wh/t_dv", "id = 7", "d0"))
+    val s = ManifestTable.snapshot(spark, s"$wh/t_dv")
+    val dvd = s.files.filter(f => s.dvs.get(f).exists(_.nonEmpty))
+    assert(dvd.size === 1, s"fixture expected one DV'd file, got ${dvd.size}")
+    // exact rows through BOTH faces
+    assert(ManifestTable.scan(spark, s"$wh/t_dv").count() === 299L)
+    assert(sql("SELECT count(*) FROM graft.t_dv").as[Long].head() === 299L)
+    assert(sql("SELECT count(*) FROM graft.t_dv WHERE id = 7")
+      .as[Long].head() === 0L)
+    // stats-excluded CLEAN files still prune: a band away from the DV'd
+    // file reads only its own files through the FileSourceScanExec
+    val total = s.files.size
+    val banded = ManifestTable.scan(spark, s"$wh/t_dv")
+      .where("id >= 200 AND id < 240")
+    assert(banded.count() === 40L)
+    val read = banded.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+    assert(read < total / 2,
+      s"DV-aware scan read $read of $total files — clean branch did not prune")
+    // composition: a filter ABOVE the union prunes into the clean branch
+    assert(ManifestTable.scan(spark, s"$wh/t_dv")
+      .where("id >= 5 AND id < 10").select("id")
+      .as[Long].collect().toSeq.sorted === Seq(5L, 6L, 8L, 9L))
+  }
+
+  test("SQL faces refuse what they cannot express, loudly") {
+    fsDel(s"$wh/t_err")
+    sql("CREATE TABLE graft.t_err (id BIGINT, v STRING)")
+    // duplicate creation raises the standard exception
+    val e = intercept[Exception] {
+      sql("CREATE TABLE graft.t_err (id BIGINT)")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+    // non-identity partition transforms are a loud no
+    fsDel(s"$wh/t_bucket")
+    val e2 = intercept[Exception] {
+      sql("CREATE TABLE graft.t_bucket (id BIGINT) PARTITIONED BY (bucket(4, id))")
+    }
+    assert(e2.getMessage.contains("identity"))
+    // ALTER is honest about not existing yet
+    val e3 = intercept[Exception] {
+      sql("ALTER TABLE graft.t_err ADD COLUMN extra STRING")
+    }
+    assert(e3.getMessage.contains("not supported"))
+  }
+}

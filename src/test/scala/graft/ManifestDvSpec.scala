@@ -71,11 +71,10 @@ class ManifestDvSpec extends SparkSpec {
   test("compact applies and RETIRES deletion vectors") {
     val dir = table("retire")
     assert(ManifestTable.deleteWhereDV(spark, dir, "id >= 90", "d0"))
-    // the planner scan refuses a DV'd snapshot rather than resurrect rows
-    val e = intercept[IllegalArgumentException] {
-      ManifestTable.scan(spark, dir).collect()
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    // the planner scan answers a DV'd snapshot via the union plan
+    // (r15: the refusal is lifted — clean files keep FileIndex pruning,
+    // DV'd files anti-join; never resurrects deleted rows)
+    assert(ManifestTable.scan(spark, dir).count() === 90L)
     val (in, out) = ManifestTable.compact(spark, dir)
     assert(in === 2 && out >= 1)
     assert(ManifestTable.snapshot(spark, dir).dvs.isEmpty)
