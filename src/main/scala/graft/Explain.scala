@@ -50,7 +50,8 @@ object Explain {
       "manifest_delete_meta", "manifest_overwrite",
       "manifest_sink_replay", "manifest_restore",
       "manifest_compact_small",
-      "manifest_sql_ddl", "manifest_scan_dv")
+      "manifest_sql_ddl", "manifest_scan_dv",
+      "manifest_restore_cdf", "manifest_restore_cdf_stream_replay")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -243,6 +244,19 @@ object Explain {
           "FileSourceScanExec below IS the ManifestFileIndex plan " +
           "(builder REQUIREd the partition probe read exactly the " +
           "partition's files)"
+      }),
+      "manifest_restore_cdf" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_restore_cdf")
+        s"head: v${snap.version}, op=${snap.op}, dvs=${snap.dvs.size} — " +
+          "the feed SPANS the rewind: v4's part below is the synthesized " +
+          "snapshot diff (resurrected files read + un-deleted DV " +
+          "positions semi-joined), O(changed files), never O(table)"
+      }),
+      "manifest_restore_cdf_stream_replay" -> (s => {
+        "same history through the streaming engine: the restore diff " +
+          "rides one micro-batch as a re-marked batch plan " +
+          "(GraftSqlShims.asStream), delivered exactly once"
       }),
       "manifest_scan_dv" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

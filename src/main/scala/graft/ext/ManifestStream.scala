@@ -126,17 +126,24 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
       val cdcSchema = baseSchema.add("_change_type", StringType)
       val parts = ManifestTable.changeCommitsBetween(spark, dir, from, to)
         .map {
-          case (v, Left(appended)) =>
+          case (v, ManifestTable.FeedInserts(appended)) =>
             rel(dataPaths(appended), baseSchema)
               .withColumn("_change_type", lit("insert"))
               .withColumn("commit_version", lit(v))
-          case (v, Right(sidecarDir)) =>
+          case (v, ManifestTable.FeedSidecar(sidecarDir)) =>
             val conf = spark.sparkContext.hadoopConfiguration
             val d = new Path(s"$dir/_cdc/$sidecarDir")
             val files = d.getFileSystem(conf).listStatus(d)
               .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
               .map(_.getPath).toSeq
             rel(files, cdcSchema).withColumn("commit_version", lit(v))
+          case (v, ManifestTable.FeedRestoreDiff) =>
+            // the synthesized snapshot diff is a join-built plan, not a
+            // file list — re-mark its batch plan as this micro-batch's
+            // streaming frame (rows identical, flag only)
+            org.apache.spark.sql.graft.GraftSqlShims.asStream(
+              ManifestTable.restoreDiffFrame(spark, dir, v, baseSchema))
+              .withColumn("commit_version", lit(v))
         }
       if (parts.isEmpty) rel(Seq.empty, cdcSchema)
         .withColumn("commit_version", lit(0L))

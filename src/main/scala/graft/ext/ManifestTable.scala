@@ -568,9 +568,10 @@ object ManifestTable {
     * from before the restore still no-ops. Raises if any restored file
     * was already vacuumed past the grace window (a restore must be
     * whole or not at all). The append feed refuses a restore commit
-    * (it un-deletes and un-inserts — not expressible as appends);
-    * [[changesBetween]] likewise raises without a sidecar, which a
-    * restore never writes.
+    * (it un-deletes and un-inserts — not expressible as appends); the
+    * CHANGE feed spans it: [[changesBetween]] synthesizes the commit's
+    * record as the snapshot diff ([[restoreDiffFrame]]), so CDC
+    * consumers survive an upstream rewind.
     */
   def restore(spark: SparkSession, dir: String, v: Long,
               opId: String): Boolean = {
@@ -2303,24 +2304,42 @@ object ManifestTable {
       }
     }
 
+  /** One contributing version's change record for the CDC feeds. */
+  private[graft] sealed trait FeedPart
+  /** The commit provably added only new rows — the files ARE the
+    * changes, all inserts.
+    */
+  private[graft] final case class FeedInserts(files: Seq[String])
+      extends FeedPart
+  /** The commit recorded a CDC sidecar — the authoritative record. */
+  private[graft] final case class FeedSidecar(name: String) extends FeedPart
+  /** A RESTORE commit: its changes are the SNAPSHOT DIFF, synthesized
+    * at read time by [[restoreDiffFrame]] (deletes for rows the rewind
+    * removed, inserts for rows it resurrected).
+    */
+  private[graft] case object FeedRestoreDiff extends FeedPart
+
   /** The CDC walk over `(fromVersion, toVersion]`: per contributing
-    * version, `Right(sidecarDir)` when the commit recorded a CDC sidecar
-    * (the authoritative change record), else `Left(files)` when the
-    * commit provably added only new rows ([[VersionChange.pureInsert]] —
-    * the files ARE the changes, all inserts). Compactions are skipped;
-    * a commit that removed or DV-marked rows without a sidecar raises
-    * (see [[changesBetween]]).
+    * version, a [[FeedSidecar]] when the commit recorded one (the
+    * authoritative change record), a [[FeedInserts]] when the commit
+    * provably added only new rows ([[VersionChange.pureInsert]]), or a
+    * [[FeedRestoreDiff]] for a restore commit (VERDICT r13 order #4:
+    * the feed SPANS a rewind instead of raising — consumers survive an
+    * upstream restore). Compactions are skipped; any other commit that
+    * removed or DV-marked rows without a sidecar raises (see
+    * [[changesBetween]]).
     */
   private[graft] def changeCommitsBetween(spark: SparkSession, dir: String,
                                           fromVersion: Long, toVersion: Long)
-  : Seq[(Long, Either[Seq[String], String])] =
+  : Seq[(Long, FeedPart)] =
     versionChanges(spark, dir, fromVersion, toVersion).flatMap { c =>
       c.op match {
         case "compact" | "metadata" => None // no rows changed
         case _ => c.cdcPath match {
-          case Some(name) => Some((c.v, Right(name)))
+          case Some(name) => Some((c.v, FeedSidecar(name)))
           case None if c.pureInsert =>
-            if (c.adds.isEmpty) None else Some((c.v, Left(c.adds)))
+            if (c.adds.isEmpty) None else Some((c.v, FeedInserts(c.adds)))
+          case None if c.op == "restore" => Some((c.v, FeedRestoreDiff))
           case None => throw new IllegalStateException(
             s"change feed: version ${c.v} of $dir is a " +
               s"'${if (c.op.isEmpty) "unknown" else c.op}' commit that " +
@@ -2389,7 +2408,11 @@ object ManifestTable {
     *     the op ran with `cdc = true`. A row-level commit WITHOUT a
     *     sidecar raises: the feed will not silently skip changes it
     *     cannot see (re-run such ops with CDC on, or consume the table
-    *     level instead).
+    *     level instead);
+    *   - `restore` commits yield their SYNTHESIZED snapshot diff
+    *     ([[restoreDiffFrame]]): `delete` for rows the rewind removed,
+    *     `insert` for rows it resurrected — the feed spans an upstream
+    *     restore instead of stranding its consumers.
     *
     * Rows are read with `toVersion`'s schema (union-compatible across
     * schema evolution). This is what turns the table into a replicable
@@ -2413,14 +2436,17 @@ object ManifestTable {
       org.apache.spark.sql.types.StringType)
     val parts = changeCommitsBetween(spark, dir, fromVersion, toVersion)
       .map {
-        case (v, Left(fresh)) =>
+        case (v, FeedInserts(fresh)) =>
           spark.read.schema(baseSchema)
             .parquet(fresh.map(n => s"${dataDir(dir)}/$n"): _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("commit_version", lit(v))
-        case (v, Right(name)) =>
+        case (v, FeedSidecar(name)) =>
           spark.read.schema(cdcSchema)
             .parquet(s"${cdcDir(dir)}/$name")
+            .withColumn("commit_version", lit(v))
+        case (v, FeedRestoreDiff) =>
+          restoreDiffFrame(spark, dir, v, baseSchema)
             .withColumn("commit_version", lit(v))
       }
     if (parts.isEmpty)
@@ -2428,6 +2454,96 @@ object ManifestTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         cdcSchema.add("commit_version", org.apache.spark.sql.types.LongType))
     else parts.reduce(_ unionByName _)
+  }
+
+  /** A RESTORE commit's change record, SYNTHESIZED as the diff between
+    * the snapshots it moved between (a restore writes no sidecar —
+    * nothing ran row-level). O(changed files + changed DV positions),
+    * never O(table):
+    *
+    *   - files the rewind REMOVED contribute their then-visible rows
+    *     (pre-restore DVs applied) as `delete`;
+    *   - files it RESURRECTED contribute their now-visible rows
+    *     (post-restore DVs applied) as `insert`;
+    *   - files surviving with CHANGED deletion vectors contribute only
+    *     the positions that flipped: un-deleted positions as `insert`
+    *     (the DV-only restore shape), newly-deleted ones as `delete`
+    *     (restoring INTO a more-deleted version).
+    *
+    * Data files must still be on disk — the same [[vacuum]]
+    * grace-window contract as time travel.
+    */
+  private[graft] def restoreDiffFrame(spark: SparkSession, dir: String,
+                                      v: Long,
+                                      baseSchema: org.apache.spark.sql.types.StructType)
+  : DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, split}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val cur = snapshotAt(spark, dir, v)
+    val prev = snapshotAt(spark, dir, v - 1L)
+    val curSet = cur.files.toSet
+    val prevSet = prev.files.toSet
+    val fm = "_graft_meta_file"
+    val pm = "_graft_meta_pos"
+
+    def withPos(names: Seq[String]): DataFrame =
+      spark.read.schema(baseSchema)
+        .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+        .withColumn(fm, element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn(pm, col("_metadata.row_index"))
+
+    // the (file, position) pairs snapshot `s` marks deleted in `names`
+    def delPos(s: Snapshot, names: Seq[String]): DataFrame = {
+      val refs = names.flatMap(n => s.dvs.getOrElse(n, Seq.empty))
+        .map(_.name).distinct
+      if (refs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(DvFileCol, StringType),
+          StructField(DvPosCol, LongType))))
+      else spark.read.parquet(refs.map(n => s"${dvDir(dir)}/$n"): _*)
+        .select(col(DvFileCol), col(DvPosCol))
+        .where(col(DvFileCol).isin(names: _*))
+    }
+
+    def visible(s: Snapshot, names: Seq[String]): DataFrame = {
+      val base = withPos(names)
+      val dels = delPos(s, names)
+      base.join(dels,
+        base(fm) === dels(DvFileCol) && base(pm) === dels(DvPosCol),
+        "left_anti").drop(fm, pm)
+    }
+
+    val baseCols = baseSchema.fieldNames.toSeq.map(col)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val removed = prev.files.filterNot(curSet)
+    if (removed.nonEmpty)
+      buf += visible(prev, removed).select(baseCols: _*)
+        .withColumn("_change_type", lit("delete"))
+    val added = cur.files.filterNot(prevSet)
+    if (added.nonEmpty)
+      buf += visible(cur, added).select(baseCols: _*)
+        .withColumn("_change_type", lit("insert"))
+    val dvChanged = prev.files.filter(n => curSet.contains(n) &&
+      prev.dvs.getOrElse(n, Seq.empty) != cur.dvs.getOrElse(n, Seq.empty))
+    if (dvChanged.nonEmpty) {
+      val base = withPos(dvChanged)
+      val before = delPos(prev, dvChanged)
+      val after = delPos(cur, dvChanged)
+      val resurrected = before.except(after) // deleted then, visible now
+      val redeleted = after.except(before)   // visible then, deleted now
+      buf += base.join(resurrected,
+        base(fm) === resurrected(DvFileCol) &&
+          base(pm) === resurrected(DvPosCol), "left_semi")
+        .select(baseCols: _*).withColumn("_change_type", lit("insert"))
+      buf += base.join(redeleted,
+        base(fm) === redeleted(DvFileCol) &&
+          base(pm) === redeleted(DvPosCol), "left_semi")
+        .select(baseCols: _*).withColumn("_change_type", lit("delete"))
+    }
+    if (buf.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      baseSchema.add("_change_type", org.apache.spark.sql.types.StringType))
+    else buf.reduce(_ unionByName _)
   }
 
   // ---------------------------------------------- data skipping

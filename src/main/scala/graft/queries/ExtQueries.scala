@@ -1587,6 +1587,73 @@ object ExtQueries {
       .orderBy("commit_version", "_change_type", "doc_id")
   }
 
+  /** RESTORE-AWARE CDC, oracle-replayed (VERDICT r13 order #4): a DV
+    * band delete (sidecar + vectors + whole-file drops), then RESTORE
+    * to the pre-delete version — and the change feed SPANS the rewind:
+    * the restore commit contributes its synthesized snapshot diff
+    * (resurrected whole files as inserts, un-deleted DV positions as
+    * inserts) instead of raising. The REQUIREs pin the fixture shape —
+    * the delete really dropped files AND left vectors, the restore
+    * really cleared them — so the diff exercises both resurrection
+    * paths; the DuckDB oracle replays insert → delete → restore-insert
+    * and a hash match certifies the feed reconstructs the exact rewind.
+    */
+  private def buildRestoreCdfFixture(s: SparkSession, d: String,
+                                     root: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")           // v1
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))    // v2
+    val v2 = graft.ext.ManifestTable.snapshot(s, root)
+    require(graft.ext.ManifestTable.deleteWhereDV(s, root,
+      "doc_id >= 100 AND doc_id < 220", "d0", cdc = true))       // v3
+    val v3 = graft.ext.ManifestTable.snapshot(s, root)
+    require(v3.files.size < v2.files.size && v3.dvs.nonEmpty,
+      "fixture degenerate: the DV delete should drop covered files " +
+        "AND vector the edge files")
+    require(graft.ext.ManifestTable.restore(s, root, 2L, "r0"))  // v4
+    val v4 = graft.ext.ManifestTable.snapshot(s, root)
+    require(v4.files.toSet == v2.files.toSet && v4.dvs.isEmpty,
+      "restore should resurrect the exact pre-delete file set and " +
+        "clear every vector")
+  }
+
+  def manifestRestoreCdfQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_restore_cdf"
+    buildRestoreCdfFixture(s, d, root)
+    graft.ext.ManifestTable.changesBetween(s, root, 0L, 4L)
+      .orderBy("commit_version", "_change_type", "doc_id")
+  }
+
+  /** [[manifestRestoreCdfQ]]'s history consumed through the real
+    * streaming engine — same oracle, certifying the streaming CDC
+    * source carries the synthesized restore diff exactly once.
+    */
+  def manifestRestoreCdfStreamQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_restore_cdf_stream"
+    buildRestoreCdfFixture(s, d, root)
+    val sink = "mt_restore_cdf_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val rows = try {
+      q.processAllAvailable()
+      s.table(sink).collect().toSeq
+    } finally { q.stop(); s.catalog.dropTempView(sink) }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("n_chars", "long")
+        .add("_change_type", "string").add("commit_version", "long"))
+      .orderBy("commit_version", "_change_type", "doc_id")
+  }
+
   /** BIN-PACKING compaction, oracle-replayed: one right-sized file
     * plus a trickle of tiny appends (the streaming-sink shape), then
     * `compactSmall` — the REQUIREs pin that EXACTLY the under-sized
@@ -2090,6 +2157,8 @@ object ExtQueries {
     "manifest_cdf_stream_replay" -> (manifestCdfStreamReplayQ(_, _)),
     "manifest_cdf_dv" -> (manifestCdfDvQ(_, _)),
     "manifest_cdf_dv_stream_replay" -> (manifestCdfDvStreamReplayQ(_, _)),
+    "manifest_restore_cdf" -> (manifestRestoreCdfQ(_, _)),
+    "manifest_restore_cdf_stream_replay" -> (manifestRestoreCdfStreamQ(_, _)),
     "manifest_schema_evolution" -> (manifestSchemaEvolutionQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
@@ -2186,6 +2255,22 @@ object ExtQueries {
       |  SELECT doc_id, lang, CAST(n_chars + 7 AS BIGINT),
       |    'update_postimage', 5 FROM d
       |  WHERE lang = 'de' AND NOT (doc_id >= 100 AND doc_id < 220))
+      |ORDER BY commit_version, _change_type, doc_id""".stripMargin
+
+  /** DuckDB: insert (v1) → DV band delete (v3) → restore rewind whose
+    * synthesized diff re-inserts exactly the deleted band (v4).
+    */
+  private val restoreCdfOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+      |SELECT doc_id, lang, n_chars, _change_type, commit_version FROM (
+      |  SELECT doc_id, lang, n_chars, 'insert' AS _change_type,
+      |    CAST(1 AS BIGINT) AS commit_version FROM d
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'delete', 3 FROM d
+      |  WHERE doc_id >= 100 AND doc_id < 220
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars, 'insert', 4 FROM d
+      |  WHERE doc_id >= 100 AND doc_id < 220)
       |ORDER BY commit_version, _change_type, doc_id""".stripMargin
 
   /** DuckDB: the planted 2-level near-dup corpus (doc + drop-8 mutation). */
@@ -3019,6 +3104,8 @@ object ExtQueries {
     "manifest_cdf_stream_replay" -> cdfOracleSql,
     "manifest_cdf_dv" -> cdfDvOracleSql,
     "manifest_cdf_dv_stream_replay" -> cdfDvOracleSql,
+    "manifest_restore_cdf" -> restoreCdfOracleSql,
+    "manifest_restore_cdf_stream_replay" -> restoreCdfOracleSql,
 
     // bin-packing repack is row-preserving: the table still equals
     // the union of every append

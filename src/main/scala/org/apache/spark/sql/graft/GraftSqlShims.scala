@@ -32,6 +32,19 @@ object GraftSqlShims {
       .internalCreateDataFrame(rdd, df.schema, isStreaming = false)
   }
 
+  /** A computed BATCH frame re-marked as a streaming micro-batch — what
+    * a V1 `Source.getBatch` must return for a part it cannot express as
+    * a file-list relation (the restore commit's synthesized snapshot
+    * diff: a join-built plan, not a set of parquet paths). The rows are
+    * the batch plan's own lazy RDD; only the streaming flag changes.
+    */
+  def asStream(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, df.schema, isStreaming = true)
+  }
+
   /** The identity-transform extractor (`PARTITIONED BY (col)`) — the
     * `IdentityTransform` case class is `private[sql]`, so the catalog
     * matches through this seam.

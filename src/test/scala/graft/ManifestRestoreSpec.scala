@@ -143,11 +143,18 @@ class ManifestRestoreSpec extends SparkSpec {
     assert(row.getAs[Boolean]("has_schema"))
   }
 
-  test("the feeds refuse a DV-ONLY restore (cleardv with no removes)") {
-    // The silent-skip shape: the restore's delta carries ONLY cleardv:
-    // lines — files unchanged, no new dv refs — yet it resurrects rows.
-    // A feed that classified it pureInsert would skip the commit and
-    // never surface the resurrected rows to consumers.
+  private def changes(dir: String, from: Long, to: Long)
+  : Seq[(Long, String, Long)] =
+    ManifestTable.changesBetween(spark, dir, from, to)
+      .select("id", "_change_type", "commit_version")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(r => (r._3, r._2, r._1))
+
+  test("a DV-ONLY restore (cleardv, no removes): append feed raises, CDC spans it") {
+    // The r14-verified silent-skip shape: the restore's delta carries
+    // ONLY cleardv: lines — files unchanged, no new dv refs — yet it
+    // resurrects rows. The append feed cannot represent that (raise);
+    // the change feed synthesizes the diff: the un-deleted positions
+    // come back as inserts.
     val dir = tmp("dvonly_feed")
     ManifestTable.append(batch(1L to 20L: _*), dir, "b0")            // v1
     assert(ManifestTable.deleteWhereDV(spark, dir, "id <= 5", "d0")) // v2
@@ -158,13 +165,11 @@ class ManifestRestoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("restore"),
       s"DV-only restore must raise in the append feed, got: ${e.getMessage}")
-    val e2 = intercept[IllegalStateException] {
-      ManifestTable.changesBetween(spark, dir, 2L, 3L).count()
-    }
-    assert(e2.getMessage.contains("restore"))
+    assert(changes(dir, 2L, 3L) ===
+      (1L to 5L).map(i => (i, "insert", 3L)))
   }
 
-  test("the feeds refuse a restore commit instead of mis-reporting it") {
+  test("the append feed refuses a restore; the CHANGE feed spans it as a diff") {
     val dir = tmp("feeds")
     ManifestTable.append(batch(1, 2), dir, "b0")                 // v1
     ManifestTable.append(batch(3), dir, "b1")                    // v2
@@ -173,9 +178,64 @@ class ManifestRestoreSpec extends SparkSpec {
       ManifestTable.appendsBetween(spark, dir, 0L, 3L).count()
     }
     assert(e.getMessage.contains("restore"))
-    val e2 = intercept[IllegalStateException] {
-      ManifestTable.changesBetween(spark, dir, 0L, 3L).count()
-    }
-    assert(e2.getMessage.contains("restore"))
+    // the full feed: v1/v2 inserts, then the rewind deletes v2's rows
+    assert(changes(dir, 0L, 3L) === Seq(
+      (1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 2L), (3L, "delete", 3L)))
+    // a consumer applying the feed in order reconstructs the head
+    assert(changes(dir, 2L, 3L) === Seq((3L, "delete", 3L)))
+  }
+
+  test("restore CDC spans CoW deletes, file resurrection and re-deletion") {
+    val dir = tmp("cdc_cow")
+    ManifestTable.append(batch(1L to 10L: _*), dir, "b0")            // v1
+    assert(ManifestTable.deleteWhere(spark, dir, "id <= 3", "d0"))   // v2
+    assert(ManifestTable.restore(spark, dir, 1L, "r0"))              // v3
+    // the rewind drops v2's rewrite (delete 4..10 at v3's diff? no:
+    // v2 rewrote the file to ids 4..10; restore swaps back to the
+    // original file — rows 4..10 leave AND come back, 1..3 come back)
+    val d3 = changes(dir, 2L, 3L)
+    val inserts = d3.filter(_._2 == "insert").map(_._1)
+    val deletes = d3.filter(_._2 == "delete").map(_._1)
+    assert(inserts === (1L to 10L),
+      s"restore must surface the resurrected file's rows, got $inserts")
+    assert(deletes === (4L to 10L),
+      s"restore must surface the dropped rewrite's rows, got $deletes")
+    // net effect applied in order = the restored table
+    assert(ids(dir) === (1L to 10L))
+    // restoring INTO the more-deleted version: the original file's rows
+    // leave (1..10 delete), the rewrite's rows return (4..10 insert) —
+    // net effect applied in order = 4..10, the restored state
+    assert(ManifestTable.restore(spark, dir, 2L, "r1"))              // v4
+    val d4 = changes(dir, 3L, 4L)
+    assert(d4.filter(_._2 == "delete").map(_._1) === (1L to 10L))
+    assert(d4.filter(_._2 == "insert").map(_._1) === (4L to 10L))
+    assert(ids(dir) === (4L to 10L))
+  }
+
+  test("the CDC STREAM replays a restore diff exactly once") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp("cdc_stream")
+    ManifestTable.append(batch(1L to 8L: _*), dir, "b0")             // v1
+    assert(ManifestTable.deleteWhereDV(spark, dir, "id >= 7", "d0",
+      cdc = true))                                                   // v2
+    assert(ManifestTable.restore(spark, dir, 1L, "r0"))              // v3
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id", "_change_type", "commit_version")
+          .collect().foreach(r =>
+            out.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = out.iterator().asScala.toSeq.sortBy(r => (r._3, r._2, r._1))
+    val expected =
+      (1L to 8L).map(i => (i, "insert", 1L)) ++   // v1 appends
+        Seq((7L, "delete", 2L), (8L, "delete", 2L)) ++ // v2 DV delete (CDC)
+        Seq((7L, "insert", 3L), (8L, "insert", 3L))    // v3 restore diff
+    assert(got === expected.sortBy(r => (r._3, r._2, r._1)))
   }
 }
