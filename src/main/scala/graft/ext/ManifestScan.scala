@@ -384,7 +384,8 @@ class ManifestSink(dir: String, partitionCols: Seq[String],
                    retainVersions: Option[Long] = None,
                    packSmallBytes: Option[Long] = None,
                    maintainEvery: Long = 100L)
-    extends org.apache.spark.sql.execution.streaming.Sink {
+    extends org.apache.spark.sql.execution.streaming.Sink
+    with org.apache.spark.internal.Logging {
   override def addBatch(batchId: Long,
                         data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.GraftSqlShims.asBatch(data)
@@ -397,17 +398,51 @@ class ManifestSink(dir: String, partitionCols: Seq[String],
     // (O(small bytes), right-sized files untouched), then expire the
     // log past the retention window (O(expired names)). Both are
     // crash-safe no-ops to replay, and a maintenance failure must
-    // never fail the data batch — the next cadence point retries.
+    // never fail the data batch — the next cadence point retries. But
+    // a failure must not be INVISIBLE either (a persistent permission
+    // loss would retry silently forever): it logs, and the last
+    // message surfaces through [[ManifestSink.lastMaintenanceError]] /
+    // [[ManifestTable.detail]] until a tick succeeds.
     if ((retainVersions.nonEmpty || packSmallBytes.nonEmpty) &&
       batchId > 0L && batchId % maintainEvery == 0L)
       try {
         packSmallBytes.foreach(minBytes =>
-          ManifestTable.compactSmall(spark, dir, minFileBytes = minBytes))
+          // the pack target must EXCEED the candidate threshold or the
+          // packer's own outputs stay candidates forever; 2x leaves
+          // packed files comfortably clear of it
+          ManifestTable.compactSmall(spark, dir,
+            targetFileBytes = math.max(128L * 1024 * 1024, 2L * minBytes),
+            minFileBytes = minBytes))
         retainVersions.foreach { retain =>
           ManifestTable.checkpoint(spark, dir)
           ManifestTable.expireLog(spark, dir, retainVersions = retain)
         }
-      } catch { case scala.util.control.NonFatal(_) => () }
+        ManifestSink.maintenanceErrors.remove(dir)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"ManifestSink[$dir]: maintenance at batch " +
+            s"$batchId failed (data batch committed; will retry next " +
+            s"cadence point): $e")
+          ManifestSink.maintenanceErrors.put(dir,
+            s"batch $batchId: ${e.toString}")
+      }
   }
   override def toString: String = s"ManifestSink[$dir]"
+}
+
+object ManifestSink {
+  /** Last maintenance failure per table dir IN THIS DRIVER (cleared by
+    * the next successful tick) — the observable behind
+    * `detail().last_maintenance_error`, so a persistently failing
+    * self-maintenance loop is visible instead of retrying silently
+    * forever.
+    */
+  private[graft] val maintenanceErrors =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The last swallowed maintenance failure for `dir` in this driver,
+    * if the most recent tick failed.
+    */
+  def lastMaintenanceError(dir: String): Option[String] =
+    Option(maintenanceErrors.get(dir))
 }

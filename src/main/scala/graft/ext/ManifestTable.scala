@@ -1147,6 +1147,12 @@ object ManifestTable {
                    beforeSwap: () => Unit = () => (),
                    bloomCols: Seq[String] = Nil,
                    bloomFpp: Double = 0.01): (Int, Int) = {
+    // an inverted threshold pair makes the packer's own outputs
+    // perpetual candidates — every tick rewrites the same data forever;
+    // refuse loudly instead (the streaming sink sizes its target up)
+    require(minFileBytes <= targetFileBytes,
+      s"compactSmall: minFileBytes ($minFileBytes) must not exceed " +
+        s"targetFileBytes ($targetFileBytes) — outputs would repack forever")
     val f = fs(spark, dir)
     val snap = snapshot(spark, dir)
     def sizeOf(n: String): Long = snap.sizes.getOrElse(n,
@@ -2627,10 +2633,14 @@ object ManifestTable {
       rowsKnown.map(Long.box).orNull: java.lang.Long,
       s.partitionCols.mkString(","),
       s.dvs.size.toLong, s.constraints.size.toLong,
-      s.batchIds.size.toLong, s.schemaJson.isDefined))
+      s.batchIds.size.toLong, s.schemaJson.isDefined,
+      // this driver's streaming sink's last swallowed maintenance
+      // failure, if its most recent tick failed (null = healthy) — the
+      // operational signal that self-maintenance is silently stuck
+      ManifestSink.lastMaintenanceError(dir).orNull: String))
       .toDF("version", "n_files", "size_bytes", "rows_known",
         "partition_cols", "n_dv_files", "n_constraints", "n_batches",
-        "has_schema")
+        "has_schema", "last_maintenance_error")
   }
 
   /** The table's live PARTITIONS (SHOW PARTITIONS face): one row per

@@ -284,6 +284,56 @@ class ManifestStreamSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dir).count() === 160L)
   }
 
+  test("maintenance failures surface (detail) and never fail the data batch") {
+    val dir = tmp("sinkmainterr")
+    // retainVersions = -1 makes every maintenance tick fail loudly
+    // inside expireLog; the sink must commit the data batch anyway,
+    // record the failure, and clear it on the next healthy tick
+    val bad = new graft.ext.ManifestSink(dir, Nil, Nil,
+      retainVersions = Some(-1L), maintainEvery = 1L)
+    bad.addBatch(0L, Seq((1L, "a")).toDF("id", "text"))
+    bad.addBatch(1L, Seq((2L, "b")).toDF("id", "text")) // tick fails
+    assert(ManifestTable.read(spark, dir).count() === 2L,
+      "a maintenance failure must never fail the data batch")
+    val err = graft.ext.ManifestSink.lastMaintenanceError(dir)
+    assert(err.exists(_.contains("retainVersions")),
+      s"swallowed maintenance failure not surfaced: $err")
+    assert(ManifestTable.detail(spark, dir).collect()(0)
+      .getAs[String]("last_maintenance_error").contains("retainVersions"))
+    // a healthy tick clears the signal
+    val good = new graft.ext.ManifestSink(dir, Nil, Nil,
+      retainVersions = Some(1000L), maintainEvery = 1L)
+    good.addBatch(2L, Seq((3L, "c")).toDF("id", "text"))
+    assert(graft.ext.ManifestSink.lastMaintenanceError(dir).isEmpty)
+    assert(ManifestTable.detail(spark, dir).collect()(0)
+      .getAs[String]("last_maintenance_error") == null)
+  }
+
+  test("an over-128MB packSmallBytes ticks cleanly: the target scales with it") {
+    val dir = tmp("sinkbigpack")
+    // the old sink passed packSmallBytes as minFileBytes with the
+    // 128 MB default target — an inverted pair compactSmall now refuses
+    // (its own guard) — so this tick would fail and surface; the sink
+    // sizes targetFileBytes = max(128MB, 2x) instead and packs fine
+    val sink = new graft.ext.ManifestSink(dir, Nil, Nil,
+      packSmallBytes = Some(1024L * 1024 * 1024), maintainEvery = 2L)
+    sink.addBatch(0L, (0L until 20L).map(i => (i, s"d$i")).toDF("id", "text"))
+    sink.addBatch(1L, (20L until 40L).map(i => (i, s"d$i")).toDF("id", "text"))
+    sink.addBatch(2L, (40L until 60L).map(i => (i, s"d$i")).toDF("id", "text"))
+    assert(graft.ext.ManifestSink.lastMaintenanceError(dir).isEmpty,
+      s"oversized packSmallBytes tick failed: ${graft.ext.ManifestSink
+        .lastMaintenanceError(dir)}")
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.op === "compact", "the maintenance tick never packed")
+    assert(ManifestTable.read(spark, dir).count() === 60L)
+    // and the inverted pair is a loud error at the API level
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.compactSmall(spark, dir,
+        targetFileBytes = 1024L, minFileBytes = 2048L)
+    }
+    assert(e.getMessage.contains("repack forever"))
+  }
+
   test("the CDC stream over a sink-maintained table: packs invisible, inserts exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
