@@ -51,7 +51,8 @@ object Explain {
       "manifest_sink_replay", "manifest_restore",
       "manifest_compact_small",
       "manifest_sql_ddl", "manifest_scan_dv",
-      "manifest_restore_cdf", "manifest_restore_cdf_stream_replay")
+      "manifest_restore_cdf", "manifest_restore_cdf_stream_replay",
+      "manifest_partition_evolution")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -244,6 +245,15 @@ object Explain {
           "FileSourceScanExec below IS the ManifestFileIndex plan " +
           "(builder REQUIREd the partition probe read exactly the " +
           "partition's files)"
+      }),
+      "manifest_partition_evolution" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/manifest_part_evolve")
+        s"head: v${snap.version}, partitioned by " +
+          s"(${snap.partitionCols.mkString(", ")}) — the second append " +
+          "added a nullable column; the partition read below spans both " +
+          "generations (old files null-fill) and the builder REQUIREd " +
+          "numFiles == the partition's files across the evolution"
       }),
       "manifest_restore_cdf" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

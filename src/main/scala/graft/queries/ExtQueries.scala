@@ -1833,6 +1833,52 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** SCHEMA EVOLUTION on a PARTITIONED table, oracle-replayed (VERDICT
+    * r13 order #6 — the two features previously composed only in
+    * specs): a lang-partitioned table takes a second append carrying a
+    * NEW nullable column, then a partition-predicate read spans old
+    * and new files — old files null-fill the column, and the REQUIREs
+    * pin that the layout survived the evolution (every new file
+    * carries its tuple) and the read PRUNED to exactly the partition's
+    * files across both generations (planner numFiles). The oracle
+    * rebuilds the two-generation union in DuckDB.
+    */
+  def manifestPartitionEvolutionQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/manifest_part_evolve"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(
+      docs.filter(col("doc_id") % 2 === 0), root, "b0",
+      partitionBy = Seq("lang"))
+    graft.ext.ManifestTable.append(
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("score", col("n_chars") % 97), root, "b1")
+    val snap = graft.ext.ManifestTable.snapshot(s, root)
+    require(snap.partitionCols == Seq("lang"),
+      "evolution must not disturb the declared layout")
+    require(snap.files.forall(f =>
+      snap.pvals.get(f).exists(_.contains("lang"))),
+      "a post-evolution file lost its partition tuple")
+    val deFiles = snap.files.count(f =>
+      snap.pvals(f)("lang").value.contains("de"))
+    require(deFiles > 0 && deFiles < snap.files.size,
+      s"fixture degenerate: $deFiles de files of ${snap.files.size}")
+    val df = graft.ext.ManifestTable.scan(s, root).where("lang = 'de'")
+    df.collect()
+    val read = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+    require(read == deFiles,
+      s"partition read touched $read files across the evolution; " +
+        s"pruning promised $deFiles")
+    df.select(col("doc_id"), col("lang"), col("n_chars"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Interval-OVERLAP join (the [[rangeJoinQ]] sibling): which purchase
     * windows of the same user intersect? Self-overlap of the 30-minute
     * windows, a_id < b_id halving, against DuckDB's native two-sided
@@ -2160,6 +2206,7 @@ object ExtQueries {
     "manifest_restore_cdf" -> (manifestRestoreCdfQ(_, _)),
     "manifest_restore_cdf_stream_replay" -> (manifestRestoreCdfStreamQ(_, _)),
     "manifest_schema_evolution" -> (manifestSchemaEvolutionQ(_, _)),
+    "manifest_partition_evolution" -> (manifestPartitionEvolutionQ(_, _)),
     "compact_roundtrip" -> (compactRoundtrip(_, _)),
     "chunk_windows" -> (chunkWindowsQ(_, _)),
     "embed_cosine" -> (embedCosine(_, _)),
@@ -3137,6 +3184,14 @@ object ExtQueries {
       """SELECT doc_id, n_chars,
         |  CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the evolved column on a PARTITIONED table: old-generation files
+    // null-fill it, the read spans both generations of one partition
+    "manifest_partition_evolution" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars % 97 AS BIGINT)
+        |       ELSE NULL END AS score
+        |FROM documents WHERE lang = 'de' ORDER BY doc_id""".stripMargin,
 
     // the native two-sided overlap predicate, a_id < b_id halving
     "range_overlap" ->
