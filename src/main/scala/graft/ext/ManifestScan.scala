@@ -166,14 +166,53 @@ object ManifestPlan {
       snap.files.partition(n => snap.dvs.get(n).exists(_.nonEmpty))
     val cleanDf = spark.baseRelationToDataFrame(
       relation(spark, dir, snap.copy(files = clean, dvs = Map.empty)))
-    if (dvd.isEmpty) cleanDf
-    else {
-      val dvdDf = ManifestTable.readDvApplied(spark, dir, snap, dvd)
-      // align to the table schema's column order on both branches
-      val cols = cleanDf.schema.fieldNames
-        .map(org.apache.spark.sql.functions.col).toSeq
-      cleanDf.select(cols: _*).unionByName(dvdDf.select(cols: _*))
+    val df =
+      if (dvd.isEmpty) cleanDf
+      else {
+        val dvdDf = ManifestTable.readDvApplied(spark, dir, snap, dvd)
+        // align to the table schema's column order on both branches
+        val cols = cleanDf.schema.fieldNames
+          .map(org.apache.spark.sql.functions.col).toSeq
+        cleanDf.select(cols: _*).unionByName(dvdDf.select(cols: _*))
+      }
+    maybeBroadcast(spark, snap, df)
+  }
+
+  /** MANIFEST-PROVEN broadcast hint: Spark sizes a scan by raw file
+    * bytes, which overstates a table whose rows are mostly behind
+    * deletion vectors — a small-in-truth dimension then misses the
+    * broadcast threshold and every join against it shuffles. When the
+    * manifest can PROVE the visible fraction (footer row counts minus
+    * DV positions, the [[ManifestTable.metaCount]] math), scale the
+    * bytes by it; if the effective size clears the session's
+    * auto-broadcast threshold that the raw size missed, attach the
+    * hint — exactly what the optimizer would do with honest stats.
+    * No-ops (returns `df` unhinted) whenever nothing changes.
+    */
+  private def maybeBroadcast(spark: SparkSession,
+                             snap: ManifestTable.Snapshot,
+                             df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+      "10485760") match {
+      case t if t.endsWith("b") || t.endsWith("B") =>
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(t)
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      case t => try t.toLong
+        catch { case scala.util.control.NonFatal(_) => -1L }
     }
+    if (threshold <= 0 || snap.dvs.isEmpty) return df
+    if (!snap.files.forall(f =>
+      snap.sizes.contains(f) && snap.stats.contains(f))) return df
+    val rawBytes = snap.files.map(snap.sizes).sum
+    val totalRows = snap.files.map(f => snap.stats(f).rows).sum
+    val deleted = snap.dvs.valuesIterator.flatten.map(_.rows).sum
+    if (totalRows <= 0L || rawBytes < threshold) return df
+    val effective =
+      (rawBytes.toDouble * (totalRows - deleted) / totalRows).toLong
+    if (effective < threshold)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
   }
 }
 

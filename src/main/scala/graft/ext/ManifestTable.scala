@@ -126,7 +126,9 @@ object ManifestTable {
                             dvs: Map[String, Seq[DvRef]] = Map.empty,
                             constraints: Map[String, String] = Map.empty,
                             partitionCols: Seq[String] = Nil,
-                            pvals: Map[String, Map[String, PartValue]] = Map.empty)
+                            pvals: Map[String, Map[String, PartValue]] = Map.empty,
+                            ndvCols: Seq[String] = Nil,
+                            ndv: Map[String, Map[String, String]] = Map.empty)
 
   /** One data file's value for one PARTITION column: the canonical
     * comparison family (the [[Skipping]] vocabulary — "long", "string",
@@ -593,6 +595,7 @@ object ManifestTable {
         stats = target.stats,
         sizes = target.sizes,
         pvals = target.pvals,
+        ndv = target.ndv,
         dvs = target.dvs,
         schemaJson = target.schemaJson.orElse(old.schemaJson),
         batchIds = old.batchIds + opId,
@@ -633,6 +636,12 @@ object ManifestTable {
     *                                     one file's partition value for
     *                                     one column (flag 0 = the hive
     *                                     null partition)
+    *   ndvcols:<colEnc>[\t<colEnc>...]   columns tracking NDV sketches
+    *                                     (declared once, inherited)
+    *   ndv:<name>\t<colEnc>\t<b64>       one file's per-column HLL
+    *                                     sketch (Datasketches compact
+    *                                     bytes, base64) — mergeable, so
+    *                                     table NDV = union over files
     *
     * `flag` 1 = min/max present (URL-encoded canonical strings); 0 = the
     * column is entirely null in the file. Values are URL-encoded so
@@ -647,7 +656,9 @@ object ManifestTable {
       dvs: Map[String, Seq[DvRef]], dvClear: Set[String],
       consAdd: Seq[(String, String)], consDrop: Set[String],
       partitionCols: Option[Seq[String]],
-      pvals: Map[String, Map[String, PartValue]])
+      pvals: Map[String, Map[String, PartValue]],
+      ndvCols: Option[Seq[String]],
+      ndv: Map[String, Map[String, String]])
 
   private def parseLog(lines: List[String]): ParsedLog = {
     // limit -1: trailing empty fields SURVIVE the split. A column whose
@@ -703,6 +714,14 @@ object ManifestTable {
           PartValue(a(2), if (a(3) == "1") Some(dec(a(4))) else None))
       }.groupBy(_._1).map { case (file, vs) =>
         file -> vs.map(v => v._2 -> v._3).toMap
+      },
+      ndvCols = lines.find(_.startsWith("ndvcols:"))
+        .map(_.stripPrefix("ndvcols:").split("\t", -1).toSeq.map(dec)),
+      ndv = lines.filter(_.startsWith("ndv:")).map { l =>
+        val a = l.stripPrefix("ndv:").split("\t", -1)
+        (a(0), dec(a(1)), a(2))
+      }.groupBy(_._1).map { case (file, vs) =>
+        file -> vs.map(v => v._2 -> v._3).toMap
       })
   }
 
@@ -723,7 +742,8 @@ object ManifestTable {
     val pl = parseLog(readLogLines(spark, dir, s"v${"%08d".format(v)}"))
     Snapshot(v, pl.files, pl.batchIds, pl.stats, pl.op, pl.schemaJson,
       pl.cdcPath, pl.sizes, pl.dvs, pl.consAdd.toMap,
-      pl.partitionCols.getOrElse(Nil), pl.pvals)
+      pl.partitionCols.getOrElse(Nil), pl.pvals,
+      pl.ndvCols.getOrElse(Nil), pl.ndv)
   }
 
   /** One commit's ACTIONS (the delta file for `v`). */
@@ -751,7 +771,9 @@ object ManifestTable {
       },
       constraints = base.constraints ++ d.consAdd -- d.consDrop,
       partitionCols = d.partitionCols.getOrElse(base.partitionCols),
-      pvals = base.pvals -- gone ++ d.pvals)
+      pvals = base.pvals -- gone ++ d.pvals,
+      ndvCols = d.ndvCols.getOrElse(base.ndvCols),
+      ndv = base.ndv -- gone ++ d.ndv)
   }
 
   /** The snapshot's rows (schema comes from the listed files). A table
@@ -856,7 +878,8 @@ object ManifestTable {
              beforeCommit: () => Unit = () => (),
              bloomCols: Seq[String] = Nil,
              bloomFpp: Double = 0.01,
-             partitionBy: Seq[String] = Nil): Boolean = {
+             partitionBy: Seq[String] = Nil,
+             ndvCols: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val snap0 = snapshot(spark, dir)
@@ -879,6 +902,16 @@ object ManifestTable {
     // replay idempotence is unaffected
     val live = dropEmpty(f, dir, moved, stats)
     buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
+    // NDV tracking: declared on the first append (like partitionBy),
+    // inherited by every later one; each batch pays one O(batch) pass
+    val tracked =
+      if (snap0.ndvCols.nonEmpty) {
+        require(ndvCols.isEmpty ||
+          ndvCols.map(_.toLowerCase) == snap0.ndvCols,
+          s"table already tracks NDV on (${snap0.ndvCols.mkString(", ")})")
+        snap0.ndvCols
+      } else ndvCols.map(_.toLowerCase)
+    val ndvMap = buildNdv(spark, dir, live, tracked)
     beforeCommit()
     commit(spark, dir) { old =>
       if (old.batchIds.contains(batchId)) None // lost the race to a replay
@@ -894,6 +927,8 @@ object ManifestTable {
           sizes = old.sizes ++ sizes.filter(kv => live.contains(kv._1)),
           pvals = old.pvals ++ pvals.filter(kv => live.contains(kv._1)),
           partitionCols = if (layout.nonEmpty) layout else old.partitionCols,
+          ndvCols = if (tracked.nonEmpty) tracked else old.ndvCols,
+          ndv = old.ndv ++ ndvMap.view.filterKeys(live.toSet).toMap,
           op = "append", schemaJson = mergedSchemaJson(old, df.schema),
           cdcPath = None))
       }
@@ -1094,6 +1129,7 @@ object ManifestTable {
     // provably-empty files instead of committing unprunable segments
     val live = dropEmpty(f, dir, rewritten, rewrittenStats)
     buildBlooms(spark, dir, live, bloomCols, rewrittenStats, bloomFpp)
+    val rewrittenNdv = buildNdv(spark, dir, live, snap.ndvCols)
     beforeSwap()
     // replace EXACTLY the files this compaction read; files appended by
     // a concurrent writer (present in `old` but not in the snapshot we
@@ -1117,6 +1153,7 @@ object ManifestTable {
           rewrittenSizes.filter(kv => live.contains(kv._1)),
         pvals = old.pvals -- snap.files ++
           rewrittenPvals.filter(kv => live.contains(kv._1)),
+        ndv = old.ndv -- snap.files ++ rewrittenNdv,
         // the rewrite read through the DV-applied view, so the deleted
         // positions are gone from the output: the rewrite RETIRES the
         // rewritten files' deletion vectors
@@ -1174,6 +1211,7 @@ object ManifestTable {
     val rewrittenStats = footerStats(spark, dir, rewritten)
     val live = dropEmpty(f, dir, rewritten, rewrittenStats)
     buildBlooms(spark, dir, live, bloomCols, rewrittenStats, bloomFpp)
+    val rewrittenNdv = buildNdv(spark, dir, live, snap.ndvCols)
     beforeSwap()
     val committed = commit(spark, dir) { old =>
       if (candidates.exists(fn => !old.files.contains(fn)) ||
@@ -1186,6 +1224,7 @@ object ManifestTable {
           rewrittenSizes.filter(kv => live.contains(kv._1)),
         pvals = old.pvals -- candidates ++
           rewrittenPvals.filter(kv => live.contains(kv._1)),
+        ndv = old.ndv -- candidates ++ rewrittenNdv,
         dvs = old.dvs -- candidates,
         op = "compact", cdcPath = None))
     }
@@ -1233,6 +1272,7 @@ object ManifestTable {
     // a file DV'd down to zero live rows rewrites to nothing: drop it
     val live = dropEmpty(f, dir, rewritten, rewrittenStats)
     buildBlooms(spark, dir, live, bloomCols, rewrittenStats, bloomFpp)
+    val rewrittenNdv = buildNdv(spark, dir, live, snap.ndvCols)
     beforeSwap()
     val committed = commit(spark, dir) { old =>
       // same staleness hazards as compact: a candidate rewritten away,
@@ -1249,6 +1289,7 @@ object ManifestTable {
           rewrittenSizes.filter(kv => live.contains(kv._1)),
         pvals = old.pvals -- candidates ++
           rewrittenPvals.filter(kv => live.contains(kv._1)),
+        ndv = old.ndv -- candidates ++ rewrittenNdv,
         // the rewrite applied the vectors; they retire with their files
         dvs = old.dvs -- candidates,
         // a row-preserving rewrite, exactly like compact: the feeds
@@ -1429,6 +1470,7 @@ object ManifestTable {
     val stats = footerStats(spark, dir, moved)
     val live = dropEmpty(f, dir, moved, stats)
     buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
+    val ndvMap = buildNdv(spark, dir, live, snap.ndvCols)
     val cdcName = cdc.map { changes =>
       // _change_type is RESERVED when CDC is on: a table column of that
       // name would be silently replaced in the sidecar, corrupting the
@@ -1456,6 +1498,8 @@ object ManifestTable {
           sizes.filter(kv => live.contains(kv._1)),
         pvals = old.pvals -- candidates ++
           pvals.filter(kv => live.contains(kv._1)),
+        ndv = old.ndv -- candidates ++
+          ndvMap.view.filterKeys(live.toSet).toMap,
         // rewrites read through the DV-applied view, so the rewritten
         // candidates' deletion vectors are retired with their files
         dvs = old.dvs -- candidates,
@@ -1724,6 +1768,7 @@ object ManifestTable {
           stats = old.stats -- whole,
           sizes = old.sizes -- whole,
           pvals = old.pvals -- whole,
+          ndv = old.ndv -- whole,
           batchIds = old.batchIds + opId,
           dvs = counts.foldLeft(old.dvs -- whole) {
             case (acc, (file, n)) =>
@@ -1780,6 +1825,7 @@ object ManifestTable {
       val stats = footerStats(spark, dir, moved)
       val live = dropEmpty(f, dir, moved, stats)
       buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
+      val ndvMap = buildNdv(spark, dir, live, snap.ndvCols)
       val cdcName =
         if (!cdc) None
         else {
@@ -1806,6 +1852,7 @@ object ManifestTable {
           stats = old.stats ++ stats.filter(kv => live.contains(kv._1)),
           sizes = old.sizes ++ sizes.filter(kv => live.contains(kv._1)),
           pvals = old.pvals ++ pvals.filter(kv => live.contains(kv._1)),
+          ndv = old.ndv ++ ndvMap.view.filterKeys(live.toSet).toMap,
           dvs = counts.foldLeft(old.dvs) { case (acc, (file, n)) =>
             acc.updated(file, acc.getOrElse(file, Seq.empty) :+
               DvRef(dvName, n))
@@ -2637,10 +2684,19 @@ object ManifestTable {
       // this driver's streaming sink's last swallowed maintenance
       // failure, if its most recent tick failed (null = healthy) — the
       // operational signal that self-maintenance is silently stuck
-      ManifestSink.lastMaintenanceError(dir).orNull: String))
+      ManifestSink.lastMaintenanceError(dir).orNull: String,
+      // manifest-proven per-column distinct-count estimates (HLL
+      // union over the tracked columns' per-file sketches; null when
+      // the table tracks none) — the join-planning signal
+      {
+        val nd = metaNdv(spark, dir)
+        if (nd.isEmpty) null
+        else nd.toSeq.sortBy(_._1)
+          .map { case (c, n) => s"$c=$n" }.mkString(",")
+      }: String))
       .toDF("version", "n_files", "size_bytes", "rows_known",
         "partition_cols", "n_dv_files", "n_constraints", "n_batches",
-        "has_schema", "last_maintenance_error")
+        "has_schema", "last_maintenance_error", "ndv")
   }
 
   /** The table's live PARTITIONS (SHOW PARTITIONS face): one row per
@@ -2830,6 +2886,83 @@ object ManifestTable {
     * unclustered appends, where every file's [min, max] spans the whole
     * key space but each file holds ~1/N of the keys.
     */
+  /** HLL precision: lgK = 9 (512 registers, ~3% relative error) — a
+    * compact sketch is a few hundred bytes, small enough to live as a
+    * manifest line per (file, tracked column) like the min/max stats.
+    */
+  private val NdvLgK = 9
+
+  /** Per-file, per-column HLL sketches over the just-written `names` —
+    * one aggregate pass of O(batch) (never the table), mirroring
+    * [[buildBlooms]]. Values update the sketch by canonical string, so
+    * the estimate is over the column's distinct VALUES whatever the
+    * type; nulls don't count. Sketches are MERGEABLE (Datasketches
+    * union), so table-level NDV is a driver-side fold over the
+    * manifest — zero data I/O at question time ([[metaNdv]]).
+    */
+  private def buildNdv(spark: SparkSession, dir: String,
+                       names: Seq[String], cols: Seq[String])
+  : Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    if (cols.isEmpty || names.isEmpty) return Map.empty
+    val df = spark.read.parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+    val usable = cols.filter(c =>
+      df.schema.fields.exists(_.name.equalsIgnoreCase(c)))
+    if (usable.isEmpty) return Map.empty
+    val nCols = usable.size
+    val partials = df
+      .select(input_file_name.as("_graft_file") +: usable.map(col): _*)
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map[(String, Int), HllSketch]()
+        it.foreach { row =>
+          val name = row.getString(0).split('/').last
+          var i = 0
+          while (i < nCols) {
+            if (!row.isNullAt(i + 1))
+              acc.getOrElseUpdate((name, i), new HllSketch(NdvLgK))
+                .update(String.valueOf(row.get(i + 1)))
+            i += 1
+          }
+        }
+        acc.iterator.map { case (k, sk) => (k, sk.toCompactByteArray) }
+      }.collect()
+    partials.groupBy(_._1).toSeq.map { case ((file, i), parts) =>
+      val u = new Union(NdvLgK)
+      parts.foreach { case (_, bytes) => u.update(HllSketch.heapify(bytes)) }
+      (file, usable(i).toLowerCase,
+        java.util.Base64.getEncoder.encodeToString(
+          u.getResult.toCompactByteArray))
+    }.groupBy(_._1).map { case (file, entries) =>
+      file -> entries.map(e => e._2 -> e._3).toMap
+    }
+  }
+
+  /** Table-level NDV ESTIMATES from the manifest alone — the per-file
+    * sketches union-merged on the driver, zero data I/O, zero jobs. A
+    * column's estimate is returned only when EVERY live file carries a
+    * sketch for it (the same one-sided honesty as [[metaCount]]); a
+    * table with no tracked columns returns an empty map. DV'd deletes
+    * make estimates upper bounds until their files rewrite — distinct
+    * values cannot be subtracted from a union sketch.
+    */
+  def metaNdv(spark: SparkSession, dir: String): Map[String, Long] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val s = snapshot(spark, dir)
+    if (s.ndvCols.isEmpty || s.files.isEmpty) return Map.empty
+    s.ndvCols.flatMap { c0 =>
+      val c = c0.toLowerCase
+      val sketches = s.files.map(f => s.ndv.get(f).flatMap(_.get(c)))
+      if (sketches.exists(_.isEmpty)) None // a file predates tracking
+      else {
+        val u = new Union(NdvLgK)
+        sketches.flatten.foreach(b64 => u.update(HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(b64))))
+        Some(c -> math.round(u.getResult.getEstimate))
+      }
+    }.toMap
+  }
+
   private def buildBlooms(spark: SparkSession, dir: String,
                           names: Seq[String], cols: Seq[String],
                           stats: Map[String, FileStats],
@@ -3011,6 +3144,15 @@ object ManifestTable {
           (if (pvv.value.isDefined) s"1\t${enc(pvv.value.get)}" else "0\t")
     }))
 
+  private def ndvLines(files: Seq[String],
+                       ndv: Map[String, Map[String, String]]): Seq[String] =
+    files.flatMap(fn => ndv.get(fn).toSeq.flatMap(_.toSeq.sortBy(_._1).map {
+      case (c, b64) => s"ndv:$fn\t${enc(c)}\t$b64"
+    }))
+
+  private def ndvColsLine(cols: Seq[String]): String =
+    "ndvcols:" + cols.map(enc).mkString("\t")
+
   private def partColsLine(cols: Seq[String]): String =
     "partcols:" + cols.map(enc).mkString("\t")
 
@@ -3072,7 +3214,9 @@ object ManifestTable {
           s.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
             s"constraint:${enc(n)}\t${enc(e)}"
           } ++
+          (if (s.ndvCols.nonEmpty) Seq(ndvColsLine(s.ndvCols)) else Nil) ++
           pvLines(s.files, s.pvals) ++
+          ndvLines(s.files, s.ndv) ++
           detailLines(s.files, s.stats, s.sizes)
       publishLog(fs(spark, dir), dir, s"v${"%08d".format(s.version)}", lines)
       // advance the pointer even on a lost publish race — the content
@@ -3183,6 +3327,8 @@ object ManifestTable {
             next0.cdcPath.map("cdc:" + _).toSeq ++
             (if (next0.partitionCols != old.partitionCols)
               Seq(partColsLine(next0.partitionCols)) else Nil) ++
+            (if (next0.ndvCols != old.ndvCols)
+              Seq(ndvColsLine(next0.ndvCols)) else Nil) ++
             adds.map("add:" + _) ++
             removes.map("remove:" + _) ++
             newBatches.map("batch:" + _) ++
@@ -3191,6 +3337,7 @@ object ManifestTable {
             consAdd.map { case (n, e) => s"constraint:${enc(n)}\t${enc(e)}" } ++
             consDrop.map(n => "dropconstraint:" + enc(n)) ++
             pvLines(adds, next0.pvals) ++
+            ndvLines(adds, next0.ndv) ++
             detailLines(adds, next0.stats, next0.sizes)
         if (!publishLog(f, dir, s"d${"%08d".format(next)}", lines))
           commit(spark, dir)(update) // lost the race: retry on new head
