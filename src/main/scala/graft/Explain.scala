@@ -52,7 +52,7 @@ object Explain {
       "manifest_compact_small",
       "manifest_sql_ddl", "manifest_scan_dv",
       "manifest_restore_cdf", "manifest_restore_cdf_stream_replay",
-      "manifest_partition_evolution")
+      "manifest_partition_evolution", "vector_store_retrain")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -245,6 +245,16 @@ object Explain {
           "FileSourceScanExec below IS the ManifestFileIndex plan " +
           "(builder REQUIREd the partition probe read exactly the " +
           "partition's files)"
+      }),
+      "vector_store_retrain" -> (s => {
+        val st = graft.ext.VectorStore.driftStats(s,
+          "/tmp/graft_fix/vector_store_retrain")
+        f"post-retrain store: ${st.rows} rows in ${st.cells} cells, " +
+          f"mean q-error ${st.meanSqDist}%.3f, max cell ${st.maxCellFraction}%.2f " +
+          "— the builder REQUIREd the drifted corpus spiked the error, " +
+          "retrain lowered it (k-means objective) and recall@10 did not " +
+          "regress; the swap is one atomic overwrite commit + centroid " +
+          "rename, searches stay cell-pruned"
       }),
       "manifest_partition_evolution" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

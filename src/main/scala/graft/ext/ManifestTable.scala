@@ -2054,8 +2054,17 @@ object ManifestTable {
           s"overwriteWhere: incoming columns (${have.toSeq.sorted
             .mkString(", ")}) do not match the table's (${want.toSeq.sorted
             .mkString(", ")}) — an overwrite is not a schema change")
-        df.select(ts.fields.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*)
+        // cast only on a REAL type difference: Spark refuses casts that
+        // merely tighten container nullability (array<float> with
+        // containsNull=true -> false), and column values written under
+        // the looser shape are already valid under it
+        df.select(ts.fields.map { f =>
+          val in = df.schema.fields
+            .find(_.name.equalsIgnoreCase(f.name)).get.dataType
+          if (org.apache.spark.sql.graft.GraftSqlShims
+              .sameTypeIgnoreNullability(in, f.dataType)) col(f.name)
+          else col(f.name).cast(f.dataType).as(f.name)
+        }: _*)
     }
     if (cdc) require(!aligned.columns.exists(c =>
       c.equalsIgnoreCase("_change_type")),

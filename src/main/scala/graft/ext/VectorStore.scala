@@ -500,4 +500,87 @@ object VectorStore {
   private def readStore(spark: SparkSession, dir: String): DataFrame =
     if (isCommitted(spark, dir)) ManifestTable.read(spark, dir)
     else spark.read.parquet(dir)
+
+  /** Drift diagnostics for the frozen coarse quantizer: mean squared
+    * distance of every stored vector to ITS cell's centroid (the
+    * k-means objective the centroids once minimized — it grows as the
+    * data distribution walks away from them) and the largest cell's
+    * fraction of the corpus (frozen centroids funnel drifted data into
+    * whichever old cells sit nearest, so imbalance is the smoking gun:
+    * a probe into a bloated cell scans a corpus-sized partition and the
+    * IVF pruning story collapses). One corpus scan, centroids broadcast.
+    */
+  final case class DriftStats(rows: Long, meanSqDist: Double,
+                              maxCellFraction: Double, cells: Long)
+
+  def driftStats(spark: SparkSession, dir: String,
+                 vecCol: String = "embedding"): DriftStats = {
+    val cents = readCentroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no vector store at $dir"))
+    val rows = readStore(spark, dir)
+    val r = rows
+      .join(broadcast(cents), rows("centroid_id") === cents("cid"))
+      .agg(count(lit(1)).as("n"),
+        avg(Similarity.l2sq(
+          transform(col(vecCol), x => x.cast("double")), col("cv"))).as("msd"))
+      .collect()(0)
+    val byCell = rows.groupBy("centroid_id").count()
+      .agg(max(col("count")).as("mx"), count(lit(1)).as("cells"))
+      .collect()(0)
+    val n = r.getLong(0)
+    DriftStats(n, r.getDouble(1),
+      if (n == 0L) 0.0 else byCell.getLong(0).toDouble / n,
+      byCell.getLong(1))
+  }
+
+  /** RETRAIN the coarse quantizer in place (VERDICT r13 order #8 — the
+    * store was append-only against frozen centroids): run the same
+    * deterministic Lloyd training as [[Similarity.kmeansCentroids]]
+    * over the store's CURRENT rows, re-assign every row to its new
+    * nearest cell, and swap — the data rewrite is ONE atomic manifest
+    * commit ([[ManifestTable.overwriteWhere]] over the whole table,
+    * re-clustered by (centroid_id, id) with id blooms rebuilt), then
+    * the `_centroids` directory flips by rename. q8/PQ codes ride along
+    * unchanged (they encode the VECTOR, not the cell). Requires a
+    * manifest-committed store; the hive layout's cells ARE directories,
+    * so its re-cluster is a rebuild into a new store dir by design.
+    *
+    * Replays of an absorbed `opId` are no-ops (false). The swap is two
+    * steps (data commit, then centroid rename): a search racing the
+    * window between them may probe stale cells — the standard
+    * rebuild-the-index caveat, scoped to milliseconds here; crash
+    * recovery = re-run the retrain (the data commit is idempotent by
+    * opId, the rename by content).
+    */
+  def retrain(spark: SparkSession, dir: String, opId: String,
+              k: Int = 16, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              filesOut: Int = 8): Boolean = {
+    require(isCommitted(spark, dir),
+      s"retrain needs a manifest-committed store at $dir (the hive " +
+        "layout rebuilds into a new directory — cells are its paths)")
+    if (ManifestTable.snapshot(spark, dir).batchIds.contains(opId))
+      return false
+    val rows = ManifestTable.read(spark, dir)
+    val newCents = Similarity.kmeansCentroids(
+      rows.select(col(idCol), col(vecCol)), k, iters, idCol, vecCol)
+      .select(col("cid").cast("long").as("cid"), col("cv"))
+      .localCheckpoint(true)
+    val reassigned = Similarity.assignTo(
+      rows.drop("centroid_id"), newCents, vecCol)
+    val committed = ManifestTable.overwriteWhere(
+      reassigned.repartitionByRange(filesOut, col("centroid_id"), col(idCol))
+        .sortWithinPartitions(col("centroid_id"), col(idCol)),
+      dir, "true", opId, bloomCols = Seq(idCol))
+    if (committed) {
+      val fs = hadoopFs(spark, dir)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/_centroids_retrain")
+      fs.delete(tmp, true)
+      newCents.write.parquet(tmp.toString)
+      val live = new org.apache.hadoop.fs.Path(centroidsPath(dir))
+      fs.delete(live, true)
+      require(fs.rename(tmp, live), s"centroid swap failed at $dir")
+    }
+    committed
+  }
 }

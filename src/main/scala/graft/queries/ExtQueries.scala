@@ -528,6 +528,77 @@ object ExtQueries {
       .orderBy(col("cos6").desc, col("vec_id"))
   }
 
+  /** IVF RETRAIN after distribution drift, oracle-replayed (VERDICT r13
+    * order #8 — the store was append-only against frozen centroids): the
+    * store takes the embeddings corpus, then a DRIFTED copy (every
+    * vector shifted +2.0 per dim, ids offset) that the frozen centroids
+    * funnel into whichever old cells sit nearest — the REQUIREs pin the
+    * drift signal (mean squared quantization error spikes vs the fresh
+    * store) and the repair (retrain strictly lowers it — k-means
+    * minimizes exactly that objective — and recall@10 of a drifted
+    * query against the exact top-10 does not regress, the order's
+    * acceptance bar). The retrained search replays in DuckDB end to
+    * end: the same unrolled Lloyd rounds over the drifted corpus
+    * (seed = 16 lowest ids, 4-decimal means), the same (dist², cid)
+    * probe ranking, the same exact-cosine top-10 — so a hash match
+    * certifies the entire retrain → reassign → search pipeline.
+    */
+  def vectorStoreRetrainQ(s: SparkSession, d: String): DataFrame = {
+    val root = "/tmp/graft_fix/vector_store_retrain"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // both halves as array<double>: appends type-check against the
+    // manifest schema, and the oracle's corpus casts identically
+    val emb = t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val drifted = emb
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(2.0)))
+    require(graft.ext.VectorStore.appendCommitted(emb, root, "b0"),
+      "base append did not commit")
+    val fresh = graft.ext.VectorStore.driftStats(s, root)
+    require(graft.ext.VectorStore.appendCommitted(drifted, root, "b1"),
+      "drifted append did not commit")
+    val before = graft.ext.VectorStore.driftStats(s, root)
+    require(before.meanSqDist > fresh.meanSqDist * 1.5,
+      s"fixture degenerate: drift did not move the quantization error " +
+        s"(${fresh.meanSqDist} -> ${before.meanSqDist})")
+    // the drifted query: original vector 0, shifted like its cohort
+    val q = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double") + lit(2.0))
+        .as("v")).collect()(0).getSeq[Double](0)
+    // exact top-10 (brute force over the store) = the recall yardstick
+    def top10(df: DataFrame): Seq[Long] =
+      df.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    val qCol = array(q.map(lit): _*)
+    val exact = top10(graft.ext.ManifestTable.read(s, root)
+      .filter(col("vec_id") =!= 100000L)
+      .withColumn("cos", graft.ext.Similarity.cosine(col("embedding"), qCol))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)).toSet
+    def recall(hits: Seq[Long]): Double =
+      hits.count(exact).toDouble / exact.size
+    val recallFrozen = recall(top10(graft.ext.VectorStore.search(s, root, q,
+      nprobe = 2, topK = 10, excludeId = Some(100000L))))
+    // RETRAIN: same Lloyd training, re-assign, one atomic data commit
+    require(graft.ext.VectorStore.retrain(s, root, "rt0"),
+      "retrain did not commit")
+    require(!graft.ext.VectorStore.retrain(s, root, "rt0"),
+      "replayed retrain opId was not absorbed")
+    val after = graft.ext.VectorStore.driftStats(s, root)
+    require(after.meanSqDist < before.meanSqDist,
+      s"retrain did not lower the k-means objective " +
+        s"(${before.meanSqDist} -> ${after.meanSqDist})")
+    val result = graft.ext.VectorStore.search(s, root, q,
+      nprobe = 2, topK = 10, excludeId = Some(100000L))
+    require(recall(top10(result)) >= recallFrozen,
+      s"retrained recall ${recall(top10(result))} regressed below " +
+        s"frozen-centroid recall $recallFrozen")
+    result.select(col("vec_id").cast("long").as("vec_id"), col("cos6"))
+      .orderBy(col("cos6").desc, col("vec_id"))
+  }
+
   /** The COMPLETE training-data ingest fold
     * ([[graft.streaming.Ingest.ingestBatchFull]]): exact dedup → quality
     * filter → PII scrub → near-dup dedup, both indexes self-maintaining,
@@ -2162,6 +2233,7 @@ object ExtQueries {
     "train_ingest_stats_replay" -> (trainIngestStatsReplay(_, _)),
     "corpus_stats_replay" -> (corpusStatsReplay(_, _)),
     "vector_store_search" -> (vectorStoreSearch(_, _)),
+    "vector_store_retrain" -> (vectorStoreRetrainQ(_, _)),
     "vector_store_search_q8" -> (vectorStoreSearchQ8(_, _)),
     "vector_store_search_pq" -> (vectorStoreSearchPq(_, _)),
     "pq_codebooks" -> (pqCodebooks(_, _)),
@@ -2451,15 +2523,16 @@ object ExtQueries {
     * then per-(cid, dim) mean rounded to 4 dp). Yields CTEs `km_m<iters>`
     * (cid, pos, m) and `km_c<iters>` (cid, cv).
     */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private def kmeansSql(k: Int, iters: Int,
+                        from: String = "embeddings"): String = {
     val init =
       s"""km_c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
          |  [round(CAST(x AS DOUBLE), 4) + 0 for x in embedding] AS cv
-         |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+         |  FROM $from WHERE vec_id < $k)""".stripMargin
     val rounds = (1 to iters).map { it =>
       val prev = s"km_c${it - 1}"
       s"""km_d$it AS (SELECT e.vec_id, e.embedding, c.cid,
-         |  ${l2Sql("e.embedding", "c.cv")} AS dist2 FROM embeddings e, $prev c),
+         |  ${l2Sql("e.embedding", "c.cv")} AS dist2 FROM $from e, $prev c),
          |km_a$it AS (SELECT vec_id, embedding, cid FROM (
          |  SELECT vec_id, embedding, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
@@ -3424,6 +3497,36 @@ object ExtQueries {
     // centroids, per-query (dist2, cid) cell rank, nprobe=2 probe,
     // exact-cosine top-3 — served from the store in the Spark plan
     "vector_store_search_many" -> ivfSearchManySql(2),
+
+    // the full retrain replay: the drifted corpus (originals + every
+    // vector shifted +2.0, ids offset), the SAME unrolled Lloyd rounds
+    // (seed = 16 lowest ids, 4-decimal means), nearest-cell re-assign,
+    // then the drifted query's nprobe=2 probe and exact-cosine top-10
+    "vector_store_retrain" ->
+      s"""WITH corpus AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |    [CAST(x AS DOUBLE) for x in embedding] AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT CAST(vec_id + 100000 AS BIGINT),
+         |    [CAST(x AS DOUBLE) + 2.0 for x in embedding] FROM embeddings),
+         |${kmeansSql(16, 2, from = "corpus")},
+         |qv AS (SELECT [CAST(x AS DOUBLE) + 2.0 for x in embedding] AS q_vec
+         |  FROM embeddings WHERE vec_id = 0),
+         |qc AS (SELECT cid,
+         |  row_number() OVER (ORDER BY ${l2Sql("q_vec", "c.cv")}, cid) AS crn
+         |  FROM km_c2 c, qv),
+         |probe AS (SELECT cid FROM qc WHERE crn <= 2),
+         |assign AS (SELECT vec_id, embedding, cid AS centroid_id FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "c.cv")}, c.cid) AS rn
+         |  FROM corpus e, km_c2 c) WHERE rn = 1),
+         |cand AS (SELECT a.vec_id, ${cosSql("a.embedding", "q_vec")} AS cos
+         |  FROM assign a JOIN probe p ON a.centroid_id = p.cid, qv
+         |  WHERE a.vec_id <> 100000)
+         |SELECT vec_id, ROUND(cos, 6) AS cos6
+         |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     // the full two-pass replay: same floor-quantization (scale =
     // max|x|/127, total via the zero-vector guard), same int8 coarse

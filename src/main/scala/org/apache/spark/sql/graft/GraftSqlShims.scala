@@ -45,6 +45,14 @@ object GraftSqlShims {
       .internalCreateDataFrame(rdd, df.schema, isStreaming = true)
   }
 
+  /** `DataType.sameType` (type equality ignoring nullability) is
+    * `private[sql]` — the schema-align paths compare through this seam
+    * so a mere containsNull difference never forces a refused cast.
+    */
+  def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
+                                b: org.apache.spark.sql.types.DataType)
+  : Boolean = a.sameType(b)
+
   /** The identity-transform extractor (`PARTITIONED BY (col)`) — the
     * `IdentityTransform` case class is `private[sql]`, so the catalog
     * matches through this seam.

@@ -299,4 +299,49 @@ class VectorStoreSpec extends SparkSpec {
     }
     assert(got === expected)
   }
+
+  test("drift detection and in-place retrain repair a drifted store") {
+    val dir = "/tmp/graft_test/vstore_retrain/s"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    assert(graft.ext.VectorStore.appendCommitted(
+      mkVecs(0 until 60), dir, "b0", k = 2))
+    val fresh = graft.ext.VectorStore.driftStats(spark, dir)
+    // drift: a third cluster far from both centroids — frozen cells
+    // swallow it, the quantization error spikes
+    val far = (100 until 160).map { i =>
+      (i.toLong, Seq.fill(8)(5.0f).zipWithIndex.map { case (x, j) =>
+        x + 0.001f * ((i + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    assert(graft.ext.VectorStore.appendCommitted(far, dir, "b1"))
+    val drifted = graft.ext.VectorStore.driftStats(spark, dir)
+    assert(drifted.meanSqDist > fresh.meanSqDist * 2,
+      s"drift signal missing: ${fresh.meanSqDist} -> ${drifted.meanSqDist}")
+    // retrain: Lloyd over the current rows, atomic data swap, new cells
+    assert(graft.ext.VectorStore.retrain(spark, dir, "rt0", k = 3))
+    assert(!graft.ext.VectorStore.retrain(spark, dir, "rt0"),
+      "replayed retrain must be a no-op")
+    val after = graft.ext.VectorStore.driftStats(spark, dir)
+    assert(after.meanSqDist < drifted.meanSqDist,
+      s"retrain did not lower the objective: " +
+        s"${drifted.meanSqDist} -> ${after.meanSqDist}")
+    assert(after.cells === 3)
+    // a probe near the drifted cluster now finds it in ONE cell
+    val q = Seq.fill(8)(5.0)
+    val hits = graft.ext.VectorStore.search(spark, dir, q,
+      nprobe = 1, topK = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits.length === 10 && hits.forall(_ >= 100L),
+      s"post-retrain probe missed the drifted cluster: $hits")
+    // rows survived the swap exactly once
+    assert(graft.ext.ManifestTable.read(spark, dir).count() === 120L)
+    // the hive layout refuses (its cells are directories)
+    val hiveDir = "/tmp/graft_test/vstore_retrain/hive"
+    fs.delete(new org.apache.hadoop.fs.Path(hiveDir), true)
+    graft.ext.VectorStore.append(mkVecs(0 until 10), hiveDir, k = 2)
+    intercept[IllegalArgumentException] {
+      graft.ext.VectorStore.retrain(spark, hiveDir, "rt1")
+    }
+  }
 }
