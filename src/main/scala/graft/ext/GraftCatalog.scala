@@ -124,12 +124,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** `ADD COLUMN` maps to the manifest's metadata-commit schema
+    * evolution (new columns are forced nullable — old files null-fill,
+    * nothing rewrites). Every other change is a loud no: drops and
+    * renames would strand the physical column bytes under a lie, type
+    * changes are rejected by the same rule the append path enforces.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported on graft-manifest tables yet; " +
-        "schema evolves through appends (new nullable columns merge), " +
-        "constraints through ManifestTable.addConstraint/dropConstraint")
+                          changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft-manifest supports top-level ADD COLUMN only, got " +
+            add.fieldNames().mkString("."))
+        ManifestTable.addColumn(spark, dirOf(ident),
+          add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported on graft-manifest " +
+          "tables; only ADD COLUMN evolves the schema (constraints go " +
+          "through ManifestTable.addConstraint/dropConstraint)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs(dirOf(ident))

@@ -860,6 +860,26 @@ object ManifestTable {
   def exists(spark: SparkSession, dir: String): Boolean =
     headVersion(spark, dir) > 0L
 
+  /** ALTER TABLE ... ADD COLUMN as one metadata commit: the tracked
+    * schema gains the column, FORCED nullable — files written before it
+    * existed null-fill on read, the exact contract append-side schema
+    * evolution already gives ([[mergedSchemaJson]]); no data moves.
+    * Raises on a duplicate name or a schema-less legacy table.
+    */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Boolean =
+    commit(spark, dir) { old =>
+      val cur = tableSchema(old).getOrElse(throw new IllegalStateException(
+        s"ManifestTable at $dir tracks no schema (created before schema " +
+          "tracking) — ALTER has nothing to evolve"))
+      require(!cur.fields.exists(_.name.equalsIgnoreCase(name)),
+        s"column $name already exists in $dir")
+      Some(old.copy(schemaJson = Some(org.apache.spark.sql.types.StructType(
+        cur.fields :+ org.apache.spark.sql.types.StructField(
+          name, dataType, nullable = true)).json),
+        op = "metadata", cdcPath = None))
+    }
+
   /** Append `df` as batch `batchId`. Returns true if the batch committed,
     * false if an earlier commit already absorbed this `batchId` (the
     * idempotent-replay no-op). `beforeCommit` is a test seam between the

@@ -184,10 +184,31 @@ class GraftCatalogSpec extends SparkSpec {
       sql("CREATE TABLE graft.t_bucket (id BIGINT) PARTITIONED BY (bucket(4, id))")
     }
     assert(e2.getMessage.contains("identity"))
-    // ALTER is honest about not existing yet
+    // destructive ALTERs are a loud no (only ADD COLUMN evolves)
     val e3 = intercept[Exception] {
-      sql("ALTER TABLE graft.t_err ADD COLUMN extra STRING")
+      sql("ALTER TABLE graft.t_err DROP COLUMN v")
     }
     assert(e3.getMessage.contains("not supported"))
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, old rows null-fill") {
+    fsDel(s"$wh/t_alter")
+    sql("CREATE TABLE graft.t_alter (id BIGINT, v STRING)")
+    sql("INSERT INTO graft.t_alter VALUES (1, 'a'), (2, 'b')")
+    val filesBefore = ManifestTable.snapshot(spark, s"$wh/t_alter").files.toSet
+    sql("ALTER TABLE graft.t_alter ADD COLUMN score BIGINT")
+    // nothing rewrote — one metadata commit
+    assert(ManifestTable.snapshot(spark, s"$wh/t_alter").files.toSet
+      === filesBefore)
+    // old rows null-fill; new inserts carry the column
+    sql("INSERT INTO graft.t_alter VALUES (3, 'c', 30)")
+    assert(sql("SELECT id, score FROM graft.t_alter ORDER BY id")
+      .as[(Long, Option[Long])].collect().toSeq ===
+      Seq((1L, None), (2L, None), (3L, Some(30L))))
+    // duplicates raise
+    val e = intercept[Exception] {
+      sql("ALTER TABLE graft.t_alter ADD COLUMN score BIGINT")
+    }
+    assert(e.getMessage.contains("already exists"))
   }
 }
