@@ -1683,9 +1683,12 @@ object ExtQueries {
     require(graft.ext.ManifestTable.deleteWhereDV(s, root,
       "doc_id >= 100 AND doc_id < 220", "d0", cdc = true))       // v3
     val v3 = graft.ext.ManifestTable.snapshot(s, root)
-    require(v3.files.size < v2.files.size && v3.dvs.nonEmpty,
-      "fixture degenerate: the DV delete should drop covered files " +
-        "AND vector the edge files")
+    // the band must leave vectors OUTSTANDING (the restore then clears
+    // them — the resurrection path under test); whether it ALSO drops
+    // fully-covered files depends on how the session's parallelism cut
+    // the compaction ranges, and the diff is correct either way
+    require(v3.dvs.nonEmpty,
+      "fixture degenerate: the DV delete left no deletion vectors")
     require(graft.ext.ManifestTable.restore(s, root, 2L, "r0"))  // v4
     val v4 = graft.ext.ManifestTable.snapshot(s, root)
     require(v4.files.toSet == v2.files.toSet && v4.dvs.isEmpty,
