@@ -52,7 +52,9 @@ object Explain {
       "manifest_compact_small",
       "manifest_sql_ddl", "manifest_scan_dv",
       "manifest_restore_cdf", "manifest_restore_cdf_stream_replay",
-      "manifest_partition_evolution", "vector_store_retrain")
+      "manifest_partition_evolution", "vector_store_retrain",
+      "manifest_sql_update", "manifest_sql_merge",
+      "manifest_sql_maintenance")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -237,7 +239,7 @@ object Explain {
       }),
       "manifest_sql_ddl" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,
-          "/tmp/graft_fix/sqlddl_wh/sqlddl")
+          "/tmp/graft_fix/wh/sqlddl")
         s"SQL-built table: v${snap.version}, op=${snap.op}, " +
           s"partitioned by (${snap.partitionCols.mkString(", ")}) — the " +
           "whole CREATE/INSERT/DELETE/re-INSERT cycle ran through " +
@@ -245,6 +247,33 @@ object Explain {
           "FileSourceScanExec below IS the ManifestFileIndex plan " +
           "(builder REQUIREd the partition probe read exactly the " +
           "partition's files)"
+      }),
+      "manifest_sql_update" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlupd")
+        s"SQL UPDATE target: v${snap.version}, op=${snap.op} — the " +
+          "UPDATE statement lowered (GraftDmlRule) to updateWhere's " +
+          "file-pruned copy-on-write commit; the builder REQUIREd the " +
+          "partition predicate proved the non-matching partitions " +
+          "untouchable before the rewrite"
+      }),
+      "manifest_sql_merge" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlmrg")
+        s"SQL MERGE target: v${snap.version}, op=${snap.op} — the " +
+          "upsert-shaped MERGE INTO lowered (GraftDmlRule) to merge's " +
+          "source-key-pruned commit; the builder REQUIREd a strict " +
+          "subset of files rewrote (O(matched files), never O(table))"
+      }),
+      "manifest_sql_maintenance" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlmnt")
+        s"CALL-maintained table: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} live files — clustered compact, CoW " +
+          "DELETE, bin-pack, checkpoint, expire_log and zero-grace " +
+          "vacuum all ran as graft_fix.system.* stored procedures; the " +
+          "builder REQUIREd each pass's observable effect (pack " +
+          "shrank the count, expiry dropped entries, vacuum collected)"
       }),
       "vector_store_retrain" -> (s => {
         val st = graft.ext.VectorStore.driftStats(s,

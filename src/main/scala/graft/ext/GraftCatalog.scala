@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics => V2Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -50,7 +50,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * same metadata-or-CoW row-level delete, file-pruned, so a partition
   * drop stays a manifest-only commit at any scale.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -173,6 +174,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .filter(n => ManifestTable.exists(spark, s"${nsDir(namespace)}/$n"))
       .map(n => Identifier.of(namespace, n)).toArray
   }
+
+  // ---------------------------------------------------------- procedures
+
+  /** SQL `CALL <catalog>.system.<proc>(table => 'ns.t', ...)` — the
+    * maintenance verbs as stored procedures (see [[GraftProcedures]]).
+    */
+  override def loadProcedure(ident: Identifier)
+  : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catName, parts => dirOf(
+      Identifier.of(parts.dropRight(1).toArray, parts.last)), ident)
+
+  override def listProcedures(namespace: Array[String])
+  : Array[Identifier] =
+    // the empty namespace is the catalog-wide listing (SHOW PROCEDURES
+    // IN <catalog>) — the system procedures are all there are
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      GraftProcedures.identifiers
+    else Array.empty
 
   // ---------------------------------------------------------- namespaces
 
@@ -328,7 +347,36 @@ class GraftScanBuilder(spark: SparkSession, dir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
+  /** Manifest-honest table statistics for the V2 seam: recorded file
+    * bytes scaled by the DV-visible row fraction (the
+    * [[ManifestTable.metaCount]] math) plus the exact visible row
+    * count. Without this, Spark sizes the fallback relation at
+    * `defaultSizeInBytes` (effectively infinite) and a small graft
+    * dimension NEVER broadcasts in an extension-less session; with it,
+    * the optimizer's own threshold logic decides — no hints needed.
+    * Empty optionals when any live file lacks recorded size/stats
+    * (never guess a size the planner will trust).
+    */
+  def estimateStatistics(): V2Statistics = new V2Statistics {
+    private val known = snap.files.forall(f =>
+      snap.sizes.contains(f) && snap.stats.contains(f))
+    private val rawBytes = if (known) snap.files.map(snap.sizes).sum else 0L
+    private val totalRows =
+      if (known) snap.files.map(f => snap.stats(f).rows).sum else 0L
+    private val deleted = snap.dvs.valuesIterator.flatten.map(_.rows).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (!known) java.util.OptionalLong.empty()
+      else if (totalRows <= 0L) java.util.OptionalLong.of(rawBytes)
+      else java.util.OptionalLong.of(
+        (rawBytes.toDouble * (totalRows - deleted) / totalRows).toLong)
+    override def numRows(): java.util.OptionalLong =
+      if (!known) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(totalRows - deleted)
+  }
+
+  override def build(): Scan = new V1Scan with SupportsReportStatistics {
+    override def estimateStatistics(): V2Statistics =
+      GraftScanBuilder.this.estimateStatistics()
     override def readSchema(): StructType = required
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectResolutionRule(session => new GraftDmlRule(session))
     e.injectPostHocResolutionRule(session => new GraftV2Reads(session))
   }
 }

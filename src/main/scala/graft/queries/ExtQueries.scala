@@ -1026,7 +1026,11 @@ object ExtQueries {
     * bench passes replay the whole DDL/DML cycle.
     */
   def manifestSqlDdlQ(s: SparkSession, d: String): DataFrame = {
-    val wh = "/tmp/graft_fix/sqlddl_wh"
+    // ONE warehouse for every graft_fix query: Spark caches a catalog
+    // instance at first reference, so a per-query warehouse conf would
+    // silently lose to whichever query ran first (queries run in map
+    // order — effectively arbitrary). Distinct table names isolate.
+    val wh = "/tmp/graft_fix/wh"
     s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
     s.sql("DROP TABLE IF EXISTS graft_fix.sqlddl")
@@ -1057,6 +1061,131 @@ object ExtQueries {
     s.sql("INSERT INTO graft_fix.sqlddl SELECT doc_id, lang, " +
       "CAST(n_chars + 2000 AS BIGINT) FROM sqlddl_src WHERE lang = 'de'")
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlddl ORDER BY doc_id")
+  }
+
+  /** SQL `UPDATE`, oracle-replayed: pure `spark.sql` UPDATE over a
+    * partitioned catalog table lowers (via [[graft.plans.GraftDmlRule]])
+    * to [[graft.ext.ManifestTable.updateWhere]] — the same file-pruned
+    * copy-on-write commit the Scala caller gets, SET expressions
+    * evaluated against the OLD row and cast back to the column type.
+    * The REQUIREs pin that the candidate pruning PROVED the non-matching
+    * partition untouchable before the statement ran (kept < total) and
+    * that the commit landed as an `update` op. Re-runnable for warm
+    * bench passes (DROP IF EXISTS + fresh statement ids).
+    */
+  def manifestSqlUpdateQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlupd")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlupd_src")
+    s.sql("CREATE TABLE graft_fix.sqlupd " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    s.sql("INSERT INTO graft_fix.sqlupd " +
+      "SELECT doc_id, lang, n_chars FROM sqlupd_src")
+    // the partition predicate must PRUNE before the update rewrites
+    val (kept, total) =
+      graft.ext.ManifestTable.pruneInfo(s, s"$wh/sqlupd", "lang = 'de'")
+    require(kept > 0 && kept < total,
+      s"fixture degenerate: update candidates $kept of $total files")
+    s.sql("UPDATE graft_fix.sqlupd " +
+      "SET n_chars = n_chars * 2 + 7 WHERE lang = 'de' AND doc_id % 3 = 0")
+    val last = graft.ext.ManifestTable.history(s, s"$wh/sqlupd")
+      .orderBy(col("version").desc).select("op").first().getString(0)
+    require(last == "update", s"SQL UPDATE landed as '$last', not 'update'")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlupd ORDER BY doc_id")
+  }
+
+  /** SQL `MERGE INTO` (the upsert shape), oracle-replayed: pure
+    * `spark.sql` MERGE lowers (via [[graft.plans.GraftDmlRule]]) to
+    * [[graft.ext.ManifestTable.merge]] — source-key candidate pruning,
+    * full-row replace of matched keys, insert of absent ones, one
+    * atomic commit. The REQUIREs pin that the merge REWROTE a strict
+    * subset of the table's files (source-key pruning held: an upsert
+    * batch is O(matched files), never O(table)) and landed as a
+    * `merge` op. Re-runnable for warm bench passes.
+    */
+  def manifestSqlMergeQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmrg")
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.createOrReplaceTempView("sqlmrg_src")
+    s.sql("CREATE TABLE graft_fix.sqlmrg " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    s.sql("INSERT INTO graft_fix.sqlmrg " +
+      "SELECT doc_id, lang, n_chars FROM sqlmrg_src WHERE doc_id < 400")
+    // cluster into doc_id-ranged files so the source-key band prunes
+    graft.ext.ManifestTable.compact(s, s"$wh/sqlmrg",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmrg")
+    require(before.files.size > 3,
+      s"fixture degenerate: ${before.files.size} files pre-merge")
+    s.sql("""MERGE INTO graft_fix.sqlmrg AS tgt
+            |USING (SELECT doc_id, lang,
+            |         CAST(n_chars + 5000 AS BIGINT) AS n_chars
+            |       FROM sqlmrg_src
+            |       WHERE doc_id >= 120 AND doc_id < 520) AS src
+            |ON tgt.doc_id = src.doc_id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmrg")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten < before.files.size,
+      s"merge rewrote all ${before.files.size} files — source-key " +
+        "pruning did not hold")
+    val last = graft.ext.ManifestTable.history(s, s"$wh/sqlmrg")
+      .orderBy(col("version").desc).select("op").first().getString(0)
+    require(last == "merge", s"SQL MERGE landed as '$last', not 'merge'")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmrg ORDER BY doc_id")
+  }
+
+  /** The SQL maintenance face, oracle-replayed: a full operator
+    * lifecycle driven by `CALL` stored procedures
+    * ([[graft.ext.GraftProcedures]]) — clustered compaction, a CoW
+    * DELETE, bin-packing, checkpoint, log expiry and a zero-grace
+    * vacuum — then a plain SELECT whose rows DuckDB replays. The
+    * REQUIREs pin each pass's observable effect (packing reduced the
+    * file count, expiry dropped log entries, vacuum collected the
+    * orphaned bytes) so a hash match certifies the maintained table,
+    * not a lucky read. Re-runnable for warm bench passes.
+    */
+  def manifestSqlMaintenanceQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmnt")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlmnt_src")
+    s.sql("CREATE TABLE graft_fix.sqlmnt " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    s.sql("INSERT INTO graft_fix.sqlmnt " +
+      "SELECT doc_id, lang, n_chars FROM sqlmnt_src")
+    // clustered full compact: many small doc_id-ranged files
+    val compacted = s.sql("CALL graft_fix.system.compact(" +
+      "table => 'sqlmnt', target_file_bytes => 4096, " +
+      "cluster_by => 'doc_id')").first()
+    require(compacted.getInt(1) > 3,
+      s"fixture degenerate: compact wrote ${compacted.getInt(1)} files")
+    // CoW delete of a band, then bin-pack the remnants
+    s.sql("DELETE FROM graft_fix.sqlmnt WHERE doc_id >= 100 AND doc_id < 220")
+    val packed = s.sql("CALL graft_fix.system.compact_small(" +
+      "table => 'sqlmnt')").first()
+    require(packed.getInt(0) > 0 && packed.getInt(1) < packed.getInt(0),
+      s"compact_small packed ${packed.getInt(0)} -> ${packed.getInt(1)}")
+    // bound the log, then collect the orphaned bytes
+    s.sql("CALL graft_fix.system.checkpoint(table => 'sqlmnt')")
+    // the checkpoint anchors at head, so retain 0 expires everything below
+    val expired = s.sql("CALL graft_fix.system.expire_log(" +
+      "table => 'sqlmnt', retain_versions => 0)").first().getInt(0)
+    require(expired > 0, "expire_log dropped nothing from a 4-commit log")
+    val deleted = s.sql("CALL graft_fix.system.vacuum(" +
+      "table => 'sqlmnt', grace_seconds => 0)").first().getInt(0)
+    require(deleted > 0, "vacuum collected nothing after two rewrites")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmnt ORDER BY doc_id")
   }
 
   /** The DV-AWARE planner scan, oracle-replayed (VERDICT r13 order #2):
@@ -2257,6 +2386,9 @@ object ExtQueries {
     "manifest_scan_pruned" -> (manifestScanPrunedQ(_, _)),
     "manifest_partition_pruned" -> (manifestPartitionPrunedQ(_, _)),
     "manifest_sql_ddl" -> (manifestSqlDdlQ(_, _)),
+    "manifest_sql_update" -> (manifestSqlUpdateQ(_, _)),
+    "manifest_sql_merge" -> (manifestSqlMergeQ(_, _)),
+    "manifest_sql_maintenance" -> (manifestSqlMaintenanceQ(_, _)),
     "manifest_scan_dv" -> (manifestScanDvQ(_, _)),
     "manifest_delete" -> (manifestDeleteQ(_, _)),
     "manifest_delete_meta" -> (manifestDeleteMetaQ(_, _)),
@@ -3093,6 +3225,34 @@ object ExtQueries {
         |  UNION ALL
         |  SELECT doc_id, lang, CAST(n_chars + 2000 AS BIGINT) AS n_chars
         |  FROM documents WHERE lang = 'de')
+        |ORDER BY doc_id""".stripMargin,
+
+    // SQL UPDATE semantics replayed: matching rows get the SET
+    // expression over their OLD values, everything else byte-identical
+    "manifest_sql_update" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN lang = 'de' AND doc_id % 3 = 0
+        |       THEN CAST(n_chars * 2 + 7 AS BIGINT) ELSE n_chars END
+        |    AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // SQL MERGE (upsert) semantics replayed: source keys win, absent
+    // keys insert, unmatched target rows survive byte-identical
+    "manifest_sql_merge" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, CAST(n_chars + 5000 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id >= 120 AND doc_id < 520
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id < 400 AND NOT (doc_id >= 120 AND doc_id < 520))
+        |ORDER BY doc_id""".stripMargin,
+
+    // SQL CALL maintenance lifecycle: compaction/packing/expiry/vacuum
+    // never change visible rows; the CoW DELETE is the one mutation
+    "manifest_sql_maintenance" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (doc_id >= 100 AND doc_id < 220)
         |ORDER BY doc_id""".stripMargin,
 
     // DV-aware planner scan: merge-on-read delete + a pushed filter,

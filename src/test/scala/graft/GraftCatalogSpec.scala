@@ -170,6 +170,31 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].collect().toSeq.sorted === Seq(5L, 6L, 8L, 9L))
   }
 
+  test("V2 scan reports DV-adjusted manifest statistics (extension-less broadcast)") {
+    fsDel(s"$wh/t_stats")
+    val docs = (0L until 1000L)
+      .map(i => (i, s"doc $i with ballast text")).toDF("id", "text")
+    ManifestTable.append(docs, s"$wh/t_stats", "b0")
+    ManifestTable.compact(spark, s"$wh/t_stats",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    assert(ManifestTable.deleteWhereDV(spark, s"$wh/t_stats",
+      "id < 400", "d0"))
+    val tbl = new graft.ext.GraftTableV2(spark, s"$wh/t_stats",
+      "graft.t_stats", pinned = None)
+    val scan = tbl.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty).build()
+    val stats = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    // exact visible rows; bytes scaled below raw by the deleted fraction
+    assert(stats.numRows().getAsLong === 600L)
+    val snap = tbl.snap
+    val raw = snap.files.map(snap.sizes).sum
+    assert(stats.sizeInBytes().getAsLong > 0L
+      && stats.sizeInBytes().getAsLong < raw,
+      s"effective ${stats.sizeInBytes()} must undercut raw $raw")
+  }
+
   test("SQL faces refuse what they cannot express, loudly") {
     fsDel(s"$wh/t_err")
     sql("CREATE TABLE graft.t_err (id BIGINT, v STRING)")

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ext.ManifestTable
+
+/** The SQL maintenance face: `CALL graft_proc.system.<proc>(...)` stored
+  * procedures ([[graft.ext.GraftProcedures]]) — each a veneer over the
+  * corresponding maintenance method, returning its observable result
+  * as a one-row relation.
+  */
+class GraftProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = "/tmp/graft_test/gproc_wh"
+
+  private def sql(q: String): DataFrame = spark.sql(q)
+
+  override def withFixture(test: NoArgTest) = {
+    spark.conf.set("spark.sql.catalog.graft_proc", "graft.ext.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_proc.warehouse", wh)
+    super.withFixture(test)
+  }
+
+  private def fsDel(path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
+  test("compact_small packs only under-sized files and reports the rewrite") {
+    fsDel(s"$wh/p_pack")
+    val docs = (0L until 2000L)
+      .map(i => (i, s"document body $i with ballast")).toDF("id", "text")
+    ManifestTable.append(docs, s"$wh/p_pack", "b0")
+    ManifestTable.compact(spark, s"$wh/p_pack",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    val before = ManifestTable.snapshot(spark, s"$wh/p_pack").files.size
+    require(before > 3, s"degenerate: $before files")
+    val res = sql("CALL graft_proc.system.compact_small(table => 'p_pack', " +
+      "target_file_bytes => 134217728, min_file_bytes => 67108864)")
+      .as[(Int, Int)].head()
+    assert(res._1 === before, "every 4KB file is under-sized: all pack")
+    assert(res._2 < before, "packing must reduce the file count")
+    assert(ManifestTable.snapshot(spark, s"$wh/p_pack").files.size === res._2)
+    assert(ManifestTable.read(spark, s"$wh/p_pack").count() === 2000L)
+  }
+
+  test("checkpoint + expire_log + vacuum via CALL: bounded log, bounded disk") {
+    fsDel(s"$wh/p_life")
+    (1 to 6).foreach(i => ManifestTable.append(
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), s"$wh/p_life", s"b$i"))
+    val v = sql("CALL graft_proc.system.checkpoint(table => 'p_life')")
+      .as[Long].head()
+    assert(v === 6L)
+    // the checkpoint sits at head, so retain 0 anchors expiry on it
+    val expired = sql("CALL graft_proc.system.expire_log(" +
+      "table => 'p_life', retain_versions => 0)").as[Int].head()
+    assert(expired > 0, "a 6-commit log with a head checkpoint and " +
+      "retain 0 must expire entries")
+    // a full rewrite orphans the old files; zero-grace vacuum collects
+    ManifestTable.compact(spark, s"$wh/p_life", targetFileBytes = 1L << 30)
+    val deleted = sql("CALL graft_proc.system.vacuum(" +
+      "table => 'p_life', grace_seconds => 0)").as[Int].head()
+    assert(deleted > 0, "vacuum after a full rewrite must delete files")
+    assert(ManifestTable.read(spark, s"$wh/p_life").count() === 6L)
+  }
+
+  test("purge_deletes via CALL rewrites only threshold-crossed files") {
+    fsDel(s"$wh/p_purge")
+    val docs = (0L until 2000L)
+      .map(i => (i, s"doc $i with some ballast text to split the files"))
+      .toDF("id", "text")
+    ManifestTable.append(docs, s"$wh/p_purge", "b0")
+    ManifestTable.compact(spark, s"$wh/p_purge",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    val total = ManifestTable.snapshot(spark, s"$wh/p_purge").files.size
+    require(total > 3, s"degenerate: $total files")
+    // delete most of one id-band: its file(s) cross the 0.3 fraction
+    assert(ManifestTable.deleteWhereDV(spark, s"$wh/p_purge",
+      "id >= 0 AND id < 450", "d0"))
+    val res = sql("CALL graft_proc.system.purge_deletes(table => 'p_purge')")
+      .as[(Int, Int)].head()
+    assert(res._1 > 0 && res._1 < total,
+      s"purge rewrote ${res._1} of $total files — expected a strict subset")
+    // the only DV'd files were the crossed ones — purge retires them all
+    val after = ManifestTable.snapshot(spark, s"$wh/p_purge")
+    assert(after.files.forall(f => after.dvs.get(f).forall(_.isEmpty)),
+      "purge left deletion vectors on rewritten files")
+    assert(ManifestTable.read(spark, s"$wh/p_purge").count() === 1550L)
+  }
+
+  test("restore via CALL rewinds and reports the new head") {
+    fsDel(s"$wh/p_rest")
+    ManifestTable.append(Seq((1L, "a")).toDF("id", "v"), s"$wh/p_rest", "b1")
+    ManifestTable.append(Seq((2L, "b")).toDF("id", "v"), s"$wh/p_rest", "b2")
+    assert(ManifestTable.deleteWhere(spark, s"$wh/p_rest", "id = 1", "d0"))
+    assert(ManifestTable.read(spark, s"$wh/p_rest").count() === 1L)
+    val (restored, head) = sql("CALL graft_proc.system.restore(" +
+      "table => 'p_rest', version => 2)").as[(Boolean, Long)].head()
+    assert(restored)
+    assert(head > 2L, "restore commits a NEW version, never rewinds the log")
+    assert(ManifestTable.read(spark, s"$wh/p_rest").count() === 2L)
+  }
+
+  test("full compact via CALL honors cluster_by and reports the rewrite") {
+    fsDel(s"$wh/p_full")
+    val docs = (0L until 1000L)
+      .map(i => (i % 977 * 31 % 997, s"doc $i")).toDF("id", "text")
+    ManifestTable.append(docs, s"$wh/p_full", "b0")
+    val (rewritten, written) = sql("CALL graft_proc.system.compact(" +
+      "table => 'p_full', target_file_bytes => 4096, cluster_by => 'id')")
+      .as[(Int, Int)].head()
+    assert(rewritten >= 1 && written > 1,
+      s"compact reported $rewritten -> $written files")
+    // clustered: a band predicate prunes on the manifest stats
+    val (kept, tot) =
+      ManifestTable.pruneInfo(spark, s"$wh/p_full", "id >= 0 AND id < 50")
+    assert(kept < tot, s"clustered compaction did not yield pruning " +
+      s"($kept of $tot)")
+    assert(ManifestTable.read(spark, s"$wh/p_full").count() === 1000L)
+  }
+
+  test("SHOW PROCEDURES lists the system namespace; unknown CALL is loud") {
+    val listed = sql("SHOW PROCEDURES IN graft_proc")
+      .select("procedure_name").as[String].collect().toSet
+    assert(graft.ext.GraftProcedures.names.toSet.subsetOf(listed),
+      s"missing procedures: ${graft.ext.GraftProcedures.names.toSet -- listed}")
+    val e = intercept[Exception] {
+      sql("CALL graft_proc.system.no_such_proc(table => 't')")
+    }
+    assert(e.getMessage.contains("no_such_proc"))
+    val e2 = intercept[Exception] {
+      sql("CALL graft_proc.system.vacuum(table => 'absent_table')")
+    }
+    assert(e2.getMessage.contains("absent_table"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ext.ManifestTable
+
+/** SQL `UPDATE` and `MERGE INTO` over graft-manifest tables
+  * ([[graft.plans.GraftDmlRule]]): the resolved commands lower to the
+  * engine's own `updateWhere` / `merge` — file-pruned copy-on-write
+  * commits — with standard SQL semantics (SET against the OLD row) and
+  * loud rejection of every shape the engine's upsert cannot express.
+  */
+class GraftSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = "/tmp/graft_test/gdml_wh"
+
+  private def sql(q: String): DataFrame = spark.sql(q)
+
+  override def withFixture(test: NoArgTest) = {
+    spark.conf.set("spark.sql.catalog.graft_dml", "graft.ext.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+    super.withFixture(test)
+  }
+
+  private def fsDel(path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
+  test("UPDATE: SET evaluates against the OLD row, casts back, commits as 'update'") {
+    fsDel(s"$wh/u_swap")
+    sql("CREATE TABLE graft_dml.u_swap (id BIGINT, a BIGINT, b BIGINT)")
+    sql("INSERT INTO graft_dml.u_swap SELECT id, id * 10, id * 100 FROM range(6)")
+    // the classic old-row pin: a simultaneous swap must not chain
+    sql("UPDATE graft_dml.u_swap SET a = b, b = a WHERE id >= 3")
+    val rows = sql("SELECT id, a, b FROM graft_dml.u_swap ORDER BY id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows === (0L until 6L).map(i =>
+      if (i >= 3) (i, i * 100, i * 10) else (i, i * 10, i * 100)))
+    val snap = ManifestTable.snapshot(spark, s"$wh/u_swap")
+    assert(snap.op === "update")
+    // the SET value is cast back to the column type: schema cannot drift
+    sql("UPDATE graft_dml.u_swap SET a = a / 2 WHERE id = 0") // div is DOUBLE
+    assert(sql("SELECT * FROM graft_dml.u_swap").schema("a").dataType
+      === org.apache.spark.sql.types.LongType)
+  }
+
+  test("UPDATE rewrites only stats-matched candidate files") {
+    fsDel(s"$wh/u_prune")
+    val docs = (0L until 4000L)
+      .map(i => (i, s"document body $i with some ballast text", i % 7))
+      .toDF("id", "text", "n")
+    ManifestTable.append(docs, s"$wh/u_prune", "b0")
+    ManifestTable.compact(spark, s"$wh/u_prune",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    val before = ManifestTable.snapshot(spark, s"$wh/u_prune")
+    require(before.files.size > 3, s"degenerate: ${before.files.size} files")
+    sql("UPDATE graft_dml.u_prune SET n = n + 1000 WHERE id >= 100 AND id < 180")
+    val after = ManifestTable.snapshot(spark, s"$wh/u_prune")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    assert(rewritten > 0 && rewritten < before.files.size / 2,
+      s"UPDATE rewrote $rewritten of ${before.files.size} files — " +
+        "candidate pruning did not hold")
+    assert(sql("SELECT CAST(sum(n) AS BIGINT) FROM graft_dml.u_prune")
+      .as[Long].head() ===
+      (0L until 4000L).map(i => i % 7 + (if (i >= 100 && i < 180) 1000 else 0)).sum)
+  }
+
+  test("MERGE upsert: source keys win, absent keys insert, pruned rewrite") {
+    fsDel(s"$wh/m_up")
+    sql("CREATE TABLE graft_dml.m_up (id BIGINT, v STRING, n BIGINT)")
+    sql("INSERT INTO graft_dml.m_up SELECT id, " +
+      "concat('v', id, ' with some ballast text to split files'), id " +
+      "FROM range(2000)")
+    ManifestTable.compact(spark, s"$wh/m_up",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    val before = ManifestTable.snapshot(spark, s"$wh/m_up")
+    require(before.files.size > 3, s"degenerate: ${before.files.size} files")
+    spark.range(1900, 2100).selectExpr(
+      "id", "concat('NEW', id) AS v", "id * 2 AS n")
+      .createOrReplaceTempView("m_src")
+    sql("""MERGE INTO graft_dml.m_up AS t USING m_src AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = ManifestTable.snapshot(spark, s"$wh/m_up")
+    assert(after.op === "merge")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    assert(rewritten < before.files.size,
+      s"MERGE rewrote every file — source-key pruning did not hold")
+    assert(sql("SELECT count(*) FROM graft_dml.m_up").as[Long].head() === 2100L)
+    assert(sql("SELECT v FROM graft_dml.m_up WHERE id = 1950").as[String].head()
+      === "NEW1950")
+    assert(sql("SELECT v FROM graft_dml.m_up WHERE id = 10").as[String].head()
+      === "v10 with some ballast text to split files")
+  }
+
+  test("MERGE accepts swapped ON sides and a graft-table source") {
+    fsDel(s"$wh/m_two")
+    fsDel(s"$wh/m_two_src")
+    sql("CREATE TABLE graft_dml.m_two (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.m_two SELECT id, id FROM range(10)")
+    sql("CREATE TABLE graft_dml.m_two_src (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.m_two_src SELECT id, id * 100 FROM range(5, 15)")
+    sql("""MERGE INTO graft_dml.m_two t USING graft_dml.m_two_src s ON s.id = t.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql("SELECT CAST(sum(n) AS BIGINT) FROM graft_dml.m_two")
+      .as[Long].head() === (0L until 5L).sum + (5L until 15L).map(_ * 100).sum)
+  }
+
+  test("unsupported DML shapes are a loud no, never an approximation") {
+    fsDel(s"$wh/d_err")
+    sql("CREATE TABLE graft_dml.d_err (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.d_err SELECT id, id FROM range(10)")
+    spark.range(5).selectExpr("id", "id AS n")
+      .createOrReplaceTempView("d_src")
+    def rejects(q: String, needle: String): Unit = {
+      val e = intercept[Exception] { sql(q) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.toLowerCase.contains(needle.toLowerCase)),
+        s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
+    }
+    // subquery in the UPDATE condition cannot cross the SQL-string seam
+    rejects("UPDATE graft_dml.d_err SET n = 0 WHERE id IN (SELECT id FROM d_src)",
+      "subquer")
+    // conditional matched action
+    rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
+              |WHEN MATCHED AND t.n > 3 THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "upsert shape")
+    // DELETE action
+    rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "upsert shape")
+    // partial-column update
+    rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET n = s.n + 1
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "upsert shape")
+    // non-equality ON conjunct
+    rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id > s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "upsert shape")
+    // NOT MATCHED BY SOURCE
+    rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+      "upsert shape")
+  }
+}
