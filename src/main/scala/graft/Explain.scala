@@ -54,7 +54,9 @@ object Explain {
       "manifest_restore_cdf", "manifest_restore_cdf_stream_replay",
       "manifest_partition_evolution", "vector_store_retrain",
       "manifest_sql_update", "manifest_sql_merge",
-      "manifest_sql_maintenance")
+      "manifest_sql_maintenance",
+      "manifest_sql_meta", "manifest_table_stream_replay",
+      "manifest_sql_tag", "manifest_sql_merge_delete")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -274,6 +276,47 @@ object Explain {
           "vacuum all ran as graft_fix.system.* stored procedures; the " +
           "builder REQUIREd each pass's observable effect (pack " +
           "shrank the count, expiry dropped entries, vacuum collected)"
+      }),
+      "manifest_sql_meta" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlmeta")
+        s"metadata faces over v${snap.version} (${snap.files.size} live " +
+          "files): history/files/partitions/detail answered from " +
+          "manifest math — the builder REQUIREd the files face to list " +
+          "exactly the snapshot's live files, and DuckDB certified the " +
+          "partitions face's per-partition row counts; zero data-file " +
+          "opens at any table size"
+      }),
+      "manifest_table_stream_replay" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlstrm")
+        s"streamed catalog table: v${snap.version}, " +
+          s"changeFeed=${graft.ext.ManifestTable.changeFeedEnabled(snap)} " +
+          "— readStream.table rewrote to the graft-manifest V1 source " +
+          "(version-offset micro-batches), the TBLPROPERTIES change-feed " +
+          "toggle made the SQL UPDATE record its CDC sidecar, and the " +
+          "collected feed hash-matched DuckDB's replay"
+      }),
+      "manifest_sql_tag" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqltag")
+        val tags = graft.ext.ManifestTable.tags(snap)
+        s"tagged table: head v${snap.version}, tags=" +
+          tags.toSeq.sorted.map { case (t, v) => s"$t->v$v" }
+            .mkString("{", ", ", "}") +
+          " — VERSION AS OF 'baseline' resolved through the tag after " +
+          "zero-retention expire_log (floor held at the tag) and " +
+          "zero-grace vacuum (tagged files stayed live) plus a later " +
+          "overwrite; DuckDB certified the pinned snapshot byte-exact"
+      }),
+      "manifest_sql_merge_delete" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlmdel")
+        s"tombstone-applied table: v${snap.version}, op=${snap.op} — " +
+          "MERGE ... WHEN MATCHED THEN DELETE lowered (GraftDmlRule) to " +
+          "deleteMatching's source-key-pruned copy-on-write commit; the " +
+          "builder REQUIREd a strict subset of files rewrote (a CDC " +
+          "tombstone batch is O(matched files), never O(table))"
       }),
       "vector_store_retrain" -> (s => {
         val st = graft.ext.VectorStore.driftStats(s,

@@ -84,21 +84,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ManifestTable.exists(spark, dirOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident))
+      return metaTable(ident).getOrElse(throw new NoSuchTableException(ident))
     new GraftTableV2(spark, dirOf(ident),
       (catName +: (ident.namespace() :+ ident.name()).toSeq).mkString("."),
       pinned = None)
   }
 
+  /** Iceberg-style SQL metadata faces: `SELECT * FROM <cat>.<t>.history`
+    * (also `files`, `partitions`, `detail`, `ndv`) — the identifier's
+    * namespace tail names an EXISTING table and the name selects the
+    * face. A real table always wins the name (checked first above);
+    * the faces are read-only, current-snapshot, manifest-math-only
+    * relations — no data file opens at any scale.
+    */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    val face = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (!GraftMetaTable.faces.contains(face) || ident.namespace().isEmpty)
+      return None
+    val parent = Identifier.of(ident.namespace().dropRight(1),
+      ident.namespace().last)
+    if (!tableExists(parent)) None
+    else Some(new GraftMetaTable(spark, dirOf(parent),
+      (catName +: (ident.namespace() :+ ident.name()).toSeq).mkString("."),
+      face))
+  }
+
   /** SQL time travel: `VERSION AS OF <v>` — the loaded table pins the
     * named manifest version (reads only; a pinned table refuses writes
-    * upstream in Spark).
+    * upstream in Spark). A non-numeric version is a TAG
+    * (`VERSION AS OF 'release-1'`), resolved through the table's
+    * `graft.tag.<name>` properties — expiry and vacuum keep tagged
+    * snapshots resolvable whatever the retention settings.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse {
+      val snap = ManifestTable.snapshot(spark, dirOf(ident))
+      ManifestTable.tags(snap).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"table ${ident.name()} has no version or tag '$version' " +
+            s"(tags: ${ManifestTable.tags(snap).keys.toSeq.sorted
+              .mkString(", ")})"))
+    }
     new GraftTableV2(spark, dirOf(ident),
       (catName +: (ident.namespace() :+ ident.name()).toSeq).mkString("."),
-      pinned = Some(version.toLong))
+      pinned = Some(v))
   }
 
   /** SQL time travel: `TIMESTAMP AS OF <ts>` (Spark hands micros). */
@@ -122,6 +153,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "policy (compact clusterBy/zorder), not a write layout"))
     }
     ManifestTable.create(spark, dirOf(ident), schema, partCols)
+    // TBLPROPERTIES travel to the manifest — minus the entries Spark
+    // itself injects into every V2 create (provider/location/owner/...)
+    val userProps = properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_COMMENT)
+    if (userProps.nonEmpty)
+      ManifestTable.setProperties(spark, dirOf(ident), userProps)
     loadTable(ident)
   }
 
@@ -134,6 +173,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // group the property changes into ONE metadata commit each way
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property() -> s.value()
+    }
+    val unsets = changes.collect {
+      case r: TableChange.RemoveProperty => r.property()
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -141,11 +187,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             add.fieldNames().mkString("."))
         ManifestTable.addColumn(spark, dirOf(ident),
           add.fieldNames()(0), add.dataType())
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on graft-manifest " +
           "tables; only ADD COLUMN evolves the schema (constraints go " +
           "through ManifestTable.addConstraint/dropConstraint)")
     }
+    if (sets.nonEmpty)
+      ManifestTable.setProperties(spark, dirOf(ident), sets.toMap)
+    if (unsets.nonEmpty)
+      ManifestTable.unsetProperties(spark, dirOf(ident), unsets)
     loadTable(ident)
   }
 
@@ -276,8 +327,9 @@ class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
     snap.partitionCols.map(c => Expressions.identity(c)).toArray
 
   override def properties(): util.Map[String, String] =
-    Map("location" -> dir, "provider" -> "graft-manifest",
-      "version" -> snap.version.toString).asJava
+    (snap.properties ++ Map("location" -> dir,
+      "provider" -> "graft-manifest",
+      "version" -> snap.version.toString)).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -307,7 +359,8 @@ class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
       new UnsupportedOperationException(
         s"DELETE predicate not translatable: ${predicates.mkString(", ")}"))
     ManifestTable.deleteWhere(spark, dir, sql,
-      s"sql-delete-${java.util.UUID.randomUUID()}")
+      s"sql-delete-${java.util.UUID.randomUUID()}",
+      cdc = ManifestTable.changeFeedEnabled(snap))
   }
 
   private def deleteSql(predicates: Array[Predicate]): Option[String] = {
@@ -393,6 +446,89 @@ class GraftScanBuilder(spark: SparkSession, dir: String,
         }
       }.asInstanceOf[T]
     }
+  }
+}
+
+/** A METADATA FACE of a manifest table as a DSv2 relation —
+  * `SELECT * FROM <cat>.<t>.<face>` for operational SQL reads:
+  *
+  *   - `history`: the commit log ([[ManifestTable.history]]);
+  *   - `partitions`: live partition tuples + per-partition file/row
+  *     counts ([[ManifestTable.partitions]]);
+  *   - `detail`: the one-row operational summary
+  *     ([[ManifestTable.detail]]);
+  *   - `files`: one row per live data file — name, recorded bytes,
+  *     recorded rows, partition tuple, outstanding DV-deleted rows —
+  *     straight from the snapshot;
+  *   - `ndv`: the per-column distinct-count estimates from the
+  *     manifest's HLL sketches ([[ManifestTable.metaNdv]]).
+  *
+  * Every face is answered from manifest math alone — a 100 TB table's
+  * `files` face reads the manifest log, never a data byte. Read-only
+  * (no SupportsWrite), current-snapshot (operational views, not
+  * time-travel surfaces), and served through the V1Scan seam: the
+  * frames are O(files)/O(commits) small, so the planner-integrated
+  * FileIndex path would be overkill.
+  */
+class GraftMetaTable(spark: SparkSession, dir: String, ident: String,
+                     face: String) extends Table with SupportsRead {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def frame(session: SparkSession): DataFrame =
+    GraftMetaTable.frameOf(session, dir, face)
+
+  override def name(): String = ident
+
+  override def schema(): StructType = frame(spark).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      override def readSchema(): StructType = GraftMetaTable.this.schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = GraftMetaTable.this.schema()
+          override def buildScan()
+          : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            frame(context.sparkSession).rdd
+        }.asInstanceOf[T]
+    }
+  }
+
+  override def toString: String = s"GraftMetaTable($ident)"
+}
+
+object GraftMetaTable {
+
+  val faces: Set[String] = Set("history", "files", "partitions", "detail",
+    "ndv")
+
+  def frameOf(session: SparkSession, dir: String,
+              face: String): org.apache.spark.sql.DataFrame = face match {
+    case "history" => ManifestTable.history(session, dir)
+    case "partitions" => ManifestTable.partitions(session, dir)
+    case "detail" => ManifestTable.detail(session, dir)
+    case "ndv" =>
+      import session.implicits._
+      ManifestTable.metaNdv(session, dir).toSeq.sortBy(_._1)
+        .toDF("column", "ndv")
+    case "files" =>
+      import session.implicits._
+      val snap = ManifestTable.snapshot(session, dir)
+      snap.files.sorted.map { f =>
+        (f, snap.sizes.get(f), snap.stats.get(f).map(_.rows),
+          snap.pvals.getOrElse(f, Map.empty)
+            .map { case (c, pv) => c -> pv.value.orNull },
+          snap.dvs.getOrElse(f, Nil).map(_.rows).sum)
+      }.toDF("file", "bytes", "rows", "partition", "dv_deleted_rows")
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata face $other (available: ${faces.mkString(", ")})")
   }
 }
 

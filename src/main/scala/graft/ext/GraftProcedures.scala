@@ -42,7 +42,8 @@ object GraftProcedures {
   private def spark: SparkSession = SparkSession.active
 
   val names: Seq[String] = Seq("vacuum", "checkpoint", "expire_log",
-    "compact_small", "purge_deletes", "restore", "compact")
+    "compact_small", "purge_deletes", "restore", "compact",
+    "create_tag", "drop_tag", "add_constraint", "drop_constraint")
 
   def identifiers: Array[Identifier] =
     names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -118,6 +119,36 @@ object GraftProcedures {
             targetFileBytes = in.getLong(1), clusterBy = cluster,
             zorder = in.getBoolean(3))
           Seq(a, b) })
+      case "create_tag" => proc("create_tag",
+        "name a version (default: head) — VERSION AS OF '<tag>' " +
+          "resolves to it, and expiry/vacuum keep it live",
+        Seq(p("table", StringType), p("tag", StringType),
+          p("version", LongType, Some("-1"))),
+        StructType(Seq(StructField("tag", StringType, false),
+          StructField("version", LongType, false))),
+        in => { val dir = dirFor(str(in, 0)); val tag = str(in, 1)
+          val v = ManifestTable.createTag(spark, dir, tag,
+            Some(in.getLong(2)).filter(_ >= 0L))
+          Seq(UTF8String.fromString(tag), v) })
+      case "drop_tag" => proc("drop_tag",
+        "drop a tag — its snapshot re-enters normal retention",
+        Seq(p("table", StringType), p("tag", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType, false))),
+        in => Seq(ManifestTable.dropTag(spark, dirFor(str(in, 0)),
+          str(in, 1))))
+      case "add_constraint" => proc("add_constraint",
+        "add a named CHECK constraint (validates existing rows first)",
+        Seq(p("table", StringType), p("name", StringType),
+          p("expr", StringType)),
+        StructType(Seq(StructField("added", BooleanType, false))),
+        in => Seq(ManifestTable.addConstraint(spark, dirFor(str(in, 0)),
+          str(in, 1), str(in, 2))))
+      case "drop_constraint" => proc("drop_constraint",
+        "drop a named CHECK constraint",
+        Seq(p("table", StringType), p("name", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType, false))),
+        in => Seq(ManifestTable.dropConstraint(spark, dirFor(str(in, 0)),
+          str(in, 1))))
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure system.$other " +
           s"(available: ${names.mkString(", ")})")

@@ -128,7 +128,8 @@ object ManifestTable {
                             partitionCols: Seq[String] = Nil,
                             pvals: Map[String, Map[String, PartValue]] = Map.empty,
                             ndvCols: Seq[String] = Nil,
-                            ndv: Map[String, Map[String, String]] = Map.empty)
+                            ndv: Map[String, Map[String, String]] = Map.empty,
+                            properties: Map[String, String] = Map.empty)
 
   /** One data file's value for one PARTITION column: the canonical
     * comparison family (the [[Skipping]] vocabulary — "long", "string",
@@ -642,6 +643,9 @@ object ManifestTable {
     *                                     sketch (Datasketches compact
     *                                     bytes, base64) — mergeable, so
     *                                     table NDV = union over files
+    *   property:<kEnc>\t<vEnc>           a table property set (or, in a
+    *                                     checkpoint, carried)
+    *   dropproperty:<kEnc>               DELTA: a table property unset
     *
     * `flag` 1 = min/max present (URL-encoded canonical strings); 0 = the
     * column is entirely null in the file. Values are URL-encoded so
@@ -658,7 +662,9 @@ object ManifestTable {
       partitionCols: Option[Seq[String]],
       pvals: Map[String, Map[String, PartValue]],
       ndvCols: Option[Seq[String]],
-      ndv: Map[String, Map[String, String]])
+      ndv: Map[String, Map[String, String]],
+      propsSet: Seq[(String, String)],
+      propsUnset: Set[String])
 
   private def parseLog(lines: List[String]): ParsedLog = {
     // limit -1: trailing empty fields SURVIVE the split. A column whose
@@ -722,7 +728,13 @@ object ManifestTable {
         (a(0), dec(a(1)), a(2))
       }.groupBy(_._1).map { case (file, vs) =>
         file -> vs.map(v => v._2 -> v._3).toMap
-      })
+      },
+      propsSet = lines.filter(_.startsWith("property:")).map { l =>
+        val a = l.stripPrefix("property:").split("\t", -1)
+        (dec(a(0)), dec(a(1)))
+      },
+      propsUnset = lines.filter(_.startsWith("dropproperty:"))
+        .map(l => dec(l.stripPrefix("dropproperty:"))).toSet)
   }
 
   private def readLogLines(spark: SparkSession, dir: String,
@@ -743,7 +755,7 @@ object ManifestTable {
     Snapshot(v, pl.files, pl.batchIds, pl.stats, pl.op, pl.schemaJson,
       pl.cdcPath, pl.sizes, pl.dvs, pl.consAdd.toMap,
       pl.partitionCols.getOrElse(Nil), pl.pvals,
-      pl.ndvCols.getOrElse(Nil), pl.ndv)
+      pl.ndvCols.getOrElse(Nil), pl.ndv, pl.propsSet.toMap)
   }
 
   /** One commit's ACTIONS (the delta file for `v`). */
@@ -773,7 +785,8 @@ object ManifestTable {
       partitionCols = d.partitionCols.getOrElse(base.partitionCols),
       pvals = base.pvals -- gone ++ d.pvals,
       ndvCols = d.ndvCols.getOrElse(base.ndvCols),
-      ndv = base.ndv -- gone ++ d.ndv)
+      ndv = base.ndv -- gone ++ d.ndv,
+      properties = base.properties ++ d.propsSet -- d.propsUnset)
   }
 
   /** The snapshot's rows (schema comes from the listed files). A table
@@ -1381,9 +1394,18 @@ object ManifestTable {
               } catch { case scala.util.control.NonFatal(_) => Nil }
             }
       }
+    // TAGGED versions stay restorable forever: their full file sets
+    // join the live set (expireLog keeps their log entries, so the
+    // resolution here cannot miss; a failure is a corrupt tag and
+    // conservatively pins nothing extra)
+    val taggedLive = tags(head).values.toSet.flatMap { (v: Long) =>
+      try resolveAt(spark, dir, v, log).files
+      catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
+    }
+    val liveAll = live ++ taggedLive
     val dd = p(dataDir(dir))
     val removed = if (!f.exists(dd)) 0 else f.listStatus(dd)
-      .filter(s => s.isFile && !live.contains(s.getPath.getName) &&
+      .filter(s => s.isFile && !liveAll.contains(s.getPath.getName) &&
         s.getModificationTime < cutoff)
       .map { s => f.delete(s.getPath, false); 1 }.sum
     val sd = p(s"$dir/_stage")
@@ -1956,6 +1978,85 @@ object ManifestTable {
         op = "metadata", cdcPath = None))
     }
 
+  /** The CHANGE-FEED toggle: with this property `true`, the SQL faces'
+    * row-level verbs (DELETE / UPDATE / MERGE) record their CDC
+    * sidecars, so `readChangeFeed` spans SQL mutations — Delta's
+    * `enableChangeDataFeed` idiom. Scala callers pass `cdc` explicitly;
+    * the property is how a declarative surface opts a TABLE in.
+    */
+  val ChangeFeedProperty = "graft.enableChangeFeed"
+
+  /** True when [[ChangeFeedProperty]] is set `true` on the snapshot. */
+  def changeFeedEnabled(snap: Snapshot): Boolean =
+    snap.properties.get(ChangeFeedProperty).exists(_.equalsIgnoreCase("true"))
+
+  /** TAGS are properties under this prefix (`graft.tag.<name> = <v>`) —
+    * Iceberg's named-ref idiom reduced to the property machinery the
+    * manifest already has: one metadata commit to create or drop, and
+    * `VERSION AS OF '<name>'` on the SQL catalog resolves through them.
+    * [[expireLog]] and [[vacuum]] treat tagged versions as LIVE, so a
+    * tag pins its snapshot — log entries and data files — past any
+    * retention setting until the tag is dropped.
+    */
+  val TagPropertyPrefix = "graft.tag."
+
+  /** The snapshot's tags: name → pinned version. */
+  def tags(snap: Snapshot): Map[String, Long] =
+    snap.properties.collect {
+      case (k, v) if k.startsWith(TagPropertyPrefix) =>
+        k.stripPrefix(TagPropertyPrefix) -> v.toLong
+    }
+
+  /** Name `tag` → `version` (head when None). One metadata commit;
+    * re-tagging an existing name to a new version is a loud error
+    * (drop it first — a silently moved tag breaks whoever pinned it).
+    */
+  def createTag(spark: SparkSession, dir: String, tag: String,
+                version: Option[Long] = None): Long = {
+    require(tag.nonEmpty && !tag.contains("\t"),
+      "tag names must be non-empty and tab-free")
+    val snap = snapshot(spark, dir)
+    val v = version.getOrElse(snap.version)
+    require(v >= 1L && v <= snap.version,
+      s"cannot tag version $v of $dir (head is ${snap.version})")
+    val existing = tags(snap).get(tag)
+    require(existing.forall(_ == v),
+      s"tag '$tag' already names version ${existing.get}; drop it first")
+    if (existing.isEmpty)
+      setProperties(spark, dir, Map(s"$TagPropertyPrefix$tag" -> v.toString))
+    v
+  }
+
+  /** Drop tag `tag`; false if it does not exist. */
+  def dropTag(spark: SparkSession, dir: String, tag: String): Boolean =
+    unsetProperties(spark, dir, Seq(s"$TagPropertyPrefix$tag"))
+
+  /** Set (upsert) table properties — one metadata-only commit, no data
+    * I/O, feed-invisible (a property change moves no rows). False when
+    * every pair is already present.
+    */
+  def setProperties(spark: SparkSession, dir: String,
+                    props: Map[String, String]): Boolean = {
+    require(props.nonEmpty, "setProperties needs at least one property")
+    commit(spark, dir) { old =>
+      if (props.forall { case (k, v) => old.properties.get(k).contains(v) })
+        None
+      else Some(old.copy(properties = old.properties ++ props,
+        op = "metadata", cdcPath = None))
+    }
+  }
+
+  /** Unset table properties; false when none of the keys is present. */
+  def unsetProperties(spark: SparkSession, dir: String,
+                      keys: Seq[String]): Boolean = {
+    require(keys.nonEmpty, "unsetProperties needs at least one key")
+    commit(spark, dir) { old =>
+      if (!keys.exists(old.properties.contains)) None
+      else Some(old.copy(properties = old.properties -- keys,
+        op = "metadata", cdcPath = None))
+    }
+  }
+
   /** `count(*)` answered ENTIRELY from manifest metadata — footer row
     * counts minus deletion-vector position counts, zero data-file I/O —
     * or None when any live file lacks footer stats (a partial sum would
@@ -2143,6 +2244,126 @@ object ManifestTable {
     * MERGE is not a schema change. Same idempotence and conflict
     * contract as [[deleteWhere]].
     */
+  /** The candidate files a SOURCE-KEYED row op must rewrite — every
+    * file that can hold a key from `keyDf`. The pruning predicate is
+    * built as CATALYST EXPRESSIONS (never a SQL string round-trip:
+    * Spark's parser processes backslash escapes inside quoted literals,
+    * so a string key containing '\' would parse to a DIFFERENT bound
+    * and prune files that hold real matches): an exact IN probe for a
+    * small key set of bloom-able type, else [min, max] range conjuncts
+    * per key column. `keptForPredicate` consumes the expressions
+    * directly, the same entry point the planner's pushed filters use.
+    * Shared by [[merge]] and [[deleteMatching]].
+    */
+  private def sourceKeyCandidates(spark: SparkSession, dir: String,
+                                  snap: Snapshot, keyDf: DataFrame,
+                                  keyCols: Seq[String],
+                                  tSchema: org.apache.spark.sql.types.StructType,
+                                  maxProbeKeys: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def attr(k: String) = UnresolvedAttribute(Seq(k))
+    def cLit(v: Any): Option[ce.Literal] =
+      try Some(ce.Literal(v))
+      catch { case scala.util.control.NonFatal(_) => None }
+    def probeType(k: String): Boolean =
+      tSchema.fields.find(_.name.equalsIgnoreCase(k)).exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _ => false
+      })
+    val smallKeys =
+      if (keyCols.size == 1 && probeType(keyCols.head)) {
+        val rows = keyDf.filter(col(keyCols.head).isNotNull)
+          .limit(maxProbeKeys + 1).collect()
+        if (rows.length <= maxProbeKeys) Some(rows.map(_.get(0)).toSeq)
+        else None
+      } else None
+    // None = all source keys NULL (no row can match: zero candidates);
+    // Some(None) = nothing provable (keep every file); Some(Some(e)) =
+    // prune with e
+    val pred: Option[Option[ce.Expression]] = smallKeys match {
+      case Some(keys) if keys.isEmpty => None
+      case Some(keys) =>
+        val lits = keys.flatMap(cLit(_))
+        Some(if (lits.size == keys.size)
+          Some(ce.In(attr(keyCols.head), lits))
+        else None) // an un-literal-able key value: no pruning
+      case None =>
+        val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+        val b = keyDf.agg(aggs.head, aggs.tail: _*).head()
+        val conjs: Seq[ce.Expression] =
+          keyCols.zipWithIndex.flatMap { case (k, i) =>
+            if (b.isNullAt(2 * i)) None
+            else for {
+              lo <- cLit(b.get(2 * i))
+              hi <- cLit(b.get(2 * i + 1))
+            } yield ce.And(ce.GreaterThanOrEqual(attr(k), lo),
+              ce.LessThanOrEqual(attr(k), hi)): ce.Expression
+          }
+        Some(if (conjs.isEmpty) None
+        else Some(conjs.reduce(ce.And(_, _))))
+    }
+    pred match {
+      case None => Seq.empty[String]
+      case Some(None) => snap.files
+      case Some(Some(e)) => keptForPredicate(spark, dir, snap, e)
+    }
+  }
+
+  /** DELETE BY SOURCE KEYS — the delete half of a CDC apply: every
+    * table row whose key tuple appears in `source` goes, in one atomic
+    * copy-on-write commit over the source-key-pruned candidate files
+    * (same pruning as [[merge]]: an incoming tombstone batch rewrites
+    * O(matched files), never the table). `cdc = true` records the
+    * deleted rows as a `delete` sidecar, so a replicated table's own
+    * feed stays consumable. False when the op id already committed, the
+    * table is empty, or no file can hold a source key (nothing to do —
+    * no empty commit).
+    */
+  def deleteMatching(source: DataFrame, dir: String, keyCols: Seq[String],
+                     opId: String, beforeSwap: () => Unit = () => (),
+                     bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
+                     maxProbeKeys: Int = 1024,
+                     cdc: Boolean = false): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
+    val spark = source.sparkSession
+    val snap = snapshot(spark, dir)
+    if (snap.batchIds.contains(opId)) return false
+    if (snap.files.isEmpty) return false
+    val tSchema = tableSchema(snap).getOrElse(
+      readFiles(spark, dir, snap, snap.files).schema)
+    keyCols.foreach { k =>
+      require(tSchema.fields.exists(_.name.equalsIgnoreCase(k)),
+        s"deleteMatching key column $k is not a table column")
+      require(source.columns.exists(_.equalsIgnoreCase(k)),
+        s"deleteMatching key column $k is not a source column")
+    }
+    // key tuples in TABLE types, so the anti-join compares like for like
+    val keyDf = source.select(keyCols.map { k =>
+      val fd = tSchema.fields.find(_.name.equalsIgnoreCase(k)).get
+      col(k).cast(fd.dataType).as(fd.name)
+    }.toSeq: _*).distinct()
+    val tableKeyCols = keyDf.columns.toSeq
+    val candidates = sourceKeyCandidates(spark, dir, snap, keyDf,
+      tableKeyCols, tSchema, maxProbeKeys)
+    if (candidates.isEmpty) return false
+    val candDf = readFiles(spark, dir, snap, candidates)
+    if (cdc) candDf.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = candDf.join(keyDf, tableKeyCols, "left_anti")
+      val changes =
+        if (!cdc) None
+        else Some(candDf.join(keyDf, tableKeyCols, "left_semi")
+          .withColumn("_change_type", lit("delete")))
+      cowCommit(spark, dir, snap, candidates, Some(out), "delete", opId,
+        beforeSwap, bloomCols, bloomFpp, changes)
+    } finally if (cdc) candDf.unpersist(false)
+  }
+
   def merge(source: DataFrame, dir: String, keyCols: Seq[String],
             opId: String, beforeSwap: () => Unit = () => (),
             bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
@@ -2177,63 +2398,9 @@ object ManifestTable {
         beforeSwap, bloomCols, bloomFpp,
         if (cdc) Some(aligned.withColumn("_change_type", lit("insert")))
         else None)
-    // source-key pruning predicate, built as CATALYST EXPRESSIONS (never
-    // a SQL string round-trip: Spark's parser processes backslash
-    // escapes inside quoted literals, so a string key containing '\'
-    // would parse to a DIFFERENT bound and prune files that hold real
-    // matches — silent duplicate inserts): an exact IN probe for a small
-    // key set of bloom-able type, else [min, max] range conjuncts per
-    // key column. `keptForPredicate` consumes the expressions directly,
-    // the same entry point the planner's pushed filters use.
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.{expressions => ce}
-    def attr(k: String) = UnresolvedAttribute(Seq(k))
-    def cLit(v: Any): Option[ce.Literal] =
-      try Some(ce.Literal(v))
-      catch { case scala.util.control.NonFatal(_) => None }
-    def probeType(k: String): Boolean =
-      tSchema.fields.find(_.name.equalsIgnoreCase(k)).exists(_.dataType match {
-        case ByteType | ShortType | IntegerType | LongType | StringType => true
-        case _ => false
-      })
     val keyDf = aligned.select(keyCols.map(col).toSeq: _*).distinct()
-    val smallKeys =
-      if (keyCols.size == 1 && probeType(keyCols.head)) {
-        val rows = keyDf.filter(col(keyCols.head).isNotNull)
-          .limit(maxProbeKeys + 1).collect()
-        if (rows.length <= maxProbeKeys) Some(rows.map(_.get(0)).toSeq)
-        else None
-      } else None
-    // None = all source keys NULL (no row can match: zero candidates);
-    // Some(None) = nothing provable (keep every file); Some(Some(e)) =
-    // prune with e
-    val pred: Option[Option[ce.Expression]] = smallKeys match {
-      case Some(keys) if keys.isEmpty => None
-      case Some(keys) =>
-        val lits = keys.flatMap(cLit(_))
-        Some(if (lits.size == keys.size)
-          Some(ce.In(attr(keyCols.head), lits))
-        else None) // an un-literal-able key value: no pruning
-      case None =>
-        val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
-        val b = aligned.agg(aggs.head, aggs.tail: _*).head()
-        val conjs: Seq[ce.Expression] =
-          keyCols.zipWithIndex.flatMap { case (k, i) =>
-            if (b.isNullAt(2 * i)) None
-            else for {
-              lo <- cLit(b.get(2 * i))
-              hi <- cLit(b.get(2 * i + 1))
-            } yield ce.And(ce.GreaterThanOrEqual(attr(k), lo),
-              ce.LessThanOrEqual(attr(k), hi)): ce.Expression
-          }
-        Some(if (conjs.isEmpty) None
-        else Some(conjs.reduce(ce.And(_, _))))
-    }
-    val candidates = pred match {
-      case None => Seq.empty[String]
-      case Some(None) => snap.files
-      case Some(Some(e)) => keptForPredicate(spark, dir, snap, e)
-    }
+    val candidates = sourceKeyCandidates(spark, dir, snap, keyDf, keyCols,
+      tSchema, maxProbeKeys)
     val candDf =
       if (candidates.isEmpty) None
       else Some(readFiles(spark, dir, snap, candidates))
@@ -3243,6 +3410,9 @@ object ManifestTable {
           s.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
             s"constraint:${enc(n)}\t${enc(e)}"
           } ++
+          s.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+            s"property:${enc(k)}\t${enc(v)}"
+          } ++
           (if (s.ndvCols.nonEmpty) Seq(ndvColsLine(s.ndvCols)) else Nil) ++
           pvLines(s.files, s.pvals) ++
           ndvLines(s.files, s.ndv) ++
@@ -3290,7 +3460,11 @@ object ManifestTable {
     require(retainVersions >= 0L, "retainVersions must be >= 0")
     val f = fs(spark, dir)
     val log = listLog(spark, dir) // maintenance pass: the one full LIST
-    val cutoff = log.head - retainVersions
+    // a TAG pins its version's resolvability: the expiry floor never
+    // rises past the oldest tagged version, whatever retainVersions says
+    val oldestTag = tags(snapshot(spark, dir)).values
+      .foldLeft(Long.MaxValue)(math.min)
+    val cutoff = math.min(log.head - retainVersions, oldestTag)
     val keepFrom = log.ckpt.keysIterator.filter(_ <= cutoff)
       .foldLeft(0L)(math.max)
     if (keepFrom <= 0L) return 0
@@ -3349,6 +3523,11 @@ object ManifestTable {
         }
         val consDrop =
           (old.constraints.keySet -- next0.constraints.keySet).toSeq.sorted
+        val propsSet = next0.properties.toSeq.sortBy(_._1).filterNot {
+          case (k, v) => old.properties.get(k).contains(v)
+        }
+        val propsUnset =
+          (old.properties.keySet -- next0.properties.keySet).toSeq.sorted
         val lines =
           (if (next0.op.nonEmpty) Seq("op:" + next0.op) else Nil) ++
             next0.schemaJson.filterNot(old.schemaJson.contains)
@@ -3365,6 +3544,8 @@ object ManifestTable {
             dvAdds.map { case (file, r) => s"dv:$file\t${r.name}\t${r.rows}" } ++
             consAdd.map { case (n, e) => s"constraint:${enc(n)}\t${enc(e)}" } ++
             consDrop.map(n => "dropconstraint:" + enc(n)) ++
+            propsSet.map { case (k, v) => s"property:${enc(k)}\t${enc(v)}" } ++
+            propsUnset.map(k => "dropproperty:" + enc(k)) ++
             pvLines(adds, next0.pvals) ++
             ndvLines(adds, next0.ndv) ++
             detailLines(adds, next0.stats, next0.sizes)

@@ -26,12 +26,17 @@ import graft.ext.{GraftTableV2, ManifestTable}
   *        WHEN MATCHED THEN UPDATE SET *
   *        WHEN NOT MATCHED THEN INSERT *`   →
   *     [[ManifestTable.merge]] (source-key file pruning: an upsert
-  *     batch touches O(matched files), never the table).
+  *     batch touches O(matched files), never the table);
+  *   - `MERGE INTO t USING s ON t.k = s.k
+  *        WHEN MATCHED THEN DELETE`         →
+  *     [[ManifestTable.deleteMatching]] (the CDC apply path's
+  *     tombstone half — delete-by-source-keys, same pruning).
   *
-  * The MERGE mapping accepts exactly the upsert shape above — the one
-  * the engine's merge implements (matched rows replaced by their source
-  * row, absent rows inserted). Conditional actions, DELETE actions,
-  * partial-column updates and `NOT MATCHED BY SOURCE` clauses are a
+  * The MERGE mapping accepts exactly the two shapes above — what the
+  * engine's row ops implement (matched rows replaced by their source
+  * row and absent rows inserted; or matched rows deleted). Conditional
+  * actions, mixed UPDATE+DELETE clauses, partial-column updates and
+  * `NOT MATCHED BY SOURCE` clauses are a
   * LOUD UnsupportedOperationException, never a silent approximation;
   * `WITH SCHEMA EVOLUTION` is rejected the same way (merge is not a
   * schema change — `ALTER TABLE ... ADD COLUMN` first).
@@ -45,6 +50,12 @@ import graft.ext.{GraftTableV2, ManifestTable}
   * it fires the moment the command is fully resolved, before the
   * analyzer's row-level alignment machinery can object that the table
   * lacks `SupportsRowLevelOperations`.
+  *
+  * CDC: when the table property [[ManifestTable.ChangeFeedProperty]]
+  * (`graft.enableChangeFeed = true`) is set, both verbs record their
+  * CDC sidecars — so the change feed spans SQL mutations (Delta's
+  * `enableChangeDataFeed` contract). Without it a later
+  * `readChangeFeed` over the commit raises rather than drifting.
   */
 class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
@@ -184,13 +195,23 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
           missing.mkString(", "))
     }
 
+    // the DELETE shape: `WHEN MATCHED THEN DELETE` alone — the delete
+    // half of a CDC apply, lowered to the engine's deleteMatching
+    // (source-key-pruned tombstone application)
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(DeleteAction(None)), Seq()) =>
+        return GraftMergeDeleteCommand(table.dir, m.sourceTable, keyCols)
+      case _ => ()
+    }
+
     m.matchedActions match {
       case Seq(UpdateAction(None, assignments, _)) =>
         requireStarShape(assignments, "WHEN MATCHED UPDATE",
           keysImplicit = true)
       case other => unsupported(
         s"matched actions must be exactly one unconditional UPDATE " +
-          s"SET * (got ${other.mkString("; ")})")
+          s"SET * or a sole unconditional DELETE (got " +
+          s"${other.mkString("; ")})")
     }
     m.notMatchedActions match {
       case Seq(InsertAction(None, assignments)) =>
@@ -213,7 +234,29 @@ case class GraftUpdateCommand(dir: String, condSql: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     ManifestTable.updateWhere(spark, dir, condSql, set,
-      s"sql-update-${java.util.UUID.randomUUID()}")
+      s"sql-update-${java.util.UUID.randomUUID()}",
+      cdc = ManifestTable.changeFeedEnabled(
+        ManifestTable.snapshot(spark, dir)))
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO t USING s ON keys WHEN MATCHED THEN DELETE` lowered to
+  * [[ManifestTable.deleteMatching]] — delete-by-source-keys, the CDC
+  * apply path's tombstone half, rewriting only the source-key-pruned
+  * candidate files.
+  */
+case class GraftMergeDeleteCommand(dir: String,
+                                   @transient source: LogicalPlan,
+                                   keyCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, source)
+    ManifestTable.deleteMatching(src, dir, keyCols,
+      s"sql-merge-delete-${java.util.UUID.randomUUID()}",
+      cdc = ManifestTable.changeFeedEnabled(
+        ManifestTable.snapshot(spark, dir)))
     Seq.empty
   }
 }
@@ -231,7 +274,9 @@ case class GraftMergeCommand(dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, source)
     ManifestTable.merge(src, dir, keyCols,
-      s"sql-merge-${java.util.UUID.randomUUID()}")
+      s"sql-merge-${java.util.UUID.randomUUID()}",
+      cdc = ManifestTable.changeFeedEnabled(
+        ManifestTable.snapshot(spark, dir)))
     Seq.empty
   }
 }

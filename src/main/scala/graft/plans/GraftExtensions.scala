@@ -48,12 +48,44 @@ class GraftV2Reads(session: SparkSession)
 
   import org.apache.spark.sql.catalyst.expressions.Alias
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, Project, V2WriteCommand}
+  import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+  import org.apache.spark.sql.execution.datasources.DataSource
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
 
   private def convert(plan: LogicalPlan): LogicalPlan = plan match {
     case w: V2WriteCommand => w.withNewQuery(convert(w.query))
     case i: InsertIntoStatement => i.copy(query = convert(i.query))
     case d: DeleteFromTable => d
+    // `spark.readStream.table("cat.t")` — the catalog table as a
+    // STREAM. The V2 table deliberately does not claim
+    // MICRO_BATCH_READ (a V2 MicroBatchStream would re-implement the
+    // per-file read loop Spark's parquet relation already does well);
+    // instead the streaming relation rewrites to the graft-manifest V1
+    // source — version-offset micro-batches over exactly the appended
+    // files, reader options (`readChangeFeed`, `sinceVersion`,
+    // `sinceTimestamp`, `maxVersionsPerTrigger`) passing through
+    // verbatim. Same move as the batch conversion below, same
+    // authority: the table's manifest, resolved per micro-batch.
+    case s: StreamingRelationV2
+        if s.table.isInstanceOf[graft.ext.GraftTableV2] =>
+      val t = s.table.asInstanceOf[graft.ext.GraftTableV2]
+      require(t.pinned.isEmpty,
+        s"cannot stream a time-travel pinned version of ${t.name()}; " +
+          "start from a historical point with option sinceVersion/" +
+          "sinceTimestamp instead")
+      val opts = {
+        val m = scala.collection.mutable.Map.empty[String, String]
+        s.extraOptions.forEach((k, v) => m.update(k, v))
+        m.toMap + ("path" -> t.dir)
+      }
+      val v1 = StreamingRelation(DataSource(session,
+        className = "graft-manifest", options = opts))
+      if (v1.output.size != s.output.size) v1 // CDC adds feed columns
+      else Project(s.output.zip(v1.output).map { case (tgt, src) =>
+        Alias(src, tgt.name)(exprId = tgt.exprId,
+          qualifier = tgt.qualifier)
+      }, v1)
     case r: DataSourceV2Relation
         if r.table.isInstanceOf[graft.ext.GraftTableV2] =>
       val t = r.table.asInstanceOf[graft.ext.GraftTableV2]

@@ -1143,6 +1143,45 @@ object ExtQueries {
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmrg ORDER BY doc_id")
   }
 
+  /** SQL `MERGE ... WHEN MATCHED THEN DELETE` (the tombstone-apply
+    * shape), oracle-replayed: lowers (via [[graft.plans.GraftDmlRule]])
+    * to [[graft.ext.ManifestTable.deleteMatching]] — delete-by-source-
+    * keys over the source-key-pruned candidates. The REQUIREs pin the
+    * strict-subset rewrite (a tombstone batch is O(matched files)) and
+    * the `delete` op provenance. Re-runnable for warm bench passes.
+    */
+  def manifestSqlMergeDeleteQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmdel")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlmdel_src")
+    s.sql("CREATE TABLE graft_fix.sqlmdel " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    s.sql("INSERT INTO graft_fix.sqlmdel " +
+      "SELECT doc_id, lang, n_chars FROM sqlmdel_src WHERE doc_id < 400")
+    graft.ext.ManifestTable.compact(s, s"$wh/sqlmdel",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmdel")
+    require(before.files.size > 3,
+      s"fixture degenerate: ${before.files.size} files pre-delete")
+    s.sql("""MERGE INTO graft_fix.sqlmdel AS tgt
+            |USING (SELECT doc_id FROM sqlmdel_src
+            |       WHERE doc_id >= 150 AND doc_id < 250) AS src
+            |ON tgt.doc_id = src.doc_id
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmdel")
+    require(after.op == "delete",
+      s"SQL MERGE-DELETE landed as '${after.op}', not 'delete'")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten < before.files.size,
+      s"tombstone apply rewrote all ${before.files.size} files — " +
+        "source-key pruning did not hold")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmdel " +
+      "ORDER BY doc_id")
+  }
+
   /** The SQL maintenance face, oracle-replayed: a full operator
     * lifecycle driven by `CALL` stored procedures
     * ([[graft.ext.GraftProcedures]]) — clustered compaction, a CoW
@@ -1186,6 +1225,123 @@ object ExtQueries {
       "table => 'sqlmnt', grace_seconds => 0)").first().getInt(0)
     require(deleted > 0, "vacuum collected nothing after two rewrites")
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmnt ORDER BY doc_id")
+  }
+
+  /** SQL METADATA FACES, oracle-replayed: `<cat>.<t>.partitions` (and
+    * siblings `history`/`files`/`detail`) answer operational reads from
+    * manifest math alone — the REQUIREs pin that the `files` face lists
+    * exactly the snapshot's live files and `history` ends in the insert
+    * commit, then DuckDB certifies the per-partition row counts the
+    * `partitions` face claims without opening one data file.
+    * Re-runnable for warm bench passes.
+    */
+  def manifestSqlMetaQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmeta")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlmeta_src")
+    s.sql("CREATE TABLE graft_fix.sqlmeta " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    s.sql("INSERT INTO graft_fix.sqlmeta " +
+      "SELECT doc_id, lang, n_chars FROM sqlmeta_src")
+    val snap = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmeta")
+    val files = s.sql("SELECT file FROM graft_fix.sqlmeta.files")
+      .collect().map(_.getString(0)).toSet
+    require(files == snap.files.toSet,
+      s"files face listed ${files.size} of ${snap.files.size} live files")
+    val lastOp = s.sql(
+      "SELECT op FROM graft_fix.sqlmeta.history ORDER BY version DESC")
+      .first().getString(0)
+    require(lastOp == "append", s"history face ends in '$lastOp'")
+    s.sql("SELECT lang, CAST(rows_known AS BIGINT) AS n_docs " +
+      "FROM graft_fix.sqlmeta.partitions ORDER BY lang")
+  }
+
+  /** The CATALOG TABLE AS A STREAM, oracle-replayed: a table created
+    * with the change-feed property, filled by SQL INSERT and mutated by
+    * SQL UPDATE (whose CDC sidecar the property enables), then consumed
+    * by `readStream.table` with `readChangeFeed` — the streaming
+    * relation rewrites to the graft-manifest V1 source, options
+    * passing through. The collected feed (inserts + update pre/post
+    * images) replays in DuckDB. A sidecar-less UPDATE would FAIL the
+    * stream, so a hash match certifies the whole property→DML→feed
+    * chain. Re-runnable for warm bench passes.
+    */
+  def manifestTableStreamQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlstrm")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlstrm_src")
+    s.sql("CREATE TABLE graft_fix.sqlstrm " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES ('graft.enableChangeFeed' = 'true')")
+    s.sql("INSERT INTO graft_fix.sqlstrm " +
+      "SELECT doc_id, lang, n_chars FROM sqlstrm_src WHERE doc_id < 300")
+    s.sql("UPDATE graft_fix.sqlstrm SET n_chars = n_chars + 1000 " +
+      "WHERE doc_id % 5 = 0")
+    val sink = "mt_sqlstrm_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.option("readChangeFeed", "true")
+      .table("graft_fix.sqlstrm")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val rows = try {
+      q.processAllAvailable()
+      s.table(sink).collect().toSeq
+    } finally { q.stop(); s.catalog.dropTempView(sink) }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("n_chars", "long")
+        .add("_change_type", "string").add("commit_version", "long"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("_change_type"))
+      .orderBy(col("_change_type"), col("doc_id"))
+  }
+
+  /** TAGS, oracle-replayed: `CALL create_tag` pins a version by name,
+    * `VERSION AS OF '<tag>'` resolves it, and — the part worth an
+    * oracle — zero-retention `expire_log` + zero-grace `vacuum` CANNOT
+    * collect the tagged snapshot: the expiry floor holds at the tag and
+    * vacuum keeps its files. The returned frame is the tagged read
+    * AFTER both maintenance passes and a later overwrite of the live
+    * table; DuckDB certifies it is byte-exact the pre-tag state.
+    * Re-runnable for warm bench passes.
+    */
+  def manifestSqlTagQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqltag")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqltag_src")
+    s.sql("CREATE TABLE graft_fix.sqltag " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    s.sql("INSERT INTO graft_fix.sqltag " +
+      "SELECT doc_id, lang, n_chars FROM sqltag_src WHERE doc_id < 250")
+    val tagged = s.sql("CALL graft_fix.system.create_tag(" +
+      "table => 'sqltag', tag => 'baseline')").first()
+    require(tagged.getString(0) == "baseline",
+      s"create_tag returned ${tagged.getString(0)}")
+    // mutate the live table past the tag, then retention at its most
+    // aggressive: the tag must pin the old snapshot through both
+    s.sql("INSERT OVERWRITE graft_fix.sqltag " +
+      "SELECT doc_id, lang, CAST(0 AS BIGINT) FROM sqltag_src " +
+      "WHERE doc_id >= 900")
+    s.sql("CALL graft_fix.system.checkpoint(table => 'sqltag')")
+    s.sql("CALL graft_fix.system.expire_log(" +
+      "table => 'sqltag', retain_versions => 0)")
+    s.sql("CALL graft_fix.system.vacuum(" +
+      "table => 'sqltag', grace_seconds => 0)")
+    val live = s.sql("SELECT count(*) FROM graft_fix.sqltag")
+      .first().getLong(0)
+    require(live < 250L, s"fixture degenerate: overwrite left $live rows")
+    s.sql("SELECT doc_id, lang, n_chars " +
+      "FROM graft_fix.sqltag VERSION AS OF 'baseline' ORDER BY doc_id")
   }
 
   /** The DV-AWARE planner scan, oracle-replayed (VERDICT r13 order #2):
@@ -2389,6 +2545,10 @@ object ExtQueries {
     "manifest_sql_update" -> (manifestSqlUpdateQ(_, _)),
     "manifest_sql_merge" -> (manifestSqlMergeQ(_, _)),
     "manifest_sql_maintenance" -> (manifestSqlMaintenanceQ(_, _)),
+    "manifest_sql_meta" -> (manifestSqlMetaQ(_, _)),
+    "manifest_table_stream_replay" -> (manifestTableStreamQ(_, _)),
+    "manifest_sql_tag" -> (manifestSqlTagQ(_, _)),
+    "manifest_sql_merge_delete" -> (manifestSqlMergeDeleteQ(_, _)),
     "manifest_scan_dv" -> (manifestScanDvQ(_, _)),
     "manifest_delete" -> (manifestDeleteQ(_, _)),
     "manifest_delete_meta" -> (manifestDeleteMetaQ(_, _)),
@@ -3254,6 +3414,40 @@ object ExtQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (doc_id >= 100 AND doc_id < 220)
         |ORDER BY doc_id""".stripMargin,
+
+    // MERGE-DELETE semantics replayed: rows whose key appears in the
+    // tombstone batch go, everything else byte-identical
+    "manifest_sql_merge_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400 AND NOT (doc_id >= 150 AND doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
+
+    // a tag pins its snapshot through zero-retention maintenance and a
+    // later overwrite: VERSION AS OF 'baseline' is byte-exact
+    "manifest_sql_tag" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 250 ORDER BY doc_id""".stripMargin,
+
+    // the partitions metadata face: per-partition row counts from
+    // manifest math must equal the real group-by
+    "manifest_sql_meta" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // readStream.table + readChangeFeed over SQL INSERT + UPDATE:
+    // inserts, then the update's pre/post images for matched rows
+    "manifest_table_stream_replay" ->
+      """SELECT doc_id, lang, n_chars, _change_type FROM (
+        |  SELECT doc_id, lang, n_chars, 'insert' AS _change_type
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'update_preimage'
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT),
+        |    'update_postimage'
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0)
+        |ORDER BY _change_type, doc_id""".stripMargin,
 
     // DV-aware planner scan: merge-on-read delete + a pushed filter,
     // answered without compaction

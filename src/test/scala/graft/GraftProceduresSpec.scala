@@ -120,6 +120,66 @@ class GraftProceduresSpec extends SparkSpec {
     assert(ManifestTable.read(spark, s"$wh/p_full").count() === 1000L)
   }
 
+  test("tags: VERSION AS OF '<tag>' resolves, expiry + vacuum keep it live") {
+    fsDel(s"$wh/p_tag")
+    (1 to 3).foreach(i => ManifestTable.append(
+      (0L until 50L).map(k => (i * 1000L + k, s"row $i/$k"))
+        .toDF("id", "v"), s"$wh/p_tag", s"b$i"))
+    val tagged = sql("CALL graft_proc.system.create_tag(" +
+      "table => 'p_tag', tag => 'release-1')").as[(String, Long)].head()
+    assert(tagged === ("release-1", 3L))
+    // more commits + a full rewrite, then aggressive retention
+    ManifestTable.append(Seq((9000L, "later")).toDF("id", "v"),
+      s"$wh/p_tag", "b4")
+    sql("CALL graft_proc.system.compact(table => 'p_tag', " +
+      "target_file_bytes => 134217728)")
+    sql("CALL graft_proc.system.checkpoint(table => 'p_tag')")
+    sql("CALL graft_proc.system.expire_log(" +
+      "table => 'p_tag', retain_versions => 0)")
+    sql("CALL graft_proc.system.vacuum(" +
+      "table => 'p_tag', grace_seconds => 0)")
+    // the tagged snapshot is STILL resolvable and byte-correct: the
+    // expiry floor held at the tag and vacuum kept its data files
+    val atTag = sql(
+      "SELECT count(*) FROM graft_proc.p_tag VERSION AS OF 'release-1'")
+      .as[Long].head()
+    assert(atTag === 150L)
+    assert(sql("SELECT count(*) FROM graft_proc.p_tag").as[Long].head()
+      === 151L)
+    // a duplicate tag to another version is loud; dropping re-enters
+    // retention
+    val e = intercept[Exception](sql("CALL graft_proc.system.create_tag(" +
+      "table => 'p_tag', tag => 'release-1', version => 4)"))
+    assert(e.getMessage.contains("release-1"))
+    assert(sql("CALL graft_proc.system.drop_tag(" +
+      "table => 'p_tag', tag => 'release-1')").as[Boolean].head())
+    val e2 = intercept[Exception](sql(
+      "SELECT * FROM graft_proc.p_tag VERSION AS OF 'release-1'"))
+    assert(e2.getMessage.contains("release-1"))
+  }
+
+  test("add_constraint/drop_constraint via CALL: enforced on the write path") {
+    fsDel(s"$wh/p_cons")
+    ManifestTable.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "n"),
+      s"$wh/p_cons", "b0")
+    assert(sql("CALL graft_proc.system.add_constraint(" +
+      "table => 'p_cons', name => 'n_pos', expr => 'n > 0')")
+      .as[Boolean].head())
+    // violating batch refused by the same append-path enforcement
+    val e = intercept[Exception](ManifestTable.append(
+      Seq((3L, -5L)).toDF("id", "n"), s"$wh/p_cons", "b1"))
+    assert(e.getMessage.contains("n_pos"))
+    // a constraint existing rows violate cannot be added
+    val e2 = intercept[Exception](sql(
+      "CALL graft_proc.system.add_constraint(" +
+        "table => 'p_cons', name => 'n_big', expr => 'n > 15')"))
+    assert(e2.getMessage.contains("n_big"))
+    assert(sql("CALL graft_proc.system.drop_constraint(" +
+      "table => 'p_cons', name => 'n_pos')").as[Boolean].head())
+    ManifestTable.append(Seq((3L, -5L)).toDF("id", "n"), s"$wh/p_cons", "b2")
+    assert(ManifestTable.read(spark, s"$wh/p_cons").count() === 3L)
+  }
+
   test("SHOW PROCEDURES lists the system namespace; unknown CALL is loud") {
     val listed = sql("SHOW PROCEDURES IN graft_proc")
       .select("procedure_name").as[String].collect().toSet

@@ -109,6 +109,40 @@ class GraftSqlDmlSpec extends SparkSpec {
       .as[Long].head() === (0L until 5L).sum + (5L until 15L).map(_ * 100).sum)
   }
 
+  test("MERGE ... WHEN MATCHED THEN DELETE: tombstone apply, pruned rewrite") {
+    fsDel(s"$wh/d_mdel")
+    sql("CREATE TABLE graft_dml.d_mdel (id BIGINT, v STRING)")
+    sql("INSERT INTO graft_dml.d_mdel " +
+      "SELECT id, concat('r', id, repeat('-ballast', 16)) FROM range(600)")
+    // cluster into id-ranged files so the tombstone batch prunes
+    ManifestTable.compact(spark, s"$wh/d_mdel",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    val before = ManifestTable.snapshot(spark, s"$wh/d_mdel")
+    require(before.files.size > 3, s"degenerate: ${before.files.size} files")
+    spark.range(100, 160).selectExpr("id")
+      .createOrReplaceTempView("d_tomb")
+    sql("""MERGE INTO graft_dml.d_mdel t USING d_tomb s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    val after = ManifestTable.snapshot(spark, s"$wh/d_mdel")
+    assert(after.op === "delete")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    assert(rewritten < before.files.size,
+      s"tombstone apply rewrote all ${before.files.size} files")
+    assert(sql("SELECT count(*) FROM graft_dml.d_mdel").as[Long].head()
+      === 540L)
+    assert(sql("SELECT count(*) FROM graft_dml.d_mdel WHERE id >= 100 " +
+      "AND id < 160").as[Long].head() === 0L)
+    // keys absent from the table are a no-op, not an error; an
+    // ALL-absent batch commits nothing (candidate pruning proves it)
+    val head = after.version
+    spark.range(5000, 5010).selectExpr("id")
+      .createOrReplaceTempView("d_tomb2")
+    sql("""MERGE INTO graft_dml.d_mdel t USING d_tomb2 s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(ManifestTable.headVersion(spark, s"$wh/d_mdel") === head,
+      "an unmatched tombstone batch must not commit")
+  }
+
   test("unsupported DML shapes are a loud no, never an approximation") {
     fsDel(s"$wh/d_err")
     sql("CREATE TABLE graft_dml.d_err (id BIGINT, n BIGINT)")
