@@ -1328,10 +1328,13 @@ object ExtQueries {
     require(tagged.getString(0) == "baseline",
       s"create_tag returned ${tagged.getString(0)}")
     // mutate the live table past the tag, then retention at its most
-    // aggressive: the tag must pin the old snapshot through both
+    // aggressive: the tag must pin the old snapshot through both.
+    // The replacement band is bounded on BOTH sides so the fixture is
+    // scale-invariant (an open >= bound truncated to empty at sf0.01
+    // and left thousands of rows at sf0.1)
     s.sql("INSERT OVERWRITE graft_fix.sqltag " +
       "SELECT doc_id, lang, CAST(0 AS BIGINT) FROM sqltag_src " +
-      "WHERE doc_id >= 900")
+      "WHERE doc_id >= 100 AND doc_id < 150")
     s.sql("CALL graft_fix.system.checkpoint(table => 'sqltag')")
     s.sql("CALL graft_fix.system.expire_log(" +
       "table => 'sqltag', retain_versions => 0)")
@@ -1339,7 +1342,7 @@ object ExtQueries {
       "table => 'sqltag', grace_seconds => 0)")
     val live = s.sql("SELECT count(*) FROM graft_fix.sqltag")
       .first().getLong(0)
-    require(live < 250L, s"fixture degenerate: overwrite left $live rows")
+    require(live == 50L, s"fixture degenerate: overwrite left $live rows")
     s.sql("SELECT doc_id, lang, n_chars " +
       "FROM graft_fix.sqltag VERSION AS OF 'baseline' ORDER BY doc_id")
   }
