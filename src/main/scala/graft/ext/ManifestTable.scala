@@ -2889,10 +2889,23 @@ object ManifestTable {
         if (nd.isEmpty) null
         else nd.toSeq.sortBy(_._1)
           .map { case (c, n) => s"$c=$n" }.mkString(",")
+      }: String,
+      // table properties (tags excluded — they have their own column)
+      {
+        val ps = s.properties.filterNot(_._1.startsWith(TagPropertyPrefix))
+        if (ps.isEmpty) null
+        else ps.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+      }: String,
+      // named version refs: tag=version, retention-pinned
+      {
+        val ts = tags(s)
+        if (ts.isEmpty) null
+        else ts.toSeq.sorted.map { case (t, v) => s"$t=$v" }.mkString(",")
       }: String))
       .toDF("version", "n_files", "size_bytes", "rows_known",
         "partition_cols", "n_dv_files", "n_constraints", "n_batches",
-        "has_schema", "last_maintenance_error", "ndv")
+        "has_schema", "last_maintenance_error", "ndv", "properties",
+        "tags")
   }
 
   /** The table's live PARTITIONS (SHOW PARTITIONS face): one row per

@@ -173,6 +173,13 @@ class GraftMetaStreamSpec extends SparkSpec {
     assert(!props.contains("team"))
     assert(props("graft.enableChangeFeed") === "true")
 
+    // the detail face surfaces properties and tags as their own columns
+    ManifestTable.createTag(spark, s"$wh/t_props", "snap-a")
+    val det = sql("SELECT * FROM graft_ms.t_props.detail").first()
+    assert(det.getAs[String]("properties") === "graft.enableChangeFeed=true")
+    assert(det.getAs[String]("tags").startsWith("snap-a="))
+    ManifestTable.dropTag(spark, s"$wh/t_props", "snap-a")
+
     // checkpoint + log expiry: a cold replay FROM THE CHECKPOINT alone
     // still carries the properties (the v-file serializes them)
     ManifestTable.checkpoint(spark, s"$wh/t_props")

@@ -77,7 +77,11 @@ class ManifestRestoreSpec extends SparkSpec {
     val dir = tmp("vacuumed")
     ManifestTable.append(batch(1, 2), dir, "b0")                 // v1
     ManifestTable.compact(spark, dir)                            // v2
-    // grace 0 sweeps v1's original file — v1 is no longer restorable
+    // grace 0 sweeps v1's original file — v1 is no longer restorable.
+    // (sleep past the clock tick: a commit mtime equal to vacuum's
+    // cutoff millisecond counts as in-grace and conservatively sweeps
+    // nothing — observed as a flake on an idle box)
+    Thread.sleep(10)
     assert(ManifestTable.vacuum(spark, dir, graceMs = 0L) >= 1)
     val e = intercept[IllegalArgumentException] {
       ManifestTable.restore(spark, dir, 1L, "r0")
