@@ -180,6 +180,22 @@ class GraftMetaStreamSpec extends SparkSpec {
     assert(det.getAs[String]("tags").startsWith("snap-a="))
     ManifestTable.dropTag(spark, s"$wh/t_props", "snap-a")
 
+    // 8 PARALLEL property commits (distinct keys) all land through the
+    // manifest's CAS — same exactly-once contract as parallel appends
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until 8).map(i => Future {
+      ManifestTable.setProperties(spark, s"$wh/t_props",
+        Map(s"par.k$i" -> i.toString))
+    })), 60.seconds)
+    val snapPar = ManifestTable.snapshot(spark, s"$wh/t_props")
+    (0 until 8).foreach(i =>
+      assert(snapPar.properties.get(s"par.k$i").contains(i.toString),
+        s"parallel property commit par.k$i lost"))
+    ManifestTable.unsetProperties(spark, s"$wh/t_props",
+      (0 until 8).map(i => s"par.k$i"))
+
     // checkpoint + log expiry: a cold replay FROM THE CHECKPOINT alone
     // still carries the properties (the v-file serializes them)
     ManifestTable.checkpoint(spark, s"$wh/t_props")
