@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 class VectorStoreSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Every `ReadSchema: struct<...>` fragment in the executed plan, with
+    * everything before the marker (notably the `Location:` temp path, which
+    * can randomly contain column-name substrings like `q8`) stripped off.
+    * Plan-pruning assertions must grep THIS, never the whole FileScan line. */
+  private def readSchemas(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.linesIterator.flatMap { line =>
+      val i = line.indexOf("ReadSchema: ")
+      if (i < 0) None else Some(line.substring(i))
+    }.mkString("\n")
+
   private def mkVecs(ids: Range): org.apache.spark.sql.DataFrame =
     ids.map { i =>
       // two well-separated clusters in 8-dim: even ids hug axis 0,
@@ -72,15 +82,17 @@ class VectorStoreSpec extends SparkSpec {
   }
 
   test("quantized search: coarse scan never reads the float column, rerank equals exact search") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-q8").toString + "/s"
+    // deliberately adversarial temp-dir name: it contains the banned
+    // column substring, so this test fails loudly if anyone regresses to
+    // grepping the whole FileScan line (whose Location: carries the path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-q8-embedding").toString + "/s"
     graft.ext.VectorStore.append(mkVecs(0 until 40), dir, k = 2)
     val q = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     // the byte-savings claim is a PLAN property: the coarse pass's
     // parquet ReadSchema must carry q8 and not the float column
     val coarse = graft.ext.VectorStore.coarseCandidates(spark, dir, q,
       nprobe = 2, limit = 20)
-    val scan = coarse.queryExecution.executedPlan.toString
-      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    val scan = readSchemas(coarse)
     assert(scan.contains("q8") && !scan.contains("embedding"),
       s"coarse ReadSchema must prune the float column:\n$scan")
     // end-to-end: quantized two-pass == exact single-pass
@@ -119,7 +131,10 @@ class VectorStoreSpec extends SparkSpec {
   }
 
   test("pq: frozen codebook encodes every append, ADC coarse scan reads neither vector column, rerank equals exact search") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-pq").toString + "/s"
+    // adversarial name: contains BOTH banned substrings (q8, embedding) —
+    // see the readSchemas note; the raw random suffix once produced
+    // `…vstore-pq851117…` ⊃ "q8" and flaked this test ~1 run in 10
+    val dir = java.nio.file.Files.createTempDirectory("graft-vstore-pq-q8-embedding").toString + "/s"
     val vecs = mkVecs(0 until 40)
     val cb = graft.ext.Similarity.pqTrain(vecs, m = 4, ksub = 4, iters = 2,
       dims = 8)
@@ -138,8 +153,7 @@ class VectorStoreSpec extends SparkSpec {
     // ReadSchema must carry pq_code + norm and NEITHER vector column
     val coarse = graft.ext.VectorStore.pqCoarse(spark, dir, q,
       nprobe = 2, limit = 20)
-    val scan = coarse.queryExecution.executedPlan.toString
-      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    val scan = readSchemas(coarse)
     assert(scan.contains("pq_code") && scan.contains("norm") &&
       !scan.contains("embedding") && !scan.contains("q8"),
       s"ADC ReadSchema must prune both vector columns:\n$scan")
