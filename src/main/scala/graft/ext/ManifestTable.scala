@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import scala.annotation.tailrec
 
 /** A minimal manifest-committed parquet table — the missing ATOMIC
@@ -129,7 +129,104 @@ object ManifestTable {
                             pvals: Map[String, Map[String, PartValue]] = Map.empty,
                             ndvCols: Seq[String] = Nil,
                             ndv: Map[String, Map[String, String]] = Map.empty,
-                            properties: Map[String, String] = Map.empty)
+                            properties: Map[String, String] = Map.empty,
+                            colMap: Seq[(String, String)] = Nil,
+                            retiredCols: Seq[String] = Nil)
+
+  /** COLUMN MAPPING (`colMap`: logical name → physical parquet name;
+    * `retiredCols`: physical names of dropped columns, never reusable):
+    * the Delta/Iceberg design that makes RENAME and DROP COLUMN pure
+    * metadata commits. Data files are immutable and carry the PHYSICAL
+    * name a column had when written; a rename changes only the logical
+    * name (physical stays, so every recorded stat, bloom sidecar, NDV
+    * sketch and partition value keeps its key and keeps pruning); a
+    * drop removes the logical column and retires its physical name so
+    * a later re-ADD of the same name binds a FRESH physical slot
+    * instead of resurrecting the dropped bytes. An empty `colMap` =
+    * identity (tables never touched by rename/drop pay nothing); once
+    * non-empty it lists EVERY current column, so a delta carrying any
+    * `colmap:` line is a full redefinition and absence inherits.
+    * Manifest-side invariant: `stats`/`ndv`/`pvals`/bloom sidecars and
+    * the `ndvCols` declaration are keyed by PHYSICAL names; the
+    * recorded `schemaJson` is LOGICAL.
+    */
+  private def physName(s: Snapshot, logical: String): String =
+    if (s.colMap.isEmpty) logical
+    else s.colMap.find(_._1.equalsIgnoreCase(logical)).map(_._2)
+      .getOrElse(logical)
+
+  /** True when some column's physical name differs from its logical one
+    * — the only case read/write paths must translate.
+    */
+  private def mapped(s: Snapshot): Boolean =
+    s.colMap.exists { case (l, p) => l != p }
+
+  /** The PHYSICAL schema data files bind to: the logical schema with
+    * every field renamed through the mapping.
+    */
+  private def physSchema(s: Snapshot,
+                         logical: org.apache.spark.sql.types.StructType)
+  : org.apache.spark.sql.types.StructType =
+    if (!mapped(s)) logical
+    else org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => f.copy(name = physName(s, f.name))))
+
+  /** `df` (physical-named table columns, possibly plus graft-internal
+    * meta columns) renamed to LOGICAL names; non-table columns pass
+    * through untouched.
+    */
+  private def toLogical(s: Snapshot, df: DataFrame): DataFrame =
+    if (!mapped(s)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val inv = s.colMap.map { case (l, p) => (p.toLowerCase, l) }.toMap
+      df.select(df.schema.fields.map { f =>
+        inv.get(f.name.toLowerCase) match {
+          case Some(l) if l != f.name => col(f.name).as(l)
+          case _ => col(f.name)
+        }
+      }.toSeq: _*)
+    }
+
+  /** `df` (logical-named) renamed to PHYSICAL names for writing;
+    * columns outside the mapping (a batch introducing a new column)
+    * pass through under their own name.
+    */
+  private def toPhysical(s: Snapshot, df: DataFrame): DataFrame =
+    if (!mapped(s)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.schema.fields.map { f =>
+        val p = physName(s, f.name)
+        if (p != f.name) col(f.name).as(p) else col(f.name)
+      }.toSeq: _*)
+    }
+
+  /** A LOGICAL-named predicate expression translated to the physical
+    * namespace the manifest's stats/blooms are keyed by — the seam the
+    * SQL-string ops cross before probing [[Skipping]].
+    */
+  private def toPhysicalExpr(s: Snapshot,
+                             e: org.apache.spark.sql.catalyst.expressions.Expression)
+  : org.apache.spark.sql.catalyst.expressions.Expression =
+    if (!mapped(s)) e
+    else e.transformUp {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.size == 1 =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(physName(s, a.nameParts.head)))
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withName(physName(s, a.name))
+    }
+
+  /** The full (logical → physical) list for every schema column —
+    * existing mapping entries kept, unmapped columns identity — the
+    * base every rename/drop redefinition starts from.
+    */
+  private def fullColMap(s: Snapshot,
+                         schema: org.apache.spark.sql.types.StructType)
+  : Seq[(String, String)] =
+    schema.fields.toSeq.map(f => f.name -> physName(s, f.name))
 
   /** One data file's value for one PARTITION column: the canonical
     * comparison family (the [[Skipping]] vocabulary — "long", "string",
@@ -177,7 +274,20 @@ object ManifestTable {
                 s"schema evolution cannot change column ${fd.name}: " +
                   s"${ex.dataType.simpleString} -> ${fd.dataType.simpleString}")
               acc
-            case None => StructType(acc.fields :+ fd.copy(nullable = true))
+            case None =>
+              // a batch may not re-introduce a DROPPED column's physical
+              // name (old files still hold those bytes — binding to them
+              // would resurrect deleted data) or shadow another column's
+              // physical slot; ALTER TABLE ADD COLUMN assigns a fresh
+              // physical name for exactly this case
+              val takenPhys = old.colMap.collect {
+                case (l, ph) if !l.equalsIgnoreCase(fd.name) => ph }
+              require(!(old.retiredCols ++ takenPhys)
+                  .exists(_.equalsIgnoreCase(fd.name)),
+                s"column ${fd.name} collides with a dropped or renamed " +
+                  "column's physical name — add it via ALTER TABLE ... " +
+                  "ADD COLUMN (which assigns a fresh physical slot) first")
+              StructType(acc.fields :+ fd.copy(nullable = true))
           }
         }
         Some(merged.json)
@@ -211,19 +321,25 @@ object ManifestTable {
   private def readFiles(spark: SparkSession, dir: String, s: Snapshot,
                         names: Seq[String]): DataFrame = {
     val (dvd, clean) = names.partition(n => s.dvs.get(n).exists(_.nonEmpty))
-    if (dvd.isEmpty) plainRead(spark, dir, s, names)
+    if (dvd.isEmpty) toLogical(s, plainRead(spark, dir, s, names))
     else {
       val fm = "_graft_meta_file"
       val pm = "_graft_meta_pos"
+      // readWithPos already returns LOGICAL names (it renames after
+      // capturing the _metadata columns)
       val applied = readWithPos(spark, dir, s, dvd, fm, pm).drop(fm, pm)
       if (clean.isEmpty) applied
-      else applied.unionByName(plainRead(spark, dir, s, clean))
+      else applied.unionByName(toLogical(s, plainRead(spark, dir, s, clean)))
     }
   }
 
+  /** The PHYSICAL frame of `names`: files bind by their written column
+    * names ([[physSchema]]); callers surface it through [[toLogical]].
+    */
   private def plainRead(spark: SparkSession, dir: String, s: Snapshot,
                         names: Seq[String]): DataFrame =
-    tableSchema(s).fold(spark.read)(sc => spark.read.schema(sc))
+    tableSchema(s).fold(spark.read)(sc =>
+      spark.read.schema(physSchema(s, sc)))
       .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
 
   /** `names` read with two extra columns (`fm` = data file NAME, `pm` =
@@ -237,9 +353,12 @@ object ManifestTable {
                           names: Seq[String], fm: String,
                           pm: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
-    val base = plainRead(spark, dir, s, names)
+    // the hidden _metadata column must be referenced on the RAW scan
+    // frame; the logical rename comes after (meta/dv columns are not in
+    // the mapping, so toLogical passes them through)
+    val base = toLogical(s, plainRead(spark, dir, s, names)
       .withColumn(fm, element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn(pm, col("_metadata.row_index"))
+      .withColumn(pm, col("_metadata.row_index")))
     val refs = names.flatMap(n => s.dvs.getOrElse(n, Seq.empty))
       .map(_.name).distinct
     if (refs.isEmpty) base
@@ -599,6 +718,13 @@ object ManifestTable {
         ndv = target.ndv,
         dvs = target.dvs,
         schemaJson = target.schemaJson.orElse(old.schemaJson),
+        // the target's column mapping travels with its schema (a
+        // restore past a RENAME restores the old logical names bound
+        // to the same physical bytes); retired physical names only
+        // ever ACCUMULATE — un-retiring one could let a later ADD
+        // rebind bytes a drop had orphaned
+        colMap = target.colMap,
+        retiredCols = (target.retiredCols ++ old.retiredCols).distinct,
         batchIds = old.batchIds + opId,
         op = "restore", cdcPath = None))
     }
@@ -646,6 +772,14 @@ object ManifestTable {
     *   property:<kEnc>\t<vEnc>           a table property set (or, in a
     *                                     checkpoint, carried)
     *   dropproperty:<kEnc>               DELTA: a table property unset
+    *   colmap:<logicalEnc>\t<physEnc>    COLUMN MAPPING entry (one per
+    *                                     column; any present = the full
+    *                                     current mapping, absent =
+    *                                     inherit — the mapping never
+    *                                     shrinks to empty once active)
+    *   retired:<physEnc>                 a DROPPED column's physical
+    *                                     name (same full-set-or-inherit
+    *                                     rule as colmap)
     *
     * `flag` 1 = min/max present (URL-encoded canonical strings); 0 = the
     * column is entirely null in the file. Values are URL-encoded so
@@ -664,7 +798,9 @@ object ManifestTable {
       ndvCols: Option[Seq[String]],
       ndv: Map[String, Map[String, String]],
       propsSet: Seq[(String, String)],
-      propsUnset: Set[String])
+      propsUnset: Set[String],
+      colMap: Option[Seq[(String, String)]],
+      retired: Option[Seq[String]])
 
   private def parseLog(lines: List[String]): ParsedLog = {
     // limit -1: trailing empty fields SURVIVE the split. A column whose
@@ -734,7 +870,13 @@ object ManifestTable {
         (dec(a(0)), dec(a(1)))
       },
       propsUnset = lines.filter(_.startsWith("dropproperty:"))
-        .map(l => dec(l.stripPrefix("dropproperty:"))).toSet)
+        .map(l => dec(l.stripPrefix("dropproperty:"))).toSet,
+      colMap = Some(lines.filter(_.startsWith("colmap:")).map { l =>
+        val a = l.stripPrefix("colmap:").split("\t", -1)
+        (dec(a(0)), dec(a(1)))
+      }).filter(_.nonEmpty),
+      retired = Some(lines.filter(_.startsWith("retired:"))
+        .map(l => dec(l.stripPrefix("retired:")))).filter(_.nonEmpty))
   }
 
   private def readLogLines(spark: SparkSession, dir: String,
@@ -755,7 +897,8 @@ object ManifestTable {
     Snapshot(v, pl.files, pl.batchIds, pl.stats, pl.op, pl.schemaJson,
       pl.cdcPath, pl.sizes, pl.dvs, pl.consAdd.toMap,
       pl.partitionCols.getOrElse(Nil), pl.pvals,
-      pl.ndvCols.getOrElse(Nil), pl.ndv, pl.propsSet.toMap)
+      pl.ndvCols.getOrElse(Nil), pl.ndv, pl.propsSet.toMap,
+      pl.colMap.getOrElse(Nil), pl.retired.getOrElse(Nil))
   }
 
   /** One commit's ACTIONS (the delta file for `v`). */
@@ -786,7 +929,9 @@ object ManifestTable {
       pvals = base.pvals -- gone ++ d.pvals,
       ndvCols = d.ndvCols.getOrElse(base.ndvCols),
       ndv = base.ndv -- gone ++ d.ndv,
-      properties = base.properties ++ d.propsSet -- d.propsUnset)
+      properties = base.properties ++ d.propsSet -- d.propsUnset,
+      colMap = d.colMap.getOrElse(base.colMap),
+      retiredCols = d.retired.getOrElse(base.retiredCols))
   }
 
   /** The snapshot's rows (schema comes from the listed files). A table
@@ -887,9 +1032,116 @@ object ManifestTable {
           "tracking) — ALTER has nothing to evolve"))
       require(!cur.fields.exists(_.name.equalsIgnoreCase(name)),
         s"column $name already exists in $dir")
-      Some(old.copy(schemaJson = Some(org.apache.spark.sql.types.StructType(
+      // the new column's PHYSICAL slot: its own name, unless a dropped
+      // or renamed column already owns those bytes — then a fresh
+      // version-stamped name, so re-adding a dropped column can never
+      // resurrect its old data (the column-mapping contract)
+      val taken = (old.retiredCols ++ old.colMap.map(_._2))
+        .map(_.toLowerCase).toSet
+      val phys =
+        if (!taken.contains(name.toLowerCase)) name
+        else {
+          val candidate = Iterator.from(old.version.toInt + 1)
+            .map(v => s"${name}_r$v")
+            .find(c => !taken.contains(c.toLowerCase)).get
+          candidate
+        }
+      val newSchema = org.apache.spark.sql.types.StructType(
         cur.fields :+ org.apache.spark.sql.types.StructField(
-          name, dataType, nullable = true)).json),
+          name, dataType, nullable = true))
+      val newMap =
+        if (old.colMap.isEmpty && phys == name) Nil // stay identity
+        else fullColMap(old, cur) :+ (name -> phys)
+      Some(old.copy(schemaJson = Some(newSchema.json), colMap = newMap,
+        op = "metadata", cdcPath = None))
+    }
+
+  /** Constraint expressions that reference `col` — rename/drop must not
+    * silently break a recorded CHECK (its SQL string holds the old
+    * name); the caller rewrites or drops the constraint first.
+    */
+  private def constraintsOn(spark: SparkSession, s: Snapshot,
+                            col: String): Seq[String] =
+    s.constraints.toSeq.collect {
+      case (n, e) if spark.sessionState.sqlParser.parseExpression(e)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => a.nameParts.head }
+        .exists(_.equalsIgnoreCase(col)) => n
+    }
+
+  /** ALTER TABLE ... RENAME COLUMN as ONE metadata commit — column
+    * mapping (Delta/Iceberg): the logical name changes, the PHYSICAL
+    * parquet name stays, so no data file rewrites and every recorded
+    * stat, bloom sidecar, NDV sketch and partition value keeps its
+    * (physical) key — predicates on the NEW name keep pruning through
+    * [[keptFiles]]' logical→physical translation. Time travel below the
+    * commit answers with the OLD name (the mapping is versioned state).
+    * Partition columns cannot be renamed (the layout is immutable, like
+    * the declaration) and neither can columns a CHECK constraint
+    * references (its recorded SQL would silently break).
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String): Boolean =
+    commit(spark, dir) { old =>
+      val cur = tableSchema(old).getOrElse(throw new IllegalStateException(
+        s"ManifestTable at $dir tracks no schema — ALTER has nothing " +
+          "to rename"))
+      val fd = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $from does not exist in $dir"))
+      require(!cur.fields.exists(_.name.equalsIgnoreCase(to)),
+        s"column $to already exists in $dir")
+      require(!old.partitionCols.exists(_.equalsIgnoreCase(from)),
+        s"cannot rename partition column $from (the partition layout " +
+          "is immutable)")
+      val cons = constraintsOn(spark, old, from)
+      require(cons.isEmpty,
+        s"cannot rename $from: CHECK constraint(s) ${cons.mkString(", ")} " +
+          "reference it — drop and re-add them with the new name")
+      val newSchema = org.apache.spark.sql.types.StructType(cur.fields.map(
+        f => if (f eq fd) f.copy(name = to) else f))
+      val newMap = fullColMap(old, cur).map { case (l, ph) =>
+        if (l.equalsIgnoreCase(from)) (to, ph) else (l, ph)
+      }
+      Some(old.copy(schemaJson = Some(newSchema.json), colMap = newMap,
+        op = "metadata", cdcPath = None))
+    }
+
+  /** ALTER TABLE ... DROP COLUMN as ONE metadata commit: the logical
+    * column disappears (reads stop projecting it — the recorded
+    * physical schema no longer selects those bytes), nothing rewrites,
+    * and the physical name is RETIRED so a later ADD COLUMN of the same
+    * name binds a fresh slot instead of resurrecting the dropped data.
+    * Same partition/constraint guards as [[renameColumn]]; the last
+    * column cannot be dropped.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Boolean =
+    commit(spark, dir) { old =>
+      val cur = tableSchema(old).getOrElse(throw new IllegalStateException(
+        s"ManifestTable at $dir tracks no schema — ALTER has nothing " +
+          "to drop"))
+      require(cur.fields.exists(_.name.equalsIgnoreCase(name)),
+        s"column $name does not exist in $dir")
+      require(cur.fields.length > 1,
+        s"cannot drop $name: it is the table's only column")
+      require(!old.partitionCols.exists(_.equalsIgnoreCase(name)),
+        s"cannot drop partition column $name (the partition layout is " +
+          "immutable)")
+      val cons = constraintsOn(spark, old, name)
+      require(cons.isEmpty,
+        s"cannot drop $name: CHECK constraint(s) ${cons.mkString(", ")} " +
+          "reference it — drop them first")
+      val phys = physName(old, name)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
+      val newMap = fullColMap(old, cur)
+        .filterNot(_._1.equalsIgnoreCase(name))
+      Some(old.copy(schemaJson = Some(newSchema.json),
+        colMap = newMap,
+        retiredCols = (old.retiredCols :+ phys).distinct,
+        // NDV tracking on the dropped column stops (new files will not
+        // carry it); existing per-file sketches age out with rewrites
+        ndvCols = old.ndvCols.filterNot(_.equalsIgnoreCase(phys)),
         op = "metadata", cdcPath = None))
     }
 
@@ -925,7 +1177,9 @@ object ManifestTable {
     enforceConstraints(df, snap0.constraints, s"append batch $batchId")
     val layout = resolveLayout(snap0, df.schema, partitionBy)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-    stageWrite(df, stage, layout)
+    // data files bind by PHYSICAL names (partition columns cannot be
+    // renamed, so `layout` needs no translation)
+    stageWrite(toPhysical(snap0, df), stage, layout)
     val (moved, sizes, pvals) =
       moveToData(f, dir, stage, partFamilies(df.schema, layout))
     val stats = footerStats(spark, dir, moved)
@@ -934,16 +1188,19 @@ object ManifestTable {
     // with unprunable empty segments; its batch id still commits, so
     // replay idempotence is unaffected
     val live = dropEmpty(f, dir, moved, stats)
-    buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
+    buildBlooms(spark, dir, live, bloomCols.map(physName(snap0, _)),
+      stats, bloomFpp)
     // NDV tracking: declared on the first append (like partitionBy),
-    // inherited by every later one; each batch pays one O(batch) pass
+    // inherited by every later one; each batch pays one O(batch) pass.
+    // Recorded (like every sidecar/stat key) under PHYSICAL names, so a
+    // later rename costs the sketches nothing
     val tracked =
       if (snap0.ndvCols.nonEmpty) {
         require(ndvCols.isEmpty ||
-          ndvCols.map(_.toLowerCase) == snap0.ndvCols,
+          ndvCols.map(c => physName(snap0, c).toLowerCase) == snap0.ndvCols,
           s"table already tracks NDV on (${snap0.ndvCols.mkString(", ")})")
         snap0.ndvCols
-      } else ndvCols.map(_.toLowerCase)
+      } else ndvCols.map(c => physName(snap0, c).toLowerCase)
     val ndvMap = buildNdv(spark, dir, live, tracked)
     beforeCommit()
     commit(spark, dir) { old =>
@@ -1154,14 +1411,14 @@ object ManifestTable {
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
-    stageWrite(reshaped, stage, snap.partitionCols)
+    stageWrite(toPhysical(snap, reshaped), stage, snap.partitionCols)
     val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
       stage, partFamilies(base.schema, snap.partitionCols))
     val rewrittenStats = footerStats(spark, dir, rewritten)
     // range partitioning can leave empty output partitions; drop the
     // provably-empty files instead of committing unprunable segments
     val live = dropEmpty(f, dir, rewritten, rewrittenStats)
-    buildBlooms(spark, dir, live, bloomCols, rewrittenStats, bloomFpp)
+    buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), rewrittenStats, bloomFpp)
     val rewrittenNdv = buildNdv(spark, dir, live, snap.ndvCols)
     beforeSwap()
     // replace EXACTLY the files this compaction read; files appended by
@@ -1238,12 +1495,12 @@ object ManifestTable {
       if (snap.partitionCols.isEmpty) base.repartition(nOut)
       else base.repartition(nOut,
         snap.partitionCols.map(org.apache.spark.sql.functions.col): _*)
-    stageWrite(reshaped, stage, snap.partitionCols)
+    stageWrite(toPhysical(snap, reshaped), stage, snap.partitionCols)
     val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
       stage, partFamilies(base.schema, snap.partitionCols))
     val rewrittenStats = footerStats(spark, dir, rewritten)
     val live = dropEmpty(f, dir, rewritten, rewrittenStats)
-    buildBlooms(spark, dir, live, bloomCols, rewrittenStats, bloomFpp)
+    buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), rewrittenStats, bloomFpp)
     val rewrittenNdv = buildNdv(spark, dir, live, snap.ndvCols)
     beforeSwap()
     val committed = commit(spark, dir) { old =>
@@ -1298,13 +1555,13 @@ object ManifestTable {
     if (candidates.isEmpty) return (0, 0)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
     val purgeRead = readFiles(spark, dir, snap, candidates)
-    stageWrite(purgeRead, stage, snap.partitionCols)
+    stageWrite(toPhysical(snap, purgeRead), stage, snap.partitionCols)
     val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
       stage, partFamilies(purgeRead.schema, snap.partitionCols))
     val rewrittenStats = footerStats(spark, dir, rewritten)
     // a file DV'd down to zero live rows rewrites to nothing: drop it
     val live = dropEmpty(f, dir, rewritten, rewrittenStats)
-    buildBlooms(spark, dir, live, bloomCols, rewrittenStats, bloomFpp)
+    buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), rewrittenStats, bloomFpp)
     val rewrittenNdv = buildNdv(spark, dir, live, snap.ndvCols)
     beforeSwap()
     val committed = commit(spark, dir) { old =>
@@ -1505,13 +1762,13 @@ object ManifestTable {
         Map.empty[String, Map[String, PartValue]])
       case Some(df) =>
         val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-        stageWrite(df, stage, snap.partitionCols)
+        stageWrite(toPhysical(snap, df), stage, snap.partitionCols)
         moveToData(f, dir, stage,
           partFamilies(df.schema, snap.partitionCols))
     }
     val stats = footerStats(spark, dir, moved)
     val live = dropEmpty(f, dir, moved, stats)
-    buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
+    buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), stats, bloomFpp)
     val ndvMap = buildNdv(spark, dir, live, snap.ndvCols)
     val cdcName = cdc.map { changes =>
       // _change_type is RESERVED when CDC is on: a table column of that
@@ -1589,7 +1846,8 @@ object ManifestTable {
     // DV-invisible rows are deleted too by dropping it — sound, they
     // were already invisible. Conflict detection below still covers
     // these files (a racing DV or rewrite aborts the commit).
-    val predE = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val predE = toPhysicalExpr(snap,
+      spark.sessionState.sqlParser.parseExpression(predicateSql))
     val (whole, partial) = candidates.partition(f =>
       snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
     val cond = coalesce(expr(predicateSql), lit(false))
@@ -1752,7 +2010,8 @@ object ManifestTable {
     // file's positions is strictly worse than removing the file (same
     // visibility, plus per-read anti-join rent until a purge). Same
     // metadata-only split as the CoW delete.
-    val predE = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val predE = toPhysicalExpr(snap,
+      spark.sessionState.sqlParser.parseExpression(predicateSql))
     val (whole, partial) = candidates.partition(f =>
       snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
     val cond = coalesce(expr(predicateSql), lit(false))
@@ -1861,12 +2120,12 @@ object ManifestTable {
       matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
         .write.parquet(s"${dvDir(dir)}/$dvName")
       val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-      stageWrite(updated, stage, snap.partitionCols)
+      stageWrite(toPhysical(snap, updated), stage, snap.partitionCols)
       val (moved, sizes, pvals) = moveToData(f, dir, stage,
         partFamilies(updated.schema, snap.partitionCols))
       val stats = footerStats(spark, dir, moved)
       val live = dropEmpty(f, dir, moved, stats)
-      buildBlooms(spark, dir, live, bloomCols, stats, bloomFpp)
+      buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), stats, bloomFpp)
       val ndvMap = buildNdv(spark, dir, live, snap.ndvCols)
       val cdcName =
         if (!cdc) None
@@ -2191,7 +2450,8 @@ object ManifestTable {
       c.equalsIgnoreCase("_change_type")),
       "CDC reserves the column name _change_type; this table has one")
     val candidates = keptFiles(spark, dir, snap, predicateSql)
-    val predE = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val predE = toPhysicalExpr(snap,
+      spark.sessionState.sqlParser.parseExpression(predicateSql))
     val (whole, partial) = candidates.partition(f =>
       snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
     val candDf =
@@ -2308,7 +2568,8 @@ object ManifestTable {
     pred match {
       case None => Seq.empty[String]
       case Some(None) => snap.files
-      case Some(Some(e)) => keptForPredicate(spark, dir, snap, e)
+      case Some(Some(e)) =>
+        keptForPredicate(spark, dir, snap, toPhysicalExpr(snap, e))
     }
   }
 
@@ -2435,6 +2696,262 @@ object ManifestTable {
     cowCommit(spark, dir, snap, candidates, out, "merge", opId,
       beforeSwap, bloomCols, bloomFpp, changes)
     } finally if (cdc) candDf.foreach(_.unpersist(false))
+  }
+
+  /** One clause of a GENERAL `MERGE` ([[mergeGeneral]]). `kind` is
+    * `update`, `delete` or `insert`; `condSql` the clause's `AND`
+    * condition (None = unconditional); `set` the assignment list
+    * (target column → value expression) for update/insert clauses.
+    *
+    * Expressions live in the PREFIXED namespace the executor joins
+    * under: `__t_<col>` is the target row's column, `__s_<col>` the
+    * source row's — so a SET expression can mix both sides without
+    * ambiguity even though target and source share column names. The
+    * SQL face ([[graft.plans.GraftDmlRule]]) produces these strings by
+    * renaming the RESOLVED attribute references side-by-side, so
+    * scoping is decided by the analyzer, not by string matching.
+    */
+  final case class MergeClause(kind: String, condSql: Option[String],
+                               set: Seq[(String, String)])
+
+  /** GENERAL MERGE — the full SQL `MERGE INTO` clause algebra:
+    *
+    *   - `matched` clauses (update with PARTIAL column SETs over both
+    *     rows, or delete), each optionally conditional; first matching
+    *     clause wins per target row (SQL clause-order semantics);
+    *   - `notMatched` insert clauses (conditional, explicit column
+    *     lists — unassigned columns null-fill);
+    *   - `notMatchedBySource` update/delete clauses (target-scope only).
+    *
+    * Scale contract: without NOT-MATCHED-BY-SOURCE clauses the rewrite
+    * scope is the SOURCE-KEY-PRUNED candidate files — same
+    * [[sourceKeyCandidates]] proof as [[merge]], an upsert batch touches
+    * O(matched files) never O(table). NMBS clauses quantify over every
+    * target row ("rows the source does NOT name"), which no per-file
+    * key stat can bound, so their presence widens the scope to the full
+    * file list — inherent to the semantics (Delta pays the same full
+    * scan), and the reason they are a separate argument rather than a
+    * default.
+    *
+    * SQL cardinality rule: a target row matching MORE THAN ONE source
+    * row with matched clauses present is non-deterministic and RAISES
+    * (the standard's cardinality violation) — detected with one
+    * aggregation over the batch-sized source plus, only when duplicate
+    * keys exist at all, one semi-probe of the candidates.
+    *
+    * Same opId idempotence, constraint enforcement (changed rows only),
+    * conflict-abort and optional-CDC contract as [[merge]]; commits as
+    * op `merge`. Returns false when replayed, conflicted, or nothing
+    * could change (the opId is still absorbed by an empty commit).
+    */
+  def mergeGeneral(source: DataFrame, dir: String, keyCols: Seq[String],
+                   matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+                   notMatchedBySource: Seq[MergeClause], opId: String,
+                   beforeSwap: () => Unit = () => (),
+                   bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
+                   maxProbeKeys: Int = 1024, cdc: Boolean = false): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
+    require(keyCols.nonEmpty, "mergeGeneral needs at least one key column")
+    require(matched.forall(c => c.kind == "update" || c.kind == "delete"),
+      "matched clauses must be update or delete")
+    require(notMatched.forall(_.kind == "insert"),
+      "not-matched clauses must be insert")
+    require(notMatchedBySource.forall(c =>
+      c.kind == "update" || c.kind == "delete"),
+      "not-matched-by-source clauses must be update or delete")
+    require((matched ++ notMatched ++ notMatchedBySource).nonEmpty,
+      "mergeGeneral needs at least one clause")
+    val spark = source.sparkSession
+    val snap = snapshot(spark, dir)
+    if (snap.batchIds.contains(opId)) return false
+    val tSchema = tableSchema(snap).getOrElse {
+      require(snap.files.nonEmpty,
+        "mergeGeneral into an empty schema-less table: create the table " +
+          "with a recorded schema first")
+      readFiles(spark, dir, snap, snap.files).schema
+    }
+    def tField(c: String) = tSchema.fields.find(_.name.equalsIgnoreCase(c))
+    keyCols.foreach { k =>
+      require(tField(k).isDefined,
+        s"mergeGeneral key column $k is not a table column")
+      require(source.columns.exists(_.equalsIgnoreCase(k)),
+        s"mergeGeneral key column $k is not a source column")
+    }
+    (matched ++ notMatched ++ notMatchedBySource).foreach(_.set.foreach {
+      case (c, _) => require(tField(c).isDefined,
+        s"MERGE assigns column $c, which is not a table column " +
+          "(merge is not a schema change)")
+    })
+    val tP = "__t_"
+    val sP = "__s_"
+    // the prefixed frames the clause expressions resolve against
+    val srcP = source.select(source.columns.map(c =>
+      col(c).as(sP + c)).toSeq: _*)
+    def srcKeyCast(k: String) = col(sP + k).cast(tField(k).get.dataType)
+    val keyDf = source.select(keyCols.map { k =>
+      val fd = tField(k).get
+      col(k).cast(fd.dataType).as(fd.name)
+    }.toSeq: _*).distinct()
+    // NMBS quantifies over rows the source does NOT name — unboundable
+    // by key stats, so the candidate scope is the whole table
+    val candidates =
+      if (snap.files.isEmpty) Seq.empty[String]
+      else if (notMatchedBySource.nonEmpty) snap.files
+      else sourceKeyCandidates(spark, dir, snap, keyDf, keyCols.map(k =>
+        tField(k).get.name), tSchema, maxProbeKeys)
+    if (candidates.isEmpty && notMatched.isEmpty)
+      return emptyOpCommit(spark, dir, "merge", opId)
+    val tgt =
+      if (candidates.isEmpty) None
+      else Some(readFiles(spark, dir, snap, candidates))
+    // SQL cardinality violation: >1 source row for one matched target row
+    if (matched.nonEmpty) tgt.foreach { t =>
+      val dup = source.groupBy(keyCols.map(col).toSeq: _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        .select(keyCols.map { k =>
+          val fd = tField(k).get
+          col(k).cast(fd.dataType).as(fd.name)
+        }.toSeq: _*)
+      if (!dup.isEmpty)
+        require(t.join(dup, keyCols.map(k => tField(k).get.name).toSeq,
+          "left_semi").isEmpty,
+          "MERGE cardinality violation: a target row matches more than " +
+            "one source row and matched clauses are present — " +
+            "deduplicate the source on the ON keys first")
+    }
+    // clause-selection column: first matching clause wins, SQL order;
+    // matched clauses number from 0, NMBS from 1000 (disjoint guards)
+    val NmbsBase = 1000
+    def condCol(c: MergeClause): Column =
+      c.condSql.map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
+    def clauseCol(isMatched: Column): Column = {
+      val arms =
+        matched.zipWithIndex.map { case (c, i) =>
+          (isMatched && condCol(c), lit(i)) } ++
+        notMatchedBySource.zipWithIndex.map { case (c, i) =>
+          (!isMatched && condCol(c), lit(NmbsBase + i)) }
+      arms.foldRight(lit(-1): Column) { case ((p, v), acc) =>
+        when(p, v).otherwise(acc) }
+    }
+    def updates: Seq[(Int, Seq[(String, String)])] =
+      matched.zipWithIndex.collect {
+        case (MergeClause("update", _, set), i) => (i, set) } ++
+      notMatchedBySource.zipWithIndex.collect {
+        case (MergeClause("update", _, set), i) => (NmbsBase + i, set) }
+    def deletes: Seq[Int] =
+      matched.zipWithIndex.collect {
+        case (MergeClause("delete", _, _), i) => i } ++
+      notMatchedBySource.zipWithIndex.collect {
+        case (MergeClause("delete", _, _), i) => NmbsBase + i }
+    // the new value of column fd for a row, by which clause fired
+    def valueOf(fd: org.apache.spark.sql.types.StructField): Column =
+      updates.foldRight(col(tP + fd.name)) { case ((ci, set), acc) =>
+        set.find(_._1.equalsIgnoreCase(fd.name)) match {
+          case Some((_, e)) => when(col("__clause") === ci,
+            expr(e).cast(fd.dataType)).otherwise(acc)
+          case None => acc
+        }
+      }
+    // an insert-only merge rewrites NOTHING: candidates serve only the
+    // match anti-join, the commit is a pure append (no removed files, so
+    // it rides the append-only feed like a zero-candidate upsert)
+    val rewriting = matched.nonEmpty || notMatchedBySource.nonEmpty
+    val joined = (if (rewriting) tgt else None).map { t =>
+      val tgtP = t.select(tSchema.fields.map(fd =>
+        col(fd.name).as(tP + fd.name)).toSeq: _*)
+      // matched clauses need the source ROW; marker-only clauses (no
+      // matched clause references __s_*) join a deduplicated key marker
+      // so duplicate unmatched source keys cannot duplicate target rows
+      val right =
+        if (matched.nonEmpty) srcP.withColumn("__s_present", lit(true))
+        else srcP.select(keyCols.map(k =>
+            srcKeyCast(k).as(sP + k)).toSeq: _*)
+          .distinct().withColumn("__s_present", lit(true))
+      val on = keyCols.map(k =>
+        col(tP + k) === srcKeyCast(k)).reduce(_ && _)
+      tgtP.join(right, on, "left_outer")
+        .withColumn("__clause",
+          clauseCol(coalesce(col("__s_present"), lit(false))))
+    }
+    if (cdc) joined.foreach(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val outTgt = joined.map { j =>
+        val kept = if (deletes.isEmpty) j
+          else j.where(!col("__clause").isin(deletes: _*))
+        kept.select(tSchema.fields.map(fd =>
+          valueOf(fd).as(fd.name)).toSeq: _*)
+      }
+      // insert path: source rows (dups preserved — each inserts
+      // independently) with no candidate match; candidate files provably
+      // hold every possible match, so anti against them is anti against
+      // the table
+      val insOut = if (notMatched.isEmpty) None else {
+        val unmatched = tgt match {
+          case None => srcP
+          case Some(t) =>
+            val tkeys = t.select(keyCols.map(k =>
+              col(tField(k).get.name).as("__k_" + k)).toSeq: _*)
+            srcP.join(tkeys, keyCols.map(k =>
+              srcKeyCast(k) === col("__k_" + k)).reduce(_ && _),
+              "left_anti")
+        }
+        val armed = notMatched.zipWithIndex
+          .foldRight(lit(-1): Column) { case ((c, i), acc) =>
+            when(condCol(c), lit(i)).otherwise(acc) }
+        val firing = unmatched.withColumn("__clause", armed)
+          .where(col("__clause") >= 0)
+        Some(firing.select(tSchema.fields.map { fd =>
+          notMatched.zipWithIndex.foldRight(
+              lit(null).cast(fd.dataType): Column) { case ((c, i), acc) =>
+            c.set.find(_._1.equalsIgnoreCase(fd.name)) match {
+              case Some((_, e)) => when(col("__clause") === i,
+                expr(e).cast(fd.dataType)).otherwise(acc)
+              case None => acc
+            }
+          }.as(fd.name)
+        }.toSeq: _*))
+      }
+      val out = (outTgt.toSeq ++ insOut.toSeq).reduceOption(_ unionByName _)
+      if (out.isEmpty) return emptyOpCommit(spark, dir, "merge", opId)
+      // constraints: changed rows only (pass-through rows already hold)
+      if (snap.constraints.nonEmpty) {
+        val updIdx = updates.map(_._1)
+        val changedTgt = joined.map(j =>
+          (if (updIdx.isEmpty) j.where(lit(false))
+           else j.where(col("__clause").isin(updIdx: _*)))
+            .select(tSchema.fields.map(fd =>
+              valueOf(fd).as(fd.name)).toSeq: _*))
+        (changedTgt.toSeq ++ insOut.toSeq).reduceOption(_ unionByName _)
+          .foreach(enforceConstraints(_, snap.constraints, "mergeGeneral"))
+      }
+      val changes =
+        if (!cdc) None
+        else {
+          val updIdx = updates.map(_._1)
+          def tRow(j: DataFrame) = tSchema.fields.map(fd =>
+            col(tP + fd.name).as(fd.name))
+          val pre = joined.filter(_ => updIdx.nonEmpty).map(j =>
+            j.where(col("__clause").isin(updIdx: _*))
+              .select(tRow(j).toSeq: _*)
+              .withColumn("_change_type", lit("update_preimage")))
+          val post = joined.filter(_ => updIdx.nonEmpty).map(j =>
+            j.where(col("__clause").isin(updIdx: _*))
+              .select(tSchema.fields.map(fd =>
+                valueOf(fd).as(fd.name)).toSeq: _*)
+              .withColumn("_change_type", lit("update_postimage")))
+          val del = joined.filter(_ => deletes.nonEmpty).map(j =>
+            j.where(col("__clause").isin(deletes: _*))
+              .select(tRow(j).toSeq: _*)
+              .withColumn("_change_type", lit("delete")))
+          val ins = insOut.map(_.withColumn("_change_type", lit("insert")))
+          (pre.toSeq ++ post.toSeq ++ del.toSeq ++ ins.toSeq)
+            .reduceOption(_ unionByName _)
+        }
+      cowCommit(spark, dir, snap,
+        if (rewriting) candidates else Nil, out, "merge", opId,
+        beforeSwap, bloomCols, bloomFpp, changes)
+    } finally if (cdc) joined.foreach(_.unpersist(false))
   }
 
   // ---------------------------------------------- change feed
@@ -2992,8 +3509,12 @@ object ManifestTable {
     */
   private def keptFiles(spark: SparkSession, dir: String, s: Snapshot,
                         predicateSql: String): Seq[String] =
-    keptForPredicate(spark, dir, s,
-      spark.sessionState.sqlParser.parseExpression(predicateSql))
+    // SQL strings speak LOGICAL names; the manifest's stats, blooms and
+    // partition values are keyed PHYSICAL — translate before probing.
+    // (keptForPredicate itself stays physical-namespace: the planner's
+    // pushed dataFilters arrive already bound to the physical scan.)
+    keptForPredicate(spark, dir, s, toPhysicalExpr(s,
+      spark.sessionState.sqlParser.parseExpression(predicateSql)))
 
   /** [[keptFiles]] over an already-built predicate expression — the
     * entry point [[ManifestFileIndex]] feeds the planner's pushed
@@ -3427,6 +3948,8 @@ object ManifestTable {
             s"property:${enc(k)}\t${enc(v)}"
           } ++
           (if (s.ndvCols.nonEmpty) Seq(ndvColsLine(s.ndvCols)) else Nil) ++
+          s.colMap.map { case (l, ph) => s"colmap:${enc(l)}\t${enc(ph)}" } ++
+          s.retiredCols.map(ph => "retired:" + enc(ph)) ++
           pvLines(s.files, s.pvals) ++
           ndvLines(s.files, s.ndv) ++
           detailLines(s.files, s.stats, s.sizes)
@@ -3550,6 +4073,11 @@ object ManifestTable {
               Seq(partColsLine(next0.partitionCols)) else Nil) ++
             (if (next0.ndvCols != old.ndvCols)
               Seq(ndvColsLine(next0.ndvCols)) else Nil) ++
+            (if (next0.colMap != old.colMap)
+              next0.colMap.map { case (l, ph) =>
+                s"colmap:${enc(l)}\t${enc(ph)}" } else Nil) ++
+            (if (next0.retiredCols != old.retiredCols)
+              next0.retiredCols.map(ph => "retired:" + enc(ph)) else Nil) ++
             adds.map("add:" + _) ++
             removes.map("remove:" + _) ++
             newBatches.map("batch:" + _) ++

@@ -30,16 +30,22 @@ import graft.ext.{GraftTableV2, ManifestTable}
   *   - `MERGE INTO t USING s ON t.k = s.k
   *        WHEN MATCHED THEN DELETE`         →
   *     [[ManifestTable.deleteMatching]] (the CDC apply path's
-  *     tombstone half — delete-by-source-keys, same pruning).
+  *     tombstone half — delete-by-source-keys, same pruning);
+  *   - every OTHER clause algebra — conditional matched clauses,
+  *     partial-column `UPDATE SET c = expr`, mixed UPDATE+DELETE,
+  *     conditional/partial INSERTs, `NOT MATCHED BY SOURCE` →
+  *     [[ManifestTable.mergeGeneral]] (same source-key candidate
+  *     pruning unless NMBS clauses force full scope; SQL clause-order
+  *     and cardinality-violation semantics).
   *
-  * The MERGE mapping accepts exactly the two shapes above — what the
-  * engine's row ops implement (matched rows replaced by their source
-  * row and absent rows inserted; or matched rows deleted). Conditional
-  * actions, mixed UPDATE+DELETE clauses, partial-column updates and
-  * `NOT MATCHED BY SOURCE` clauses are a
-  * LOUD UnsupportedOperationException, never a silent approximation;
-  * `WITH SCHEMA EVOLUTION` is rejected the same way (merge is not a
-  * schema change — `ALTER TABLE ... ADD COLUMN` first).
+  * The two specialized shapes stay their own commands because the
+  * engine's dedicated row ops plan leaner (no clause-selection
+  * projection); semantics are identical. The ON condition must remain
+  * a conjunction of same-named target/source column equalities — it is
+  * the file-pruning key; extra predicates belong on the clauses.
+  * `WITH SCHEMA EVOLUTION` is a LOUD UnsupportedOperationException
+  * (merge is not a schema change — `ALTER TABLE ... ADD COLUMN`
+  * first), as are subqueries in clause expressions.
   *
   * Expressions are re-printed as predicate SQL (qualifiers stripped so
   * they resolve against the table's own frame) because the manifest
@@ -132,14 +138,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       s"cannot MERGE into a time-travel pinned version of ${table.name()}")
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
-        s"graft-manifest MERGE supports exactly the upsert shape " +
-          "(ON <conjunction of t.k = s.k>, WHEN MATCHED THEN UPDATE " +
-          "SET *, WHEN NOT MATCHED THEN INSERT *); " + what)
+        s"graft-manifest MERGE: $what")
     if (m.schemaEvolutionEnabled || m.withSchemaEvolution)
       unsupported("WITH SCHEMA EVOLUTION is not supported — MERGE is " +
         "not a schema change, ALTER TABLE ... ADD COLUMN first")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("NOT MATCHED BY SOURCE clauses are not supported")
     val targetOut = AttributeSet(m.targetTable.output)
     val sourceOut = AttributeSet(m.sourceTable.output)
 
@@ -159,70 +161,110 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
           case (_, _, Some(t), Some(s)) if t.equalsIgnoreCase(s) => t
           case _ => unsupported(
             s"ON conjunct is not a same-named target/source column " +
-              s"equality: ${EqualTo(l, r).sql}")
+              s"equality: ${EqualTo(l, r).sql} (the ON condition is the " +
+              "file-pruning key — put extra predicates on the clauses)")
         }
       case other =>
         unsupported(s"ON conjunct is not an equality: ${other.sql}")
     }
 
-    // an action's assignments must map every target column from its
-    // same-named source column — the full-row replace/insert the
-    // engine's merge performs (key columns may ride on the ON equality)
-    def requireStarShape(assignments: Seq[Assignment], verb: String,
-                         keysImplicit: Boolean): Unit = {
-      val assigned = assignments.map { a =>
-        val col = a.key match {
-          case attr: AttributeReference => attr.name
-          case other => unsupported(
-            s"$verb assigns a non-column target: ${other.sql}")
+    // is `assignments` the full-row same-named-source-column shape the
+    // engine's fast upsert performs? (key columns may ride on ON)
+    def isStarShape(assignments: Seq[Assignment],
+                    keysImplicit: Boolean): Boolean = {
+      val assigned = assignments.flatMap { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference)
+              if sourceOut.contains(v) && v.name.equalsIgnoreCase(k.name) =>
+            Some(k.name.toLowerCase)
+          case _ => None
         }
-        a.value match {
-          case s: AttributeReference
-              if sourceOut.contains(s) && s.name.equalsIgnoreCase(col) =>
-          case other => unsupported(
-            s"$verb sets $col from ${other.sql}, not from the " +
-              s"same-named source column — partial or computed " +
-              "assignments do not match the engine's full-row upsert")
-        }
-        col.toLowerCase
       }.toSet
-      val missing = m.targetTable.output.map(_.name)
-        .filterNot(n => assigned.contains(n.toLowerCase))
-        .filterNot(n => keysImplicit &&
-          keyCols.exists(_.equalsIgnoreCase(n)))
-      if (missing.nonEmpty)
-        unsupported(s"$verb leaves target columns unassigned: " +
-          missing.mkString(", "))
+      assigned.size == assignments.size &&
+        m.targetTable.output.map(_.name)
+          .filterNot(n => assigned.contains(n.toLowerCase))
+          .forall(n => keysImplicit && keyCols.exists(_.equalsIgnoreCase(n)))
     }
 
-    // the DELETE shape: `WHEN MATCHED THEN DELETE` alone — the delete
-    // half of a CDC apply, lowered to the engine's deleteMatching
-    // (source-key-pruned tombstone application)
-    (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(DeleteAction(None)), Seq()) =>
+    // FAST PATHS — the engine's specialized row ops (full-row upsert;
+    // tombstone apply), bit-identical semantics, leaner plans
+    (m.matchedActions, m.notMatchedActions,
+      m.notMatchedBySourceActions) match {
+      case (Seq(DeleteAction(None)), Seq(), Seq()) =>
         return GraftMergeDeleteCommand(table.dir, m.sourceTable, keyCols)
+      case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)),
+            Seq())
+          if isStarShape(up, keysImplicit = true) &&
+            isStarShape(ins, keysImplicit = false) =>
+        return GraftMergeCommand(table.dir, m.sourceTable, keyCols)
       case _ => ()
     }
 
-    m.matchedActions match {
-      case Seq(UpdateAction(None, assignments, _)) =>
-        requireStarShape(assignments, "WHEN MATCHED UPDATE",
-          keysImplicit = true)
-      case other => unsupported(
-        s"matched actions must be exactly one unconditional UPDATE " +
-          s"SET * or a sole unconditional DELETE (got " +
-          s"${other.mkString("; ")})")
+    // GENERAL PATH — arbitrary clause algebra lowered to
+    // [[ManifestTable.mergeGeneral]]. Expressions are re-printed into
+    // the executor's prefixed namespace (`__t_<col>` target, `__s_<col>`
+    // source) — sides decided HERE, by the analyzer's resolution, so
+    // shared column names can never cross-bind in the re-parse.
+    def prefixed(e: Expression): String = {
+      if (e.exists(_.isInstanceOf[PlanExpression[_]]))
+        unsupported("subqueries in MERGE conditions or SET expressions " +
+          s"are not supported (got: ${e.sql})")
+      e.transformUp {
+        case a: AttributeReference if targetOut.contains(a) =>
+          a.withName("__t_" + a.name).withQualifier(Nil)
+        case a: AttributeReference if sourceOut.contains(a) =>
+          a.withName("__s_" + a.name).withQualifier(Nil)
+        case f if f.foldable && !f.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Literal] =>
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(f.eval(InternalRow.empty), f.dataType)
+      }.sql
     }
-    m.notMatchedActions match {
-      case Seq(InsertAction(None, assignments)) =>
-        requireStarShape(assignments, "WHEN NOT MATCHED INSERT",
-          keysImplicit = false)
-      case other => unsupported(
-        s"not-matched actions must be exactly one unconditional " +
-          s"INSERT * (got ${other.mkString("; ")})")
-    }
+    def assignsOf(assignments: Seq[Assignment],
+                  verb: String): Seq[(String, String)] =
+      assignments.flatMap { a =>
+        val col = a.key match {
+          case attr: AttributeReference => attr.name
+          case other => unsupported(
+            s"$verb assigns a non-column target: ${other.sql} " +
+              "(struct-field updates are not supported)")
+        }
+        // analyzer-aligned identity assignments (c = t.c) carry no
+        // change; dropping them keeps the partial-SET list honest
+        if (a.value match {
+          case v: AttributeReference =>
+            targetOut.contains(v) && v.name.equalsIgnoreCase(col)
+          case _ => false
+        }) None
+        else Some(col -> prefixed(a.value))
+      }
+    def clauseOf(a: MergeAction, verb: String): ManifestTable.MergeClause =
+      a match {
+        case UpdateAction(cond, assignments, _) =>
+          ManifestTable.MergeClause("update", cond.map(prefixed),
+            assignsOf(assignments, verb))
+        case DeleteAction(cond) =>
+          ManifestTable.MergeClause("delete", cond.map(prefixed), Nil)
+        case InsertAction(cond, assignments) =>
+          ManifestTable.MergeClause("insert", cond.map(prefixed),
+            assignments.map { asg =>
+              val col = asg.key match {
+                case attr: AttributeReference => attr.name
+                case other => unsupported(
+                  s"$verb assigns a non-column target: ${other.sql}")
+              }
+              col -> prefixed(asg.value)
+            })
+        case other =>
+          unsupported(s"$verb action ${other.getClass.getSimpleName} " +
+            "is not supported")
+      }
 
-    GraftMergeCommand(table.dir, m.sourceTable, keyCols)
+    GraftMergeGeneralCommand(table.dir, m.sourceTable, keyCols,
+      m.matchedActions.map(clauseOf(_, "WHEN MATCHED")),
+      m.notMatchedActions.map(clauseOf(_, "WHEN NOT MATCHED")),
+      m.notMatchedBySourceActions.map(
+        clauseOf(_, "WHEN NOT MATCHED BY SOURCE")))
   }
 }
 
@@ -275,6 +317,34 @@ case class GraftMergeCommand(dir: String,
     val src = org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, source)
     ManifestTable.merge(src, dir, keyCols,
       s"sql-merge-${java.util.UUID.randomUUID()}",
+      cdc = ManifestTable.changeFeedEnabled(
+        ManifestTable.snapshot(spark, dir)))
+    Seq.empty
+  }
+}
+
+/** General `MERGE INTO` — conditional matched clauses, partial-column
+  * `UPDATE SET`, mixed UPDATE+DELETE, conditional/partial INSERTs and
+  * `NOT MATCHED BY SOURCE` — lowered to
+  * [[ManifestTable.mergeGeneral]]: source-key-pruned candidates (full
+  * scope only when NMBS clauses quantify over the whole target),
+  * SQL clause-order and cardinality-violation semantics, one atomic
+  * commit. Clause expressions travel as SQL in the executor's
+  * `__t_`/`__s_` prefixed namespace, sides fixed at resolution.
+  */
+case class GraftMergeGeneralCommand(dir: String,
+                                    @transient source: LogicalPlan,
+                                    keyCols: Seq[String],
+                                    matched: Seq[ManifestTable.MergeClause],
+                                    notMatched: Seq[ManifestTable.MergeClause],
+                                    notMatchedBySource: Seq[ManifestTable.MergeClause])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, source)
+    ManifestTable.mergeGeneral(src, dir, keyCols, matched, notMatched,
+      notMatchedBySource,
+      s"sql-merge-general-${java.util.UUID.randomUUID()}",
       cdc = ManifestTable.changeFeedEnabled(
         ManifestTable.snapshot(spark, dir)))
     Seq.empty

@@ -1116,13 +1116,17 @@ object ExtQueries {
     docs.createOrReplaceTempView("sqlmrg_src")
     s.sql("CREATE TABLE graft_fix.sqlmrg " +
       "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
-    s.sql("INSERT INTO graft_fix.sqlmrg " +
-      "SELECT doc_id, lang, n_chars FROM sqlmrg_src WHERE doc_id < 400")
-    // cluster into doc_id-ranged files so the source-key band prunes
-    graft.ext.ManifestTable.compact(s, s"$wh/sqlmrg",
-      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    // four BANDED inserts: each commit writes >= 1 file whose doc_id
+    // stats span only its band, so the file split (and therefore the
+    // strict-subset pruning proof below) holds at ANY parallelism and
+    // scale factor — a single insert + compact split depends on the
+    // session's task count (local[4] in graft.Explain compacted this
+    // fixture to 2 files and tripped the degenerate require)
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlmrg SELECT doc_id, lang, n_chars " +
+        s"FROM sqlmrg_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
     val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmrg")
-    require(before.files.size > 3,
+    require(before.files.size >= 4,
       s"fixture degenerate: ${before.files.size} files pre-merge")
     s.sql("""MERGE INTO graft_fix.sqlmrg AS tgt
             |USING (SELECT doc_id, lang,
@@ -1159,12 +1163,14 @@ object ExtQueries {
       .createOrReplaceTempView("sqlmdel_src")
     s.sql("CREATE TABLE graft_fix.sqlmdel " +
       "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
-    s.sql("INSERT INTO graft_fix.sqlmdel " +
-      "SELECT doc_id, lang, n_chars FROM sqlmdel_src WHERE doc_id < 400")
-    graft.ext.ManifestTable.compact(s, s"$wh/sqlmdel",
-      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))
+    // banded inserts: parallelism-invariant file split with per-band
+    // doc_id stats (see manifestSqlMergeQ for why compact-based splits
+    // are not)
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlmdel SELECT doc_id, lang, n_chars " +
+        s"FROM sqlmdel_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
     val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmdel")
-    require(before.files.size > 3,
+    require(before.files.size >= 4,
       s"fixture degenerate: ${before.files.size} files pre-delete")
     s.sql("""MERGE INTO graft_fix.sqlmdel AS tgt
             |USING (SELECT doc_id FROM sqlmdel_src
@@ -1180,6 +1186,104 @@ object ExtQueries {
         "source-key pruning did not hold")
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmdel " +
       "ORDER BY doc_id")
+  }
+
+  /** GENERAL SQL MERGE — partial-column conditional SET + partial
+    * INSERT — oracle-replayed: lowers (via [[graft.plans.GraftDmlRule]])
+    * to [[graft.ext.ManifestTable.mergeGeneral]]. Two conditional
+    * matched clauses exercise SQL clause order (first match wins) with
+    * SET expressions over BOTH rows (`t.n_chars + s.bump`) touching only
+    * one column; a conditional explicit-column INSERT exercises the
+    * partial-insert null-avoidance (every column assigned here, values
+    * computed). The REQUIREs pin that source-key pruning still held for
+    * the general path (strict-subset rewrite: the [0,100) band file is
+    * untouched) and the `merge` op provenance. Banded inserts make the
+    * file split parallelism- and scale-invariant. Re-runnable for warm
+    * bench passes.
+    */
+  def manifestSqlMergePartialQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmgp")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlmgp_src")
+    s.sql("CREATE TABLE graft_fix.sqlmgp " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlmgp SELECT doc_id, lang, n_chars " +
+        s"FROM sqlmgp_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmgp")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-merge")
+    s.sql("""MERGE INTO graft_fix.sqlmgp AS t
+            |USING (SELECT doc_id, lang, n_chars,
+            |         CAST(doc_id * 3 AS BIGINT) AS bump
+            |       FROM sqlmgp_src
+            |       WHERE doc_id >= 120 AND doc_id < 520) AS s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED AND t.doc_id % 2 = 0
+            |  THEN UPDATE SET n_chars = t.n_chars + s.bump
+            |WHEN MATCHED THEN UPDATE SET n_chars = -t.n_chars
+            |WHEN NOT MATCHED AND s.doc_id < 480
+            |  THEN INSERT (doc_id, lang, n_chars)
+            |       VALUES (s.doc_id, s.lang, s.n_chars + 9)""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmgp")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size,
+      s"general merge rewrote $rewritten of ${before.files.size} files — " +
+        "source-key pruning did not hold on the general path")
+    require(after.op == "merge",
+      s"general SQL MERGE landed as '${after.op}', not 'merge'")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmgp ORDER BY doc_id")
+  }
+
+  /** GENERAL SQL MERGE — conditional DELETE, mixed clauses and NOT
+    * MATCHED BY SOURCE — oracle-replayed: the sync-to-source shape.
+    * Matched rows are conditionally deleted (`doc_id % 5 = 0`) or
+    * updated; rows the source does NOT name are updated or deleted by
+    * NMBS clauses — which quantify over the whole target, so the
+    * rewrite scope is the full file list by necessity (the documented
+    * NMBS cost; no subset require here). The REQUIREs pin the clause
+    * effects with scale-invariant counts (both NMBS bands bounded) and
+    * the `merge` provenance. Re-runnable for warm bench passes.
+    */
+  def manifestSqlMergeCondQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmgc")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlmgc_src")
+    s.sql("CREATE TABLE graft_fix.sqlmgc " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlmgc SELECT doc_id, lang, n_chars " +
+        s"FROM sqlmgc_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    s.sql("""MERGE INTO graft_fix.sqlmgc AS t
+            |USING (SELECT doc_id, n_chars FROM sqlmgc_src
+            |       WHERE doc_id >= 100 AND doc_id < 300) AS s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED AND t.doc_id % 5 = 0 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1
+            |WHEN NOT MATCHED BY SOURCE AND t.doc_id < 50
+            |  THEN UPDATE SET n_chars = CAST(0 AS BIGINT)
+            |WHEN NOT MATCHED BY SOURCE AND t.doc_id >= 390
+            |  THEN DELETE""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmgc")
+    require(after.op == "merge",
+      s"general SQL MERGE landed as '${after.op}', not 'merge'")
+    val zeroed = s.sql(
+      "SELECT count(*) FROM graft_fix.sqlmgc WHERE n_chars = 0")
+      .first().getLong(0)
+    require(zeroed == 50L,
+      s"NMBS update touched $zeroed rows, expected the bounded 50")
+    val tombBand = s.sql("SELECT count(*) FROM graft_fix.sqlmgc " +
+      "WHERE doc_id >= 390 OR (doc_id >= 100 AND doc_id < 300 AND " +
+      "doc_id % 5 = 0)").first().getLong(0)
+    require(tombBand == 0L,
+      s"conditional/NMBS deletes left $tombBand rows standing")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmgc ORDER BY doc_id")
   }
 
   /** The SQL maintenance face, oracle-replayed: a full operator
@@ -1201,13 +1305,23 @@ object ExtQueries {
       .createOrReplaceTempView("sqlmnt_src")
     s.sql("CREATE TABLE graft_fix.sqlmnt " +
       "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
-    s.sql("INSERT INTO graft_fix.sqlmnt " +
-      "SELECT doc_id, lang, n_chars FROM sqlmnt_src")
-    // clustered full compact: many small doc_id-ranged files
+    // banded inserts give the lifecycle a parallelism-invariant >= 4
+    // file, 4-commit starting log (a single insert's file count depends
+    // on the session's task count — local[4] in graft.Explain); the
+    // open top band is fine here, no require pins its row count
+    Seq("doc_id < 100", "doc_id >= 100 AND doc_id < 220",
+        "doc_id >= 220 AND doc_id < 350", "doc_id >= 350").foreach(p =>
+      s.sql("INSERT INTO graft_fix.sqlmnt " +
+        s"SELECT doc_id, lang, n_chars FROM sqlmnt_src WHERE $p"))
+    require(graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmnt").files.size >= 4,
+      "fixture degenerate: banded inserts left < 4 files")
+    // clustered full compact: doc_id-ranged files. The output count is
+    // a function of total bytes vs target (parallelism-proof only as
+    // >= 2: ~500 tiny rows never fit one 4 KiB bin)
     val compacted = s.sql("CALL graft_fix.system.compact(" +
       "table => 'sqlmnt', target_file_bytes => 4096, " +
       "cluster_by => 'doc_id')").first()
-    require(compacted.getInt(1) > 3,
+    require(compacted.getInt(1) >= 2,
       s"fixture degenerate: compact wrote ${compacted.getInt(1)} files")
     // CoW delete of a band, then bin-pack the remnants
     s.sql("DELETE FROM graft_fix.sqlmnt WHERE doc_id >= 100 AND doc_id < 220")
@@ -2547,6 +2661,8 @@ object ExtQueries {
     "manifest_sql_ddl" -> (manifestSqlDdlQ(_, _)),
     "manifest_sql_update" -> (manifestSqlUpdateQ(_, _)),
     "manifest_sql_merge" -> (manifestSqlMergeQ(_, _)),
+    "manifest_sql_merge_partial" -> (manifestSqlMergePartialQ(_, _)),
+    "manifest_sql_merge_cond" -> (manifestSqlMergeCondQ(_, _)),
     "manifest_sql_maintenance" -> (manifestSqlMaintenanceQ(_, _)),
     "manifest_sql_meta" -> (manifestSqlMetaQ(_, _)),
     "manifest_table_stream_replay" -> (manifestTableStreamQ(_, _)),
@@ -3409,6 +3525,37 @@ object ExtQueries {
         |  UNION ALL
         |  SELECT doc_id, lang, n_chars FROM documents
         |  WHERE doc_id < 400 AND NOT (doc_id >= 120 AND doc_id < 520))
+        |ORDER BY doc_id""".stripMargin,
+
+    // GENERAL MERGE, partial/conditional clauses replayed: first
+    // matching clause wins (evens get the bump, odds negate), the
+    // conditional partial INSERT adds only the sub-480 band
+    "manifest_sql_merge_partial" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN doc_id >= 120 AND doc_id % 2 = 0
+        |              THEN n_chars + doc_id * 3
+        |              WHEN doc_id >= 120 THEN -n_chars
+        |              ELSE n_chars END AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 9 AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id >= 400 AND doc_id < 480)
+        |ORDER BY doc_id""".stripMargin,
+
+    // GENERAL MERGE, sync-to-source replayed: matched %5 rows deleted,
+    // other matched rows updated from the source, NOT-MATCHED-BY-SOURCE
+    // rows zeroed (< 50) or deleted (>= 390)
+    "manifest_sql_merge_cond" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN doc_id >= 100 AND doc_id < 300 THEN n_chars + 1
+        |              WHEN doc_id < 50 THEN 0
+        |              ELSE n_chars END AS BIGINT) AS n_chars
+        |  FROM documents
+        |  WHERE doc_id < 400
+        |    AND NOT (doc_id >= 100 AND doc_id < 300 AND doc_id % 5 = 0)
+        |    AND doc_id < 390)
         |ORDER BY doc_id""".stripMargin,
 
     // SQL CALL maintenance lifecycle: compaction/packing/expiry/vacuum

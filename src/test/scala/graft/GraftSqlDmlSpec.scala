@@ -5,9 +5,12 @@ import graft.ext.ManifestTable
 
 /** SQL `UPDATE` and `MERGE INTO` over graft-manifest tables
   * ([[graft.plans.GraftDmlRule]]): the resolved commands lower to the
-  * engine's own `updateWhere` / `merge` — file-pruned copy-on-write
-  * commits — with standard SQL semantics (SET against the OLD row) and
-  * loud rejection of every shape the engine's upsert cannot express.
+  * engine's own `updateWhere` / `merge` / `deleteMatching` /
+  * `mergeGeneral` — file-pruned copy-on-write commits — with standard
+  * SQL semantics: SET against the OLD row, clause order, partial
+  * column lists, NOT MATCHED BY SOURCE, the cardinality-violation
+  * raise. What cannot cross the engine's seams (subqueries, non-equi
+  * ON) stays a loud rejection, never an approximation.
   */
 class GraftSqlDmlSpec extends SparkSpec {
   import spark.implicits._
@@ -143,6 +146,116 @@ class GraftSqlDmlSpec extends SparkSpec {
       "an unmatched tombstone batch must not commit")
   }
 
+  test("general MERGE: conditional partial SET over both rows, clause order, pruned rewrite") {
+    fsDel(s"$wh/g_part")
+    sql("CREATE TABLE graft_dml.g_part (id BIGINT, v STRING, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_part SELECT id, " +
+      "concat('v', id, repeat('-ballast', 16)), id FROM range(2000)")
+    ManifestTable.compact(spark, s"$wh/g_part",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    val before = ManifestTable.snapshot(spark, s"$wh/g_part")
+    require(before.files.size > 3, s"degenerate: ${before.files.size} files")
+    spark.range(100, 220).selectExpr("id", "id * 10 AS bump")
+      .createOrReplaceTempView("g_part_src")
+    // first matching clause wins; SET mixes target and source columns;
+    // unassigned columns (v) keep their old value
+    sql("""MERGE INTO graft_dml.g_part t USING g_part_src s ON t.id = s.id
+          |WHEN MATCHED AND t.n % 2 = 0 THEN UPDATE SET n = t.n + s.bump
+          |WHEN MATCHED THEN UPDATE SET n = -t.n""".stripMargin)
+    val after = ManifestTable.snapshot(spark, s"$wh/g_part")
+    assert(after.op === "merge")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    assert(rewritten > 0 && rewritten < before.files.size,
+      s"general MERGE rewrote $rewritten of ${before.files.size} files — " +
+        "source-key pruning did not hold")
+    val got = sql("SELECT id, n FROM graft_dml.g_part WHERE id >= 90 AND " +
+      "id < 230 ORDER BY id").as[(Long, Long)].collect().toSeq
+    assert(got === (90L until 230L).map { i =>
+      if (i >= 100 && i < 220) (i, if (i % 2 == 0) i + i * 10 else -i)
+      else (i, i)
+    })
+    // v untouched everywhere (partial SET is partial)
+    assert(sql("SELECT count(*) FROM graft_dml.g_part WHERE v NOT LIKE 'v%'")
+      .as[Long].head() === 0L)
+    assert(sql("SELECT count(*) FROM graft_dml.g_part").as[Long].head() === 2000L)
+  }
+
+  test("general MERGE: mixed UPDATE+DELETE matched clauses and conditional partial INSERT") {
+    fsDel(s"$wh/g_mix")
+    sql("CREATE TABLE graft_dml.g_mix (id BIGINT, v STRING, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_mix SELECT id, concat('v', id), id FROM range(20)")
+    spark.range(10, 30).selectExpr(
+      "id", "concat('s', id) AS sv", "id * 2 AS m")
+      .createOrReplaceTempView("g_mix_src")
+    sql("""MERGE INTO graft_dml.g_mix t USING g_mix_src s ON t.id = s.id
+          |WHEN MATCHED AND t.id % 2 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.sv
+          |WHEN NOT MATCHED AND s.id < 25 THEN INSERT (id, v) VALUES (s.id, s.sv)""".stripMargin)
+    val got = sql("SELECT id, v, n FROM graft_dml.g_mix ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val expect =
+      (0L until 10L).map(i => (i, s"v$i", i)) ++            // untouched
+      (10L until 20L).filter(_ % 2 != 0)
+        .map(i => (i, s"s$i", i)) ++                         // updated (v only)
+      (20L until 25L).map(i => (i, s"s$i", -1L))             // inserted, n NULL
+    assert(got === expect) // evens 10..18 deleted; 25..29 filtered out
+  }
+
+  test("general MERGE: NOT MATCHED BY SOURCE update and delete") {
+    fsDel(s"$wh/g_nmbs")
+    sql("CREATE TABLE graft_dml.g_nmbs (id BIGINT, state STRING)")
+    sql("INSERT INTO graft_dml.g_nmbs SELECT id, 'live' FROM range(10)")
+    spark.range(4, 8).selectExpr("id").createOrReplaceTempView("g_nmbs_src")
+    // sync-to-source: keep named rows, retire a band, drop the rest
+    sql("""MERGE INTO graft_dml.g_nmbs t USING g_nmbs_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET state = 'seen'
+          |WHEN NOT MATCHED BY SOURCE AND t.id < 2 THEN UPDATE SET state = 'stale'
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = sql("SELECT id, state FROM graft_dml.g_nmbs ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((0L, "stale"), (1L, "stale"),
+      (4L, "seen"), (5L, "seen"), (6L, "seen"), (7L, "seen")))
+  }
+
+  test("general MERGE: insert-only commits a pure append (no files removed)") {
+    fsDel(s"$wh/g_ins")
+    sql("CREATE TABLE graft_dml.g_ins (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_ins SELECT id, id FROM range(10)")
+    val before = ManifestTable.snapshot(spark, s"$wh/g_ins")
+    spark.range(5, 15).selectExpr("id", "id * 100 AS n")
+      .createOrReplaceTempView("g_ins_src")
+    sql("""MERGE INTO graft_dml.g_ins t USING g_ins_src s ON t.id = s.id
+          |WHEN NOT MATCHED AND s.id != 12 THEN INSERT *""".stripMargin)
+    val after = ManifestTable.snapshot(spark, s"$wh/g_ins")
+    assert(after.op === "merge")
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "insert-only MERGE must not rewrite existing files")
+    assert(sql("SELECT id FROM graft_dml.g_ins WHERE n >= 100 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(10L, 11L, 13L, 14L))
+  }
+
+  test("general MERGE: >1 source row per matched target row raises the cardinality violation") {
+    fsDel(s"$wh/g_card")
+    sql("CREATE TABLE graft_dml.g_card (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_card SELECT id, id FROM range(10)")
+    Seq((5L, 1L), (5L, 2L), (20L, 3L), (20L, 4L)).toDF("id", "n")
+      .createOrReplaceTempView("g_card_src")
+    val e = intercept[Exception] {
+      sql("""MERGE INTO graft_dml.g_card t USING g_card_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cardinality violation")),
+      msgs(e).mkString(" | "))
+    // duplicate UNMATCHED keys are fine: each inserts independently
+    sql("""MERGE INTO graft_dml.g_card t USING g_card_src s ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_card WHERE id = 20")
+      .as[Long].head() === 2L)
+  }
+
   test("unsupported DML shapes are a loud no, never an approximation") {
     fsDel(s"$wh/d_err")
     sql("CREATE TABLE graft_dml.d_err (id BIGINT, n BIGINT)")
@@ -160,27 +273,13 @@ class GraftSqlDmlSpec extends SparkSpec {
     // subquery in the UPDATE condition cannot cross the SQL-string seam
     rejects("UPDATE graft_dml.d_err SET n = 0 WHERE id IN (SELECT id FROM d_src)",
       "subquer")
-    // conditional matched action
+    // subquery in a MERGE clause condition, same seam
     rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
-              |WHEN MATCHED AND t.n > 3 THEN UPDATE SET *
-              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "upsert shape")
-    // DELETE action
-    rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
-              |WHEN MATCHED THEN DELETE
-              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "upsert shape")
-    // partial-column update
-    rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
-              |WHEN MATCHED THEN UPDATE SET n = s.n + 1
-              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "upsert shape")
-    // non-equality ON conjunct
+              |WHEN MATCHED AND t.id IN (SELECT id FROM d_src) THEN DELETE""".stripMargin,
+      "subquer")
+    // non-equality ON conjunct: the ON condition is the pruning key
     rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id > s.id
               |WHEN MATCHED THEN UPDATE SET *
-              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "upsert shape")
-    // NOT MATCHED BY SOURCE
-    rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
-              |WHEN MATCHED THEN UPDATE SET *
-              |WHEN NOT MATCHED THEN INSERT *
-              |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
-      "upsert shape")
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "not an equality")
   }
 }
