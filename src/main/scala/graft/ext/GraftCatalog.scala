@@ -164,11 +164,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** `ADD COLUMN` maps to the manifest's metadata-commit schema
-    * evolution (new columns are forced nullable — old files null-fill,
-    * nothing rewrites). Every other change is a loud no: drops and
-    * renames would strand the physical column bytes under a lie, type
-    * changes are rejected by the same rule the append path enforces.
+  /** Schema evolution as metadata commits, all through the manifest's
+    * column mapping ([[ManifestTable.renameColumn]] etc.):
+    *
+    *   - `ADD COLUMN`: forced nullable, old files null-fill; re-adding
+    *     a previously dropped name binds a FRESH physical slot;
+    *   - `RENAME COLUMN`: logical name changes, physical parquet name
+    *     stays — no rewrite, stats/blooms/NDV keep pruning;
+    *   - `DROP COLUMN`: logical column gone, physical name retired so
+    *     its bytes can never resurface under a later ADD.
+    *
+    * Type changes stay rejected (the same rule the append path
+    * enforces: silent widening binds the wrong parquet decoder at
+    * depth); partition columns cannot be renamed or dropped.
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
@@ -180,18 +188,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val unsets = changes.collect {
       case r: TableChange.RemoveProperty => r.property()
     }
+    def topLevel(what: String, fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"graft-manifest supports top-level $what only, got " +
+          fieldNames.mkString("."))
+      fieldNames(0)
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          s"graft-manifest supports top-level ADD COLUMN only, got " +
-            add.fieldNames().mkString("."))
         ManifestTable.addColumn(spark, dirOf(ident),
-          add.fieldNames()(0), add.dataType())
+          topLevel("ADD COLUMN", add.fieldNames()), add.dataType())
+      case ren: TableChange.RenameColumn =>
+        ManifestTable.renameColumn(spark, dirOf(ident),
+          topLevel("RENAME COLUMN", ren.fieldNames()), ren.newName())
+      case del: TableChange.DeleteColumn =>
+        ManifestTable.dropColumn(spark, dirOf(ident),
+          topLevel("DROP COLUMN", del.fieldNames()))
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on graft-manifest " +
-          "tables; only ADD COLUMN evolves the schema (constraints go " +
-          "through ManifestTable.addConstraint/dropConstraint)")
+          "tables; ADD/RENAME/DROP COLUMN evolve the schema (constraints " +
+          "go through ManifestTable.addConstraint/dropConstraint)")
     }
     if (sets.nonEmpty)
       ManifestTable.setProperties(spark, dirOf(ident), sets.toMap)
@@ -312,7 +329,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   */
 class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
                    val pinned: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with org.apache.spark.sql.graft.GraftV1FallbackTable {
 
   /** Resolved once per catalog load (= per SQL statement). */
   lazy val snap: ManifestTable.Snapshot =
@@ -367,6 +385,32 @@ class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
     val v1 = predicates.toSeq.map(org.apache.spark.sql.graft.GraftSqlShims.predicateToV1)
     if (v1.exists(_.isEmpty)) None
     else FilterSql.conjunctionSql(v1.flatten)
+  }
+
+  /** The V1 face Spark's STREAMING seams fall back to (the trait is
+    * only consulted on streaming paths — batch resolution ignores it):
+    * `df.writeStream.format("graft-manifest").toTable("cat.t")` routes
+    * here, starting the [[ManifestSink]] at the table's directory — the
+    * manifest append path, so the table's recorded partition layout,
+    * constraints, stats and blooms all apply, and a replayed micro-batch
+    * is absorbed by batch-id idempotence exactly like the path API.
+    * (A `toTable` without `.format("graft-manifest")` raises Spark's
+    * provider-mismatch error naming the required format — loud, never a
+    * silent parquet write into the warehouse.)
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    val parts = ident.split("\\.").toSeq
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last,
+        if (parts.size > 1) Some(parts(parts.size - 2)) else None,
+        if (parts.size > 2) Some(parts.head) else None),
+      tableType =
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat
+        .empty.copy(locationUri = Some(new Path(dir).toUri)),
+      schema = schema(),
+      provider = Some("graft-manifest"))
   }
 
   override def toString: String = s"GraftTableV2($ident)"

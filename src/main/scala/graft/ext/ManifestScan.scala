@@ -142,9 +142,14 @@ object ManifestPlan {
     */
   def relation(spark: SparkSession, dir: String,
                snap: ManifestTable.Snapshot): HadoopFsRelation =
+    // the scan binds to the files' PHYSICAL column names (column
+    // mapping); [[dataFrame]] aliases the frame back to logical names,
+    // and filters pushed down through those aliases arrive here already
+    // physical — matching the manifest's physical-keyed stats/blooms
     HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),
       partitionSchema = StructType(Nil),
-      dataSchema = schemaOf(spark, dir, snap),
+      dataSchema = ManifestTable.physSchema(snap,
+        schemaOf(spark, dir, snap)),
       bucketSpec = None, fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
 
@@ -164,8 +169,8 @@ object ManifestPlan {
                 snap: ManifestTable.Snapshot): org.apache.spark.sql.DataFrame = {
     val (dvd, clean) =
       snap.files.partition(n => snap.dvs.get(n).exists(_.nonEmpty))
-    val cleanDf = spark.baseRelationToDataFrame(
-      relation(spark, dir, snap.copy(files = clean, dvs = Map.empty)))
+    val cleanDf = ManifestTable.toLogical(snap, spark.baseRelationToDataFrame(
+      relation(spark, dir, snap.copy(files = clean, dvs = Map.empty))))
     val df =
       if (dvd.isEmpty) cleanDf
       else {
@@ -318,10 +323,13 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     // (CREATE TABLE before the first INSERT) — the zero-file index
     // plans an empty scan with real columns; only a schema-less empty
     // table has nothing to offer (schemaOf raises there)
-    if (snap.dvs.exists(_._2.nonEmpty))
+    if (snap.dvs.exists(_._2.nonEmpty) || ManifestTable.mapped(snap))
       // DV-carrying snapshots answer through the union plan; a
       // RelationProvider cannot return it directly, so this fallback
-      // relation runs it per buildScan (pruned via the clean branch)
+      // relation runs it per buildScan (pruned via the clean branch).
+      // Column-MAPPED snapshots take the same door: a BaseRelation's
+      // schema must be the logical one, and only the DataFrame plan
+      // can alias the physical scan back to it
       new ManifestDvRelation(spark, dir, snap)
     else ManifestPlan.relation(spark, dir, snap)
   }

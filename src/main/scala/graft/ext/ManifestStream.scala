@@ -62,6 +62,13 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
   if (cdcMode) ManifestTable.requireNoReservedFeedCols(baseSchema,
     Seq("_change_type", "commit_version"), "the streaming change feed")
 
+  // COLUMN MAPPING, captured once with `baseSchema`: a streaming schema
+  // is fixed at start, and physical parquet names never change, so this
+  // start-time mapping reads every batch's files correctly even across
+  // a mid-stream RENAME (rows keep surfacing under the start names); a
+  // mid-stream DROP null-fills from then on, like any absent column
+  private val startSnap = ManifestTable.snapshot(spark, dir)
+
   override val schema: StructType =
     if (!cdcMode) baseSchema
     else baseSchema.add("_change_type", StringType)
@@ -84,15 +91,19 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
     case other => other.json.trim.toLong
   }
 
-  /** A streaming parquet relation over an explicit file list. */
+  /** A streaming parquet relation over an explicit file list — bound
+    * physical, surfaced logical (see `startSnap`).
+    */
   private def rel(paths: Seq[Path], sc: StructType): DataFrame =
-    org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
-      LogicalRelation(
-        HadoopFsRelation(new StaticFileIndex(spark, paths),
-          partitionSchema = StructType(Nil), dataSchema = sc,
-          bucketSpec = None, fileFormat = new ParquetFileFormat,
-          options = Map.empty)(spark),
-        isStreaming = true))
+    ManifestTable.toLogical(startSnap,
+      org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+        LogicalRelation(
+          HadoopFsRelation(new StaticFileIndex(spark, paths),
+            partitionSchema = StructType(Nil),
+            dataSchema = ManifestTable.physSchema(startSnap, sc),
+            bucketSpec = None, fileFormat = new ParquetFileFormat,
+            options = Map.empty)(spark),
+          isStreaming = true)))
 
   private def dataPaths(names: Seq[String]): Seq[Path] =
     names.map(n => new Path(s"$dir/data/$n"))
@@ -115,13 +126,15 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
       val snap0 = ManifestTable.snapshotAt(spark, dir, to)
       val snap = snap0.copy(files = names,
         dvs = snap0.dvs.view.filterKeys(names.toSet).toMap)
-      org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
-        LogicalRelation(
-          HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),
-            partitionSchema = StructType(Nil), dataSchema = baseSchema,
-            bucketSpec = None, fileFormat = new ParquetFileFormat,
-            options = Map.empty)(spark),
-          isStreaming = true))
+      ManifestTable.toLogical(startSnap,
+        org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+          LogicalRelation(
+            HadoopFsRelation(new ManifestFileIndex(spark, dir, snap),
+              partitionSchema = StructType(Nil),
+              dataSchema = ManifestTable.physSchema(startSnap, baseSchema),
+              bucketSpec = None, fileFormat = new ParquetFileFormat,
+              options = Map.empty)(spark),
+            isStreaming = true)))
     } else {
       val cdcSchema = baseSchema.add("_change_type", StringType)
       val parts = ManifestTable.changeCommitsBetween(spark, dir, from, to)
@@ -142,7 +155,8 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
             // file list — re-mark its batch plan as this micro-batch's
             // streaming frame (rows identical, flag only)
             org.apache.spark.sql.graft.GraftSqlShims.asStream(
-              ManifestTable.restoreDiffFrame(spark, dir, v, baseSchema))
+              ManifestTable.restoreDiffFrame(spark, dir, v, baseSchema,
+                startSnap))
               .withColumn("commit_version", lit(v))
         }
       if (parts.isEmpty) rel(Seq.empty, cdcSchema)

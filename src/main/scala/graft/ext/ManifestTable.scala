@@ -150,7 +150,7 @@ object ManifestTable {
     * the `ndvCols` declaration are keyed by PHYSICAL names; the
     * recorded `schemaJson` is LOGICAL.
     */
-  private def physName(s: Snapshot, logical: String): String =
+  private[graft] def physName(s: Snapshot, logical: String): String =
     if (s.colMap.isEmpty) logical
     else s.colMap.find(_._1.equalsIgnoreCase(logical)).map(_._2)
       .getOrElse(logical)
@@ -158,13 +158,13 @@ object ManifestTable {
   /** True when some column's physical name differs from its logical one
     * — the only case read/write paths must translate.
     */
-  private def mapped(s: Snapshot): Boolean =
+  private[graft] def mapped(s: Snapshot): Boolean =
     s.colMap.exists { case (l, p) => l != p }
 
   /** The PHYSICAL schema data files bind to: the logical schema with
     * every field renamed through the mapping.
     */
-  private def physSchema(s: Snapshot,
+  private[graft] def physSchema(s: Snapshot,
                          logical: org.apache.spark.sql.types.StructType)
   : org.apache.spark.sql.types.StructType =
     if (!mapped(s)) logical
@@ -175,7 +175,7 @@ object ManifestTable {
     * meta columns) renamed to LOGICAL names; non-table columns pass
     * through untouched.
     */
-  private def toLogical(s: Snapshot, df: DataFrame): DataFrame =
+  private[graft] def toLogical(s: Snapshot, df: DataFrame): DataFrame =
     if (!mapped(s)) df
     else {
       import org.apache.spark.sql.functions.col
@@ -192,7 +192,7 @@ object ManifestTable {
     * columns outside the mapping (a batch introducing a new column)
     * pass through under their own name.
     */
-  private def toPhysical(s: Snapshot, df: DataFrame): DataFrame =
+  private[graft] def toPhysical(s: Snapshot, df: DataFrame): DataFrame =
     if (!mapped(s)) df
     else {
       import org.apache.spark.sql.functions.col
@@ -722,8 +722,14 @@ object ManifestTable {
         // restore past a RENAME restores the old logical names bound
         // to the same physical bytes); retired physical names only
         // ever ACCUMULATE — un-retiring one could let a later ADD
-        // rebind bytes a drop had orphaned
-        colMap = target.colMap,
+        // rebind bytes a drop had orphaned. A pre-mapping target is
+        // written as an explicit IDENTITY mapping, never Nil: the log's
+        // absent-inherits rule cannot express "mapping cleared"
+        colMap =
+          if (target.colMap.nonEmpty) target.colMap
+          else if (old.colMap.isEmpty) Nil
+          else tableSchema(target).orElse(tableSchema(old))
+            .map(sc => fullColMap(target, sc)).getOrElse(old.colMap),
         retiredCols = (target.retiredCols ++ old.retiredCols).distinct,
         batchIds = old.batchIds + opId,
         op = "restore", cdcPath = None))
@@ -1778,7 +1784,9 @@ object ManifestTable {
         c.equalsIgnoreCase("_change_type"))),
         "CDC reserves the column name _change_type; this table has one")
       val name = java.util.UUID.randomUUID().toString
-      changes.write.parquet(s"${cdcDir(dir)}/$name")
+      // sidecars bind by PHYSICAL names, exactly like data files, so a
+      // later column rename costs recorded history nothing
+      toPhysical(snap, changes).write.parquet(s"${cdcDir(dir)}/$name")
       name
     }
     beforeSwap()
@@ -2051,7 +2059,8 @@ object ManifestTable {
                 c.equalsIgnoreCase("_change_type")),
                 "CDC reserves the column name _change_type; this table has one")
               val name = java.util.UUID.randomUUID().toString
-              dels.withColumn("_change_type", lit("delete"))
+              toPhysical(snap, dels.withColumn("_change_type",
+                  lit("delete")))
                 .write.parquet(s"${cdcDir(dir)}/$name")
               name
             }
@@ -2134,10 +2143,10 @@ object ManifestTable {
             c.equalsIgnoreCase("_change_type")),
             "CDC reserves the column name _change_type; this table has one")
           val name = java.util.UUID.randomUUID().toString
-          matched.drop(fm, pm)
+          toPhysical(snap, matched.drop(fm, pm)
             .withColumn("_change_type", lit("update_preimage"))
             .unionByName(updated
-              .withColumn("_change_type", lit("update_postimage")))
+              .withColumn("_change_type", lit("update_postimage"))))
             .write.parquet(s"${cdcDir(dir)}/$name")
           Some(name)
         }
@@ -3151,8 +3160,9 @@ object ManifestTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         sc.add("commit_version", org.apache.spark.sql.types.LongType))
     } else added.map { case (v, names) =>
-      val base = schema.fold(spark.read)(sc => spark.read.schema(sc))
-        .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+      val base = toLogical(to,
+        schema.fold(spark.read)(sc => spark.read.schema(physSchema(to, sc)))
+          .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*))
       // legacy tables (no tracked schema) surface their columns from the
       // footers — the reservation must hold for those too
       requireNoReservedFeedCols(base.schema, Seq("commit_version"),
@@ -3203,16 +3213,21 @@ object ManifestTable {
     val parts = changeCommitsBetween(spark, dir, fromVersion, toVersion)
       .map {
         case (v, FeedInserts(fresh)) =>
-          spark.read.schema(baseSchema)
-            .parquet(fresh.map(n => s"${dataDir(dir)}/$n"): _*)
+          toLogical(to, spark.read.schema(physSchema(to, baseSchema))
+            .parquet(fresh.map(n => s"${dataDir(dir)}/$n"): _*))
             .withColumn("_change_type", lit("insert"))
             .withColumn("commit_version", lit(v))
         case (v, FeedSidecar(name)) =>
-          spark.read.schema(cdcSchema)
-            .parquet(s"${cdcDir(dir)}/$name")
+          // sidecars are written PHYSICAL (like data files), so renames
+          // never invalidate recorded history; surfaced under
+          // `toVersion`'s logical names like every other feed row
+          toLogical(to, spark.read
+            .schema(physSchema(to, baseSchema).add("_change_type",
+              org.apache.spark.sql.types.StringType))
+            .parquet(s"${cdcDir(dir)}/$name"))
             .withColumn("commit_version", lit(v))
         case (v, FeedRestoreDiff) =>
-          restoreDiffFrame(spark, dir, v, baseSchema)
+          restoreDiffFrame(spark, dir, v, baseSchema, to)
             .withColumn("commit_version", lit(v))
       }
     if (parts.isEmpty)
@@ -3241,7 +3256,8 @@ object ManifestTable {
     */
   private[graft] def restoreDiffFrame(spark: SparkSession, dir: String,
                                       v: Long,
-                                      baseSchema: org.apache.spark.sql.types.StructType)
+                                      baseSchema: org.apache.spark.sql.types.StructType,
+                                      mapSnap: Snapshot)
   : DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, lit, split}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -3253,10 +3269,13 @@ object ManifestTable {
     val pm = "_graft_meta_pos"
 
     def withPos(names: Seq[String]): DataFrame =
-      spark.read.schema(baseSchema)
+      // mapSnap is the snapshot `baseSchema`'s logical names came from
+      // (the feed's end version / the stream's start) — physical names
+      // are stable, so it maps every era's files correctly
+      toLogical(mapSnap, spark.read.schema(physSchema(mapSnap, baseSchema))
         .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
         .withColumn(fm, element_at(split(col("_metadata.file_path"), "/"), -1))
-        .withColumn(pm, col("_metadata.row_index"))
+        .withColumn(pm, col("_metadata.row_index")))
 
     // the (file, position) pairs snapshot `s` marks deleted in `names`
     def delPos(s: Snapshot, names: Seq[String]): DataFrame = {

@@ -19,7 +19,103 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectResolutionRule(session => new GraftDmlRule(session))
+    e.injectResolutionRule(session => new GraftReadOptions(session))
     e.injectPostHocResolutionRule(session => new GraftV2Reads(session))
+  }
+}
+
+/** BATCH READER OPTIONS through the catalog table name:
+  * `spark.read.option(...).table("cat.t")` puts its options on the
+  * resolved `DataSourceV2Relation`, where the plain conversion used to
+  * ignore them — `readChangeFeed` silently read the table level. This
+  * RESOLUTION rule (it must run before the analyzer expands `*`, since
+  * the change feed adds columns) rewrites a graft relation carrying
+  * recognized read options into the engine's own plan:
+  *
+  *   - `readChangeFeed = true` → [[ManifestTable.changesBetween]] over
+  *     `(startingVersion|sinceVersion, endingVersion|head]` — the batch
+  *     face of the CDC feed, `_change_type` + `commit_version` columns;
+  *   - `sinceVersion` / `sinceTimestamp` alone → the append feed
+  *     ([[ManifestTable.appendsBetween]], `commit_version` column).
+  *
+  * `versionAsOf` / `timestampAsOf` need no rewrite — Spark's own
+  * relation resolution turns them into a time-travel
+  * `loadTable(ident, version)`, which [[graft.ext.GraftCatalog]]
+  * already pins — so this rule leaves them alone (and rejects them
+  * COMBINED with the feed options, whose ranges are versioned
+  * explicitly via startingVersion/endingVersion).
+  *
+  * Any OTHER option is a loud error — an unrecognized reader option
+  * silently reading the table level is exactly the drift this rule
+  * exists to kill. Write targets never carry these options (and the
+  * rule leaves optionless relations alone), so DML is unaffected.
+  */
+class GraftReadOptions(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import graft.ext.ManifestTable
+
+  private val recognized = Set("readchangefeed", "startingversion",
+    "endingversion", "sinceversion", "sincetimestamp")
+
+  /** Handled natively by Spark's time-travel resolution (the catalog's
+    * pinned loadTable) — recognized, but no rewrite here.
+    */
+  private val native = Set("versionasof", "timestampasof")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[graft.ext.GraftTableV2] &&
+            !r.options.isEmpty =>
+        val t = r.table.asInstanceOf[graft.ext.GraftTableV2]
+        val opts = {
+          val m = scala.collection.mutable.Map.empty[String, String]
+          r.options.forEach((k, v) => m.update(k.toLowerCase, v))
+          m.toMap
+        }
+        val unknown = opts.keySet -- recognized -- native
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"unrecognized reader option(s) ${unknown.mkString(", ")} on " +
+              s"graft table ${t.name()} — supported: readChangeFeed, " +
+              "startingVersion/endingVersion, sinceVersion/sinceTimestamp, " +
+              "versionAsOf/timestampAsOf (refusing to silently read the " +
+              "table level)")
+        else if (opts.keySet.intersect(recognized).isEmpty) r // time travel
+        else convert(t, opts)
+    }
+
+  private def convert(t: graft.ext.GraftTableV2,
+                      opts: Map[String, String]): LogicalPlan = {
+    require(opts.keySet.intersect(native).isEmpty,
+      s"versionAsOf/timestampAsOf cannot combine with the feed options " +
+        s"on ${t.name()} — bound the feed with startingVersion/" +
+        "endingVersion instead")
+    val dir = t.dir
+    def head = ManifestTable.headVersion(session, dir)
+    val df =
+      if (opts.get("readchangefeed").exists(_.equalsIgnoreCase("true"))) {
+        val from = opts.get("startingversion").orElse(opts.get("sinceversion"))
+          .map(_.toLong)
+          .orElse(opts.get("sincetimestamp").map(ts =>
+            ManifestTable.versionAt(session, dir, ts.toLong)))
+          .getOrElse(0L)
+        val to = opts.get("endingversion").map(_.toLong).getOrElse(head)
+        ManifestTable.changesBetween(session, dir, from, to)
+      } else {
+        val from = opts.get("sinceversion").map(_.toLong)
+          .orElse(opts.get("sincetimestamp").map(ts =>
+            ManifestTable.versionAt(session, dir, ts.toLong)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"reader options on ${t.name()} need readChangeFeed, " +
+              "versionAsOf/timestampAsOf or sinceVersion/sinceTimestamp"))
+        ManifestTable.appendsBetween(session, dir, from, head)
+      }
+    df.queryExecution.analyzed
   }
 }
 
@@ -89,7 +185,17 @@ class GraftV2Reads(session: SparkSession)
     case r: DataSourceV2Relation
         if r.table.isInstanceOf[graft.ext.GraftTableV2] =>
       val t = r.table.asInstanceOf[graft.ext.GraftTableV2]
+      // every LogicalRelation under a table name must carry its
+      // CatalogTable: Spark's Catalog.refreshTable (which
+      // MicroBatchExecution invokes after every toTable batch) walks
+      // the resolved plan and calls `catalogTable.get` UNGUARDED on
+      // each one — a bare relation crashes it with None.get
+      val ct = Some(t.v1Table)
       val v1 = t.readDataFrame(session).queryExecution.analyzed
+        .transformUp {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if lr.catalogTable.isEmpty => lr.copy(catalogTable = ct)
+        }
       if (v1.output.size != r.output.size) r // shape drifted: keep V2
       else
         // rebind to the V2 relation's attribute ids so every parent

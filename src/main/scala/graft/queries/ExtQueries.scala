@@ -1286,6 +1286,54 @@ object ExtQueries {
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmgc ORDER BY doc_id")
   }
 
+  /** ALTER TABLE RENAME COLUMN via column mapping, oracle-replayed:
+    * banded inserts, a RENAME (metadata-only — the REQUIREs pin that
+    * ZERO files moved), an insert THROUGH the new name, and a
+    * planner-scan probe whose numFiles proves the manifest stats still
+    * prune on the renamed column (physical keys are stable; the
+    * logical→physical translation happens at predicate entry). The
+    * final read hash-matches a DuckDB replay under the new name.
+    * Re-runnable for warm bench passes.
+    */
+  def manifestSqlRenameColumnQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlrnc")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlrnc_src")
+    s.sql("CREATE TABLE graft_fix.sqlrnc " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlrnc SELECT doc_id, lang, n_chars " +
+        s"FROM sqlrnc_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlrnc")
+    s.sql("ALTER TABLE graft_fix.sqlrnc RENAME COLUMN doc_id TO row_id")
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlrnc")
+    require(after.files == before.files,
+      "RENAME COLUMN moved data files — it must be metadata-only")
+    // an insert THROUGH the new name (new files bind the stable
+    // physical slot)
+    s.sql("INSERT INTO graft_fix.sqlrnc " +
+      "SELECT doc_id AS row_id, lang, n_chars FROM sqlrnc_src " +
+      "WHERE doc_id >= 400 AND doc_id < 500")
+    // planner probe on the RENAMED column: numFiles < total proves the
+    // stats (keyed by the old physical name) still prune
+    val probe = s.sql("SELECT row_id, lang, n_chars FROM graft_fix.sqlrnc " +
+      "WHERE row_id >= 100 AND row_id < 200")
+    probe.collect()
+    val read = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    val total = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlrnc").files.size
+    require(read.nonEmpty && read.sum < total,
+      s"renamed-column probe read ${read.sum} of $total files — " +
+        "pruning did not survive the rename")
+    s.sql("SELECT row_id, lang, n_chars FROM graft_fix.sqlrnc " +
+      "ORDER BY row_id")
+  }
+
   /** The SQL maintenance face, oracle-replayed: a full operator
     * lifecycle driven by `CALL` stored procedures
     * ([[graft.ext.GraftProcedures]]) — clustered compaction, a CoW
@@ -1935,6 +1983,43 @@ object ExtQueries {
       .orderBy("commit_version", "_change_type", "doc_id")
   }
 
+  /** BATCH CDF THROUGH THE CATALOG TABLE NAME, oracle-replayed: the
+    * same five-version fold as [[manifestCdfQ]], consumed as
+    * `spark.read.option("readChangeFeed", true).table("cat.t")` — the
+    * reader-options seam ([[graft.plans.GraftReadOptions]]) that used
+    * to silently read the table level. One DuckDB oracle, three
+    * consumption paths (batch API, stream, catalog name) — a hash match
+    * certifies the option-driven read IS the feed, column-for-column
+    * (`SELECT *` expands over the CDC schema, which is why the rewrite
+    * must happen at resolution). Re-runnable for warm bench passes.
+    */
+  def manifestTableCdfBatchQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    val root = s"$wh/cdfb"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.ext.ManifestTable.append(docs, root, "docs")           // v1
+    graft.ext.ManifestTable.compact(s, root,
+      targetFileBytes = 4L * 1024, clusterBy = Seq("doc_id"))    // v2
+    require(graft.ext.ManifestTable.deleteWhere(s, root,
+      "doc_id >= 100 AND doc_id < 150", "d0", cdc = true))       // v3
+    require(graft.ext.ManifestTable.updateWhere(s, root, "lang = 'de'",
+      Map("n_chars" -> "n_chars + 7"), "u0", cdc = true))        // v4
+    val src = docs.filter(col("doc_id") >= 200 && col("doc_id") < 220)
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .unionByName(docs.filter(col("doc_id") % 31 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    require(graft.ext.ManifestTable.merge(src, root, Seq("doc_id"),
+      "m0", cdc = true))                                         // v5
+    s.read.option("readChangeFeed", "true").table("graft_fix.cdfb")
+      .orderBy("commit_version", "_change_type", "doc_id")
+  }
+
   /** The STREAMING CHANGE FEED, oracle-replayed: the same five-version
     * fold as [[manifestCdfQ]], but consumed through the real streaming
     * engine — `readStream.format("graft-manifest").option(
@@ -2241,6 +2326,55 @@ object ExtQueries {
       snap.pvals.get(f).exists(_.contains("lang"))),
       "a streamed file is missing its partition tuple")
     graft.ext.ManifestTable.read(s, dst).orderBy("doc_id")
+  }
+
+  /** `writeStream.toTable` THROUGH THE CATALOG NAME, oracle-replayed:
+    * the same engine-to-engine pipe as [[manifestSinkReplayQ]], but the
+    * destination is a CREATEd, lang-partitioned catalog table addressed
+    * as `graft_fix.strmsink` — no path anywhere on the write side. The
+    * V1-fallback seam ([[graft.ext.GraftTableV2.v1Table]]) routes the
+    * stream into the manifest sink at the table's directory; the
+    * REQUIREs pin the per-micro-batch `stream-<n>` commits and that the
+    * DECLARED layout partitioned every streamed file (writer passes no
+    * partitionBy — the table's recorded layout is the authority). The
+    * final rows are read back with plain SQL over the same name and
+    * hash-match the source in DuckDB. Re-runnable for warm bench passes.
+    */
+  def manifestTableStreamSinkReplayQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    val src = "/tmp/graft_fix/strmsink_src"
+    val ckpt = "/tmp/graft_fix/strmsink_ckpt"
+    val dst = s"$wh/strmsink"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(src), s.sparkContext.hadoopConfiguration)
+    Seq(src, ckpt, dst).foreach(pth =>
+      fs.delete(new org.apache.hadoop.fs.Path(pth), true))
+    s.sql("DROP TABLE IF EXISTS graft_fix.strmsink")
+    s.sql("CREATE TABLE graft_fix.strmsink " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) PARTITIONED BY (lang)")
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 to 2).foreach(k => graft.ext.ManifestTable.append(
+      docs.filter(col("doc_id") % 3 === k), src, s"b$k"))
+    val q = s.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").toTable("graft_fix.strmsink")
+    try q.processAllAvailable() finally q.stop()
+    val snap = graft.ext.ManifestTable.snapshot(s, dst)
+    require(snap.batchIds.intersect(
+      Set("stream-0", "stream-1", "stream-2")).size == 3,
+      s"expected one manifest commit per micro-batch, got ${snap.batchIds}")
+    require(snap.partitionCols == Seq("lang"),
+      "the CREATEd layout should bind the streamed writes")
+    require(snap.files.forall(f =>
+      snap.pvals.get(f).exists(_.contains("lang"))),
+      "a streamed file is missing its partition tuple")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.strmsink " +
+      "ORDER BY doc_id")
   }
 
   /** The MANIFEST TABLE AS A STREAM, oracle-replayed: the committed fold
@@ -2663,6 +2797,7 @@ object ExtQueries {
     "manifest_sql_merge" -> (manifestSqlMergeQ(_, _)),
     "manifest_sql_merge_partial" -> (manifestSqlMergePartialQ(_, _)),
     "manifest_sql_merge_cond" -> (manifestSqlMergeCondQ(_, _)),
+    "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_maintenance" -> (manifestSqlMaintenanceQ(_, _)),
     "manifest_sql_meta" -> (manifestSqlMetaQ(_, _)),
     "manifest_table_stream_replay" -> (manifestTableStreamQ(_, _)),
@@ -2683,9 +2818,12 @@ object ExtQueries {
     "manifest_feed_insert_merge" -> (manifestFeedInsertMergeQ(_, _)),
     "manifest_stream_replay" -> (manifestStreamReplayQ(_, _)),
     "manifest_sink_replay" -> (manifestSinkReplayQ(_, _)),
+    "manifest_table_stream_sink_replay" ->
+      (manifestTableStreamSinkReplayQ(_, _)),
     "manifest_restore" -> (manifestRestoreQ(_, _)),
     "manifest_compact_small" -> (manifestCompactSmallQ(_, _)),
     "manifest_cdf" -> (manifestCdfQ(_, _)),
+    "manifest_table_cdf_batch" -> (manifestTableCdfBatchQ(_, _)),
     "manifest_cdf_stream_replay" -> (manifestCdfStreamReplayQ(_, _)),
     "manifest_cdf_dv" -> (manifestCdfDvQ(_, _)),
     "manifest_cdf_dv_stream_replay" -> (manifestCdfDvStreamReplayQ(_, _)),
@@ -3558,6 +3696,12 @@ object ExtQueries {
         |    AND doc_id < 390)
         |ORDER BY doc_id""".stripMargin,
 
+    // RENAME COLUMN replayed: the data is untouched (metadata-only
+    // mapping commit), only the projected NAME changes
+    "manifest_sql_rename_column" ->
+      """SELECT doc_id AS row_id, lang, n_chars FROM documents
+        |WHERE doc_id < 500 ORDER BY row_id""".stripMargin,
+
     // SQL CALL maintenance lifecycle: compaction/packing/expiry/vacuum
     // never change visible rows; the CoW DELETE is the one mutation
     "manifest_sql_maintenance" ->
@@ -3728,6 +3872,7 @@ object ExtQueries {
     // the v2 compaction contributes nothing. The SAME oracle checks both
     // consumption paths — the batch feed and the streaming source.
     "manifest_cdf" -> cdfOracleSql,
+    "manifest_table_cdf_batch" -> cdfOracleSql,
     "manifest_cdf_stream_replay" -> cdfOracleSql,
     "manifest_cdf_dv" -> cdfDvOracleSql,
     "manifest_cdf_dv_stream_replay" -> cdfDvOracleSql,
@@ -3749,6 +3894,12 @@ object ExtQueries {
     // source -> sink pipe: the destination table holds exactly the
     // staged source rows, streamed exactly-once
     "manifest_sink_replay" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same pipe addressed as writeStream.toTable("cat.t"): the
+    // catalog-named destination holds exactly the source rows
+    "manifest_table_stream_sink_replay" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -73,3 +73,13 @@ object GraftSqlShims {
   : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 }
+
+/** Public bridge over Spark's `private[sql]`
+  * `V2TableWithV1Fallback` (the seam `DataStreamWriter.toTable` and
+  * streaming relation resolution consult for tables whose streaming
+  * face is a V1 sink/source) — the same package-placement move Delta
+  * uses. A table extending this trait exposes `v1Table` publicly;
+  * nothing else of the parent leaks.
+  */
+trait GraftV1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback

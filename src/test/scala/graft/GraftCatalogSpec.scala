@@ -209,9 +209,11 @@ class GraftCatalogSpec extends SparkSpec {
       sql("CREATE TABLE graft.t_bucket (id BIGINT) PARTITIONED BY (bucket(4, id))")
     }
     assert(e2.getMessage.contains("identity"))
-    // destructive ALTERs are a loud no (only ADD COLUMN evolves)
+    // type changes are a loud no (ADD/RENAME/DROP COLUMN evolve via
+    // the column mapping; silent widening would bind the wrong parquet
+    // decoder — see ColumnMappingSpec for the supported verbs)
     val e3 = intercept[Exception] {
-      sql("ALTER TABLE graft.t_err DROP COLUMN v")
+      sql("ALTER TABLE graft.t_err ALTER COLUMN id TYPE INT")
     }
     assert(e3.getMessage.contains("not supported"))
   }
