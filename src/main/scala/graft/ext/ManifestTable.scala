@@ -48,13 +48,13 @@ import scala.annotation.tailrec
   * recursive directory scan), and [[expireLog]] bounds the log
   * directory itself.
   */
-object ManifestTable {
+object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMaintenance {
 
-  private def fs(spark: SparkSession, dir: String) =
+  private[ext] def fs(spark: SparkSession, dir: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
-  private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+  private[ext] def p(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** Per-column min/max/null-count for ONE data file, harvested from the
     * parquet footer at commit time. `min`/`max` are canonical strings in
@@ -206,7 +206,7 @@ object ManifestTable {
     * namespace the manifest's stats/blooms are keyed by — the seam the
     * SQL-string ops cross before probing [[Skipping]].
     */
-  private def toPhysicalExpr(s: Snapshot,
+  private[ext] def toPhysicalExpr(s: Snapshot,
                              e: org.apache.spark.sql.catalyst.expressions.Expression)
   : org.apache.spark.sql.catalyst.expressions.Expression =
     if (!mapped(s)) e
@@ -223,7 +223,7 @@ object ManifestTable {
     * existing mapping entries kept, unmapped columns identity — the
     * base every rename/drop redefinition starts from.
     */
-  private def fullColMap(s: Snapshot,
+  private[ext] def fullColMap(s: Snapshot,
                          schema: org.apache.spark.sql.types.StructType)
   : Seq[(String, String)] =
     schema.fields.toSeq.map(f => f.name -> physName(s, f.name))
@@ -258,7 +258,7 @@ object ManifestTable {
     * files hold without a footer sweep, so guessing would be worse
     * than today's behavior.
     */
-  private def mergedSchemaJson(old: Snapshot,
+  private[ext] def mergedSchemaJson(old: Snapshot,
                                incoming: org.apache.spark.sql.types.StructType)
   : Option[String] = {
     import org.apache.spark.sql.types.StructType
@@ -318,7 +318,7 @@ object ManifestTable {
                                    names: Seq[String]): DataFrame =
     readFiles(spark, dir, s, names)
 
-  private def readFiles(spark: SparkSession, dir: String, s: Snapshot,
+  private[ext] def readFiles(spark: SparkSession, dir: String, s: Snapshot,
                         names: Seq[String]): DataFrame = {
     val (dvd, clean) = names.partition(n => s.dvs.get(n).exists(_.nonEmpty))
     if (dvd.isEmpty) toLogical(s, plainRead(spark, dir, s, names))
@@ -336,7 +336,7 @@ object ManifestTable {
   /** The PHYSICAL frame of `names`: files bind by their written column
     * names ([[physSchema]]); callers surface it through [[toLogical]].
     */
-  private def plainRead(spark: SparkSession, dir: String, s: Snapshot,
+  private[ext] def plainRead(spark: SparkSession, dir: String, s: Snapshot,
                         names: Seq[String]): DataFrame =
     tableSchema(s).fold(spark.read)(sc =>
       spark.read.schema(physSchema(s, sc)))
@@ -349,7 +349,7 @@ object ManifestTable {
     * view can never mark an already-deleted position twice, which is
     * what keeps per-ref `rows` counts additive).
     */
-  private def readWithPos(spark: SparkSession, dir: String, s: Snapshot,
+  private[ext] def readWithPos(spark: SparkSession, dir: String, s: Snapshot,
                           names: Seq[String], fm: String,
                           pm: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
@@ -376,16 +376,16 @@ object ManifestTable {
     * within it (`_metadata.row_index`, stable because data files are
     * immutable).
     */
-  private val DvFileCol = "_graft_dv_file"
-  private val DvPosCol = "_graft_dv_pos"
+  private[ext] val DvFileCol = "_graft_dv_file"
+  private[ext] val DvPosCol = "_graft_dv_pos"
 
-  private def manifestDir(dir: String) = s"$dir/_manifest"
-  private def dataDir(dir: String) = s"$dir/data"
-  private def bloomDir(dir: String) = s"$dir/_bloom"
+  private[ext] def manifestDir(dir: String) = s"$dir/_manifest"
+  private[ext] def dataDir(dir: String) = s"$dir/data"
+  private[ext] def bloomDir(dir: String) = s"$dir/_bloom"
   // colName lowercased so the write side (caller-supplied bloomCols case)
   // and the probe side (eqConjuncts' lowercased attribute names) agree on
   // the sidecar name; without it a Seq("UserId") sidecar is never consulted.
-  private def bloomPath(dir: String, file: String, colName: String) =
+  private[ext] def bloomPath(dir: String, file: String, colName: String) =
     s"${bloomDir(dir)}/$file.${enc(colName.toLowerCase)}.bloom"
 
   // ---------------------------------------------- the commit log
@@ -407,7 +407,7 @@ object ManifestTable {
     * past 10^8 widen the zero-padded name rather than vanish (numeric
     * max below).
     */
-  private final case class LogFiles(
+  private[ext] final case class LogFiles(
       ckpt: Map[Long, org.apache.hadoop.fs.FileStatus],
       delta: Map[Long, org.apache.hadoop.fs.FileStatus]) {
     def head: Long =
@@ -424,7 +424,7 @@ object ManifestTable {
   private[graft] val logListings =
     new java.util.concurrent.atomic.AtomicLong()
 
-  private def listLog(spark: SparkSession, dir: String): LogFiles = {
+  private[ext] def listLog(spark: SparkSession, dir: String): LogFiles = {
     logListings.incrementAndGet()
     val f = fs(spark, dir)
     val md = p(manifestDir(dir))
@@ -452,7 +452,7 @@ object ManifestTable {
   private def lastCheckpointPath(dir: String) =
     p(s"${manifestDir(dir)}/_last_checkpoint")
 
-  private def readLastCheckpoint(spark: SparkSession,
+  private[ext] def readLastCheckpoint(spark: SparkSession,
                                  dir: String): Option[Long] =
     try {
       val f = fs(spark, dir)
@@ -463,7 +463,7 @@ object ManifestTable {
       if (v > 0L) Some(v) else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def writeLastCheckpoint(spark: SparkSession, dir: String,
+  private[ext] def writeLastCheckpoint(spark: SparkSession, dir: String,
                                   v: Long): Unit =
     try {
       if (readLastCheckpoint(spark, dir).forall(_ < v)) {
@@ -580,7 +580,7 @@ object ManifestTable {
     * O(deltas since checkpoint) small file reads on a cold cache, a map
     * hit on a warm one.
     */
-  private def resolveAt(spark: SparkSession, dir: String, v: Long,
+  private[ext] def resolveAt(spark: SparkSession, dir: String, v: Long,
                         log: LogFiles): Snapshot = {
     if (v == 0L) return Snapshot(0L, Seq.empty, Set.empty)
     var w = v
@@ -736,8 +736,8 @@ object ManifestTable {
     }
   }
 
-  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+  private[ext] def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private[ext] def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   /** Log line format, shared by checkpoints and deltas. Readers ignore
     * unknown prefixes, so lines added after the format's first release
@@ -792,7 +792,7 @@ object ManifestTable {
     * string min/max containing tabs or newlines cannot break the
     * line-oriented format.
     */
-  private final case class ParsedLog(
+  private[ext] final case class ParsedLog(
       files: Seq[String], adds: Seq[String], removes: Seq[String],
       batchIds: Set[String], op: String,
       schemaJson: Option[String], cdcPath: Option[String],
@@ -808,7 +808,7 @@ object ManifestTable {
       colMap: Option[Seq[(String, String)]],
       retired: Option[Seq[String]])
 
-  private def parseLog(lines: List[String]): ParsedLog = {
+  private[ext] def parseLog(lines: List[String]): ParsedLog = {
     // limit -1: trailing empty fields SURVIVE the split. A column whose
     // min/max is the empty string writes "...\t1\t\t" (enc("") = ""), and
     // Java's default limit-0 split would drop those fields and brick every
@@ -885,7 +885,7 @@ object ManifestTable {
         .map(l => dec(l.stripPrefix("retired:")))).filter(_.nonEmpty))
   }
 
-  private def readLogLines(spark: SparkSession, dir: String,
+  private[ext] def readLogLines(spark: SparkSession, dir: String,
                            name: String): List[String] = {
     logFileReads.incrementAndGet()
     val f = fs(spark, dir)
@@ -908,7 +908,7 @@ object ManifestTable {
   }
 
   /** One commit's ACTIONS (the delta file for `v`). */
-  private def readDelta(spark: SparkSession, dir: String,
+  private[ext] def readDelta(spark: SparkSession, dir: String,
                         v: Long): ParsedLog =
     parseLog(readLogLines(spark, dir, s"d${"%08d".format(v)}"))
 
@@ -1066,7 +1066,7 @@ object ManifestTable {
     * silently break a recorded CHECK (its SQL string holds the old
     * name); the caller rewrites or drops the constraint first.
     */
-  private def constraintsOn(spark: SparkSession, s: Snapshot,
+  private[ext] def constraintsOn(spark: SparkSession, s: Snapshot,
                             col: String): Seq[String] =
     s.constraints.toSeq.collect {
       case (n, e) if spark.sessionState.sqlParser.parseExpression(e)
@@ -1235,7 +1235,7 @@ object ManifestTable {
     * hive directory key (see [[stageWrite]]). Never lands in data file
     * bytes — `partitionBy` consumes it into the path.
     */
-  private val PartPrefix = "_gp_"
+  private[ext] val PartPrefix = "_gp_"
 
   /** Stage `df` for a table partitioned on `partCols` (flat parquet when
     * empty). Spark's `partitionBy` strips its key columns from the file
@@ -1247,7 +1247,7 @@ object ManifestTable {
     * exactly ONE partition tuple, and all read paths (plain, DV-applied,
     * feeds, time travel) keep working unchanged on the flat directory.
     */
-  private def stageWrite(df: DataFrame, stage: String,
+  private[ext] def stageWrite(df: DataFrame, stage: String,
                          partCols: Seq[String]): Unit =
     if (partCols.isEmpty) df.write.parquet(stage)
     else {
@@ -1269,14 +1269,14 @@ object ManifestTable {
   /** Prefix on every non-null `_gp_` directory value (see [[stageWrite]]).
     * Exists only in the transient stage path, never in manifests or data.
     */
-  private val PartValueTag = "v"
+  private[ext] val PartValueTag = "v"
 
   /** Canonical-family map (the [[Skipping]] vocabulary) for the table's
     * partition columns, from the written frame's schema — what
     * [[moveToData]] stamps into each file's [[PartValue]]s. Declaration
     * already restricted the columns to these types.
     */
-  private def partFamilies(schema: org.apache.spark.sql.types.StructType,
+  private[ext] def partFamilies(schema: org.apache.spark.sql.types.StructType,
                            partCols: Seq[String]): Map[String, String] = {
     import org.apache.spark.sql.types._
     partCols.flatMap { c =>
@@ -1296,7 +1296,7 @@ object ManifestTable {
     * the hive-style `_gp_<col>=<value>` directories a partitioned
     * [[stageWrite]] produced (empty map per file on flat stages).
     */
-  private def moveToData(f: org.apache.hadoop.fs.FileSystem, dir: String,
+  private[ext] def moveToData(f: org.apache.hadoop.fs.FileSystem, dir: String,
                          stage: String,
                          partFams: Map[String, String] = Map.empty)
   : (Seq[String], Map[String, Long], Map[String, Map[String, PartValue]]) = {
@@ -1344,7 +1344,7 @@ object ManifestTable {
   /** Delete and drop the files whose footer stats prove zero rows;
     * files WITHOUT stats (unreadable footer) are conservatively kept.
     */
-  private def dropEmpty(f: org.apache.hadoop.fs.FileSystem, dir: String,
+  private[ext] def dropEmpty(f: org.apache.hadoop.fs.FileSystem, dir: String,
                         names: Seq[String],
                         stats: Map[String, FileStats]): Seq[String] = {
     val (empty, live) = names.partition(n => stats.get(n).exists(_.rows == 0L))
@@ -1352,825 +1352,8 @@ object ManifestTable {
     live
   }
 
-  /** Rewrite the current snapshot's files into ~`targetFileBytes` files
-    * and commit the replacement as ONE manifest version — readers see
-    * the old snapshot or the new one, never a mix. Old files become
-    * orphans for [[vacuum]]; batch-id history is preserved so replay
-    * idempotence survives compaction. `beforeSwap` is the test seam
-    * between the rewrite and the swap.
-    *
-    * `clusterBy` turns the rewrite into a CLUSTERING pass: rows are
-    * range-partitioned and sorted on the given columns, so each output
-    * file covers a tight, near-disjoint min/max range and [[readWhere]]'s
-    * stats pruning skips most of the table for selective predicates on
-    * those columns — the Delta/Iceberg `OPTIMIZE ... ORDER BY` story.
-    * Appends keep whatever ranges they arrive with (no write-path tax);
-    * clustering is where skipping power gets built, at compaction.
-    *
-    * `zorder = true` clusters on the INTERLEAVED-BIT z-value of the
-    * `clusterBy` columns instead of their lexicographic order. Linear
-    * multi-column clustering concentrates all its skipping power in the
-    * leading column (the second column's per-file ranges stay wide);
-    * the z-curve keeps rows close in EVERY dimension close on the
-    * curve, so each file covers a tight hyper-rectangle and predicates
-    * on ANY participating column prune — Delta's `ZORDER BY`. Columns
-    * must be numeric (cast-able to double); each is bucketed uniformly
-    * between its min and max ([[Skipping]]-style per-column aggregates,
-    * one small job), 8 bits per dimension, bits interleaved
-    * round-robin. The z-value is a transient sort key only — never
-    * written.
-    */
-  def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024,
-              beforeSwap: () => Unit = () => (),
-              clusterBy: Seq[String] = Nil,
-              bloomCols: Seq[String] = Nil,
-              bloomFpp: Double = 0.01,
-              zorder: Boolean = false): (Int, Int) = {
-    val f = fs(spark, dir)
-    val snap = snapshot(spark, dir)
-    if (snap.files.isEmpty) return (0, 0)
-    // manifest-recorded sizes spare the per-file RPC; pre-sizes files
-    // fall back to getFileStatus
-    val totalBytes = snap.files.map(n => snap.sizes.getOrElse(n,
-      f.getFileStatus(p(s"${dataDir(dir)}/$n")).getLen)).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-    // schema-aware read: rewritten files MATERIALIZE the full column set,
-    // so after one compaction every live file carries every table column
-    val base = readFiles(spark, dir, snap, snap.files)
-    val reshaped =
-      if (clusterBy.isEmpty) {
-        // partitioned tables reshuffle ON the partition columns, so each
-        // task holds whole tuples and the partitioned stage write emits
-        // one file per (task, tuple) — ~one per tuple, no file explosion
-        if (snap.partitionCols.isEmpty) base.repartition(nOut)
-        else base.repartition(nOut,
-          snap.partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      } else if (zorder) {
-        val zk = "_graft_zkey"
-        base.withColumn(zk, zvalue(base, clusterBy))
-          .repartitionByRange(nOut, org.apache.spark.sql.functions.col(zk))
-          .sortWithinPartitions(org.apache.spark.sql.functions.col(zk))
-          .drop(zk)
-      } else base.repartitionByRange(nOut,
-          clusterBy.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(
-          clusterBy.map(org.apache.spark.sql.functions.col): _*)
-    stageWrite(toPhysical(snap, reshaped), stage, snap.partitionCols)
-    val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
-      stage, partFamilies(base.schema, snap.partitionCols))
-    val rewrittenStats = footerStats(spark, dir, rewritten)
-    // range partitioning can leave empty output partitions; drop the
-    // provably-empty files instead of committing unprunable segments
-    val live = dropEmpty(f, dir, rewritten, rewrittenStats)
-    buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), rewrittenStats, bloomFpp)
-    val rewrittenNdv = buildNdv(spark, dir, live, snap.ndvCols)
-    beforeSwap()
-    // replace EXACTLY the files this compaction read; files appended by
-    // a concurrent writer (present in `old` but not in the snapshot we
-    // rewrote) carry over untouched. If any file we rewrote is GONE from
-    // the head — a conflicting rewrite (another compact) already replaced
-    // it — committing ours would land a SECOND copy of every row it
-    // holds (filterNot would be a no-op), so the loser aborts instead:
-    // its rewrite becomes orphans for [[vacuum]] and the table keeps
-    // exactly one copy. Returns (0, 0) on an aborted conflict.
-    val committed = commit(spark, dir) { old =>
-      // a candidate gone from the head, OR a deletion vector landed on
-      // one since we read it: either way our rewrite reflects a stale
-      // view — committing would resurrect removed rows. Abort.
-      if (snap.files.exists(fn => !old.files.contains(fn)) ||
-        snap.files.exists(fn => old.dvs.getOrElse(fn, Seq.empty) !=
-          snap.dvs.getOrElse(fn, Seq.empty))) None
-      else Some(old.copy(
-        files = old.files.filterNot(snap.files.contains) ++ live,
-        stats = old.stats -- snap.files ++ rewrittenStats,
-        sizes = old.sizes -- snap.files ++
-          rewrittenSizes.filter(kv => live.contains(kv._1)),
-        pvals = old.pvals -- snap.files ++
-          rewrittenPvals.filter(kv => live.contains(kv._1)),
-        ndv = old.ndv -- snap.files ++ rewrittenNdv,
-        // the rewrite read through the DV-applied view, so the deleted
-        // positions are gone from the output: the rewrite RETIRES the
-        // rewritten files' deletion vectors
-        dvs = old.dvs -- snap.files,
-        op = "compact", cdcPath = None))
-    }
-    if (committed) (snap.files.size, live.size) else (0, 0)
-  }
-
-  /** BIN-PACKING compaction — rewrite ONLY the files smaller than
-    * `minFileBytes` into ~`targetFileBytes` files, leaving every
-    * right-sized file untouched. [[compact]] rewrites the whole table;
-    * on a 100 TB table fed by a 10 s-cadence streaming sink that is a
-    * 100 TB rewrite to fix a few thousand small files — this pass is
-    * O(small bytes) instead, so it can run on a tight maintenance
-    * cadence forever. Sizes come from the manifest (no per-file RPC);
-    * DV'd candidates rewrite through the applied view and retire their
-    * vectors; partitioned tables reshuffle on their partition columns
-    * so the one-tuple-per-file invariant survives. Needs at least two
-    * candidates (packing one file buys nothing). Same atomic-swap,
-    * conflict-abort, feeds-skip-it contract as [[compact]]. Returns
-    * (files rewritten, files written); (0, 0) = nothing to pack or a
-    * concurrent rewrite won.
-    */
-  def compactSmall(spark: SparkSession, dir: String,
-                   targetFileBytes: Long = 128L * 1024 * 1024,
-                   minFileBytes: Long = 64L * 1024 * 1024,
-                   beforeSwap: () => Unit = () => (),
-                   bloomCols: Seq[String] = Nil,
-                   bloomFpp: Double = 0.01): (Int, Int) = {
-    // an inverted threshold pair makes the packer's own outputs
-    // perpetual candidates — every tick rewrites the same data forever;
-    // refuse loudly instead (the streaming sink sizes its target up)
-    require(minFileBytes <= targetFileBytes,
-      s"compactSmall: minFileBytes ($minFileBytes) must not exceed " +
-        s"targetFileBytes ($targetFileBytes) — outputs would repack forever")
-    val f = fs(spark, dir)
-    val snap = snapshot(spark, dir)
-    def sizeOf(n: String): Long = snap.sizes.getOrElse(n,
-      f.getFileStatus(p(s"${dataDir(dir)}/$n")).getLen)
-    val candidates = snap.files.filter(sizeOf(_) < minFileBytes)
-    if (candidates.size < 2) return (0, 0)
-    val candBytes = candidates.map(sizeOf).sum
-    val nOut = math.max(1,
-      math.ceil(candBytes.toDouble / targetFileBytes).toInt)
-    val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-    val base = readFiles(spark, dir, snap, candidates)
-    val reshaped =
-      if (snap.partitionCols.isEmpty) base.repartition(nOut)
-      else base.repartition(nOut,
-        snap.partitionCols.map(org.apache.spark.sql.functions.col): _*)
-    stageWrite(toPhysical(snap, reshaped), stage, snap.partitionCols)
-    val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
-      stage, partFamilies(base.schema, snap.partitionCols))
-    val rewrittenStats = footerStats(spark, dir, rewritten)
-    val live = dropEmpty(f, dir, rewritten, rewrittenStats)
-    buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), rewrittenStats, bloomFpp)
-    val rewrittenNdv = buildNdv(spark, dir, live, snap.ndvCols)
-    beforeSwap()
-    val committed = commit(spark, dir) { old =>
-      if (candidates.exists(fn => !old.files.contains(fn)) ||
-        candidates.exists(fn => old.dvs.getOrElse(fn, Seq.empty) !=
-          snap.dvs.getOrElse(fn, Seq.empty))) None
-      else Some(old.copy(
-        files = old.files.filterNot(candidates.contains) ++ live,
-        stats = old.stats -- candidates ++ rewrittenStats,
-        sizes = old.sizes -- candidates ++
-          rewrittenSizes.filter(kv => live.contains(kv._1)),
-        pvals = old.pvals -- candidates ++
-          rewrittenPvals.filter(kv => live.contains(kv._1)),
-        ndv = old.ndv -- candidates ++ rewrittenNdv,
-        dvs = old.dvs -- candidates,
-        op = "compact", cdcPath = None))
-    }
-    if (committed) (candidates.size, live.size) else (0, 0)
-  }
-
-  /** DV MAINTENANCE — the targeted flip side of [[compact]]'s full-table
-    * purge: rewrite ONLY the data files whose deletion-vector'd fraction
-    * has crossed `maxDeletedFraction`, retiring their vectors. Merge-on-
-    * read trades write cost for read cost (every read of a DV'd file
-    * pays an anti-join); once a file is mostly deleted that rent exceeds
-    * the one-time rewrite, and this call collects it — per FILE, not per
-    * table, so a 100 TB table with one delete-heavy region rewrites just
-    * that region. Files are rewritten through the DV-applied view with
-    * NO repartitioning (one slightly-smaller file per input file's
-    * partitions — clustering layout survives, zero shuffle). Same
-    * atomic-swap, conflict-abort contract as [[compact]]: returns
-    * (files rewritten, files written), (0, 0) when nothing crossed the
-    * threshold or a concurrent rewrite won. Files without footer row
-    * counts are skipped (their fraction is unknowable — the safe
-    * direction; the next full [[compact]] retires their vectors).
-    */
-  def purgeDeletes(spark: SparkSession, dir: String,
-                   maxDeletedFraction: Double = 0.3,
-                   beforeSwap: () => Unit = () => (),
-                   bloomCols: Seq[String] = Nil,
-                   bloomFpp: Double = 0.01): (Int, Int) = {
-    require(maxDeletedFraction > 0.0,
-      "maxDeletedFraction must be > 0 (0 would rewrite every DV'd file " +
-        "— that is compact())")
-    val f = fs(spark, dir)
-    val snap = snapshot(spark, dir)
-    val candidates = snap.files.filter { fn =>
-      val dvRows = snap.dvs.getOrElse(fn, Seq.empty).map(_.rows).sum
-      dvRows > 0L && snap.stats.get(fn).exists(st =>
-        st.rows > 0L && dvRows.toDouble / st.rows >= maxDeletedFraction)
-    }
-    if (candidates.isEmpty) return (0, 0)
-    val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-    val purgeRead = readFiles(spark, dir, snap, candidates)
-    stageWrite(toPhysical(snap, purgeRead), stage, snap.partitionCols)
-    val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
-      stage, partFamilies(purgeRead.schema, snap.partitionCols))
-    val rewrittenStats = footerStats(spark, dir, rewritten)
-    // a file DV'd down to zero live rows rewrites to nothing: drop it
-    val live = dropEmpty(f, dir, rewritten, rewrittenStats)
-    buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), rewrittenStats, bloomFpp)
-    val rewrittenNdv = buildNdv(spark, dir, live, snap.ndvCols)
-    beforeSwap()
-    val committed = commit(spark, dir) { old =>
-      // same staleness hazards as compact: a candidate rewritten away,
-      // or a NEW vector stacked since we read (our rewrite would
-      // resurrect its rows)
-      if (candidates.exists(c => !old.files.contains(c) ||
-        old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
-        None
-      else Some(old.copy(
-        files = old.files.filterNot(candidates.contains) ++ live,
-        stats = old.stats -- candidates ++
-          rewrittenStats.filter(kv => live.contains(kv._1)),
-        sizes = old.sizes -- candidates ++
-          rewrittenSizes.filter(kv => live.contains(kv._1)),
-        pvals = old.pvals -- candidates ++
-          rewrittenPvals.filter(kv => live.contains(kv._1)),
-        ndv = old.ndv -- candidates ++ rewrittenNdv,
-        // the rewrite applied the vectors; they retire with their files
-        dvs = old.dvs -- candidates,
-        // a row-preserving rewrite, exactly like compact: the feeds
-        // skip it instead of re-surfacing survivor rows
-        op = "compact", cdcPath = None))
-    }
-    if (committed) (candidates.size, live.size) else (0, 0)
-  }
-
-  /** Delete data files no longer referenced by any version a reader
-    * inside the `graceMs` window (default 24 h) could still be pinned
-    * to, plus leftover stage directories — the standard table-format
-    * answer (Delta's vacuum retention) to vacuum's races:
-    *
-    *   - a CONCURRENT APPEND moves its data files into `data/` BEFORE
-    *     committing the manifest; a grace-less vacuum in that window
-    *     deletes them and the append then commits a manifest referencing
-    *     deleted files — permanent snapshot corruption. Fresh files are
-    *     inside the grace window, so the append survives.
-    *   - a READER pinned to an older version still needs its (now
-    *     orphaned) compacted-away files. The liveness set is therefore
-    *     NOT just the head: it is the state just before the first
-    *     commit inside the grace window plus every add since — exactly
-    *     what any in-grace pin can reference. Time travel to versions
-    *     OLDER than the grace is the documented sacrifice (same as
-    *     Delta: vacuum bounds how far back you can travel).
-    *
-    * `graceMs = 0` restores sweep-everything-but-head (tests, quiesced
-    * tables). Orphans are judged by file mtime — rename preserves it,
-    * so the clock starts at the original write, conservative in the
-    * right direction.
-    */
-  def vacuum(spark: SparkSession, dir: String,
-             graceMs: Long = 24L * 3600 * 1000): Int = {
-    val f = fs(spark, dir)
-    val cutoff = System.currentTimeMillis() - graceMs
-    val head = snapshot(spark, dir)
-    val log = listLog(spark, dir)
-    // commit time = the delta file's mtime (immutable once published)
-    val inGrace = (log.ckpt.keySet ++ log.delta.keySet).filter(v =>
-      log.delta.get(v).orElse(log.ckpt.get(v))
-        .exists(_.getModificationTime >= cutoff))
-    val live: Set[String] =
-      if (inGrace.isEmpty) head.files.toSet
-      else try {
-        val vG = inGrace.min
-        val base =
-          if (vG <= 1L) Set.empty[String]
-          else resolveAt(spark, dir, vG - 1L, log).files.toSet
-        val adds = (vG to head.version).iterator.flatMap { v =>
-          // every commit publishes a delta; an expired-delta checkpoint
-          // version contributes its full state instead (a superset of
-          // its adds — conservative, keeps more)
-          if (log.delta.contains(v)) readDelta(spark, dir, v).adds
-          else resolveAt(spark, dir, v, log).files
-        }.toSet
-        base ++ adds ++ head.files
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          // resolution hiccup (mid-expiry race): keep every name any
-          // log file mentions — maximally conservative, sweeps less
-          head.files.toSet ++ (log.ckpt.keys ++ log.delta.keys)
-            .flatMap { v =>
-              val name = if (log.delta.contains(v))
-                s"d${"%08d".format(v)}" else s"v${"%08d".format(v)}"
-              try readLogLines(spark, dir, name).collect {
-                case l if l.startsWith("add:") => l.stripPrefix("add:")
-                case l if l.startsWith("file:") => l.stripPrefix("file:")
-              } catch { case scala.util.control.NonFatal(_) => Nil }
-            }
-      }
-    // TAGGED versions stay restorable forever: their full file sets
-    // join the live set (expireLog keeps their log entries, so the
-    // resolution here cannot miss; a failure is a corrupt tag and
-    // conservatively pins nothing extra)
-    val taggedLive = tags(head).values.toSet.flatMap { (v: Long) =>
-      try resolveAt(spark, dir, v, log).files
-      catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
-    }
-    val liveAll = live ++ taggedLive
-    val dd = p(dataDir(dir))
-    val removed = if (!f.exists(dd)) 0 else f.listStatus(dd)
-      .filter(s => s.isFile && !liveAll.contains(s.getPath.getName) &&
-        s.getModificationTime < cutoff)
-      .map { s => f.delete(s.getPath, false); 1 }.sum
-    val sd = p(s"$dir/_stage")
-    if (f.exists(sd)) f.listStatus(sd)
-      .filter(_.getModificationTime < cutoff)
-      .foreach(s => f.delete(s.getPath, true))
-    // CDC sidecar dirs: referenced by the `cdc:` line of SOME log file
-    // for as long as that log file lives (the feed is replayable
-    // history inside [[expireLog]]'s retention window); a crashed
-    // cowCommit's unreferenced dir — or a sidecar whose last referencing
-    // log file was expired — gets swept past the grace. Same story for
-    // deletion-vector sidecars under `_dv/`.
-    val cd = p(cdcDir(dir))
-    if (f.exists(cd)) {
-      val referenced = referencedNames(spark, dir, "cdc:", 0)
-      f.listStatus(cd)
-        .filter(s => !referenced.contains(s.getPath.getName) &&
-          s.getModificationTime < cutoff)
-        .foreach(s => f.delete(s.getPath, true))
-    }
-    val dvd = p(dvDir(dir))
-    if (f.exists(dvd)) {
-      val referenced = referencedNames(spark, dir, "dv:", 1)
-      f.listStatus(dvd)
-        .filter(s => !referenced.contains(s.getPath.getName) &&
-          s.getModificationTime < cutoff)
-        .foreach(s => f.delete(s.getPath, true))
-    }
-    // bloom sidecars are keyed `<dataFile>.<col>.bloom`: sweep the ones
-    // whose data file is dead (orphaned-then-deleted, or crashed append)
-    val bd = p(bloomDir(dir))
-    if (f.exists(bd)) f.listStatus(bd)
-      .filter { s =>
-        val data = s.getPath.getName.split('.').take(2).mkString(".")
-        s.isFile && s.getModificationTime < cutoff &&
-          !live.contains(data) && !f.exists(p(s"${dataDir(dir)}/$data"))
-      }.foreach(s => f.delete(s.getPath, false))
-    removed
-  }
-
-  /** Sidecar names referenced by ANY log file's `<prefix>` lines (tab
-    * field `field`) — the conservative liveness set vacuum sweeps
-    * against. Raw line scan, no snapshot resolution: O(versions) small
-    * reads, never O(files x versions) parse work.
-    */
-  private def referencedNames(spark: SparkSession, dir: String,
-                              prefix: String, field: Int): Set[String] = {
-    val f = fs(spark, dir)
-    val md = p(manifestDir(dir))
-    if (!f.exists(md)) return Set.empty
-    f.listStatus(md)
-      .filter(s => s.isFile && s.getPath.getName.matches("[vd]\\d{8,}"))
-      .flatMap(s => readLogLines(spark, dir, s.getPath.getName)
-        .filter(_.startsWith(prefix))
-        .map(l => l.stripPrefix(prefix).split("\t", -1)(field)))
-      .toSet
-  }
-
-  // ---------------------------------------------- row-level operations
-  //
-  // COPY-ON-WRITE, the Delta/Iceberg v1 strategy: data files are
-  // immutable, so changing SOME rows means rewriting the files that hold
-  // them and swapping old-for-new in one manifest commit. The whole
-  // game at 100 TB is touching as few files as possible — candidate
-  // selection runs through the same [[Skipping]] stats + bloom pruning
-  // as reads, so after a clustered compaction a selective DELETE/UPDATE
-  // rewrites O(matching files), not O(table). Every op:
-  //
-  //   - records its `opId` in the absorbed-batch set — a crash-replayed
-  //     op is a no-op, same effectively-once contract as [[append]];
-  //   - rewrites INVISIBLY (stage → data/ under new UUID names) and
-  //     becomes visible only at the manifest swap — a crash mid-rewrite
-  //     leaves orphans for [[vacuum]], never a half-applied op;
-  //   - ABORTS (returns false, rewrite orphaned) if a concurrent
-  //     rewrite already replaced one of its candidate files — committing
-  //     anyway would resurrect rows the other rewrite removed, the same
-  //     lost-update hazard [[compact]] aborts on.
-
-  private def cdcDir(dir: String) = s"$dir/_cdc"
-  private def dvDir(dir: String) = s"$dir/_dv"
-
-  /** Write `out` (None = no rewritten rows) to new data files and swap
-    * them for `candidates` in one commit, recording `opId` and `op`.
-    * `cdc` (rows already carrying `_change_type`) lands as a sidecar
-    * dataset under `_cdc/<uuid>` BEFORE the swap and is referenced by
-    * the commit's `cdc:` manifest line — a crash strands an orphan
-    * sidecar, never a commit claiming changes it didn't write.
-    */
-  private def cowCommit(spark: SparkSession, dir: String, snap: Snapshot,
-                        candidates: Seq[String], out: Option[DataFrame],
-                        op: String, opId: String, beforeSwap: () => Unit,
-                        bloomCols: Seq[String], bloomFpp: Double,
-                        cdc: Option[DataFrame] = None): Boolean = {
-    val f = fs(spark, dir)
-    val (moved, sizes, pvals) = out match {
-      case None => (Seq.empty[String], Map.empty[String, Long],
-        Map.empty[String, Map[String, PartValue]])
-      case Some(df) =>
-        val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-        stageWrite(toPhysical(snap, df), stage, snap.partitionCols)
-        moveToData(f, dir, stage,
-          partFamilies(df.schema, snap.partitionCols))
-    }
-    val stats = footerStats(spark, dir, moved)
-    val live = dropEmpty(f, dir, moved, stats)
-    buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), stats, bloomFpp)
-    val ndvMap = buildNdv(spark, dir, live, snap.ndvCols)
-    val cdcName = cdc.map { changes =>
-      // _change_type is RESERVED when CDC is on: a table column of that
-      // name would be silently replaced in the sidecar, corrupting the
-      // feed — fail the op instead
-      require(!out.exists(_.columns.exists(c =>
-        c.equalsIgnoreCase("_change_type"))),
-        "CDC reserves the column name _change_type; this table has one")
-      val name = java.util.UUID.randomUUID().toString
-      // sidecars bind by PHYSICAL names, exactly like data files, so a
-      // later column rename costs recorded history nothing
-      toPhysical(snap, changes).write.parquet(s"${cdcDir(dir)}/$name")
-      name
-    }
-    beforeSwap()
-    commit(spark, dir) { old =>
-      if (old.batchIds.contains(opId)) None // replayed op: already applied
-      // conflict: a candidate vanished, or a deletion vector landed on
-      // one after we read it (our rewrite would resurrect its rows)
-      else if (candidates.exists(c => !old.files.contains(c) ||
-        old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
-        None
-      else Some(old.copy(
-        files = old.files.filterNot(candidates.contains) ++ live,
-        batchIds = old.batchIds + opId,
-        stats = old.stats -- candidates ++ stats.filter(kv => live.contains(kv._1)),
-        sizes = old.sizes -- candidates ++
-          sizes.filter(kv => live.contains(kv._1)),
-        pvals = old.pvals -- candidates ++
-          pvals.filter(kv => live.contains(kv._1)),
-        ndv = old.ndv -- candidates ++
-          ndvMap.view.filterKeys(live.toSet).toMap,
-        // rewrites read through the DV-applied view, so the rewritten
-        // candidates' deletion vectors are retired with their files
-        dvs = old.dvs -- candidates,
-        // a row-level op never changes the schema, but a table CREATED
-        // by one (merge into an empty table) must still record it —
-        // otherwise later appends adding columns would silently lose
-        // them to the first footer's schema on read
-        schemaJson = old.schemaJson.orElse(
-          out.flatMap(df => mergedSchemaJson(old, df.schema))),
-        op = op, cdcPath = cdcName))
-    }
-  }
-
-  /** DELETE FROM the table: rows where `predicateSql` is TRUE are
-    * removed (FALSE or NULL survive — SQL DELETE semantics). Only the
-    * files whose stats/blooms admit a match are rewritten; files the
-    * pruning PROVES clean are never read, let alone rewritten; and a
-    * candidate whose stats prove EVERY row matches
-    * ([[Skipping.provesAll]] — a whole-partition or whole-band delete)
-    * is dropped from the manifest outright, never read OR rewritten.
-    * `DELETE WHERE lang = 'de'` on a lang-partitioned 100 TB table is
-    * therefore a pure metadata commit: zero data I/O, O(dropped files)
-    * manifest lines. Returns true if this call committed; false =
-    * replayed `opId` (already applied) or a conflicting concurrent
-    * rewrite (nothing applied — re-run against the new head if the
-    * delete is still wanted).
-    *
-    * `cdc = true` additionally records the deleted rows as a CDC sidecar
-    * (`_change_type = "delete"`), making the commit consumable by
-    * [[changesBetween]] — one extra filtered pass over the candidate
-    * files, nothing over the rest of the table. (CDC must enumerate the
-    * dropped rows, so whole-file drops are read once for the sidecar —
-    * still write-free on the data path.)
-    */
-  def deleteWhere(spark: SparkSession, dir: String, predicateSql: String,
-                  opId: String, beforeSwap: () => Unit = () => (),
-                  bloomCols: Seq[String] = Nil,
-                  bloomFpp: Double = 0.01,
-                  cdc: Boolean = false): Boolean = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
-    val candidates = keptFiles(spark, dir, snap, predicateSql)
-    // METADATA-ONLY split: stats proving a full match mean the file's
-    // DV-invisible rows are deleted too by dropping it — sound, they
-    // were already invisible. Conflict detection below still covers
-    // these files (a racing DV or rewrite aborts the commit).
-    val predE = toPhysicalExpr(snap,
-      spark.sessionState.sqlParser.parseExpression(predicateSql))
-    val (whole, partial) = candidates.partition(f =>
-      snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
-    val cond = coalesce(expr(predicateSql), lit(false))
-    // CDC needs the partial candidates TWICE (survivors + deleted rows):
-    // persist the one read so the second pass hits the cache, not the
-    // files — a CDC delete costs the same candidate I/O as a plain one
-    val candDf =
-      if (partial.isEmpty) None
-      else Some(readFiles(spark, dir, snap, partial))
-    if (cdc) candDf.foreach(_.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try {
-      val out = candDf.map(_.where(not(cond)))
-      val changes =
-        if (!cdc) None
-        else {
-          val wholeDf =
-            if (whole.isEmpty) None
-            else Some(readFiles(spark, dir, snap, whole))
-          (candDf.map(_.where(cond)).toSeq ++ wholeDf)
-            .reduceOption(_.unionByName(_))
-            .map { dels =>
-              // checked here too: on an all-whole delete cowCommit's
-              // out-based reserve check has nothing to inspect
-              require(!dels.columns.exists(c =>
-                c.equalsIgnoreCase("_change_type")),
-                "CDC reserves the column name _change_type; this table has one")
-              dels.withColumn("_change_type", lit("delete"))
-            }
-        }
-      cowCommit(spark, dir, snap, candidates, out, "delete", opId,
-        beforeSwap, bloomCols, bloomFpp, changes)
-    } finally if (cdc) candDf.foreach(_.unpersist(false))
-  }
-
-  /** UPDATE ... SET: rows where `predicateSql` is TRUE get each `set`
-    * column replaced by its SQL expression (evaluated against the OLD
-    * row, as in SQL UPDATE); other rows pass through byte-identical.
-    * `set` columns must already exist — an UPDATE is not a schema
-    * change — and the new value is cast back to the column's type so
-    * the table schema cannot drift. Same pruning, idempotence and
-    * conflict contract as [[deleteWhere]].
-    */
-  def updateWhere(spark: SparkSession, dir: String, predicateSql: String,
-                  set: Map[String, String], opId: String,
-                  beforeSwap: () => Unit = () => (),
-                  bloomCols: Seq[String] = Nil,
-                  bloomFpp: Double = 0.01,
-                  cdc: Boolean = false): Boolean = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
-    require(set.nonEmpty, "updateWhere needs at least one SET column")
-    val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
-    val candidates = keptFiles(spark, dir, snap, predicateSql)
-    val cond = coalesce(expr(predicateSql), lit(false))
-    // the SET projection against the OLD row; `onlyMatched` restricts it
-    // to matching rows (the CDC postimage), otherwise pass-through rows
-    // keep their values
-    def applied(df: DataFrame, onlyMatched: Boolean): DataFrame = {
-      set.keys.foreach(k => require(
-        df.schema.fields.exists(_.name.equalsIgnoreCase(k)),
-        s"updateWhere SET column $k does not exist (UPDATE is not a schema change)"))
-      val base = if (onlyMatched) df.where(cond) else df
-      base.select(base.schema.fields.map { fd =>
-        set.find(_._1.equalsIgnoreCase(fd.name)) match {
-          case Some((_, e)) =>
-            (if (onlyMatched) expr(e).cast(fd.dataType)
-             else when(cond, expr(e).cast(fd.dataType)).otherwise(col(fd.name)))
-              .as(fd.name)
-          case None => col(fd.name)
-        }
-      }.toSeq: _*)
-    }
-    // CDC scans the candidates three times (pass-through rewrite,
-    // preimages, postimages): persist the one read so every pass past
-    // the first is a cache hit — same candidate I/O as a plain update
-    val candDf =
-      if (candidates.isEmpty) None
-      else Some(readFiles(spark, dir, snap, candidates))
-    if (cdc) candDf.foreach(_.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try {
-      // only the CHANGED rows need constraint validation (pass-through
-      // rows already satisfy the table's invariants)
-      candDf.foreach(df => enforceConstraints(
-        applied(df, onlyMatched = true), snap.constraints, "updateWhere"))
-      val out = candDf.map(applied(_, onlyMatched = false))
-      val changes =
-        if (!cdc) None
-        else candDf.map(df => df.where(cond)
-          .withColumn("_change_type", lit("update_preimage"))
-          .unionByName(applied(df, onlyMatched = true)
-            .withColumn("_change_type", lit("update_postimage"))))
-      cowCommit(spark, dir, snap, candidates, out, "update", opId,
-        beforeSwap, bloomCols, bloomFpp, changes)
-    } finally if (cdc) candDf.foreach(_.unpersist(false))
-  }
-
-  // ------------------------------------------ merge-on-read (DV) ops
-  //
-  // Copy-on-write makes a 1-row delete rewrite whole files — on a 100 TB
-  // table with 512 MB files a point delete is a 512 MB rewrite. The
-  // MERGE-ON-READ strategy (Delta's deletion vectors, Iceberg's
-  // positional deletes) writes O(matched rows) instead: a sidecar of
-  // (file, position) pairs the readers anti-join away. Reads get a
-  // broadcast anti-join per DV'd file until [[compact]] rewrites the
-  // file and RETIRES its vectors — write cost proportional to the
-  // change, read cost amortized away at the next compaction. Same
-  // pruning (only candidate files are scanned to find matches), same
-  // opId idempotence, same conflict-abort, same CDC contract as the
-  // copy-on-write ops.
-
-  /** Commit that changes NO data (zero matches / zero candidates): the
-    * opId must still be absorbed so a crash-replay of the op stays a
-    * no-op, and the op kind recorded for feed provenance.
-    */
-  private def emptyOpCommit(spark: SparkSession, dir: String, op: String,
-                            opId: String): Boolean =
-    commit(spark, dir) { old =>
-      if (old.batchIds.contains(opId)) None
-      else Some(old.copy(batchIds = old.batchIds + opId, op = op,
-        cdcPath = None))
-    }
-
-  /** `set` applied to every row of `df` (expressions see the OLD row;
-    * values cast back to the column's type — SQL UPDATE semantics).
-    */
-  private def applySet(df: DataFrame, set: Map[String, String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    set.keys.foreach(k => require(
-      df.schema.fields.exists(_.name.equalsIgnoreCase(k)),
-      s"SET column $k does not exist (UPDATE is not a schema change)"))
-    df.select(df.schema.fields.map { fd =>
-      set.find(_._1.equalsIgnoreCase(fd.name)) match {
-        case Some((_, e)) => expr(e).cast(fd.dataType).as(fd.name)
-        case None => col(fd.name)
-      }
-    }.toSeq: _*)
-  }
-
-  /** DELETE FROM, merge-on-read: same row semantics, idempotence and
-    * conflict contract as [[deleteWhere]], but the matched rows' file
-    * positions land as ONE deletion-vector sidecar (O(matched rows)
-    * bytes) and no data file is rewritten — the point-delete path for
-    * tables where a CoW rewrite would dwarf the change. Readers apply
-    * the vector; [[compact]] retires it. `cdc = true` records the
-    * deleted rows exactly as the CoW delete does.
-    */
-  def deleteWhereDV(spark: SparkSession, dir: String, predicateSql: String,
-                    opId: String, beforeSwap: () => Unit = () => (),
-                    cdc: Boolean = false): Boolean = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
-    val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
-    val candidates = keptFiles(spark, dir, snap, predicateSql)
-    if (candidates.isEmpty)
-      return emptyOpCommit(spark, dir, "delete", opId)
-    // a candidate whose stats prove EVERY row matches is DROPPED from
-    // the manifest instead of DV'd — a deletion vector naming all of a
-    // file's positions is strictly worse than removing the file (same
-    // visibility, plus per-read anti-join rent until a purge). Same
-    // metadata-only split as the CoW delete.
-    val predE = toPhysicalExpr(snap,
-      spark.sessionState.sqlParser.parseExpression(predicateSql))
-    val (whole, partial) = candidates.partition(f =>
-      snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
-    val cond = coalesce(expr(predicateSql), lit(false))
-    val fm = "_graft_meta_file"
-    val pm = "_graft_meta_pos"
-    val matched =
-      if (partial.isEmpty) None
-      else Some(readWithPos(spark, dir, snap, partial, fm, pm)
-        .where(cond)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try {
-      val counts = matched.map(_.groupBy(col(fm)).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap)
-        .getOrElse(Map.empty[String, Long])
-      if (counts.isEmpty && whole.isEmpty)
-        return emptyOpCommit(spark, dir, "delete", opId)
-      val dvName =
-        if (counts.isEmpty) None
-        else {
-          val name = java.util.UUID.randomUUID().toString
-          // written from the matched scan's own partitioning: no
-          // shuffle, no single-task funnel — a wide delete's positions
-          // land in parallel (a point delete occupies one task anyway)
-          matched.get.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
-            .write.parquet(s"${dvDir(dir)}/$name")
-          Some(name)
-        }
-      val cdcName =
-        if (!cdc) None
-        else {
-          val wholeDf =
-            if (whole.isEmpty) None
-            else Some(readFiles(spark, dir, snap, whole))
-          (matched.map(_.drop(fm, pm)).toSeq ++ wholeDf)
-            .reduceOption(_.unionByName(_)).map { dels =>
-              require(!dels.columns.exists(c =>
-                c.equalsIgnoreCase("_change_type")),
-                "CDC reserves the column name _change_type; this table has one")
-              val name = java.util.UUID.randomUUID().toString
-              toPhysical(snap, dels.withColumn("_change_type",
-                  lit("delete")))
-                .write.parquet(s"${cdcDir(dir)}/$name")
-              name
-            }
-        }
-      beforeSwap()
-      commit(spark, dir) { old =>
-        if (old.batchIds.contains(opId)) None
-        // conflict: a candidate was rewritten away, or another DV landed
-        // on one after we computed positions (ours could double-mark)
-        else if (candidates.exists(c => !old.files.contains(c) ||
-          old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
-          None
-        else Some(old.copy(
-          files = old.files.filterNot(whole.contains),
-          stats = old.stats -- whole,
-          sizes = old.sizes -- whole,
-          pvals = old.pvals -- whole,
-          ndv = old.ndv -- whole,
-          batchIds = old.batchIds + opId,
-          dvs = counts.foldLeft(old.dvs -- whole) {
-            case (acc, (file, n)) =>
-              acc.updated(file, acc.getOrElse(file, Seq.empty) :+
-                DvRef(dvName.get, n))
-          },
-          op = "delete", cdcPath = cdcName))
-      }
-    } finally matched.foreach(_.unpersist(false))
-  }
-
-  /** UPDATE ... SET, merge-on-read: the matched rows' positions land as
-    * a deletion vector and their REWRITTEN versions append as new files
-    * — O(matched rows) written, unmatched rows never touched (the CoW
-    * update rewrites whole candidate files even when one row matched).
-    * Same SET semantics, idempotence, conflict and CDC contract as
-    * [[updateWhere]].
-    */
-  def updateWhereDV(spark: SparkSession, dir: String, predicateSql: String,
-                    set: Map[String, String], opId: String,
-                    beforeSwap: () => Unit = () => (),
-                    bloomCols: Seq[String] = Nil,
-                    bloomFpp: Double = 0.01,
-                    cdc: Boolean = false): Boolean = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
-    require(set.nonEmpty, "updateWhereDV needs at least one SET column")
-    val f = fs(spark, dir)
-    val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
-    val candidates = keptFiles(spark, dir, snap, predicateSql)
-    if (candidates.isEmpty)
-      return emptyOpCommit(spark, dir, "update", opId)
-    val cond = coalesce(expr(predicateSql), lit(false))
-    val fm = "_graft_meta_file"
-    val pm = "_graft_meta_pos"
-    val matched = readWithPos(spark, dir, snap, candidates, fm, pm)
-      .where(cond)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val counts = matched.groupBy(col(fm)).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (counts.isEmpty)
-        return emptyOpCommit(spark, dir, "update", opId)
-      val updated = applySet(matched.drop(fm, pm), set)
-      enforceConstraints(updated, snap.constraints, "updateWhereDV")
-      val dvName = java.util.UUID.randomUUID().toString
-      // no coalesce(1): parallel positions write, same as deleteWhereDV
-      matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
-        .write.parquet(s"${dvDir(dir)}/$dvName")
-      val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
-      stageWrite(toPhysical(snap, updated), stage, snap.partitionCols)
-      val (moved, sizes, pvals) = moveToData(f, dir, stage,
-        partFamilies(updated.schema, snap.partitionCols))
-      val stats = footerStats(spark, dir, moved)
-      val live = dropEmpty(f, dir, moved, stats)
-      buildBlooms(spark, dir, live, bloomCols.map(physName(snap, _)), stats, bloomFpp)
-      val ndvMap = buildNdv(spark, dir, live, snap.ndvCols)
-      val cdcName =
-        if (!cdc) None
-        else {
-          require(!updated.columns.exists(c =>
-            c.equalsIgnoreCase("_change_type")),
-            "CDC reserves the column name _change_type; this table has one")
-          val name = java.util.UUID.randomUUID().toString
-          toPhysical(snap, matched.drop(fm, pm)
-            .withColumn("_change_type", lit("update_preimage"))
-            .unionByName(updated
-              .withColumn("_change_type", lit("update_postimage"))))
-            .write.parquet(s"${cdcDir(dir)}/$name")
-          Some(name)
-        }
-      beforeSwap()
-      commit(spark, dir) { old =>
-        if (old.batchIds.contains(opId)) None
-        else if (candidates.exists(c => !old.files.contains(c) ||
-          old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
-          None
-        else Some(old.copy(
-          files = old.files ++ live,
-          batchIds = old.batchIds + opId,
-          stats = old.stats ++ stats.filter(kv => live.contains(kv._1)),
-          sizes = old.sizes ++ sizes.filter(kv => live.contains(kv._1)),
-          pvals = old.pvals ++ pvals.filter(kv => live.contains(kv._1)),
-          ndv = old.ndv ++ ndvMap.view.filterKeys(live.toSet).toMap,
-          dvs = counts.foldLeft(old.dvs) { case (acc, (file, n)) =>
-            acc.updated(file, acc.getOrElse(file, Seq.empty) :+
-              DvRef(dvName, n))
-          },
-          op = "update", cdcPath = cdcName))
-      }
-    } finally matched.unpersist(false)
-  }
+  private[ext] def cdcDir(dir: String) = s"$dir/_cdc"
+  private[ext] def dvDir(dir: String) = s"$dir/_dv"
 
   // ---------------------------------------------- constraints
   //
@@ -2182,7 +1365,7 @@ object ManifestTable {
   // pipeline bug factory; the table layer refuses, loudly, with counts.
 
   /** The violating-rows condition for a CHECK expression. */
-  private def violates(exprSql: String): org.apache.spark.sql.Column = {
+  private[ext] def violates(exprSql: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     not(coalesce(expr(exprSql), lit(true)))
   }
@@ -2191,7 +1374,7 @@ object ManifestTable {
     * constraint at once; raises naming each violated constraint with
     * its row count. Tables without constraints pay nothing.
     */
-  private def enforceConstraints(df: DataFrame,
+  private[ext] def enforceConstraints(df: DataFrame,
                                  cons: Map[String, String],
                                  what: String): Unit = {
     import org.apache.spark.sql.functions.{lit, sum, when}
@@ -2396,316 +1579,6 @@ object ManifestTable {
     Some((mn.map(decode), mx.map(decode)))
   }
 
-  /** INSERT OVERWRITE ... WHERE (Delta's replaceWhere): one atomic
-    * commit replaces exactly the rows matching `predicateSql` with
-    * `df`'s rows. Every incoming row must itself satisfy the predicate
-    * — the contract that keeps the op a targeted backfill (rewrite one
-    * partition/band) instead of a silent full-table overwrite;
-    * violations fail loudly with a count before anything lands. File
-    * work mirrors [[deleteWhere]]: candidates come from one-sided
-    * pruning, candidates whose stats PROVE full coverage drop by pure
-    * metadata ([[Skipping.provesAll]]), only straddling files are
-    * rewritten without their matching rows, and the new data stages
-    * like an append (partition layout respected, stats + blooms
-    * recorded). On a lang-partitioned table
-    * `overwriteWhere(df, dir, "lang = 'de'", ...)` is therefore: drop
-    * the de files, write df — the partition-backfill idiom, O(replaced
-    * region) at any table size. Same idempotence (opId) and
-    * conflict-abort contract as the other row ops; `cdc = true` records
-    * the replaced rows as deletes and `df`'s rows as inserts in one
-    * sidecar.
-    */
-  def overwriteWhere(df: DataFrame, dir: String, predicateSql: String,
-                     opId: String, beforeSwap: () => Unit = () => (),
-                     bloomCols: Seq[String] = Nil,
-                     bloomFpp: Double = 0.01,
-                     cdc: Boolean = false): Boolean = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
-    val spark = df.sparkSession
-    val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
-    val cond = coalesce(expr(predicateSql), lit(false))
-    val nBad = df.where(not(cond)).count()
-    require(nBad == 0L,
-      s"overwriteWhere: $nBad incoming row(s) do not satisfy " +
-        s"[$predicateSql] — an overwrite may only write rows inside the " +
-        "region it replaces")
-    enforceConstraints(df, snap.constraints, s"overwriteWhere $opId")
-    // align to the table's column order and types (an overwrite is not
-    // a schema change); a schema-less legacy table takes df as-is and
-    // unionByName below stays the loud check
-    val aligned = tableSchema(snap) match {
-      case None => df
-      case Some(ts) =>
-        val have = df.columns.map(_.toLowerCase).toSet
-        val want = ts.fields.map(_.name.toLowerCase).toSet
-        require(have == want,
-          s"overwriteWhere: incoming columns (${have.toSeq.sorted
-            .mkString(", ")}) do not match the table's (${want.toSeq.sorted
-            .mkString(", ")}) — an overwrite is not a schema change")
-        // cast only on a REAL type difference: Spark refuses casts that
-        // merely tighten container nullability (array<float> with
-        // containsNull=true -> false), and column values written under
-        // the looser shape are already valid under it
-        df.select(ts.fields.map { f =>
-          val in = df.schema.fields
-            .find(_.name.equalsIgnoreCase(f.name)).get.dataType
-          if (org.apache.spark.sql.graft.GraftSqlShims
-              .sameTypeIgnoreNullability(in, f.dataType)) col(f.name)
-          else col(f.name).cast(f.dataType).as(f.name)
-        }: _*)
-    }
-    if (cdc) require(!aligned.columns.exists(c =>
-      c.equalsIgnoreCase("_change_type")),
-      "CDC reserves the column name _change_type; this table has one")
-    val candidates = keptFiles(spark, dir, snap, predicateSql)
-    val predE = toPhysicalExpr(snap,
-      spark.sessionState.sqlParser.parseExpression(predicateSql))
-    val (whole, partial) = candidates.partition(f =>
-      snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
-    val candDf =
-      if (partial.isEmpty) None
-      else Some(readFiles(spark, dir, snap, partial))
-    if (cdc) candDf.foreach(_.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try {
-      val out = (candDf.map(_.where(not(cond))).toSeq :+ aligned)
-        .reduceOption(_.unionByName(_))
-      val changes =
-        if (!cdc) None
-        else {
-          val wholeDf =
-            if (whole.isEmpty) None
-            else Some(readFiles(spark, dir, snap, whole))
-          val dels = (candDf.map(_.where(cond)).toSeq ++ wholeDf)
-            .reduceOption(_.unionByName(_))
-            .map(_.withColumn("_change_type", lit("delete")))
-          val ins = aligned.withColumn("_change_type", lit("insert"))
-          Some(dels.map(_.unionByName(ins)).getOrElse(ins))
-        }
-      cowCommit(spark, dir, snap, candidates, out, "overwrite", opId,
-        beforeSwap, bloomCols, bloomFpp, changes)
-    } finally if (cdc) candDf.foreach(_.unpersist(false))
-  }
-
-  /** MERGE (upsert) `source` into the table on `keyCols`: a table row
-    * whose key matches a source row is REPLACED by it; source rows with
-    * no match are INSERTED — `WHEN MATCHED THEN UPDATE SET * / WHEN NOT
-    * MATCHED THEN INSERT *`. NULL keys never match (SQL equality), so a
-    * null-keyed source row always inserts. The caller dedups the source:
-    * duplicate source keys land as duplicate rows, as a multi-match
-    * MERGE would error anyway.
-    *
-    * File selection: candidate files are pruned with a predicate built
-    * FROM THE SOURCE'S KEYS — an exact IN list (stats + bloom pruning,
-    * the point-lookup path) when the source has at most `maxProbeKeys`
-    * distinct keys of integral/string type, else per-column [min, max]
-    * range conjuncts (stats pruning). Either way the pruning is
-    * one-sided: a file is skipped only on proof it holds no matching
-    * key, so untouched files provably contain no matched row. On a
-    * clustered 100 TB table a small upsert batch rewrites a handful of
-    * files; the table is never scanned.
-    *
-    * The rewrite anti-joins candidates against the distinct source keys
-    * (one shuffle on the key, or a broadcast when Spark sizes the key
-    * set small) and appends the source aligned to the table's column
-    * order — missing source columns are a loud error, extra ones too:
-    * MERGE is not a schema change. Same idempotence and conflict
-    * contract as [[deleteWhere]].
-    */
-  /** The candidate files a SOURCE-KEYED row op must rewrite — every
-    * file that can hold a key from `keyDf`. The pruning predicate is
-    * built as CATALYST EXPRESSIONS (never a SQL string round-trip:
-    * Spark's parser processes backslash escapes inside quoted literals,
-    * so a string key containing '\' would parse to a DIFFERENT bound
-    * and prune files that hold real matches): an exact IN probe for a
-    * small key set of bloom-able type, else [min, max] range conjuncts
-    * per key column. `keptForPredicate` consumes the expressions
-    * directly, the same entry point the planner's pushed filters use.
-    * Shared by [[merge]] and [[deleteMatching]].
-    */
-  private def sourceKeyCandidates(spark: SparkSession, dir: String,
-                                  snap: Snapshot, keyDf: DataFrame,
-                                  keyCols: Seq[String],
-                                  tSchema: org.apache.spark.sql.types.StructType,
-                                  maxProbeKeys: Int): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    import org.apache.spark.sql.types._
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.{expressions => ce}
-    def attr(k: String) = UnresolvedAttribute(Seq(k))
-    def cLit(v: Any): Option[ce.Literal] =
-      try Some(ce.Literal(v))
-      catch { case scala.util.control.NonFatal(_) => None }
-    def probeType(k: String): Boolean =
-      tSchema.fields.find(_.name.equalsIgnoreCase(k)).exists(_.dataType match {
-        case ByteType | ShortType | IntegerType | LongType | StringType => true
-        case _ => false
-      })
-    val smallKeys =
-      if (keyCols.size == 1 && probeType(keyCols.head)) {
-        val rows = keyDf.filter(col(keyCols.head).isNotNull)
-          .limit(maxProbeKeys + 1).collect()
-        if (rows.length <= maxProbeKeys) Some(rows.map(_.get(0)).toSeq)
-        else None
-      } else None
-    // None = all source keys NULL (no row can match: zero candidates);
-    // Some(None) = nothing provable (keep every file); Some(Some(e)) =
-    // prune with e
-    val pred: Option[Option[ce.Expression]] = smallKeys match {
-      case Some(keys) if keys.isEmpty => None
-      case Some(keys) =>
-        val lits = keys.flatMap(cLit(_))
-        Some(if (lits.size == keys.size)
-          Some(ce.In(attr(keyCols.head), lits))
-        else None) // an un-literal-able key value: no pruning
-      case None =>
-        val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
-        val b = keyDf.agg(aggs.head, aggs.tail: _*).head()
-        val conjs: Seq[ce.Expression] =
-          keyCols.zipWithIndex.flatMap { case (k, i) =>
-            if (b.isNullAt(2 * i)) None
-            else for {
-              lo <- cLit(b.get(2 * i))
-              hi <- cLit(b.get(2 * i + 1))
-            } yield ce.And(ce.GreaterThanOrEqual(attr(k), lo),
-              ce.LessThanOrEqual(attr(k), hi)): ce.Expression
-          }
-        Some(if (conjs.isEmpty) None
-        else Some(conjs.reduce(ce.And(_, _))))
-    }
-    pred match {
-      case None => Seq.empty[String]
-      case Some(None) => snap.files
-      case Some(Some(e)) =>
-        keptForPredicate(spark, dir, snap, toPhysicalExpr(snap, e))
-    }
-  }
-
-  /** DELETE BY SOURCE KEYS — the delete half of a CDC apply: every
-    * table row whose key tuple appears in `source` goes, in one atomic
-    * copy-on-write commit over the source-key-pruned candidate files
-    * (same pruning as [[merge]]: an incoming tombstone batch rewrites
-    * O(matched files), never the table). `cdc = true` records the
-    * deleted rows as a `delete` sidecar, so a replicated table's own
-    * feed stays consumable. False when the op id already committed, the
-    * table is empty, or no file can hold a source key (nothing to do —
-    * no empty commit).
-    */
-  def deleteMatching(source: DataFrame, dir: String, keyCols: Seq[String],
-                     opId: String, beforeSwap: () => Unit = () => (),
-                     bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
-                     maxProbeKeys: Int = 1024,
-                     cdc: Boolean = false): Boolean = {
-    import org.apache.spark.sql.functions.{col, lit}
-    require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
-    val spark = source.sparkSession
-    val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
-    if (snap.files.isEmpty) return false
-    val tSchema = tableSchema(snap).getOrElse(
-      readFiles(spark, dir, snap, snap.files).schema)
-    keyCols.foreach { k =>
-      require(tSchema.fields.exists(_.name.equalsIgnoreCase(k)),
-        s"deleteMatching key column $k is not a table column")
-      require(source.columns.exists(_.equalsIgnoreCase(k)),
-        s"deleteMatching key column $k is not a source column")
-    }
-    // key tuples in TABLE types, so the anti-join compares like for like
-    val keyDf = source.select(keyCols.map { k =>
-      val fd = tSchema.fields.find(_.name.equalsIgnoreCase(k)).get
-      col(k).cast(fd.dataType).as(fd.name)
-    }.toSeq: _*).distinct()
-    val tableKeyCols = keyDf.columns.toSeq
-    val candidates = sourceKeyCandidates(spark, dir, snap, keyDf,
-      tableKeyCols, tSchema, maxProbeKeys)
-    if (candidates.isEmpty) return false
-    val candDf = readFiles(spark, dir, snap, candidates)
-    if (cdc) candDf.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val out = candDf.join(keyDf, tableKeyCols, "left_anti")
-      val changes =
-        if (!cdc) None
-        else Some(candDf.join(keyDf, tableKeyCols, "left_semi")
-          .withColumn("_change_type", lit("delete")))
-      cowCommit(spark, dir, snap, candidates, Some(out), "delete", opId,
-        beforeSwap, bloomCols, bloomFpp, changes)
-    } finally if (cdc) candDf.unpersist(false)
-  }
-
-  def merge(source: DataFrame, dir: String, keyCols: Seq[String],
-            opId: String, beforeSwap: () => Unit = () => (),
-            bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
-            maxProbeKeys: Int = 1024, cdc: Boolean = false): Boolean = {
-    import org.apache.spark.sql.functions.{col, lit, max, min}
-    import org.apache.spark.sql.types._
-    require(keyCols.nonEmpty, "merge needs at least one key column")
-    val spark = source.sparkSession
-    val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
-    val tSchema = tableSchema(snap).getOrElse(
-      if (snap.files.isEmpty) source.schema
-      else readFiles(spark, dir, snap, snap.files).schema)
-    keyCols.foreach(k => require(
-      tSchema.fields.exists(_.name.equalsIgnoreCase(k)),
-      s"merge key column $k is not a table column"))
-    // MERGE is not a schema change in EITHER direction: a missing source
-    // column fails the select below, and an extra one is rejected here —
-    // silently dropping it would lose an evolving source's data column
-    // with no signal
-    val extra = source.columns.filterNot(c =>
-      tSchema.fields.exists(_.name.equalsIgnoreCase(c)))
-    require(extra.isEmpty,
-      s"merge source has columns the table lacks: ${extra.mkString(", ")} " +
-        "(merge is not a schema change — append with schema evolution, " +
-        "or drop them explicitly)")
-    val aligned = source.select(tSchema.fields.map(fd =>
-      col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
-    enforceConstraints(aligned, snap.constraints, "merge source")
-    if (snap.files.isEmpty)
-      return cowCommit(spark, dir, snap, Nil, Some(aligned), "merge", opId,
-        beforeSwap, bloomCols, bloomFpp,
-        if (cdc) Some(aligned.withColumn("_change_type", lit("insert")))
-        else None)
-    val keyDf = aligned.select(keyCols.map(col).toSeq: _*).distinct()
-    val candidates = sourceKeyCandidates(spark, dir, snap, keyDf, keyCols,
-      tSchema, maxProbeKeys)
-    val candDf =
-      if (candidates.isEmpty) None
-      else Some(readFiles(spark, dir, snap, candidates))
-    // CDC reads the candidates twice more (matched preimages + their
-    // keys): persist the one read, same contract as delete/update
-    if (cdc) candDf.foreach(_.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try {
-    val survivors = candDf.map(_.join(keyDf, keyCols.toSeq, "left_anti"))
-    val out = Some(survivors.fold(aligned)(_ unionByName aligned))
-    // CDC: matched target rows are update_preimage; their replacing
-    // source rows update_postimage (source semi-joined on the MATCHED
-    // target keys — candidate files provably hold every possible match,
-    // so the join against candidates is the join against the table);
-    // the remaining source rows are inserts
-    val changes =
-      if (!cdc) None
-      else {
-        val matched = candDf.map(_.join(keyDf, keyCols.toSeq, "left_semi"))
-        val matchedKeys = matched.map(
-          _.select(keyCols.map(col).toSeq: _*).distinct())
-        val pre = matched.map(
-          _.withColumn("_change_type", lit("update_preimage")))
-        val post = matchedKeys.map(mk =>
-          aligned.join(mk, keyCols.toSeq, "left_semi")
-            .withColumn("_change_type", lit("update_postimage")))
-        val ins = matchedKeys.fold(aligned)(mk =>
-          aligned.join(mk, keyCols.toSeq, "left_anti"))
-          .withColumn("_change_type", lit("insert"))
-        Some((pre.toSeq ++ post.toSeq :+ ins).reduce(_ unionByName _))
-      }
-    cowCommit(spark, dir, snap, candidates, out, "merge", opId,
-      beforeSwap, bloomCols, bloomFpp, changes)
-    } finally if (cdc) candDf.foreach(_.unpersist(false))
-  }
 
   /** One clause of a GENERAL `MERGE` ([[mergeGeneral]]). `kind` is
     * `update`, `delete` or `insert`; `condSql` the clause's `AND`
@@ -2723,613 +1596,6 @@ object ManifestTable {
   final case class MergeClause(kind: String, condSql: Option[String],
                                set: Seq[(String, String)])
 
-  /** GENERAL MERGE — the full SQL `MERGE INTO` clause algebra:
-    *
-    *   - `matched` clauses (update with PARTIAL column SETs over both
-    *     rows, or delete), each optionally conditional; first matching
-    *     clause wins per target row (SQL clause-order semantics);
-    *   - `notMatched` insert clauses (conditional, explicit column
-    *     lists — unassigned columns null-fill);
-    *   - `notMatchedBySource` update/delete clauses (target-scope only).
-    *
-    * Scale contract: without NOT-MATCHED-BY-SOURCE clauses the rewrite
-    * scope is the SOURCE-KEY-PRUNED candidate files — same
-    * [[sourceKeyCandidates]] proof as [[merge]], an upsert batch touches
-    * O(matched files) never O(table). NMBS clauses quantify over every
-    * target row ("rows the source does NOT name"), which no per-file
-    * key stat can bound, so their presence widens the scope to the full
-    * file list — inherent to the semantics (Delta pays the same full
-    * scan), and the reason they are a separate argument rather than a
-    * default.
-    *
-    * SQL cardinality rule: a target row matching MORE THAN ONE source
-    * row with matched clauses present is non-deterministic and RAISES
-    * (the standard's cardinality violation) — detected with one
-    * aggregation over the batch-sized source plus, only when duplicate
-    * keys exist at all, one semi-probe of the candidates.
-    *
-    * Same opId idempotence, constraint enforcement (changed rows only),
-    * conflict-abort and optional-CDC contract as [[merge]]; commits as
-    * op `merge`. Returns false when replayed, conflicted, or nothing
-    * could change (the opId is still absorbed by an empty commit).
-    */
-  def mergeGeneral(source: DataFrame, dir: String, keyCols: Seq[String],
-                   matched: Seq[MergeClause], notMatched: Seq[MergeClause],
-                   notMatchedBySource: Seq[MergeClause], opId: String,
-                   beforeSwap: () => Unit = () => (),
-                   bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
-                   maxProbeKeys: Int = 1024, cdc: Boolean = false): Boolean = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
-    require(keyCols.nonEmpty, "mergeGeneral needs at least one key column")
-    require(matched.forall(c => c.kind == "update" || c.kind == "delete"),
-      "matched clauses must be update or delete")
-    require(notMatched.forall(_.kind == "insert"),
-      "not-matched clauses must be insert")
-    require(notMatchedBySource.forall(c =>
-      c.kind == "update" || c.kind == "delete"),
-      "not-matched-by-source clauses must be update or delete")
-    require((matched ++ notMatched ++ notMatchedBySource).nonEmpty,
-      "mergeGeneral needs at least one clause")
-    val spark = source.sparkSession
-    val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
-    val tSchema = tableSchema(snap).getOrElse {
-      require(snap.files.nonEmpty,
-        "mergeGeneral into an empty schema-less table: create the table " +
-          "with a recorded schema first")
-      readFiles(spark, dir, snap, snap.files).schema
-    }
-    def tField(c: String) = tSchema.fields.find(_.name.equalsIgnoreCase(c))
-    keyCols.foreach { k =>
-      require(tField(k).isDefined,
-        s"mergeGeneral key column $k is not a table column")
-      require(source.columns.exists(_.equalsIgnoreCase(k)),
-        s"mergeGeneral key column $k is not a source column")
-    }
-    (matched ++ notMatched ++ notMatchedBySource).foreach(_.set.foreach {
-      case (c, _) => require(tField(c).isDefined,
-        s"MERGE assigns column $c, which is not a table column " +
-          "(merge is not a schema change)")
-    })
-    val tP = "__t_"
-    val sP = "__s_"
-    // the prefixed frames the clause expressions resolve against
-    val srcP = source.select(source.columns.map(c =>
-      col(c).as(sP + c)).toSeq: _*)
-    def srcKeyCast(k: String) = col(sP + k).cast(tField(k).get.dataType)
-    val keyDf = source.select(keyCols.map { k =>
-      val fd = tField(k).get
-      col(k).cast(fd.dataType).as(fd.name)
-    }.toSeq: _*).distinct()
-    // NMBS quantifies over rows the source does NOT name — unboundable
-    // by key stats, so the candidate scope is the whole table
-    val candidates =
-      if (snap.files.isEmpty) Seq.empty[String]
-      else if (notMatchedBySource.nonEmpty) snap.files
-      else sourceKeyCandidates(spark, dir, snap, keyDf, keyCols.map(k =>
-        tField(k).get.name), tSchema, maxProbeKeys)
-    if (candidates.isEmpty && notMatched.isEmpty)
-      return emptyOpCommit(spark, dir, "merge", opId)
-    val tgt =
-      if (candidates.isEmpty) None
-      else Some(readFiles(spark, dir, snap, candidates))
-    // SQL cardinality violation: >1 source row for one matched target row
-    if (matched.nonEmpty) tgt.foreach { t =>
-      val dup = source.groupBy(keyCols.map(col).toSeq: _*)
-        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
-        .select(keyCols.map { k =>
-          val fd = tField(k).get
-          col(k).cast(fd.dataType).as(fd.name)
-        }.toSeq: _*)
-      if (!dup.isEmpty)
-        require(t.join(dup, keyCols.map(k => tField(k).get.name).toSeq,
-          "left_semi").isEmpty,
-          "MERGE cardinality violation: a target row matches more than " +
-            "one source row and matched clauses are present — " +
-            "deduplicate the source on the ON keys first")
-    }
-    // clause-selection column: first matching clause wins, SQL order;
-    // matched clauses number from 0, NMBS from 1000 (disjoint guards)
-    val NmbsBase = 1000
-    def condCol(c: MergeClause): Column =
-      c.condSql.map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
-    def clauseCol(isMatched: Column): Column = {
-      val arms =
-        matched.zipWithIndex.map { case (c, i) =>
-          (isMatched && condCol(c), lit(i)) } ++
-        notMatchedBySource.zipWithIndex.map { case (c, i) =>
-          (!isMatched && condCol(c), lit(NmbsBase + i)) }
-      arms.foldRight(lit(-1): Column) { case ((p, v), acc) =>
-        when(p, v).otherwise(acc) }
-    }
-    def updates: Seq[(Int, Seq[(String, String)])] =
-      matched.zipWithIndex.collect {
-        case (MergeClause("update", _, set), i) => (i, set) } ++
-      notMatchedBySource.zipWithIndex.collect {
-        case (MergeClause("update", _, set), i) => (NmbsBase + i, set) }
-    def deletes: Seq[Int] =
-      matched.zipWithIndex.collect {
-        case (MergeClause("delete", _, _), i) => i } ++
-      notMatchedBySource.zipWithIndex.collect {
-        case (MergeClause("delete", _, _), i) => NmbsBase + i }
-    // the new value of column fd for a row, by which clause fired
-    def valueOf(fd: org.apache.spark.sql.types.StructField): Column =
-      updates.foldRight(col(tP + fd.name)) { case ((ci, set), acc) =>
-        set.find(_._1.equalsIgnoreCase(fd.name)) match {
-          case Some((_, e)) => when(col("__clause") === ci,
-            expr(e).cast(fd.dataType)).otherwise(acc)
-          case None => acc
-        }
-      }
-    // an insert-only merge rewrites NOTHING: candidates serve only the
-    // match anti-join, the commit is a pure append (no removed files, so
-    // it rides the append-only feed like a zero-candidate upsert)
-    val rewriting = matched.nonEmpty || notMatchedBySource.nonEmpty
-    val joined = (if (rewriting) tgt else None).map { t =>
-      val tgtP = t.select(tSchema.fields.map(fd =>
-        col(fd.name).as(tP + fd.name)).toSeq: _*)
-      // matched clauses need the source ROW; marker-only clauses (no
-      // matched clause references __s_*) join a deduplicated key marker
-      // so duplicate unmatched source keys cannot duplicate target rows
-      val right =
-        if (matched.nonEmpty) srcP.withColumn("__s_present", lit(true))
-        else srcP.select(keyCols.map(k =>
-            srcKeyCast(k).as(sP + k)).toSeq: _*)
-          .distinct().withColumn("__s_present", lit(true))
-      val on = keyCols.map(k =>
-        col(tP + k) === srcKeyCast(k)).reduce(_ && _)
-      tgtP.join(right, on, "left_outer")
-        .withColumn("__clause",
-          clauseCol(coalesce(col("__s_present"), lit(false))))
-    }
-    if (cdc) joined.foreach(_.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try {
-      val outTgt = joined.map { j =>
-        val kept = if (deletes.isEmpty) j
-          else j.where(!col("__clause").isin(deletes: _*))
-        kept.select(tSchema.fields.map(fd =>
-          valueOf(fd).as(fd.name)).toSeq: _*)
-      }
-      // insert path: source rows (dups preserved — each inserts
-      // independently) with no candidate match; candidate files provably
-      // hold every possible match, so anti against them is anti against
-      // the table
-      val insOut = if (notMatched.isEmpty) None else {
-        val unmatched = tgt match {
-          case None => srcP
-          case Some(t) =>
-            val tkeys = t.select(keyCols.map(k =>
-              col(tField(k).get.name).as("__k_" + k)).toSeq: _*)
-            srcP.join(tkeys, keyCols.map(k =>
-              srcKeyCast(k) === col("__k_" + k)).reduce(_ && _),
-              "left_anti")
-        }
-        val armed = notMatched.zipWithIndex
-          .foldRight(lit(-1): Column) { case ((c, i), acc) =>
-            when(condCol(c), lit(i)).otherwise(acc) }
-        val firing = unmatched.withColumn("__clause", armed)
-          .where(col("__clause") >= 0)
-        Some(firing.select(tSchema.fields.map { fd =>
-          notMatched.zipWithIndex.foldRight(
-              lit(null).cast(fd.dataType): Column) { case ((c, i), acc) =>
-            c.set.find(_._1.equalsIgnoreCase(fd.name)) match {
-              case Some((_, e)) => when(col("__clause") === i,
-                expr(e).cast(fd.dataType)).otherwise(acc)
-              case None => acc
-            }
-          }.as(fd.name)
-        }.toSeq: _*))
-      }
-      val out = (outTgt.toSeq ++ insOut.toSeq).reduceOption(_ unionByName _)
-      if (out.isEmpty) return emptyOpCommit(spark, dir, "merge", opId)
-      // constraints: changed rows only (pass-through rows already hold)
-      if (snap.constraints.nonEmpty) {
-        val updIdx = updates.map(_._1)
-        val changedTgt = joined.map(j =>
-          (if (updIdx.isEmpty) j.where(lit(false))
-           else j.where(col("__clause").isin(updIdx: _*)))
-            .select(tSchema.fields.map(fd =>
-              valueOf(fd).as(fd.name)).toSeq: _*))
-        (changedTgt.toSeq ++ insOut.toSeq).reduceOption(_ unionByName _)
-          .foreach(enforceConstraints(_, snap.constraints, "mergeGeneral"))
-      }
-      val changes =
-        if (!cdc) None
-        else {
-          val updIdx = updates.map(_._1)
-          def tRow(j: DataFrame) = tSchema.fields.map(fd =>
-            col(tP + fd.name).as(fd.name))
-          val pre = joined.filter(_ => updIdx.nonEmpty).map(j =>
-            j.where(col("__clause").isin(updIdx: _*))
-              .select(tRow(j).toSeq: _*)
-              .withColumn("_change_type", lit("update_preimage")))
-          val post = joined.filter(_ => updIdx.nonEmpty).map(j =>
-            j.where(col("__clause").isin(updIdx: _*))
-              .select(tSchema.fields.map(fd =>
-                valueOf(fd).as(fd.name)).toSeq: _*)
-              .withColumn("_change_type", lit("update_postimage")))
-          val del = joined.filter(_ => deletes.nonEmpty).map(j =>
-            j.where(col("__clause").isin(deletes: _*))
-              .select(tRow(j).toSeq: _*)
-              .withColumn("_change_type", lit("delete")))
-          val ins = insOut.map(_.withColumn("_change_type", lit("insert")))
-          (pre.toSeq ++ post.toSeq ++ del.toSeq ++ ins.toSeq)
-            .reduceOption(_ unionByName _)
-        }
-      cowCommit(spark, dir, snap,
-        if (rewriting) candidates else Nil, out, "merge", opId,
-        beforeSwap, bloomCols, bloomFpp, changes)
-    } finally if (cdc) joined.foreach(_.unpersist(false))
-  }
-
-  // ---------------------------------------------- change feed
-
-  /** The APPEND-ONLY CHANGE FEED: all rows added by `append` commits in
-    * versions `(fromVersion, toVersion]`, each tagged with the
-    * `commit_version` that added it — the incremental-consumption
-    * contract a downstream pipeline needs to process a table's new data
-    * without rescanning it. Commit-kind provenance makes the feed
-    * honest:
-    *
-    *   - `compact` commits contribute NOTHING (their files are pure
-    *     rewrites of rows an earlier version already surfaced);
-    *   - `delete` / `update` / `merge` commits RAISE — their rewrites
-    *     remove or change rows, which an append-only feed cannot
-    *     represent; a consumer that silently skipped them would drift
-    *     from the table (the CDC-file design real formats bolt on for
-    *     this is out of scope, and quietly wrong is worse than loud);
-    *   - manifests written before op tracking RAISE for the same reason.
-    *
-    * Rows are read with `toVersion`'s recorded schema, so the feed is
-    * union-compatible across schema evolution (early appends null-fill
-    * columns added later). Historical data files must still be on disk —
-    * the same [[vacuum]] grace-window contract as time travel.
-    */
-  /** (version, files that version's APPEND commit added) for versions in
-    * `(fromVersion, toVersion]` — the shared walk behind the batch feed
-    * and the streaming source. Compactions contribute nothing; row-level
-    * commits and pre-provenance manifests raise (see [[appendsBetween]]).
-    */
-  /** One version's change summary for the feeds: its op kind, the files
-    * it ADDED and REMOVED, whether it stacked new deletion vectors, and
-    * its CDC sidecar. For a delta-logged version this is the delta file
-    * itself — O(change) bytes, no snapshot resolution at all; a
-    * checkpoint-only version (pre-incremental table) falls back to
-    * diffing consecutive snapshots, exactly the old walk.
-    */
-  private final case class VersionChange(v: Long, op: String,
-                                         adds: Seq[String],
-                                         removedOrDvd: Boolean,
-                                         cdcPath: Option[String]) {
-    /** PROOF the commit's added files hold only NEW rows: nothing was
-      * removed and no deletion vector landed, so every previously
-      * visible row is still visible through its original file — the
-      * adds can only be inserts, whatever the op label says. This is
-      * what lets a pure-insert `merge` (op "merge", zero candidates
-      * touched) ride the append-only feed, and lets a zero-match
-      * delete/update (op recorded for idempotence, no delta at all)
-      * contribute nothing instead of poisoning the feed.
-      */
-    def pureInsert: Boolean = !removedOrDvd
-  }
-
-  private def versionChanges(spark: SparkSession, dir: String,
-                             fromVersion: Long, toVersion: Long)
-  : Seq[VersionChange] = {
-    require(0 <= fromVersion && fromVersion <= toVersion,
-      s"change walk needs 0 <= from <= to, got ($fromVersion, $toVersion)")
-    val log = listLog(spark, dir)
-    ((fromVersion + 1L) to toVersion).map { v =>
-      if (log.delta.contains(v)) {
-        val d = readDelta(spark, dir, v)
-        // dvClear counts as a row-visibility change: a restore whose only
-        // action RESETS surviving files' deletion vectors (cleardv: with
-        // no removes and no new dv: suffix) resurrects rows — a feed that
-        // classified it pureInsert would silently skip the commit and
-        // drift from the table
-        VersionChange(v, d.op, d.adds,
-          d.removes.nonEmpty || d.dvs.nonEmpty || d.dvClear.nonEmpty,
-          d.cdcPath)
-      } else {
-        val cur = resolveAt(spark, dir, v, log)
-        val prev = resolveAt(spark, dir, v - 1L, log)
-        val prevSet = prev.files.toSet
-        val curSet = cur.files.toSet
-        // ANY dv-ref difference — growth, shrinkage, or rewrite — means
-        // visible rows changed (shrinkage is the restore shape the
-        // growth-only check used to miss)
-        val dvChanged = (cur.dvs.keySet ++ prev.dvs.keySet).exists { fn =>
-          cur.dvs.getOrElse(fn, Seq.empty) != prev.dvs.getOrElse(fn, Seq.empty)
-        }
-        VersionChange(v, cur.op, cur.files.filterNot(prevSet),
-          prev.files.exists(!curSet.contains(_)) || dvChanged, cur.cdcPath)
-      }
-    }
-  }
-
-  /** Feed classification is by ACTUAL DELTA CONTENT, not op label:
-    *
-    *   - `compact` / `metadata` commits are known row-preserving
-    *     (rewrites / no data at all) — skipped;
-    *   - a commit that removed nothing and stacked no deletion vector
-    *     provably added only new rows ([[VersionChange.pureInsert]]) —
-    *     surfaced as inserts regardless of label ("append", a
-    *     pure-insert "merge", even a pre-provenance manifest whose
-    *     add-only diff is its own proof);
-    *   - anything that removed files or landed a DV changed visible
-    *     rows — the append feed raises (it cannot represent removal).
-    */
-  private[graft] def appendCommitsBetween(spark: SparkSession, dir: String,
-                                          fromVersion: Long, toVersion: Long)
-  : Seq[(Long, Seq[String])] =
-    versionChanges(spark, dir, fromVersion, toVersion).flatMap { c =>
-      c.op match {
-        case "compact" | "metadata" => None // rewrites: no rows changed
-        case _ if c.pureInsert =>
-          if (c.adds.isEmpty) None else Some((c.v, c.adds))
-        case "" => throw new IllegalStateException(
-          s"append feed: version ${c.v} of $dir removed or DV-marked " +
-            "files and has no op provenance (manifest written before op " +
-            "tracking) — cannot prove its changes are appends")
-        case other => throw new IllegalStateException(
-          s"append feed: version ${c.v} of $dir is a row-level '$other' " +
-            "commit that removed or changed visible rows; an append-only " +
-            "feed cannot represent it")
-      }
-    }
-
-  /** One contributing version's change record for the CDC feeds. */
-  private[graft] sealed trait FeedPart
-  /** The commit provably added only new rows — the files ARE the
-    * changes, all inserts.
-    */
-  private[graft] final case class FeedInserts(files: Seq[String])
-      extends FeedPart
-  /** The commit recorded a CDC sidecar — the authoritative record. */
-  private[graft] final case class FeedSidecar(name: String) extends FeedPart
-  /** A RESTORE commit: its changes are the SNAPSHOT DIFF, synthesized
-    * at read time by [[restoreDiffFrame]] (deletes for rows the rewind
-    * removed, inserts for rows it resurrected).
-    */
-  private[graft] case object FeedRestoreDiff extends FeedPart
-
-  /** The CDC walk over `(fromVersion, toVersion]`: per contributing
-    * version, a [[FeedSidecar]] when the commit recorded one (the
-    * authoritative change record), a [[FeedInserts]] when the commit
-    * provably added only new rows ([[VersionChange.pureInsert]]), or a
-    * [[FeedRestoreDiff]] for a restore commit (VERDICT r13 order #4:
-    * the feed SPANS a rewind instead of raising — consumers survive an
-    * upstream restore). Compactions are skipped; any other commit that
-    * removed or DV-marked rows without a sidecar raises (see
-    * [[changesBetween]]).
-    */
-  private[graft] def changeCommitsBetween(spark: SparkSession, dir: String,
-                                          fromVersion: Long, toVersion: Long)
-  : Seq[(Long, FeedPart)] =
-    versionChanges(spark, dir, fromVersion, toVersion).flatMap { c =>
-      c.op match {
-        case "compact" | "metadata" => None // no rows changed
-        case _ => c.cdcPath match {
-          case Some(name) => Some((c.v, FeedSidecar(name)))
-          case None if c.pureInsert =>
-            if (c.adds.isEmpty) None else Some((c.v, FeedInserts(c.adds)))
-          case None if c.op == "restore" => Some((c.v, FeedRestoreDiff))
-          case None => throw new IllegalStateException(
-            s"change feed: version ${c.v} of $dir is a " +
-              s"'${if (c.op.isEmpty) "unknown" else c.op}' commit that " +
-              "removed or changed visible rows without a CDC sidecar " +
-              "(the op ran with cdc = false) — its changes cannot be " +
-              "reconstructed")
-        }
-      }
-    }
-
-  /** Columns the FEEDS add to every row they surface. A table column of
-    * the same name would be silently overwritten (`withColumn`
-    * replaces), corrupting the feed — the feed entry points raise
-    * instead. Appends themselves stay unrestricted: a table never
-    * consumed as a feed may call its columns whatever it likes.
-    */
-  private[graft] def requireNoReservedFeedCols(
-      sc: org.apache.spark.sql.types.StructType, reserved: Seq[String],
-      what: String): Unit = {
-    val hit = sc.fields.map(_.name)
-      .filter(n => reserved.exists(_.equalsIgnoreCase(n)))
-    require(hit.isEmpty,
-      s"$what reserves column name(s) ${hit.mkString(", ")}, which this " +
-        "table already has — the feed would silently overwrite their " +
-        "values; rename the column(s) or consume the table level instead")
-  }
-
-  def appendsBetween(spark: SparkSession, dir: String,
-                     fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val to = snapshotAt(spark, dir, toVersion)
-    val added = appendCommitsBetween(spark, dir, fromVersion, toVersion)
-    val schema = tableSchema(to)
-    schema.foreach(requireNoReservedFeedCols(_, Seq("commit_version"),
-      "the append feed"))
-    if (added.isEmpty) {
-      val sc = schema.getOrElse {
-        require(to.files.nonEmpty,
-          s"appendsBetween: no appends in range and no schema at $dir")
-        readFiles(spark, dir, to, to.files).schema
-      }
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        sc.add("commit_version", org.apache.spark.sql.types.LongType))
-    } else added.map { case (v, names) =>
-      val base = toLogical(to,
-        schema.fold(spark.read)(sc => spark.read.schema(physSchema(to, sc)))
-          .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*))
-      // legacy tables (no tracked schema) surface their columns from the
-      // footers — the reservation must hold for those too
-      requireNoReservedFeedCols(base.schema, Seq("commit_version"),
-        "the append feed")
-      base.withColumn("commit_version", lit(v))
-    }.reduce(_ unionByName _)
-  }
-
-  /** The FULL CHANGE DATA FEED over versions `(fromVersion, toVersion]`:
-    * every row-level change, typed by `_change_type` and tagged with the
-    * `commit_version` that made it —
-    *
-    *   - `append` commits yield their rows as `insert` (read straight
-    *     from the data files, no sidecar needed — the files ARE the
-    *     changes);
-    *   - `compact` commits yield nothing (pure rewrites);
-    *   - `delete` / `update` / `merge` commits yield their CDC sidecar:
-    *     `delete`, `update_preimage`/`update_postimage`, `insert` — IF
-    *     the op ran with `cdc = true`. A row-level commit WITHOUT a
-    *     sidecar raises: the feed will not silently skip changes it
-    *     cannot see (re-run such ops with CDC on, or consume the table
-    *     level instead);
-    *   - `restore` commits yield their SYNTHESIZED snapshot diff
-    *     ([[restoreDiffFrame]]): `delete` for rows the rewind removed,
-    *     `insert` for rows it resurrected — the feed spans an upstream
-    *     restore instead of stranding its consumers.
-    *
-    * Rows are read with `toVersion`'s schema (union-compatible across
-    * schema evolution). This is what turns the table into a replicable
-    * log: a downstream consumer applying the feed in commit order
-    * reconstructs every intermediate state exactly.
-    */
-  def changesBetween(spark: SparkSession, dir: String,
-                     fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    require(0 <= fromVersion && fromVersion <= toVersion,
-      s"changesBetween needs 0 <= from <= to, got ($fromVersion, $toVersion)")
-    val to = snapshotAt(spark, dir, toVersion)
-    val baseSchema = tableSchema(to).getOrElse {
-      require(to.files.nonEmpty,
-        s"changesBetween: no schema and no files at $dir v$toVersion")
-      readFiles(spark, dir, to, to.files).schema
-    }
-    requireNoReservedFeedCols(baseSchema,
-      Seq("_change_type", "commit_version"), "the change data feed")
-    val cdcSchema = baseSchema.add("_change_type",
-      org.apache.spark.sql.types.StringType)
-    val parts = changeCommitsBetween(spark, dir, fromVersion, toVersion)
-      .map {
-        case (v, FeedInserts(fresh)) =>
-          toLogical(to, spark.read.schema(physSchema(to, baseSchema))
-            .parquet(fresh.map(n => s"${dataDir(dir)}/$n"): _*))
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("commit_version", lit(v))
-        case (v, FeedSidecar(name)) =>
-          // sidecars are written PHYSICAL (like data files), so renames
-          // never invalidate recorded history; surfaced under
-          // `toVersion`'s logical names like every other feed row
-          toLogical(to, spark.read
-            .schema(physSchema(to, baseSchema).add("_change_type",
-              org.apache.spark.sql.types.StringType))
-            .parquet(s"${cdcDir(dir)}/$name"))
-            .withColumn("commit_version", lit(v))
-        case (v, FeedRestoreDiff) =>
-          restoreDiffFrame(spark, dir, v, baseSchema, to)
-            .withColumn("commit_version", lit(v))
-      }
-    if (parts.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        cdcSchema.add("commit_version", org.apache.spark.sql.types.LongType))
-    else parts.reduce(_ unionByName _)
-  }
-
-  /** A RESTORE commit's change record, SYNTHESIZED as the diff between
-    * the snapshots it moved between (a restore writes no sidecar —
-    * nothing ran row-level). O(changed files + changed DV positions),
-    * never O(table):
-    *
-    *   - files the rewind REMOVED contribute their then-visible rows
-    *     (pre-restore DVs applied) as `delete`;
-    *   - files it RESURRECTED contribute their now-visible rows
-    *     (post-restore DVs applied) as `insert`;
-    *   - files surviving with CHANGED deletion vectors contribute only
-    *     the positions that flipped: un-deleted positions as `insert`
-    *     (the DV-only restore shape), newly-deleted ones as `delete`
-    *     (restoring INTO a more-deleted version).
-    *
-    * Data files must still be on disk — the same [[vacuum]]
-    * grace-window contract as time travel.
-    */
-  private[graft] def restoreDiffFrame(spark: SparkSession, dir: String,
-                                      v: Long,
-                                      baseSchema: org.apache.spark.sql.types.StructType,
-                                      mapSnap: Snapshot)
-  : DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, lit, split}
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val cur = snapshotAt(spark, dir, v)
-    val prev = snapshotAt(spark, dir, v - 1L)
-    val curSet = cur.files.toSet
-    val prevSet = prev.files.toSet
-    val fm = "_graft_meta_file"
-    val pm = "_graft_meta_pos"
-
-    def withPos(names: Seq[String]): DataFrame =
-      // mapSnap is the snapshot `baseSchema`'s logical names came from
-      // (the feed's end version / the stream's start) — physical names
-      // are stable, so it maps every era's files correctly
-      toLogical(mapSnap, spark.read.schema(physSchema(mapSnap, baseSchema))
-        .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
-        .withColumn(fm, element_at(split(col("_metadata.file_path"), "/"), -1))
-        .withColumn(pm, col("_metadata.row_index")))
-
-    // the (file, position) pairs snapshot `s` marks deleted in `names`
-    def delPos(s: Snapshot, names: Seq[String]): DataFrame = {
-      val refs = names.flatMap(n => s.dvs.getOrElse(n, Seq.empty))
-        .map(_.name).distinct
-      if (refs.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField(DvFileCol, StringType),
-          StructField(DvPosCol, LongType))))
-      else spark.read.parquet(refs.map(n => s"${dvDir(dir)}/$n"): _*)
-        .select(col(DvFileCol), col(DvPosCol))
-        .where(col(DvFileCol).isin(names: _*))
-    }
-
-    def visible(s: Snapshot, names: Seq[String]): DataFrame = {
-      val base = withPos(names)
-      val dels = delPos(s, names)
-      base.join(dels,
-        base(fm) === dels(DvFileCol) && base(pm) === dels(DvPosCol),
-        "left_anti").drop(fm, pm)
-    }
-
-    val baseCols = baseSchema.fieldNames.toSeq.map(col)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val removed = prev.files.filterNot(curSet)
-    if (removed.nonEmpty)
-      buf += visible(prev, removed).select(baseCols: _*)
-        .withColumn("_change_type", lit("delete"))
-    val added = cur.files.filterNot(prevSet)
-    if (added.nonEmpty)
-      buf += visible(cur, added).select(baseCols: _*)
-        .withColumn("_change_type", lit("insert"))
-    val dvChanged = prev.files.filter(n => curSet.contains(n) &&
-      prev.dvs.getOrElse(n, Seq.empty) != cur.dvs.getOrElse(n, Seq.empty))
-    if (dvChanged.nonEmpty) {
-      val base = withPos(dvChanged)
-      val before = delPos(prev, dvChanged)
-      val after = delPos(cur, dvChanged)
-      val resurrected = before.except(after) // deleted then, visible now
-      val redeleted = after.except(before)   // visible then, deleted now
-      buf += base.join(resurrected,
-        base(fm) === resurrected(DvFileCol) &&
-          base(pm) === resurrected(DvPosCol), "left_semi")
-        .select(baseCols: _*).withColumn("_change_type", lit("insert"))
-      buf += base.join(redeleted,
-        base(fm) === redeleted(DvFileCol) &&
-          base(pm) === redeleted(DvPosCol), "left_semi")
-        .select(baseCols: _*).withColumn("_change_type", lit("delete"))
-    }
-    if (buf.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      baseSchema.add("_change_type", org.apache.spark.sql.types.StringType))
-    else buf.reduce(_ unionByName _)
-  }
 
   // ---------------------------------------------- data skipping
 
@@ -3526,7 +1792,7 @@ object ManifestTable {
     * required equality conjuncts. Both are one-sided: a file is dropped
     * only on proof no row can match.
     */
-  private def keptFiles(spark: SparkSession, dir: String, s: Snapshot,
+  private[ext] def keptFiles(spark: SparkSession, dir: String, s: Snapshot,
                         predicateSql: String): Seq[String] =
     // SQL strings speak LOGICAL names; the manifest's stats, blooms and
     // partition values are keyed PHYSICAL — translate before probing.
@@ -3595,7 +1861,7 @@ object ManifestTable {
       Option[org.apache.spark.util.sketch.BloomFilter]]()
   private val BloomCacheMax = 4096
 
-  private def readBloom(spark: SparkSession, dir: String, file: String,
+  private[ext] def readBloom(spark: SparkSession, dir: String, file: String,
                         colName: String)
   : Option[org.apache.spark.util.sketch.BloomFilter] = {
     val key = bloomPath(dir, file, colName)
@@ -3649,7 +1915,7 @@ object ManifestTable {
     * union), so table-level NDV is a driver-side fold over the
     * manifest — zero data I/O at question time ([[metaNdv]]).
     */
-  private def buildNdv(spark: SparkSession, dir: String,
+  private[ext] def buildNdv(spark: SparkSession, dir: String,
                        names: Seq[String], cols: Seq[String])
   : Map[String, Map[String, String]] = {
     import org.apache.spark.sql.functions.{col, input_file_name}
@@ -3712,7 +1978,7 @@ object ManifestTable {
     }.toMap
   }
 
-  private def buildBlooms(spark: SparkSession, dir: String,
+  private[ext] def buildBlooms(spark: SparkSession, dir: String,
                           names: Seq[String], cols: Seq[String],
                           stats: Map[String, FileStats],
                           fpp: Double): Unit = {
@@ -3773,7 +2039,7 @@ object ManifestTable {
     * degenerate (min == max) columns bucket to 0. ~`8 * nCols * 3`
     * integer ops per row, all inside whole-stage codegen.
     */
-  private def zvalue(df: DataFrame,
+  private[ext] def zvalue(df: DataFrame,
                      cols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val bits = 8
@@ -3808,7 +2074,7 @@ object ManifestTable {
     * data just written. A file whose footer cannot be read yields no
     * stats (it stays readable and unpruned).
     */
-  private def footerStats(spark: SparkSession, dir: String,
+  private[ext] def footerStats(spark: SparkSession, dir: String,
                           names: Seq[String]): Map[String, FileStats] = {
     val conf = spark.sparkContext.hadoopConfiguration
     names.flatMap { n =>
@@ -3946,7 +2212,7 @@ object ManifestTable {
     * byte-identical content) or an I/O failure here costs only replay
     * speed, never correctness.
     */
-  private def writeCheckpoint(spark: SparkSession, dir: String,
+  private[ext] def writeCheckpoint(spark: SparkSession, dir: String,
                               s: Snapshot): Unit =
     try {
       val lines =
@@ -4041,7 +2307,7 @@ object ManifestTable {
     * Returns true if this call committed.
     */
   @tailrec
-  private def commit(spark: SparkSession, dir: String)
+  private[ext] def commit(spark: SparkSession, dir: String)
                     (update: Snapshot => Option[Snapshot])
   : Boolean = {
     val f = fs(spark, dir)
