@@ -174,9 +174,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *   - `DROP COLUMN`: logical column gone, physical name retired so
     *     its bytes can never resurface under a later ADD.
     *
-    * Type changes stay rejected (the same rule the append path
-    * enforces: silent widening binds the wrong parquet decoder at
-    * depth); partition columns cannot be renamed or dropped.
+    *   - `ALTER COLUMN ... TYPE`: WIDENING within a stats family only
+    *     (byte→short→int→long, float→double — see
+    *     [[ManifestTable.widenColumnType]]); anything else is a loud
+    *     error, the same rule the append path enforces.
+    *
+    * Partition columns cannot be renamed or dropped.
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
@@ -204,6 +207,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case del: TableChange.DeleteColumn =>
         ManifestTable.dropColumn(spark, dirOf(ident),
           topLevel("DROP COLUMN", del.fieldNames()))
+      case w: TableChange.UpdateColumnType =>
+        ManifestTable.widenColumnType(spark, dirOf(ident),
+          topLevel("ALTER COLUMN TYPE", w.fieldNames()), w.newDataType())
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on graft-manifest " +

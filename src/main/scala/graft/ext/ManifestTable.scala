@@ -1062,6 +1062,48 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         op = "metadata", cdcPath = None))
     }
 
+  /** ALTER TABLE ... ALTER COLUMN ... TYPE, restricted to WIDENING
+    * within a stats family (byte → short → int → long; float → double)
+    * — one metadata commit, zero rewrites. Sound because both the
+    * parquet read path and the manifest's pruning metadata are already
+    * family-canonical: Spark 4's vectorized reader upcasts a narrower
+    * physical column into the wider requested type, and [[Skipping]]
+    * records every integral column's stats, blooms and partition
+    * values under the one `long` family (floats under `double`), so a
+    * predicate on the widened column prunes old files exactly as
+    * before. Anything outside the lattice — narrowing, cross-family,
+    * string/decimal games — stays a loud error: it would bind the
+    * wrong decoder or silently corrupt comparisons at depth.
+    * (Scala `append` stays strict — batches must carry the widened
+    * type; the SQL INSERT path coerces to the table schema itself.)
+    */
+  def widenColumnType(spark: SparkSession, dir: String, name: String,
+                      to: org.apache.spark.sql.types.DataType): Boolean =
+    commit(spark, dir) { old =>
+      import org.apache.spark.sql.types._
+      val cur = tableSchema(old).getOrElse(throw new IllegalStateException(
+        s"ManifestTable at $dir tracks no schema — ALTER has nothing " +
+          "to widen"))
+      val fd = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name does not exist in $dir"))
+      val widens = (fd.dataType, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      require(widens,
+        s"unsupported ALTER COLUMN TYPE on $name: " +
+          s"${fd.dataType.simpleString} -> ${to.simpleString} is not a " +
+          "widening within a stats family (byte -> short -> int -> long, " +
+          "float -> double)")
+      Some(old.copy(schemaJson = Some(StructType(cur.fields.map(f =>
+        if (f eq fd) f.copy(dataType = to) else f)).json),
+        op = "metadata", cdcPath = None))
+    }
+
   /** Constraint expressions that reference `col` — rename/drop must not
     * silently break a recorded CHECK (its SQL string holds the old
     * name); the caller rewrites or drops the constraint first.
@@ -1965,6 +2007,9 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     import org.apache.datasketches.hll.{HllSketch, Union}
     val s = snapshot(spark, dir)
     if (s.ndvCols.isEmpty || s.files.isEmpty) return Map.empty
+    // sketches are keyed PHYSICAL (stable across renames); surface the
+    // current LOGICAL name — the one a user's query speaks
+    val inv = s.colMap.map { case (l, ph) => (ph.toLowerCase, l) }.toMap
     s.ndvCols.flatMap { c0 =>
       val c = c0.toLowerCase
       val sketches = s.files.map(f => s.ndv.get(f).flatMap(_.get(c)))
@@ -1973,7 +2018,7 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         val u = new Union(NdvLgK)
         sketches.flatten.foreach(b64 => u.update(HllSketch.heapify(
           java.util.Base64.getDecoder.decode(b64))))
-        Some(c -> math.round(u.getResult.getEstimate))
+        Some(inv.getOrElse(c, c) -> math.round(u.getResult.getEstimate))
       }
     }.toMap
   }

@@ -1334,6 +1334,52 @@ object ExtQueries {
       "ORDER BY row_id")
   }
 
+  /** ALTER COLUMN TYPE widening, oracle-replayed: an INT column over
+    * banded inserts widens to BIGINT as one metadata commit (REQUIREd
+    * zero file moves), an insert lands values only the wide type can
+    * hold, and a planner probe on the widened column proves the
+    * OLD narrow files' stats still prune (numFiles REQUIRE: the
+    * `n > 2.5e9` band provably lives only in the post-widening files —
+    * the family-canonical stats contract). The final read upcasts the
+    * narrow physical files and hash-matches DuckDB. Re-runnable for
+    * warm bench passes.
+    */
+  def manifestSqlWidenTypeQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlwdn")
+    t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      .createOrReplaceTempView("sqlwdn_src")
+    s.sql("CREATE TABLE graft_fix.sqlwdn (doc_id BIGINT, n INT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlwdn " +
+        "SELECT doc_id, CAST(n_chars AS INT) FROM sqlwdn_src " +
+        s"WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlwdn")
+    s.sql("ALTER TABLE graft_fix.sqlwdn ALTER COLUMN n TYPE BIGINT")
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlwdn")
+    require(after.files == before.files,
+      "ALTER COLUMN TYPE moved data files — widening must be metadata-only")
+    s.sql("INSERT INTO graft_fix.sqlwdn " +
+      "SELECT doc_id, CAST(n_chars + 3000000000 AS BIGINT) FROM sqlwdn_src " +
+      "WHERE doc_id >= 400 AND doc_id < 500")
+    // the wide band lives only in post-widening files; the narrow
+    // files' INT-era stats must prove that and prune
+    val probe = s.sql(
+      "SELECT doc_id, n FROM graft_fix.sqlwdn WHERE n > 2500000000")
+    probe.collect()
+    val read = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    val total = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlwdn").files.size
+    require(read.nonEmpty && read.sum < total,
+      s"wide-band probe read ${read.sum} of $total files — narrow-era " +
+        "stats did not prune the widened predicate")
+    s.sql("SELECT doc_id, n FROM graft_fix.sqlwdn ORDER BY doc_id")
+  }
+
   /** The SQL maintenance face, oracle-replayed: a full operator
     * lifecycle driven by `CALL` stored procedures
     * ([[graft.ext.GraftProcedures]]) — clustered compaction, a CoW
@@ -2798,6 +2844,7 @@ object ExtQueries {
     "manifest_sql_merge_partial" -> (manifestSqlMergePartialQ(_, _)),
     "manifest_sql_merge_cond" -> (manifestSqlMergeCondQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
+    "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_maintenance" -> (manifestSqlMaintenanceQ(_, _)),
     "manifest_sql_meta" -> (manifestSqlMetaQ(_, _)),
     "manifest_table_stream_replay" -> (manifestTableStreamQ(_, _)),
@@ -3694,6 +3741,17 @@ object ExtQueries {
         |  WHERE doc_id < 400
         |    AND NOT (doc_id >= 100 AND doc_id < 300 AND doc_id % 5 = 0)
         |    AND doc_id < 390)
+        |ORDER BY doc_id""".stripMargin,
+
+    // TYPE WIDENING replayed: the INT-era rows upcast, the post-widening
+    // insert carries values only BIGINT can hold
+    "manifest_sql_widen_type" ->
+      """SELECT doc_id, n FROM (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n FROM documents
+        |  WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id, CAST(n_chars + 3000000000 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id >= 400 AND doc_id < 500)
         |ORDER BY doc_id""".stripMargin,
 
     // RENAME COLUMN replayed: the data is untouched (metadata-only

@@ -186,6 +186,57 @@ class ColumnMappingSpec extends SparkSpec {
     assert(kept < total, "partition pruning lost after an unrelated rename")
   }
 
+  test("type widening: metadata-only, old narrow files upcast, stats still prune") {
+    val dir = s"$wh/widen"
+    fsDel(dir)
+    // banded INT appends: the band predicate must prune AFTER widening
+    (0 until 3).foreach(b => ManifestTable.append(
+      (b * 100 until (b + 1) * 100).map(i => (i.toLong, i, i.toFloat))
+        .toDF("id", "n", "x")
+        .selectExpr("id", "CAST(n AS INT) AS n", "x"), dir, s"b$b"))
+    val before = ManifestTable.snapshot(spark, dir)
+    assert(ManifestTable.widenColumnType(spark, dir, "n",
+      org.apache.spark.sql.types.LongType))
+    assert(ManifestTable.widenColumnType(spark, dir, "x",
+      org.apache.spark.sql.types.DoubleType))
+    val after = ManifestTable.snapshot(spark, dir)
+    assert(after.files === before.files, "widening must move no data")
+    val got = ManifestTable.read(spark, dir)
+    assert(got.schema("n").dataType === org.apache.spark.sql.types.LongType)
+    assert(got.schema("x").dataType === org.apache.spark.sql.types.DoubleType)
+    // the narrow physical files upcast: values intact
+    assert(got.agg(sum("n")).as[Long].head() === (0L until 300L).sum)
+    // stats recorded under the narrow type still prune the wide predicate
+    val (kept, total) = ManifestTable.pruneInfo(spark, dir,
+      "n >= 100 AND n < 200")
+    assert(kept < total && kept >= 1,
+      s"widening lost stats pruning: kept $kept of $total")
+    // values only a wide column can hold land and read back
+    ManifestTable.append(Seq((300L, 5000000000L, 1.5))
+      .toDF("id", "n", "x"), dir, "b3")
+    assert(ManifestTable.read(spark, dir).where("n > 4000000000")
+      .count() === 1L)
+    // everything outside the lattice is a loud no
+    def fails(to: org.apache.spark.sql.types.DataType, col: String): Unit = {
+      val e = intercept[Exception](
+        ManifestTable.widenColumnType(spark, dir, col, to))
+      assert(e.getMessage.contains("not a widening"), e.getMessage)
+    }
+    fails(org.apache.spark.sql.types.IntegerType, "n")   // narrowing
+    fails(org.apache.spark.sql.types.StringType, "n")    // cross-family
+    fails(org.apache.spark.sql.types.FloatType, "x")     // narrowing
+    // SQL face drives the same path
+    spark.sql("DROP TABLE IF EXISTS graft_cmap.widensql")
+    fsDel(s"$wh/widensql")
+    spark.sql("CREATE TABLE graft_cmap.widensql (id BIGINT, n INT)")
+    spark.sql("INSERT INTO graft_cmap.widensql SELECT id, CAST(id AS INT) " +
+      "FROM range(10)")
+    spark.sql("ALTER TABLE graft_cmap.widensql ALTER COLUMN n TYPE BIGINT")
+    spark.sql("INSERT INTO graft_cmap.widensql VALUES (99, 6000000000)")
+    assert(spark.sql("SELECT CAST(sum(n) AS BIGINT) FROM graft_cmap.widensql")
+      .as[Long].head() === (0L until 10L).sum + 6000000000L)
+  }
+
   test("restore below a rename restores the old logical names on the same bytes") {
     val dir = s"$wh/restore"
     fsDel(dir)

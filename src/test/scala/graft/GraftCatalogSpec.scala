@@ -209,13 +209,19 @@ class GraftCatalogSpec extends SparkSpec {
       sql("CREATE TABLE graft.t_bucket (id BIGINT) PARTITIONED BY (bucket(4, id))")
     }
     assert(e2.getMessage.contains("identity"))
-    // type changes are a loud no (ADD/RENAME/DROP COLUMN evolve via
-    // the column mapping; silent widening would bind the wrong parquet
-    // decoder — see ColumnMappingSpec for the supported verbs)
+    // NARROWING type changes die in Spark's own analyzer (canUpCast
+    // fails before our catalog is consulted)...
     val e3 = intercept[Exception] {
       sql("ALTER TABLE graft.t_err ALTER COLUMN id TYPE INT")
     }
     assert(e3.getMessage.contains("not supported"))
+    // ...and cross-family changes Spark WOULD up-cast (long -> string)
+    // hit the manifest's own family-widening guard — binding a string
+    // decoder to integer bytes is not a metadata operation
+    val e4 = intercept[Exception] {
+      sql("ALTER TABLE graft.t_err ALTER COLUMN id TYPE STRING")
+    }
+    assert(e4.getMessage.contains("not a widening"))
   }
 
   test("ALTER TABLE ADD COLUMN: metadata-only evolution, old rows null-fill") {
