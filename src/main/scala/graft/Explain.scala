@@ -56,6 +56,7 @@ object Explain {
       "manifest_sql_update", "manifest_sql_merge",
       "manifest_sql_merge_partial", "manifest_sql_merge_cond",
       "manifest_sql_rename_column", "manifest_sql_widen_type",
+      "manifest_sql_replace",
       "manifest_sql_maintenance",
       "manifest_sql_meta", "manifest_table_stream_replay",
       "manifest_sql_tag", "manifest_sql_merge_delete")

@@ -51,7 +51,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * drop stays a manifest-only commit at any scale.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -145,22 +145,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map { t =>
-      org.apache.spark.sql.graft.GraftSqlShims.identityColumn(t).getOrElse(
-        throw new UnsupportedOperationException(
-          s"graft-manifest tables partition by column identity only " +
-            s"(got transform $t); bucketing/clustering is a compaction " +
-            "policy (compact clusterBy/zorder), not a write layout"))
-    }
-    ManifestTable.create(spark, dirOf(ident), schema, partCols)
+    ManifestTable.create(spark, dirOf(ident), schema,
+      identityPartCols(partitions))
     // TBLPROPERTIES travel to the manifest — minus the entries Spark
     // itself injects into every V2 create (provider/location/owner/...)
-    val userProps = properties.asScala.toMap -- Seq(
-      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
-      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
-      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_COMMENT)
-    if (userProps.nonEmpty)
-      ManifestTable.setProperties(spark, dirOf(ident), userProps)
+    val up = userProps(properties)
+    if (up.nonEmpty)
+      ManifestTable.setProperties(spark, dirOf(ident), up)
     loadTable(ident)
   }
 
@@ -222,6 +213,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ManifestTable.unsetProperties(spark, dirOf(ident), unsets)
     loadTable(ident)
   }
+
+  /** Identity partition columns from V2 transforms (bucketing and
+    * friends are a compaction policy here, not a write layout).
+    */
+  private def identityPartCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      org.apache.spark.sql.graft.GraftSqlShims.identityColumn(t).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-manifest tables partition by column identity only " +
+            s"(got transform $t); bucketing/clustering is a compaction " +
+            "policy (compact clusterBy/zorder), not a write layout"))
+    }
+
+  /** TBLPROPERTIES minus the entries Spark injects into every V2
+    * create/replace (provider/location/owner/...).
+    */
+  private def userProps(properties: util.Map[String, String])
+  : Map[String, String] =
+    properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_COMMENT)
+
+  // ------------------------------------------------- atomic REPLACE
+  //
+  // Without this seam Spark lowers [CREATE OR] REPLACE TABLE on a V2
+  // catalog to DROP + CREATE: destructive (the manifest log and its
+  // time travel are erased) and non-atomic (a crash between the two
+  // strands a missing table). The staging seam routes all three verbs
+  // to ManifestTable.replaceTable — ONE commit that swaps definition
+  // and contents together while the history survives: time travel
+  // still answers below the replace, restore can undo it, and the CDC
+  // feed spans it as a synthesized snapshot diff.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new StagedGraftTable(spark, dirOf(ident), ident, schema,
+      identityPartCols(partitions), userProps(properties),
+      mustExist = false, mayExist = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new StagedGraftTable(spark, dirOf(ident), ident, schema,
+      identityPartCols(partitions), userProps(properties),
+      mustExist = true, mayExist = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    new StagedGraftTable(spark, dirOf(ident), ident, schema,
+      identityPartCols(partitions), userProps(properties),
+      mustExist = false, mayExist = true)
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs(dirOf(ident))
@@ -591,6 +640,58 @@ object GraftMetaTable {
   * partition layout — so a SQL-written table is indistinguishable from
   * a Scala-written one.
   */
+/** The in-flight handle behind the catalog's atomic
+  * `[CREATE OR] REPLACE TABLE [AS SELECT]` (see
+  * [[GraftCatalog.stageReplace]]): Spark writes the AS-SELECT batch
+  * into it (V1 bridge — the frame is only REMEMBERED here) and then
+  * calls `commitStagedChanges`, which runs
+  * [[ManifestTable.replaceTable]] — staging the data invisibly and
+  * swapping definition + contents in ONE manifest commit. Nothing is
+  * visible, or even written, before the commit call, so
+  * `abortStagedChanges` has nothing to undo.
+  */
+class StagedGraftTable(spark: SparkSession, dir: String, ident: Identifier,
+                       newSchema: StructType, partCols: Seq[String],
+                       props: Map[String, String],
+                       mustExist: Boolean, mayExist: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  @volatile private var staged: Option[DataFrame] = None
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType = newSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwriteV2 {
+      // an RTAS write arrives as overwrite-by-truncate: accepted and
+      // DISCARDED — a replace's contents are, by definition, exactly
+      // the staged frame; there is nothing narrower to overwrite
+      override def truncate(): WriteBuilder = this
+      override def canOverwrite(predicates: Array[Predicate]): Boolean = true
+      override def overwrite(predicates: Array[Predicate]): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              staged = Some(data)
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    ManifestTable.replaceTable(spark, dir, staged, newSchema, partCols,
+      props, s"sql-replace-${java.util.UUID.randomUUID()}",
+      mustExist = mustExist, mayExist = mayExist)
+
+  override def abortStagedChanges(): Unit = () // nothing written yet
+}
+
 class GraftWriteBuilder(dir: String, ident: String) extends WriteBuilder
     with SupportsOverwriteV2 {
 

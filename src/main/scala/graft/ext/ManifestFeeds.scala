@@ -160,7 +160,11 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
           case Some(name) => Some((c.v, FeedSidecar(name)))
           case None if c.pureInsert =>
             if (c.adds.isEmpty) None else Some((c.v, FeedInserts(c.adds)))
-          case None if c.op == "restore" => Some((c.v, FeedRestoreDiff))
+          // a REPLACE is, to the feed, the same shape as a restore: the
+          // snapshot diff (deletes of the old contents, inserts of the
+          // new) IS its exact change record — synthesized the same way
+          case None if c.op == "restore" || c.op == "replace" =>
+            Some((c.v, FeedRestoreDiff))
           case None => throw new IllegalStateException(
             s"change feed: version ${c.v} of $dir is a " +
               s"'${if (c.op.isEmpty) "unknown" else c.op}' commit that " +

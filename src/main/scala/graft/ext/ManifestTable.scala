@@ -854,8 +854,12 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       },
       consDrop = lines.filter(_.startsWith("dropconstraint:"))
         .map(l => dec(l.stripPrefix("dropconstraint:"))).toSet,
+      // filter("" ) makes the EMPTY list round-trip: partColsLine(Nil)
+      // serializes as a bare "partcols:" (REPLACE TABLE un-partitions),
+      // and "" is never a real column name
       partitionCols = lines.find(_.startsWith("partcols:"))
-        .map(_.stripPrefix("partcols:").split("\t", -1).toSeq.map(dec)),
+        .map(_.stripPrefix("partcols:").split("\t", -1).toSeq.map(dec)
+          .filter(_.nonEmpty)),
       pvals = lines.filter(_.startsWith("pv:")).map { l =>
         val a = l.stripPrefix("pv:").split("\t", -1)
         (a(0), dec(a(1)),
@@ -864,7 +868,8 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         file -> vs.map(v => v._2 -> v._3).toMap
       },
       ndvCols = lines.find(_.startsWith("ndvcols:"))
-        .map(_.stripPrefix("ndvcols:").split("\t", -1).toSeq.map(dec)),
+        .map(_.stripPrefix("ndvcols:").split("\t", -1).toSeq.map(dec)
+          .filter(_.nonEmpty)),
       ndv = lines.filter(_.startsWith("ndv:")).map { l =>
         val a = l.stripPrefix("ndv:").split("\t", -1)
         (a(0), dec(a(1)), a(2))
@@ -1061,6 +1066,80 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       Some(old.copy(schemaJson = Some(newSchema.json), colMap = newMap,
         op = "metadata", cdcPath = None))
     }
+
+  /** `[CREATE OR] REPLACE TABLE [AS SELECT]` as ONE atomic manifest
+    * commit — the whole definition (schema, partition layout,
+    * properties; constraints and NDV tracking reset with it) and the
+    * whole contents swap together, and the table's HISTORY SURVIVES:
+    * the replace is just the next version, so time travel still answers
+    * below it, [[restore]] can undo it, and the old data files stay on
+    * disk under the same vacuum grace/liveness rules as any rewrite.
+    * (Spark's non-staging fallback is `DROP TABLE` + `CREATE` — a
+    * destructive, non-atomic pair that erases the log; the
+    * [[GraftCatalog]] staging seam routes REPLACE here instead.)
+    *
+    * `data` (the AS SELECT frame, None for a bare definition) stages
+    * invisibly like an append, aligned and cast to the DECLARED schema;
+    * the commit then atomically points the manifest at exactly those
+    * files. A crash before the commit strands orphans, never a
+    * half-replaced table. Column mapping resets to identity over the
+    * new schema (the new files bind their own names; retired physical
+    * names stay retired). Returns false on a replayed `opId`.
+    */
+  def replaceTable(spark: SparkSession, dir: String,
+                   data: Option[DataFrame],
+                   schema: org.apache.spark.sql.types.StructType,
+                   partitionBy: Seq[String],
+                   properties: Map[String, String], opId: String,
+                   mustExist: Boolean = false,
+                   mayExist: Boolean = true): Boolean = {
+    import org.apache.spark.sql.functions.col
+    validatePartitionDecl(schema, partitionBy)
+    val f = fs(spark, dir)
+    val head0 = snapshot(spark, dir)
+    if (head0.batchIds.contains(opId)) return false
+    if (mustExist) require(head0.version > 0L,
+      s"REPLACE TABLE: no table at $dir (use CREATE OR REPLACE)")
+    if (!mayExist) require(head0.version == 0L,
+      s"ManifestTable at $dir already exists (v${head0.version})")
+    val staged = data.map { df =>
+      val aligned = df.select(schema.fields.map(fd =>
+        col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
+      val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
+      stageWrite(aligned, stage, partitionBy)
+      val (moved, sizes, pvals) =
+        moveToData(f, dir, stage, partFamilies(schema, partitionBy))
+      val stats = footerStats(spark, dir, moved)
+      val live = dropEmpty(f, dir, moved, stats)
+      (live, stats, sizes, pvals)
+    }
+    val (live, stats, sizes, pvals) = staged.getOrElse(
+      (Seq.empty[String], Map.empty[String, FileStats],
+        Map.empty[String, Long], Map.empty[String, Map[String, PartValue]]))
+    commit(spark, dir) { old =>
+      if (old.batchIds.contains(opId)) None
+      else Some(old.copy(
+        files = live,
+        stats = stats.view.filterKeys(live.toSet).toMap,
+        sizes = sizes.view.filterKeys(live.toSet).toMap,
+        pvals = pvals.view.filterKeys(live.toSet).toMap,
+        ndv = Map.empty, ndvCols = Nil,
+        dvs = Map.empty,
+        schemaJson = Some(schema.json),
+        partitionCols = partitionBy,
+        constraints = Map.empty,
+        properties = properties,
+        // fresh identity over the new schema; an explicit identity list
+        // when a mapping was active (absent-inherits cannot express
+        // "cleared" — same rule as restore), retired names accumulate
+        colMap =
+          if (old.colMap.isEmpty) Nil
+          else schema.fields.toSeq.map(fd => fd.name -> fd.name),
+        retiredCols = old.retiredCols,
+        batchIds = old.batchIds + opId,
+        op = "replace", cdcPath = None))
+    }
+  }
 
   /** ALTER TABLE ... ALTER COLUMN ... TYPE, restricted to WIDENING
     * within a stats family (byte → short → int → long; float → double)

@@ -113,7 +113,10 @@ class GraftReadOptions(session: SparkSession)
           .getOrElse(throw new IllegalArgumentException(
             s"reader options on ${t.name()} need readChangeFeed, " +
               "versionAsOf/timestampAsOf or sinceVersion/sinceTimestamp"))
-        ManifestTable.appendsBetween(session, dir, from, head)
+        // endingVersion bounds the append feed like it bounds the CDC
+        // feed — incremental backfill in fixed version windows
+        ManifestTable.appendsBetween(session, dir, from,
+          opts.get("endingversion").map(_.toLong).getOrElse(head))
       }
     df.queryExecution.analyzed
   }

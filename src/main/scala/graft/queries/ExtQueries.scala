@@ -1380,6 +1380,40 @@ object ExtQueries {
     s.sql("SELECT doc_id, n FROM graft_fix.sqlwdn ORDER BY doc_id")
   }
 
+  /** ATOMIC `CREATE OR REPLACE TABLE AS SELECT`, oracle-replayed: the
+    * staging seam ([[graft.ext.GraftCatalog.stageCreateOrReplace]] →
+    * [[graft.ext.ManifestTable.replaceTable]]) swaps definition and
+    * contents in ONE commit with the log intact. The REQUIREs pin the
+    * atomicity evidence — exactly one version advanced, op `replace`,
+    * and the PRE-replace contents still time-travel (Spark's default
+    * DROP+CREATE fallback erases them) — then the post-replace rows,
+    * re-derived from `documents`, hash-match DuckDB. Re-runnable for
+    * warm bench passes.
+    */
+  def manifestSqlReplaceQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlrpl")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlrpl_src")
+    s.sql("CREATE TABLE graft_fix.sqlrpl (doc_id BIGINT, lang STRING)")
+    s.sql("INSERT INTO graft_fix.sqlrpl " +
+      "SELECT doc_id, lang FROM sqlrpl_src WHERE doc_id < 100")
+    val vBefore = graft.ext.ManifestTable.headVersion(s, s"$wh/sqlrpl")
+    s.sql("""CREATE OR REPLACE TABLE graft_fix.sqlrpl AS
+            |SELECT doc_id, lang, CAST(n_chars * 2 AS BIGINT) AS n2
+            |FROM sqlrpl_src WHERE doc_id >= 50 AND doc_id < 350""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlrpl")
+    require(after.version == vBefore + 1 && after.op == "replace",
+      s"REPLACE landed as ${after.op}@v${after.version} (from v$vBefore) " +
+        "— not one atomic commit")
+    require(graft.ext.ManifestTable.readVersion(s, s"$wh/sqlrpl", vBefore)
+      .count() == 100L,
+      "the pre-replace contents no longer time-travel — the log was erased")
+    s.sql("SELECT doc_id, lang, n2 FROM graft_fix.sqlrpl ORDER BY doc_id")
+  }
+
   /** The SQL maintenance face, oracle-replayed: a full operator
     * lifecycle driven by `CALL` stored procedures
     * ([[graft.ext.GraftProcedures]]) — clustered compaction, a CoW
@@ -2845,6 +2879,7 @@ object ExtQueries {
     "manifest_sql_merge_cond" -> (manifestSqlMergeCondQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
+    "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
     "manifest_sql_maintenance" -> (manifestSqlMaintenanceQ(_, _)),
     "manifest_sql_meta" -> (manifestSqlMetaQ(_, _)),
     "manifest_table_stream_replay" -> (manifestTableStreamQ(_, _)),
@@ -3741,6 +3776,12 @@ object ExtQueries {
         |  WHERE doc_id < 400
         |    AND NOT (doc_id >= 100 AND doc_id < 300 AND doc_id % 5 = 0)
         |    AND doc_id < 390)
+        |ORDER BY doc_id""".stripMargin,
+
+    // ATOMIC REPLACE replayed: the table IS the AS-SELECT frame
+    "manifest_sql_replace" ->
+      """SELECT doc_id, lang, CAST(n_chars * 2 AS BIGINT) AS n2
+        |FROM documents WHERE doc_id >= 50 AND doc_id < 350
         |ORDER BY doc_id""".stripMargin,
 
     // TYPE WIDENING replayed: the INT-era rows upcast, the post-widening

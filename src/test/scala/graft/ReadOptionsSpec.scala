@@ -64,6 +64,10 @@ class ReadOptionsSpec extends SparkSpec {
     assert(sinceFeed.columns.toSeq === Seq("id", "s", "commit_version"))
     assert(sinceFeed.select("id").as[Long].collect().toSeq.sorted
       === (5L until 9L))
+    // endingVersion bounds the append feed (fixed-window backfill)
+    assert(spark.read.option("sinceVersion", "0")
+      .option("endingVersion", "1").table("graft_ropt.tt")
+      .select("id").as[Long].collect().toSeq.sorted === (0L until 5L))
   }
 
   test("writeStream.toTable through the catalog name hits the manifest sink") {
