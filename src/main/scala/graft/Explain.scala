@@ -55,6 +55,7 @@ object Explain {
       "manifest_partition_evolution", "vector_store_retrain",
       "manifest_sql_update", "manifest_sql_merge",
       "manifest_sql_merge_partial", "manifest_sql_merge_cond",
+      "manifest_sql_merge_on_expr",
       "manifest_sql_rename_column", "manifest_sql_widen_type",
       "manifest_sql_replace",
       "manifest_sql_maintenance",
@@ -269,6 +270,17 @@ object Explain {
           "upsert-shaped MERGE INTO lowered (GraftDmlRule) to merge's " +
           "source-key-pruned commit; the builder REQUIREd a strict " +
           "subset of files rewrote (O(matched files), never O(table))"
+      }),
+      "manifest_sql_merge_on_expr" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlmox")
+        s"rich-ON MERGE target: v${snap.version}, op=${snap.op} — " +
+          "ON t.doc_id = s.src_id AND s.sn > t.n_chars lowered " +
+          "(GraftDmlRule) to mergeGeneral with the differently-named " +
+          "key as the pruning pair and the non-equi conjunct as match " +
+          "residue; the builder REQUIREd a strict subset of files " +
+          "rewrote (key equalities alone drive pruning, the residue " +
+          "only narrows the match)"
       }),
       "manifest_sql_maintenance" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

@@ -792,7 +792,22 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     * row with matched clauses present is non-deterministic and RAISES
     * (the standard's cardinality violation) — detected with one
     * aggregation over the batch-sized source plus, only when duplicate
-    * keys exist at all, one semi-probe of the candidates.
+    * keys exist at all, one semi-probe of the candidates. DELIBERATELY
+    * STRICTER than Delta: the raise fires even when clause CONDITIONS
+    * would disambiguate (at most one clause applying per row) — a merge
+    * whose correctness depends on condition-level disambiguation of a
+    * multiply-matching source is a rewrite-order bug waiting to happen;
+    * deduplicate the source on the ON keys instead.
+    *
+    * ON-condition generality: `sourceKeyCols` names the i-th SOURCE
+    * column providing the i-th target key (the `ON t.id = s.src_id`
+    * shape; defaults to same names), and `residueSql` carries the
+    * non-equi ON conjuncts (`AND s.ts > t.ts` — the SCD idiom) in the
+    * `__t_`/`__s_` prefixed namespace. MATCHED means keys equal AND
+    * residue true; NOT MATCHED (either direction) quantifies over the
+    * FULL ON condition. The key equalities alone drive file pruning —
+    * a residue only narrows the match, so the key-candidate superset
+    * proof is unchanged.
     *
     * Same opId idempotence, constraint enforcement (changed rows only),
     * conflict-abort and optional-CDC contract as [[merge]]; commits as
@@ -804,9 +819,13 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
                    notMatchedBySource: Seq[MergeClause], opId: String,
                    beforeSwap: () => Unit = () => (),
                    bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
-                   maxProbeKeys: Int = 1024, cdc: Boolean = false): Boolean = {
+                   maxProbeKeys: Int = 1024, cdc: Boolean = false,
+                   sourceKeyCols: Seq[String] = Nil,
+                   residueSql: Option[String] = None): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
     require(keyCols.nonEmpty, "mergeGeneral needs at least one key column")
+    require(sourceKeyCols.isEmpty || sourceKeyCols.size == keyCols.size,
+      "sourceKeyCols must pair 1:1 with keyCols")
     require(matched.forall(c => c.kind == "update" || c.kind == "delete"),
       "matched clauses must be update or delete")
     require(notMatched.forall(_.kind == "insert"),
@@ -826,11 +845,15 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       readFiles(spark, dir, snap, snap.files).schema
     }
     def tField(c: String) = tSchema.fields.find(_.name.equalsIgnoreCase(c))
-    keyCols.foreach { k =>
+    // the i-th SOURCE column providing the i-th target key (the `ON
+    // t.id = s.src_id` shape) — defaults to the same names
+    val sKeys = if (sourceKeyCols.nonEmpty) sourceKeyCols else keyCols
+    def sKeyOf(k: String): String = sKeys(keyCols.indexOf(k))
+    keyCols.zip(sKeys).foreach { case (k, sk) =>
       require(tField(k).isDefined,
         s"mergeGeneral key column $k is not a table column")
-      require(source.columns.exists(_.equalsIgnoreCase(k)),
-        s"mergeGeneral key column $k is not a source column")
+      require(source.columns.exists(_.equalsIgnoreCase(sk)),
+        s"mergeGeneral source key column $sk is not a source column")
     }
     (matched ++ notMatched ++ notMatchedBySource).foreach(_.set.foreach {
       case (c, _) => require(tField(c).isDefined,
@@ -839,13 +862,15 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     })
     val tP = "__t_"
     val sP = "__s_"
+    val Marker = "__graft_present"
     // the prefixed frames the clause expressions resolve against
     val srcP = source.select(source.columns.map(c =>
       col(c).as(sP + c)).toSeq: _*)
-    def srcKeyCast(k: String) = col(sP + k).cast(tField(k).get.dataType)
+    def srcKeyCast(k: String) =
+      col(sP + sKeyOf(k)).cast(tField(k).get.dataType)
     val keyDf = source.select(keyCols.map { k =>
       val fd = tField(k).get
-      col(k).cast(fd.dataType).as(fd.name)
+      col(sKeyOf(k)).cast(fd.dataType).as(fd.name)
     }.toSeq: _*).distinct()
     // NMBS quantifies over rows the source does NOT name — unboundable
     // by key stats, so the candidate scope is the whole table
@@ -859,20 +884,27 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     val tgt =
       if (candidates.isEmpty) None
       else Some(readFiles(spark, dir, snap, candidates))
-    // SQL cardinality violation: >1 source row for one matched target row
+    // SQL cardinality violation: >1 source row for one matched target
+    // row. The probe is KEY-based even under a residue — a source with
+    // duplicate ON keys touching any candidate row raises regardless of
+    // whether the residue would disambiguate (the documented
+    // stricter-than-Delta contract; it also guarantees the left_outer
+    // join below can never fan a target row out)
     if (matched.nonEmpty) tgt.foreach { t =>
-      val dup = source.groupBy(keyCols.map(col).toSeq: _*)
+      val dup = source.groupBy(sKeys.map(col).toSeq: _*)
         .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
         .select(keyCols.map { k =>
           val fd = tField(k).get
-          col(k).cast(fd.dataType).as(fd.name)
+          col(sKeyOf(k)).cast(fd.dataType).as(fd.name)
         }.toSeq: _*)
       if (!dup.isEmpty)
         require(t.join(dup, keyCols.map(k => tField(k).get.name).toSeq,
           "left_semi").isEmpty,
           "MERGE cardinality violation: a target row matches more than " +
             "one source row and matched clauses are present — " +
-            "deduplicate the source on the ON keys first")
+            "deduplicate the source on the ON keys first (this raise is " +
+            "deliberately stricter than Delta's: it fires even when " +
+            "clause conditions would disambiguate)")
     }
     // clause-selection column: first matching clause wins, SQL order;
     // matched clauses number from 0, NMBS from 1000 (disjoint guards)
@@ -911,22 +943,45 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     // match anti-join, the commit is a pure append (no removed files, so
     // it rides the append-only feed like a zero-candidate upsert)
     val rewriting = matched.nonEmpty || notMatchedBySource.nonEmpty
+    def prefixT(df: DataFrame): DataFrame = df.select(tSchema.fields.map(
+      fd => col(fd.name).as(tP + fd.name)).toSeq: _*)
+    val keysEq = keyCols.map(k =>
+      col(tP + k) === srcKeyCast(k)).reduce(_ && _)
+    // MATCHED means the FULL ON condition: key equalities (the pruning
+    // proof) AND the residue conjuncts (`AND s.ts > t.ts` — the SCD
+    // idiom); a key-equal row failing the residue is NOT MATCHED on
+    // both sides
+    val fullOn = residueSql.map(r => keysEq && expr(r)).getOrElse(keysEq)
     val joined = (if (rewriting) tgt else None).map { t =>
-      val tgtP = t.select(tSchema.fields.map(fd =>
-        col(fd.name).as(tP + fd.name)).toSeq: _*)
+      val tgtP = prefixT(t)
       // matched clauses need the source ROW; marker-only clauses (no
       // matched clause references __s_*) join a deduplicated key marker
-      // so duplicate unmatched source keys cannot duplicate target rows
-      val right =
-        if (matched.nonEmpty) srcP.withColumn("__s_present", lit(true))
-        else srcP.select(keyCols.map(k =>
-            srcKeyCast(k).as(sP + k)).toSeq: _*)
-          .distinct().withColumn("__s_present", lit(true))
-      val on = keyCols.map(k =>
-        col(tP + k) === srcKeyCast(k)).reduce(_ && _)
-      tgtP.join(right, on, "left_outer")
-        .withColumn("__clause",
-          clauseCol(coalesce(col("__s_present"), lit(false))))
+      // so duplicate unmatched source keys cannot duplicate target rows.
+      // The match marker lives OUTSIDE the __t_/__s_ prefix namespaces —
+      // a source column named `present` prefixes to __s_present and can
+      // never shadow it
+      if (matched.nonEmpty)
+        tgtP.join(srcP.withColumn(Marker, lit(true)), fullOn, "left_outer")
+          .withColumn("__clause",
+            clauseCol(coalesce(col(Marker), lit(false))))
+      else if (residueSql.isEmpty)
+        tgtP.join(srcP.select(keyCols.map(k =>
+            srcKeyCast(k).as(sP + sKeyOf(k))).toSeq: _*)
+          .distinct().withColumn(Marker, lit(true)), keysEq, "left_outer")
+          .withColumn("__clause",
+            clauseCol(coalesce(col(Marker), lit(false))))
+      else {
+        // NMBS-only under a residue: the residue references arbitrary
+        // source columns, so the key-marker dedup above cannot apply —
+        // decide existence with a semi/anti pair instead, which never
+        // fans a target row out however many source rows match it
+        // (legal here: no matched clause reads source values)
+        val m = tgtP.join(srcP, fullOn, "left_semi")
+          .withColumn(Marker, lit(true))
+        val u = tgtP.join(srcP, fullOn, "left_anti")
+          .withColumn(Marker, lit(false))
+        m.unionByName(u).withColumn("__clause", clauseCol(col(Marker)))
+      }
     }
     if (cdc) joined.foreach(_.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -938,18 +993,24 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
           valueOf(fd).as(fd.name)).toSeq: _*)
       }
       // insert path: source rows (dups preserved — each inserts
-      // independently) with no candidate match; candidate files provably
-      // hold every possible match, so anti against them is anti against
-      // the table
+      // independently) with no candidate match BY THE FULL ON CONDITION;
+      // candidate files provably hold every possible key match (a
+      // residue only narrows), so anti against them is anti against the
+      // table
       val insOut = if (notMatched.isEmpty) None else {
         val unmatched = tgt match {
           case None => srcP
-          case Some(t) =>
+          case Some(t) if residueSql.isEmpty =>
             val tkeys = t.select(keyCols.map(k =>
               col(tField(k).get.name).as("__k_" + k)).toSeq: _*)
             srcP.join(tkeys, keyCols.map(k =>
               srcKeyCast(k) === col("__k_" + k)).reduce(_ && _),
               "left_anti")
+          case Some(t) =>
+            // the residue reads target columns, so the anti side is the
+            // full prefixed row — Catalyst prunes it back to the
+            // condition's columns
+            srcP.join(prefixT(t), fullOn, "left_anti")
         }
         val armed = notMatched.zipWithIndex
           .foldRight(lit(-1): Column) { case ((c, i), acc) =>

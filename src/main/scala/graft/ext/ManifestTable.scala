@@ -1339,6 +1339,12 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         require(old.partitionCols.map(_.toLowerCase) ==
           snap0.partitionCols.map(_.toLowerCase),
           s"concurrent commit changed the partition layout of $dir")
+        // the staged files bound PHYSICAL names via snap0's mapping; a
+        // concurrent RENAME/DROP COLUMN would land them under stale
+        // (possibly newly-retired) slots — raise like the layout race
+        require(old.colMap == snap0.colMap &&
+          old.retiredCols == snap0.retiredCols,
+          s"concurrent commit changed the column mapping of $dir")
         Some(old.copy(files = old.files ++ live,
           batchIds = old.batchIds + batchId, stats = old.stats ++ stats,
           sizes = old.sizes ++ sizes.filter(kv => live.contains(kv._1)),

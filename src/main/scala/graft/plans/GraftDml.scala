@@ -40,9 +40,13 @@ import graft.ext.{GraftTableV2, ManifestTable}
   *
   * The two specialized shapes stay their own commands because the
   * engine's dedicated row ops plan leaner (no clause-selection
-  * projection); semantics are identical. The ON condition must remain
-  * a conjunction of same-named target/source column equalities — it is
-  * the file-pruning key; extra predicates belong on the clauses.
+  * projection); semantics are identical. The ON condition needs at
+  * least one target/source column equality conjunct (any names —
+  * `ON t.id = s.src_id` works); those equalities are the file-pruning
+  * key, and every other conjunct (`AND s.ts > t.ts`, the SCD idiom)
+  * folds into the executor's full match condition as residue —
+  * MATCHED means keys equal AND residue, NOT MATCHED (either
+  * direction) quantifies over the full ON.
   * `WITH SCHEMA EVOLUTION` is a LOUD UnsupportedOperationException
   * (merge is not a schema change — `ALTER TABLE ... ADD COLUMN`
   * first), as are subqueries in clause expressions.
@@ -102,9 +106,11 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       // fold analyzer-inserted casts of literals (CAST(100 AS BIGINT))
       // back into typed literals — the stats pruner matches bare
       // literals, and an unfolded cast would silently cost the rewrite
-      // its file pruning
-      case f if f.foldable && !f.isInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.Literal] =>
+      // its file pruning. Foldable-yet-Unevaluable expressions
+      // (current_timestamp(), current_date(), ...) only get substituted
+      // in the optimizer's finish-analysis batch, AFTER this resolution
+      // rule — they round-trip as .sql and re-evaluate at execution
+      case f if GraftDmlRule.evaluablyFoldable(f) =>
         org.apache.spark.sql.catalyst.expressions.Literal
           .create(f.eval(InternalRow.empty), f.dataType)
     }.sql
@@ -153,20 +159,40 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
         case _ => None
       }
 
-    val keyCols = splitConjunctivePredicates(m.mergeCondition).map {
-      case EqualTo(l, r) =>
-        (sideName(l, targetOut), sideName(r, sourceOut),
-          sideName(r, targetOut), sideName(l, sourceOut)) match {
-          case (Some(t), Some(s), _, _) if t.equalsIgnoreCase(s) => t
-          case (_, _, Some(t), Some(s)) if t.equalsIgnoreCase(s) => t
-          case _ => unsupported(
-            s"ON conjunct is not a same-named target/source column " +
-              s"equality: ${EqualTo(l, r).sql} (the ON condition is the " +
-              "file-pruning key — put extra predicates on the clauses)")
-        }
-      case other =>
-        unsupported(s"ON conjunct is not an equality: ${other.sql}")
-    }
+    // split the ON condition: target/source column equalities (ANY
+    // names — `ON t.id = s.src_id` works) become the file-pruning keys;
+    // every other conjunct (non-equi `AND s.ts > t.ts`, target-only or
+    // source-only predicates, a second equality on an already-keyed
+    // target column) is RESIDUE that folds into the executor's full
+    // match condition. At least one equality must remain — it is the
+    // pruning proof.
+    val (keyPairs, residue) = splitConjunctivePredicates(m.mergeCondition)
+      .foldLeft((Seq.empty[(String, String)], Seq.empty[Expression])) {
+        case ((pairs, res), conj) =>
+          val pair = conj match {
+            case EqualTo(l, r) =>
+              (sideName(l, targetOut), sideName(r, sourceOut),
+                sideName(r, targetOut), sideName(l, sourceOut)) match {
+                case (Some(t), Some(s), _, _) => Some(t -> s)
+                case (_, _, Some(t), Some(s)) => Some(t -> s)
+                case _ => None
+              }
+            case _ => None
+          }
+          pair match {
+            case Some((t, s))
+                if !pairs.exists(_._1.equalsIgnoreCase(t)) =>
+              (pairs :+ (t -> s), res)
+            case _ => (pairs, res :+ conj)
+          }
+      }
+    if (keyPairs.isEmpty)
+      unsupported("the ON condition has no target/source column " +
+        s"equality conjunct (got: ${m.mergeCondition.sql}) — at least " +
+        "one is required, it is the file-pruning key")
+    val keyCols = keyPairs.map(_._1)
+    val sameNamedKeys = residue.isEmpty &&
+      keyPairs.forall { case (t, s) => t.equalsIgnoreCase(s) }
 
     // is `assignments` the full-row same-named-source-column shape the
     // engine's fast upsert performs? (key columns may ride on ON)
@@ -187,8 +213,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     }
 
     // FAST PATHS — the engine's specialized row ops (full-row upsert;
-    // tombstone apply), bit-identical semantics, leaner plans
-    (m.matchedActions, m.notMatchedActions,
+    // tombstone apply), bit-identical semantics, leaner plans; they
+    // speak same-named keys and no residue, so richer ON shapes take
+    // the general path
+    if (sameNamedKeys) (m.matchedActions, m.notMatchedActions,
       m.notMatchedBySourceActions) match {
       case (Seq(DeleteAction(None)), Seq(), Seq()) =>
         return GraftMergeDeleteCommand(table.dir, m.sourceTable, keyCols)
@@ -214,8 +242,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
           a.withName("__t_" + a.name).withQualifier(Nil)
         case a: AttributeReference if sourceOut.contains(a) =>
           a.withName("__s_" + a.name).withQualifier(Nil)
-        case f if f.foldable && !f.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.Literal] =>
+        case f if GraftDmlRule.evaluablyFoldable(f) =>
           org.apache.spark.sql.catalyst.expressions.Literal
             .create(f.eval(InternalRow.empty), f.dataType)
       }.sql
@@ -264,8 +291,27 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       m.matchedActions.map(clauseOf(_, "WHEN MATCHED")),
       m.notMatchedActions.map(clauseOf(_, "WHEN NOT MATCHED")),
       m.notMatchedBySourceActions.map(
-        clauseOf(_, "WHEN NOT MATCHED BY SOURCE")))
+        clauseOf(_, "WHEN NOT MATCHED BY SOURCE")),
+      sourceKeyCols = keyPairs.map(_._2),
+      residueSql =
+        if (residue.isEmpty) None
+        else Some(residue.map(prefixed).mkString("(", ") AND (", ")")))
   }
+}
+
+object GraftDmlRule {
+  /** Foldable AND safe to constant-fold at RESOLUTION time: an
+    * `Unevaluable` descendant (current_timestamp(), current_date(),
+    * current_user(), ...) is foldable yet only substituted by the
+    * optimizer's finish-analysis batch — eval here would crash with
+    * Spark's internal "Cannot evaluate expression". Those round-trip
+    * as SQL text instead and re-evaluate in the rewrite query.
+    */
+  private[plans] def evaluablyFoldable(f: Expression): Boolean =
+    f.foldable &&
+      !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] &&
+      !f.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Unevaluable])
 }
 
 /** `UPDATE` lowered to [[ManifestTable.updateWhere]] — one atomic
@@ -337,7 +383,9 @@ case class GraftMergeGeneralCommand(dir: String,
                                     keyCols: Seq[String],
                                     matched: Seq[ManifestTable.MergeClause],
                                     notMatched: Seq[ManifestTable.MergeClause],
-                                    notMatchedBySource: Seq[ManifestTable.MergeClause])
+                                    notMatchedBySource: Seq[ManifestTable.MergeClause],
+                                    sourceKeyCols: Seq[String] = Nil,
+                                    residueSql: Option[String] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -346,7 +394,8 @@ case class GraftMergeGeneralCommand(dir: String,
       notMatchedBySource,
       s"sql-merge-general-${java.util.UUID.randomUUID()}",
       cdc = ManifestTable.changeFeedEnabled(
-        ManifestTable.snapshot(spark, dir)))
+        ManifestTable.snapshot(spark, dir)),
+      sourceKeyCols = sourceKeyCols, residueSql = residueSql)
     Seq.empty
   }
 }

@@ -33,8 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * recognized read options into the engine's own plan:
   *
   *   - `readChangeFeed = true` → [[ManifestTable.changesBetween]] over
-  *     `(startingVersion|sinceVersion, endingVersion|head]` — the batch
-  *     face of the CDC feed, `_change_type` + `commit_version` columns;
+  *     `[startingVersion, endingVersion|head]` — the batch face of the
+  *     CDC feed, `_change_type` + `commit_version` columns.
+  *     `startingVersion` is INCLUSIVE (the Delta CDF convention);
+  *     `sinceVersion` spells the same bound EXCLUSIVELY;
   *   - `sinceVersion` / `sinceTimestamp` alone → the append feed
   *     ([[ManifestTable.appendsBetween]], `commit_version` column).
   *
@@ -99,8 +101,12 @@ class GraftReadOptions(session: SparkSession)
     def head = ManifestTable.headVersion(session, dir)
     val df =
       if (opts.get("readchangefeed").exists(_.equalsIgnoreCase("true"))) {
-        val from = opts.get("startingversion").orElse(opts.get("sinceversion"))
-          .map(_.toLong)
+        // `startingVersion` is INCLUSIVE (the Delta CDF convention a
+        // porting consumer expects); `sinceVersion` is the exclusive
+        // spelling. changesBetween covers (from, to], so the inclusive
+        // option shifts its lower bound by one.
+        val from = opts.get("startingversion").map(_.toLong - 1)
+          .orElse(opts.get("sinceversion").map(_.toLong))
           .orElse(opts.get("sincetimestamp").map(ts =>
             ManifestTable.versionAt(session, dir, ts.toLong)))
           .getOrElse(0L)

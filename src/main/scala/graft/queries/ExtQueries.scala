@@ -1286,6 +1286,53 @@ object ExtQueries {
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmgc ORDER BY doc_id")
   }
 
+  /** GENERAL SQL MERGE with a rich ON condition, oracle-replayed:
+    * differently-named key equality (`t.doc_id = s.src_id`) plus a
+    * NON-EQUI residue conjunct (`s.sn > t.n_chars` — the SCD guard
+    * idiom). The source's `sn` sits ±100 around the target's value by
+    * `doc_id % 3`, so the residue decides MATCHED per row: thirds
+    * update, the rest stay NOT MATCHED (their insert is filtered by
+    * the clause condition), and the 400-450 band inserts. The REQUIREs
+    * pin that the key equalities ALONE still drive file pruning — a
+    * strict-subset rewrite (the sub-150 band's file must survive) —
+    * and the `merge` provenance. Re-runnable for warm bench passes.
+    */
+  def manifestSqlMergeOnExprQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmox")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlmox_src")
+    s.sql("CREATE TABLE graft_fix.sqlmox " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlmox SELECT doc_id, lang, n_chars " +
+        s"FROM sqlmox_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmox")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-merge")
+    s.sql("""MERGE INTO graft_fix.sqlmox AS t
+            |USING (SELECT doc_id AS src_id, lang AS slang,
+            |         CAST(n_chars + CASE WHEN doc_id % 3 = 0
+            |              THEN 100 ELSE -100 END AS BIGINT) AS sn
+            |       FROM sqlmox_src
+            |       WHERE doc_id >= 150 AND doc_id < 450) AS s
+            |ON t.doc_id = s.src_id AND s.sn > t.n_chars
+            |WHEN MATCHED THEN UPDATE SET n_chars = s.sn
+            |WHEN NOT MATCHED AND s.src_id >= 400
+            |  THEN INSERT (doc_id, lang, n_chars)
+            |       VALUES (s.src_id, s.slang, s.sn)""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmox")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size,
+      s"rich-ON merge rewrote $rewritten of ${before.files.size} files — " +
+        "key-equality pruning did not survive the residue")
+    require(after.op == "merge",
+      s"rich-ON SQL MERGE landed as '${after.op}', not 'merge'")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmox ORDER BY doc_id")
+  }
+
   /** ALTER TABLE RENAME COLUMN via column mapping, oracle-replayed:
     * banded inserts, a RENAME (metadata-only — the REQUIREs pin that
     * ZERO files moved), an insert THROUGH the new name, and a
@@ -2877,6 +2924,7 @@ object ExtQueries {
     "manifest_sql_merge" -> (manifestSqlMergeQ(_, _)),
     "manifest_sql_merge_partial" -> (manifestSqlMergePartialQ(_, _)),
     "manifest_sql_merge_cond" -> (manifestSqlMergeCondQ(_, _)),
+    "manifest_sql_merge_on_expr" -> (manifestSqlMergeOnExprQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -3776,6 +3824,25 @@ object ExtQueries {
         |  WHERE doc_id < 400
         |    AND NOT (doc_id >= 100 AND doc_id < 300 AND doc_id % 5 = 0)
         |    AND doc_id < 390)
+        |ORDER BY doc_id""".stripMargin,
+
+    // GENERAL MERGE with a rich ON replayed: the key equality names
+    // differ (t.doc_id = s.src_id) and the non-equi residue
+    // (s.sn > t.n_chars, i.e. doc_id % 3 = 0) gates MATCHED per row;
+    // residue-false rows stay untouched (their insert is filtered),
+    // the 400-450 band inserts with the signed bump
+    "manifest_sql_merge_on_expr" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN doc_id >= 150 AND doc_id % 3 = 0
+        |              THEN n_chars + 100 ELSE n_chars END AS BIGINT)
+        |      AS n_chars
+        |  FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    CAST(n_chars + CASE WHEN doc_id % 3 = 0 THEN 100 ELSE -100 END
+        |         AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id >= 400 AND doc_id < 450)
         |ORDER BY doc_id""".stripMargin,
 
     // ATOMIC REPLACE replayed: the table IS the AS-SELECT frame

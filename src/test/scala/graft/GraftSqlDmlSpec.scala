@@ -256,6 +256,106 @@ class GraftSqlDmlSpec extends SparkSpec {
       .as[Long].head() === 2L)
   }
 
+  test("MERGE ON t.id = s.src_id: differently-named key equalities, pruned rewrite") {
+    fsDel(s"$wh/g_names")
+    sql("CREATE TABLE graft_dml.g_names (id BIGINT, v STRING, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_names SELECT id, " +
+      "concat('v', id, repeat('-ballast', 16)), id FROM range(2000)")
+    ManifestTable.compact(spark, s"$wh/g_names",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    val before = ManifestTable.snapshot(spark, s"$wh/g_names")
+    require(before.files.size > 3, s"degenerate: ${before.files.size} files")
+    spark.range(1900, 2100).selectExpr("id AS src_id", "id * 2 AS m")
+      .createOrReplaceTempView("g_names_src")
+    sql("""MERGE INTO graft_dml.g_names t USING g_names_src s
+          |ON t.id = s.src_id
+          |WHEN MATCHED THEN UPDATE SET n = s.m
+          |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.src_id, s.m)""".stripMargin)
+    val after = ManifestTable.snapshot(spark, s"$wh/g_names")
+    assert(after.op === "merge")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    assert(rewritten > 0 && rewritten < before.files.size / 2,
+      s"differently-named-key MERGE rewrote $rewritten of " +
+        s"${before.files.size} files — source-key pruning did not hold")
+    assert(sql("SELECT count(*) FROM graft_dml.g_names").as[Long].head()
+      === 2100L)
+    assert(sql("SELECT n FROM graft_dml.g_names WHERE id = 1950")
+      .as[Long].head() === 3900L)
+    assert(sql("SELECT v FROM graft_dml.g_names WHERE id = 2050")
+      .as[String].collect() === Array(null))
+  }
+
+  test("MERGE ON with a non-equi residue: the SCD guard — stale source rows do not match") {
+    fsDel(s"$wh/g_scd")
+    sql("CREATE TABLE graft_dml.g_scd (id BIGINT, ts BIGINT, v STRING)")
+    sql("INSERT INTO graft_dml.g_scd VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')")
+    Seq((1L, 15L, "A"),   // newer: matches, updates
+        (2L, 5L, "OLD"),  // staler: residue false -> NOT MATCHED -> inserts
+        (9L, 99L, "NEW")) // absent key: inserts
+      .toDF("sid", "sts", "sv").createOrReplaceTempView("g_scd_src")
+    sql("""MERGE INTO graft_dml.g_scd t USING g_scd_src s
+          |ON t.id = s.sid AND s.sts > t.ts
+          |WHEN MATCHED THEN UPDATE SET ts = s.sts, v = s.sv
+          |WHEN NOT MATCHED THEN INSERT (id, ts, v) VALUES (s.sid, s.sts, s.sv)""".stripMargin)
+    val got = sql("SELECT id, ts, v FROM graft_dml.g_scd ORDER BY id, ts")
+      .as[(Long, Long, String)].collect().toSeq
+    // NOT MATCHED quantifies over the FULL ON: the stale (2, 5) source
+    // row matches no target pair, so standard SQL INSERTs it (a second
+    // id=2 row) — exactly what Delta does for the same statement
+    assert(got === Seq((1L, 15L, "A"), (2L, 5L, "OLD"), (2L, 20L, "b"),
+      (3L, 30L, "c"), (9L, 99L, "NEW")))
+  }
+
+  test("MERGE NMBS-only with a residue: semi/anti marking never fans a target row out") {
+    fsDel(s"$wh/g_nmbs_res")
+    sql("CREATE TABLE graft_dml.g_nmbs_res (id BIGINT, state STRING)")
+    sql("INSERT INTO graft_dml.g_nmbs_res SELECT id, 'live' FROM range(6)")
+    // id=1 matches TWICE (legal: no matched clause), id=2 only via a
+    // residue-false row (=> not matched by source), id=3 once
+    Seq((1L, true), (1L, true), (2L, false), (3L, true)).toDF("id", "ok")
+      .createOrReplaceTempView("g_nmbs_res_src")
+    sql("""MERGE INTO graft_dml.g_nmbs_res t USING g_nmbs_res_src s
+          |ON t.id = s.id AND s.ok
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = sql("SELECT id FROM graft_dml.g_nmbs_res ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L),
+      s"expected exactly rows 1 and 3 to survive, got $got")
+  }
+
+  test("foldable-yet-Unevaluable SET expressions (current_timestamp) round-trip as SQL") {
+    fsDel(s"$wh/g_now")
+    sql("CREATE TABLE graft_dml.g_now (id BIGINT, seen TIMESTAMP)")
+    sql("INSERT INTO graft_dml.g_now SELECT id, NULL FROM range(4)")
+    // UPDATE path (sqlOf): used to crash with Spark's internal
+    // "Cannot evaluate expression" before execution
+    sql("UPDATE graft_dml.g_now SET seen = current_timestamp() WHERE id < 2")
+    assert(sql("SELECT count(*) FROM graft_dml.g_now WHERE seen IS NOT NULL")
+      .as[Long].head() === 2L)
+    // general-MERGE path (prefixed): same seam, clause SET
+    spark.range(0, 3).selectExpr("id").createOrReplaceTempView("g_now_src")
+    sql("""MERGE INTO graft_dml.g_now t USING g_now_src s ON t.id = s.id
+          |WHEN MATCHED AND t.seen IS NULL THEN UPDATE SET seen = current_timestamp()""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_now WHERE seen IS NULL")
+      .as[Long].head() === 1L) // only id=3 (unmatched) stays NULL
+  }
+
+  test("a source column named 'present' cannot shadow the match marker") {
+    fsDel(s"$wh/g_marker")
+    sql("CREATE TABLE graft_dml.g_marker (id BIGINT, present STRING)")
+    sql("INSERT INTO graft_dml.g_marker VALUES (1, 'old1'), (2, 'old2'), (3, 'old3')")
+    Seq((1L, "s1"), (9L, "s9")).toDF("id", "present")
+      .createOrReplaceTempView("g_marker_src")
+    // the clause SET reads s.present (prefixes to __s_present, which the
+    // old __s_present marker silently replaced -> boolean corruption)
+    sql("""MERGE INTO graft_dml.g_marker t USING g_marker_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET present = s.present
+          |WHEN NOT MATCHED THEN INSERT (id, present) VALUES (s.id, s.present)""".stripMargin)
+    assert(sql("SELECT id, present FROM graft_dml.g_marker ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "s1"), (2L, "old2"), (3L, "old3"), (9L, "s9")))
+  }
+
   test("unsupported DML shapes are a loud no, never an approximation") {
     fsDel(s"$wh/d_err")
     sql("CREATE TABLE graft_dml.d_err (id BIGINT, n BIGINT)")
@@ -277,9 +377,10 @@ class GraftSqlDmlSpec extends SparkSpec {
     rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
               |WHEN MATCHED AND t.id IN (SELECT id FROM d_src) THEN DELETE""".stripMargin,
       "subquer")
-    // non-equality ON conjunct: the ON condition is the pruning key
+    // an ON with NO equality conjunct at all: nothing to prune on
     rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id > s.id
               |WHEN MATCHED THEN UPDATE SET *
-              |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "not an equality")
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "no target/source column equality")
   }
 }

@@ -41,10 +41,20 @@ class ReadOptionsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(counts === Map("insert" -> 10L,
       "update_preimage" -> 3L, "update_postimage" -> 3L))
-    // bounded range: only the update's commit
+    // bounded range: startingVersion is INCLUSIVE (Delta CDF
+    // convention) — 2 selects only the update's commit, 1 spans both
     val v2only = spark.read.option("readChangeFeed", "true")
-      .option("startingVersion", "1").table("graft_ropt.cdf")
+      .option("startingVersion", "2").table("graft_ropt.cdf")
     assert(v2only.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap ===
+      Map("update_preimage" -> 3L, "update_postimage" -> 3L))
+    assert(spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", "1").table("graft_ropt.cdf")
+      .count() === 16L)
+    // sinceVersion stays the EXCLUSIVE spelling of the same bound
+    assert(spark.read.option("readChangeFeed", "true")
+      .option("sinceVersion", "1").table("graft_ropt.cdf")
+      .groupBy("_change_type").count()
       .as[(String, Long)].collect().toMap ===
       Map("update_preimage" -> 3L, "update_postimage" -> 3L))
   }
