@@ -55,7 +55,7 @@ object Explain {
       "manifest_partition_evolution", "vector_store_retrain",
       "manifest_sql_update", "manifest_sql_merge",
       "manifest_sql_merge_partial", "manifest_sql_merge_cond",
-      "manifest_sql_merge_on_expr",
+      "manifest_sql_merge_on_expr", "manifest_sql_merge_evolve",
       "manifest_sql_rename_column", "manifest_sql_widen_type",
       "manifest_sql_replace",
       "manifest_sql_maintenance",
@@ -281,6 +281,17 @@ object Explain {
           "residue; the builder REQUIREd a strict subset of files " +
           "rewrote (key equalities alone drive pruning, the residue " +
           "only narrows the match)"
+      }),
+      "manifest_sql_merge_evolve" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlmev")
+        s"schema-evolved MERGE target: v${snap.version}, op=${snap.op} — " +
+          "MERGE WITH SCHEMA EVOLUTION rode the analyzer's " +
+          "ResolveMergeIntoSchemaEvolution (AUTOMATIC_SCHEMA_EVOLUTION " +
+          "capability): the source-new column committed as a nullable " +
+          "metadata ADD, old files null-fill on read, and the merge " +
+          "lowered against the evolved schema; the builder REQUIREd " +
+          "the evolved projection and a strict-subset rewrite"
       }),
       "manifest_sql_maintenance" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

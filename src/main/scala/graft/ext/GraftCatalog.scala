@@ -404,10 +404,18 @@ class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
       "provider" -> "graft-manifest",
       "version" -> snap.version.toString)).asJava
 
+  // AUTOMATIC_SCHEMA_EVOLUTION lets the analyzer's own
+  // ResolveMergeIntoSchemaEvolution serve `MERGE ... WITH SCHEMA
+  // EVOLUTION`: it computes the source-new columns and calls
+  // alterTable(AddColumn)/alterTable(UpdateColumnType) — the same
+  // metadata commits ALTER TABLE makes (nullable adds, family-widening
+  // only, anything else a loud error) — then re-resolves the merge
+  // against the evolved schema and GraftDmlRule lowers it as usual
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The DV-aware, FileIndex-pruned read plan (what the extension's
     * conversion rule swaps in for this table's relations).

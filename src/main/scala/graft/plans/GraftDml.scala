@@ -47,9 +47,13 @@ import graft.ext.{GraftTableV2, ManifestTable}
   * folds into the executor's full match condition as residue —
   * MATCHED means keys equal AND residue, NOT MATCHED (either
   * direction) quantifies over the full ON.
-  * `WITH SCHEMA EVOLUTION` is a LOUD UnsupportedOperationException
-  * (merge is not a schema change — `ALTER TABLE ... ADD COLUMN`
-  * first), as are subqueries in clause expressions.
+  * `WITH SCHEMA EVOLUTION` is served by the analyzer itself: the
+  * table declares `AUTOMATIC_SCHEMA_EVOLUTION`, so Spark's
+  * `ResolveMergeIntoSchemaEvolution` commits the source-new columns
+  * through `alterTable` (the same nullable-ADD / family-widening
+  * metadata commits `ALTER TABLE` makes) and re-resolves the merge
+  * against the evolved schema before this rule lowers it. Subqueries
+  * in clause expressions stay a loud UnsupportedOperationException.
   *
   * Expressions are re-printed as predicate SQL (qualifiers stripped so
   * they resolve against the table's own frame) because the manifest
@@ -145,9 +149,12 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
         s"graft-manifest MERGE: $what")
-    if (m.schemaEvolutionEnabled || m.withSchemaEvolution)
-      unsupported("WITH SCHEMA EVOLUTION is not supported — MERGE is " +
-        "not a schema change, ALTER TABLE ... ADD COLUMN first")
+    // WITH SCHEMA EVOLUTION never reaches this rule un-served: the
+    // table declares AUTOMATIC_SCHEMA_EVOLUTION, so the analyzer's
+    // ResolveMergeIntoSchemaEvolution has already committed the
+    // source-new columns (alterTable AddColumn, nullable) and
+    // re-resolved the command against the evolved schema — this rule
+    // lowers the aligned merge like any other
     val targetOut = AttributeSet(m.targetTable.output)
     val sourceOut = AttributeSet(m.sourceTable.output)
 

@@ -1333,6 +1333,51 @@ object ExtQueries {
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmox ORDER BY doc_id")
   }
 
+  /** MERGE WITH SCHEMA EVOLUTION, oracle-replayed: the target starts
+    * WITHOUT `n_chars`; the source carries it, so the analyzer's
+    * ResolveMergeIntoSchemaEvolution (the table declares
+    * AUTOMATIC_SCHEMA_EVOLUTION) commits the nullable ADD through the
+    * catalog before the merge lowers — old unmatched rows null-fill,
+    * matched rows update through SET *, the 400-500 band inserts.
+    * DuckDB replays the same ALTER+UPDATE+INSERT as one frame. The
+    * REQUIREs pin the evolved schema, the strict-subset rewrite (the
+    * sub-200 bands survive) and the `merge` provenance. Re-runnable
+    * for warm bench passes.
+    */
+  def manifestSqlMergeEvolveQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmev")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlmev_src")
+    s.sql("CREATE TABLE graft_fix.sqlmev (doc_id BIGINT, lang STRING)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlmev SELECT doc_id, lang " +
+        s"FROM sqlmev_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmev")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-merge")
+    s.sql("""MERGE WITH SCHEMA EVOLUTION
+            |INTO graft_fix.sqlmev AS t
+            |USING (SELECT doc_id, lang, n_chars FROM sqlmev_src
+            |       WHERE doc_id >= 200 AND doc_id < 500) AS s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmev")
+    require(s.table("graft_fix.sqlmev").columns.toSeq ==
+      Seq("doc_id", "lang", "n_chars"),
+      "schema evolution did not add the source-new column")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size,
+      s"evolving merge rewrote $rewritten of ${before.files.size} files — " +
+        "source-key pruning did not survive schema evolution")
+    require(after.op == "merge",
+      s"evolving SQL MERGE landed as '${after.op}', not 'merge'")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmev ORDER BY doc_id")
+  }
+
   /** ALTER TABLE RENAME COLUMN via column mapping, oracle-replayed:
     * banded inserts, a RENAME (metadata-only — the REQUIREs pin that
     * ZERO files moved), an insert THROUGH the new name, and a
@@ -2925,6 +2970,7 @@ object ExtQueries {
     "manifest_sql_merge_partial" -> (manifestSqlMergePartialQ(_, _)),
     "manifest_sql_merge_cond" -> (manifestSqlMergeCondQ(_, _)),
     "manifest_sql_merge_on_expr" -> (manifestSqlMergeOnExprQ(_, _)),
+    "manifest_sql_merge_evolve" -> (manifestSqlMergeEvolveQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -3843,6 +3889,18 @@ object ExtQueries {
         |    CAST(n_chars + CASE WHEN doc_id % 3 = 0 THEN 100 ELSE -100 END
         |         AS BIGINT) AS n_chars
         |  FROM documents WHERE doc_id >= 400 AND doc_id < 450)
+        |ORDER BY doc_id""".stripMargin,
+
+    // MERGE WITH SCHEMA EVOLUTION replayed: the pre-merge rows carry
+    // NULL in the evolved column, the matched band updates through
+    // SET *, the 400-500 band inserts whole
+    "manifest_sql_merge_evolve" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 500)
         |ORDER BY doc_id""".stripMargin,
 
     // ATOMIC REPLACE replayed: the table IS the AS-SELECT frame

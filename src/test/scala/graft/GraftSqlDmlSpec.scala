@@ -356,6 +356,64 @@ class GraftSqlDmlSpec extends SparkSpec {
       Seq((1L, "s1"), (2L, "old2"), (3L, "old3"), (9L, "s9")))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-new columns auto-ADD nullable, old rows null-fill") {
+    fsDel(s"$wh/g_evo")
+    sql("CREATE TABLE graft_dml.g_evo (id BIGINT, v STRING)")
+    sql("INSERT INTO graft_dml.g_evo SELECT id, concat('v', id) FROM range(10)")
+    spark.range(5, 15).selectExpr(
+      "id", "concat('s', id) AS v", "id * 7 AS extra")
+      .createOrReplaceTempView("g_evo_src")
+    // WITHOUT the clause, an extra source column stays the documented
+    // loud rejection (silently dropping an evolving source's column
+    // loses data with no signal)
+    val e = intercept[Exception] {
+      sql("""MERGE INTO graft_dml.g_evo t USING g_evo_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("columns the table lacks")),
+      msgs(e).mkString(" | "))
+    // WITH it, the analyzer's ResolveMergeIntoSchemaEvolution commits
+    // the ADD through the catalog (AUTOMATIC_SCHEMA_EVOLUTION) first
+    sql("""MERGE WITH SCHEMA EVOLUTION
+          |INTO graft_dml.g_evo t USING g_evo_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = sql("SELECT id, v, extra FROM graft_dml.g_evo ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === (0L until 5L).map(i => (i, s"v$i", -1L)) ++
+      (5L until 15L).map(i => (i, s"s$i", i * 7)))
+    // the evolved column is nullable metadata, commit op is merge
+    val snap = ManifestTable.snapshot(spark, s"$wh/g_evo")
+    assert(snap.op === "merge")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION after a RENAME binds a fresh physical slot") {
+    fsDel(s"$wh/g_evo_ren")
+    sql("CREATE TABLE graft_dml.g_evo_ren (id BIGINT, a BIGINT)")
+    sql("INSERT INTO graft_dml.g_evo_ren SELECT id, id * 10 FROM range(6)")
+    // rename keeps the PHYSICAL name 'a' bound to logical 'b'
+    sql("ALTER TABLE graft_dml.g_evo_ren RENAME COLUMN a TO b")
+    // the source resurrects the LOGICAL name 'a' — evolution must bind
+    // a fresh physical slot, never the taken one (b's bytes)
+    spark.range(4, 8).selectExpr("id", "id * 1000 AS a")
+      .createOrReplaceTempView("g_evo_ren_src")
+    sql("""MERGE WITH SCHEMA EVOLUTION
+          |INTO graft_dml.g_evo_ren t USING g_evo_ren_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET a = s.a
+          |WHEN NOT MATCHED THEN INSERT (id, a) VALUES (s.id, s.a)""".stripMargin)
+    val got = sql("SELECT id, b, a FROM graft_dml.g_evo_ren ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === Seq((0L, 0L, -1L), (1L, 10L, -1L), (2L, 20L, -1L),
+      (3L, 30L, -1L), (4L, 40L, 4000L), (5L, 50L, 5000L),
+      (6L, -1L, 6000L), (7L, -1L, 7000L)))
+  }
+
   test("unsupported DML shapes are a loud no, never an approximation") {
     fsDel(s"$wh/d_err")
     sql("CREATE TABLE graft_dml.d_err (id BIGINT, n BIGINT)")
