@@ -56,6 +56,7 @@ object Explain {
       "manifest_sql_update", "manifest_sql_merge",
       "manifest_sql_merge_partial", "manifest_sql_merge_cond",
       "manifest_sql_merge_on_expr", "manifest_sql_merge_evolve",
+      "manifest_sql_delete_in_subquery",
       "manifest_sql_rename_column", "manifest_sql_widen_type",
       "manifest_sql_replace",
       "manifest_sql_maintenance",
@@ -292,6 +293,16 @@ object Explain {
           "metadata ADD, old files null-fill on read, and the merge " +
           "lowered against the evolved schema; the builder REQUIREd " +
           "the evolved projection and a strict-subset rewrite"
+      }),
+      "manifest_sql_delete_in_subquery" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqldsq")
+        s"IN-subquery DELETE target: v${snap.version}, op=${snap.op} — " +
+          "the uncorrelated subquery literalized at command time to a " +
+          "bounded IN-list (GraftDeleteSubqueryCommand), which drove " +
+          "the same stats/bloom candidate pruning a literal IN gets; " +
+          "the builder REQUIREd a strict-subset rewrite; correlated " +
+          "subqueries stay a loud rejection"
       }),
       "manifest_sql_maintenance" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.BooleanType
 
 import graft.ext.{GraftTableV2, ManifestTable}
 
@@ -79,6 +80,17 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       graftTarget(u.table).map(convertUpdate(u, _)).getOrElse(u)
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable).map(convertMerge(m, _)).getOrElse(m)
+    // DELETE whose condition carries a subquery: the SupportsDeleteV2
+    // seam cannot express it (plans don't cross the filter pushdown),
+    // so it lowers to a command that literalizes the UNCORRELATED
+    // subqueries at run time; plain deletes keep the native V2 path
+    case d: DeleteFromTable if d.resolved &&
+        d.condition.exists(_.isInstanceOf[PlanExpression[_]]) =>
+      graftTarget(d.table).map { t =>
+        require(t.pinned.isEmpty,
+          s"cannot DELETE from a time-travel pinned version of ${t.name()}")
+        GraftDeleteSubqueryCommand(t.dir, GraftHeldCond(d.condition)): LogicalPlan
+      }.getOrElse(d)
     case other => other
   }
 
@@ -98,26 +110,16 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
 
   /** Resolved expression → predicate SQL the manifest API can re-parse
     * against the bare table frame: qualifiers dropped (the frame has
-    * none), subqueries rejected (they cannot cross the string seam).
+    * none), subqueries rejected (they cannot cross the string seam —
+    * conditions that carry them lower to the subquery commands, which
+    * literalize first).
     */
   private def sqlOf(e: Expression): String = {
     if (e.exists(_.isInstanceOf[PlanExpression[_]]))
       throw new UnsupportedOperationException(
         "graft-manifest UPDATE/MERGE does not support subqueries in " +
-          s"conditions or SET expressions (got: ${e.sql})")
-    e.transformUp {
-      case a: AttributeReference => a.withQualifier(Nil)
-      // fold analyzer-inserted casts of literals (CAST(100 AS BIGINT))
-      // back into typed literals — the stats pruner matches bare
-      // literals, and an unfolded cast would silently cost the rewrite
-      // its file pruning. Foldable-yet-Unevaluable expressions
-      // (current_timestamp(), current_date(), ...) only get substituted
-      // in the optimizer's finish-analysis batch, AFTER this resolution
-      // rule — they round-trip as .sql and re-evaluate at execution
-      case f if GraftDmlRule.evaluablyFoldable(f) =>
-        org.apache.spark.sql.catalyst.expressions.Literal
-          .create(f.eval(InternalRow.empty), f.dataType)
-    }.sql
+          s"SET expressions or MERGE clauses (got: ${e.sql})")
+    GraftDmlRule.predicateSql(e)
   }
 
   private def convertUpdate(u: UpdateTable,
@@ -138,6 +140,11 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     if (sets.isEmpty)
       throw new UnsupportedOperationException(
         "UPDATE with no effective SET assignment")
+    // a WHERE carrying a subquery lowers to the literalizing command
+    // (SET expressions must stay subquery-free — sqlOf enforces it)
+    if (u.condition.exists(_.exists(_.isInstanceOf[PlanExpression[_]])))
+      return GraftUpdateSubqueryCommand(table.dir,
+        GraftHeldCond(u.condition.get), sets.toMap)
     val cond = u.condition.map(sqlOf).getOrElse("true")
     GraftUpdateCommand(table.dir, cond, sets.toMap)
   }
@@ -319,6 +326,135 @@ object GraftDmlRule {
       !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] &&
       !f.exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.expressions.Unevaluable])
+
+  /** Resolved, subquery-free expression → predicate SQL the manifest
+    * row-level API re-parses against the bare table frame: qualifiers
+    * dropped, analyzer casts of literals folded back so stats pruning
+    * still matches.
+    */
+  private[plans] def predicateSql(e: Expression): String =
+    e.transformUp {
+      case a: AttributeReference => a.withQualifier(Nil)
+      // fold analyzer-inserted casts of literals (CAST(100 AS BIGINT))
+      // back into typed literals — the stats pruner matches bare
+      // literals, and an unfolded cast would silently cost the rewrite
+      // its file pruning
+      case f if evaluablyFoldable(f) =>
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(f.eval(InternalRow.empty), f.dataType)
+    }.sql
+
+  /** Distinct-key ceiling for literalized `IN (subquery)` predicates —
+    * beyond it the IN-list stops being a predicate and starts being a
+    * source frame, which is MERGE's job (`WHEN MATCHED THEN
+    * DELETE/UPDATE` streams the keys through the source-key-pruned
+    * join instead of the driver).
+    */
+  val MaxSubqueryKeys = 10000
+
+  /** Evaluates the UNCORRELATED subqueries inside a DML predicate to
+    * literals — `IN (SELECT ...)` to a bounded literal IN-list (the
+    * file-stats pruner then prunes on it like any IN), `EXISTS (...)`
+    * to a boolean, a scalar subquery to its single value — so the
+    * result can cross the manifest API's SQL-string seam. Runs at
+    * COMMAND time (subqueries execute when the DML executes, never
+    * during analysis). Correlated subqueries stay a loud rejection:
+    * per-row re-evaluation cannot be a predicate pushdown.
+    */
+  private[plans] def literalizeSubqueries(spark: SparkSession,
+                                          e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, In, InSubquery, ListQuery, Literal, ScalarSubquery}
+    def frame(p: LogicalPlan) =
+      org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, p)
+    val out = e.transformUp {
+      case InSubquery(values, lq: ListQuery) if lq.outerAttrs.isEmpty =>
+        if (values.size != 1)
+          throw new UnsupportedOperationException(
+            "graft DML predicates support single-column IN (subquery) " +
+              s"only (got ${values.size} columns)")
+        val rows = frame(lq.plan).distinct()
+          .limit(MaxSubqueryKeys + 1).collect()
+        if (rows.length > MaxSubqueryKeys)
+          throw new UnsupportedOperationException(
+            s"IN (subquery) produced more than $MaxSubqueryKeys distinct " +
+              "keys — route unbounded key sets through MERGE ... WHEN " +
+              "MATCHED THEN DELETE/UPDATE (source-key-pruned, no driver " +
+              "collect)")
+        val dt = lq.plan.output.head.dataType
+        // SQL: x IN (empty set) is FALSE for every x, NULL included
+        if (rows.isEmpty) Literal.create(false, BooleanType)
+        else In(values.head,
+          rows.toSeq.map(r => Literal.create(r.get(0), dt)))
+      case ex: Exists if ex.outerAttrs.isEmpty =>
+        Literal.create(!frame(ex.plan).isEmpty, BooleanType)
+      case sq: ScalarSubquery if sq.outerAttrs.isEmpty =>
+        val rows = frame(sq.plan).limit(2).collect()
+        if (rows.length > 1)
+          throw new IllegalStateException(
+            "scalar subquery in a DML predicate returned more than one row")
+        Literal.create(rows.headOption.map(_.get(0)).orNull, sq.dataType)
+    }
+    out.foreach {
+      case p: PlanExpression[_] =>
+        throw new UnsupportedOperationException(
+          "correlated subqueries are not supported in graft DML " +
+            s"predicates (got: ${p.sql})")
+      case _ => ()
+    }
+    out
+  }
+}
+
+/** Opaque holder keeping a RESOLVED condition out of `TreeNode`'s
+  * expression traversal: CheckAnalysis re-validates subquery placement
+  * against a whitelist of operators (Filter/Join/.../UPDATE/DELETE
+  * commands) that custom commands are not on — the condition was fully
+  * checked while it still sat on the original command, so re-checking
+  * it here would only reject what analysis already accepted.
+  */
+case class GraftHeldCond(@transient e: Expression) {
+  override def toString: String = e.sql
+}
+
+/** `DELETE ... WHERE <condition with subqueries>` — the uncorrelated
+  * subqueries literalize at run time (bounded IN-list / boolean /
+  * scalar), then the predicate takes [[ManifestTable.deleteWhere]]'s
+  * normal stats-pruned, DV-aware path. Plain deletes never come here
+  * (the SupportsDeleteV2 seam serves them).
+  */
+case class GraftDeleteSubqueryCommand(dir: String, cond: GraftHeldCond)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] =
+    cond.e.collect { case p: PlanExpression[_] =>
+      p.plan.asInstanceOf[LogicalPlan] }
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lit = GraftDmlRule.literalizeSubqueries(spark, cond.e)
+    ManifestTable.deleteWhere(spark, dir, GraftDmlRule.predicateSql(lit),
+      s"sql-delete-${java.util.UUID.randomUUID()}",
+      cdc = ManifestTable.changeFeedEnabled(
+        ManifestTable.snapshot(spark, dir)))
+    Seq.empty
+  }
+}
+
+/** `UPDATE ... WHERE <condition with subqueries>` — same literalize-
+  * then-lower contract as [[GraftDeleteSubqueryCommand]], feeding
+  * [[ManifestTable.updateWhere]]. SET expressions stay subquery-free.
+  */
+case class GraftUpdateSubqueryCommand(dir: String, cond: GraftHeldCond,
+                                      set: Map[String, String])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] =
+    cond.e.collect { case p: PlanExpression[_] =>
+      p.plan.asInstanceOf[LogicalPlan] }
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lit = GraftDmlRule.literalizeSubqueries(spark, cond.e)
+    ManifestTable.updateWhere(spark, dir, GraftDmlRule.predicateSql(lit),
+      set, s"sql-update-${java.util.UUID.randomUUID()}",
+      cdc = ManifestTable.changeFeedEnabled(
+        ManifestTable.snapshot(spark, dir)))
+    Seq.empty
+  }
 }
 
 /** `UPDATE` lowered to [[ManifestTable.updateWhere]] — one atomic

@@ -1378,6 +1378,43 @@ object ExtQueries {
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmev ORDER BY doc_id")
   }
 
+  /** DELETE WHERE ... IN (subquery), oracle-replayed: the uncorrelated
+    * subquery literalizes at command time to a bounded IN-list, which
+    * then drives the SAME stats/bloom candidate pruning a literal
+    * IN gets — the REQUIREs pin a strict-subset rewrite (only the
+    * 100-200 band's file holds matching keys) and the `delete`
+    * provenance. Correlated subqueries stay a loud rejection (pinned
+    * in the suite). Re-runnable for warm bench passes.
+    */
+  def manifestSqlDeleteInSubqueryQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqldsq")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqldsq_src")
+    s.sql("CREATE TABLE graft_fix.sqldsq " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqldsq SELECT doc_id, lang, n_chars " +
+        s"FROM sqldsq_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqldsq")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-delete")
+    s.sql("""DELETE FROM graft_fix.sqldsq
+            |WHERE doc_id IN (SELECT doc_id FROM sqldsq_src
+            |                 WHERE doc_id >= 120 AND doc_id < 180
+            |                   AND doc_id % 2 = 0)""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqldsq")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size / 2,
+      s"IN-subquery DELETE rewrote $rewritten of ${before.files.size} " +
+        "files — the literalized IN-list did not prune")
+    require(after.op == "delete",
+      s"IN-subquery DELETE landed as '${after.op}', not 'delete'")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqldsq ORDER BY doc_id")
+  }
+
   /** ALTER TABLE RENAME COLUMN via column mapping, oracle-replayed:
     * banded inserts, a RENAME (metadata-only — the REQUIREs pin that
     * ZERO files moved), an insert THROUGH the new name, and a
@@ -2971,6 +3008,7 @@ object ExtQueries {
     "manifest_sql_merge_cond" -> (manifestSqlMergeCondQ(_, _)),
     "manifest_sql_merge_on_expr" -> (manifestSqlMergeOnExprQ(_, _)),
     "manifest_sql_merge_evolve" -> (manifestSqlMergeEvolveQ(_, _)),
+    "manifest_sql_delete_in_subquery" -> (manifestSqlDeleteInSubqueryQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -3901,6 +3939,13 @@ object ExtQueries {
         |  UNION ALL
         |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |  FROM documents WHERE doc_id >= 200 AND doc_id < 500)
+        |ORDER BY doc_id""".stripMargin,
+
+    // DELETE WHERE IN (subquery) replayed: the even 120-180 band goes
+    "manifest_sql_delete_in_subquery" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400
+        |  AND NOT (doc_id >= 120 AND doc_id < 180 AND doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
 
     // ATOMIC REPLACE replayed: the table IS the AS-SELECT frame

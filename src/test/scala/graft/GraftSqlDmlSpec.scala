@@ -414,6 +414,62 @@ class GraftSqlDmlSpec extends SparkSpec {
       (6L, -1L, 6000L), (7L, -1L, 7000L)))
   }
 
+  test("DELETE/UPDATE WHERE ... IN (subquery): uncorrelated subqueries literalize and prune") {
+    fsDel(s"$wh/g_subq")
+    fsDel(s"$wh/g_subq_keys")
+    sql("CREATE TABLE graft_dml.g_subq (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_subq SELECT id, id FROM range(20)")
+    sql("CREATE TABLE graft_dml.g_subq_keys (k BIGINT)")
+    sql("INSERT INTO graft_dml.g_subq_keys VALUES (3), (5), (7), (null)")
+    // UPDATE through an IN (subquery over another graft table)
+    sql("""UPDATE graft_dml.g_subq SET n = n + 100
+          |WHERE id IN (SELECT k FROM graft_dml.g_subq_keys)""".stripMargin)
+    assert(sql("SELECT id FROM graft_dml.g_subq WHERE n >= 100 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(3L, 5L, 7L))
+    // NOT IN over a list containing NULL selects NOTHING (three-valued
+    // logic must survive the literalization)
+    val head0 = ManifestTable.headVersion(spark, s"$wh/g_subq")
+    sql("""DELETE FROM graft_dml.g_subq
+          |WHERE id NOT IN (SELECT k FROM graft_dml.g_subq_keys)""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_subq").as[Long].head() === 20L,
+      "NOT IN (list with NULL) must select no rows")
+    // DELETE through IN (subquery) — non-null keys go
+    sql("""DELETE FROM graft_dml.g_subq
+          |WHERE id IN (SELECT k FROM graft_dml.g_subq_keys WHERE k > 4)""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_subq").as[Long].head() === 18L)
+    assert(ManifestTable.snapshot(spark, s"$wh/g_subq").op === "delete")
+    // uncorrelated EXISTS / scalar subqueries fold to constants
+    sql("""DELETE FROM graft_dml.g_subq WHERE id < (SELECT min(k) + 1
+          |FROM graft_dml.g_subq_keys) AND EXISTS (SELECT 1 FROM
+          |graft_dml.g_subq_keys WHERE k = 3)""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_subq").as[Long].head()
+      === 14L) // ids 0..3 went (min(k)+1 = 4)
+    // an IN (empty subquery) is FALSE: the delete touches no rows
+    // (deleteWhere still absorbs its opId as an empty commit)
+    val head1 = ManifestTable.headVersion(spark, s"$wh/g_subq")
+    sql("""DELETE FROM graft_dml.g_subq
+          |WHERE id IN (SELECT k FROM graft_dml.g_subq_keys WHERE k > 99)""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_subq").as[Long].head()
+      === 14L, "an empty-subquery DELETE must not remove rows")
+    assert(head1 > head0)
+  }
+
+  test("IN (subquery) beyond the distinct-key ceiling raises with the MERGE remedy") {
+    fsDel(s"$wh/g_subq_big")
+    sql("CREATE TABLE graft_dml.g_subq_big (id BIGINT)")
+    sql("INSERT INTO graft_dml.g_subq_big SELECT id FROM range(5)")
+    spark.range(20001).selectExpr("id AS k")
+      .createOrReplaceTempView("g_subq_big_keys")
+    val e = intercept[Exception] {
+      sql("""DELETE FROM graft_dml.g_subq_big
+            |WHERE id IN (SELECT k FROM g_subq_big_keys)""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("distinct") && m.contains("MERGE")),
+      msgs(e).mkString(" | "))
+  }
+
   test("unsupported DML shapes are a loud no, never an approximation") {
     fsDel(s"$wh/d_err")
     sql("CREATE TABLE graft_dml.d_err (id BIGINT, n BIGINT)")
@@ -428,13 +484,15 @@ class GraftSqlDmlSpec extends SparkSpec {
       assert(msgs(e).exists(_.toLowerCase.contains(needle.toLowerCase)),
         s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
     }
-    // subquery in the UPDATE condition cannot cross the SQL-string seam
-    rejects("UPDATE graft_dml.d_err SET n = 0 WHERE id IN (SELECT id FROM d_src)",
-      "subquer")
-    // subquery in a MERGE clause condition, same seam
+    // subquery in a MERGE clause condition cannot cross the SQL seam
+    // (the USING source is already an arbitrary query — put it there)
     rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
               |WHEN MATCHED AND t.id IN (SELECT id FROM d_src) THEN DELETE""".stripMargin,
       "subquer")
+    // correlated subqueries in DELETE/UPDATE predicates stay loud
+    rejects("DELETE FROM graft_dml.d_err t WHERE EXISTS " +
+      "(SELECT 1 FROM d_src s WHERE s.id = t.id AND s.n > t.n)",
+      "correlated")
     // an ON with NO equality conjunct at all: nothing to prune on
     rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id > s.id
               |WHEN MATCHED THEN UPDATE SET *
