@@ -46,7 +46,9 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
                            sinceVersion: Long,
                            cdcMode: Boolean = false,
                            maxVersionsPerTrigger: Option[Long] = None)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // Rate limiting: without a cap, a stream started on a year-old table
   // reads its ENTIRE history as one micro-batch. `maxVersionsPerTrigger`
@@ -55,6 +57,50 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
   // engine's restart-recovery call, so a restarted query resumes capping
   // from its committed offset, not from sinceVersion).
   @volatile private var lastSeen: Long = sinceVersion
+
+  // `Trigger.AvailableNow`: the engine announces the bounded-backfill
+  // contract before the first trigger; the head frozen HERE is the
+  // stream's whole world — later commits wait for the next run. With
+  // `maxVersionsPerTrigger` the backfill drains in fixed version
+  // windows, then the query STOPS (latestOffset returns null at the
+  // frozen head, the engine sees no more data).
+  @volatile private var frozenHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenHead = Some(ManifestTable.headVersion(spark, dir))
+
+  override def getDefaultReadLimit
+  : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The admission-control face (the engine prefers it over `getOffset`
+    * whenever the source declares it): next batch end = committed
+    * offset + at most `maxVersionsPerTrigger` versions, never past the
+    * AvailableNow-frozen head. Returns null when drained — under
+    * `Trigger.AvailableNow` that is the clean stop.
+    */
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+  : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val base = math.max(sinceVersion,
+      Option(startOffset).map(verOf).getOrElse(sinceVersion))
+    val head = frozenHead.getOrElse(ManifestTable.headVersion(spark, dir))
+    val capped = maxVersionsPerTrigger.fold(head)(m =>
+      math.min(head, base + m))
+    if (capped <= base) null else LongOffset(capped)
+  }
+
+  override def reportLatestOffset()
+  : org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(ManifestTable.headVersion(spark, dir))
+
+  private def verOf(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case LongOffset(v) => v
+      case other => other.json.trim.toLong
+    }
 
   // the CDC stream adds these two columns to every row — a table column
   // of the same name would be silently overwritten; fail at source
@@ -86,10 +132,8 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
   }
 
   // a restarted query hands back SerializedOffset(json) — parse either
-  private def ver(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong
-  }
+  // (the V1 Offset is a connector Offset, one decoder serves both faces)
+  private def ver(o: Offset): Long = verOf(o)
 
   /** A streaming parquet relation over an explicit file list — bound
     * physical, surfaced logical (see `startSnap`).

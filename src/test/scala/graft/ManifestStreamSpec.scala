@@ -137,6 +137,52 @@ class ManifestStreamSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("mt_rate") }
   }
 
+  test("Trigger.AvailableNow drains the backlog in capped windows, then STOPS") {
+    val dir = tmp("availnow")
+    (0 until 5).foreach(i =>
+      ManifestTable.append(batch(i.toLong), dir, s"b$i")) // v1..v5
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("mt_availnow")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // the bounded-backfill contract: the query terminates BY ITSELF
+      assert(q.awaitTermination(120000),
+        "Trigger.AvailableNow query did not stop after draining")
+      assert(spark.table("mt_availnow").select("id").as[Long]
+        .collect().toSeq.sorted === (0L until 5L),
+        "backfill must deliver every version exactly once")
+      // and it drained in >= ceil(5/2) = 3 capped windows, not one gulp
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 data batches, got " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally { q.stop(); spark.catalog.dropTempView("mt_availnow") }
+    // a SECOND AvailableNow run picks up only what landed after the
+    // first (restart from the committed checkpoint = the frozen head);
+    // memory sinks cannot recover a checkpoint, so land in parquet
+    val ckpt = tmp("availnow_ckpt")
+    val out = tmp("availnow_out")
+    def runOnce(): Seq[Long] = {
+      val q2 = spark.readStream.format("graft-manifest").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        assert(q2.awaitTermination(120000))
+        spark.read.parquet(out).select("id").as[Long]
+          .collect().toSeq.sorted
+      } finally q2.stop()
+    }
+    assert(runOnce() === (0L until 5L))
+    ManifestTable.append(batch(7, 8), dir, "b7")
+    assert(runOnce() === (0L until 5L) ++ Seq(7L, 8L),
+      "the second run must add only the post-freeze commits")
+  }
+
   test("readChangeFeed streams the typed CDC log, row ops included") {
     val dir = tmp("cdc")
     ManifestTable.append(batch(1, 2), dir, "b0")              // v1
