@@ -439,9 +439,11 @@ class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
     val sql = deleteSql(predicates).getOrElse(throw
       new UnsupportedOperationException(
         s"DELETE predicate not translatable: ${predicates.mkString(", ")}"))
-    ManifestTable.deleteWhere(spark, dir, sql,
-      s"sql-delete-${java.util.UUID.randomUUID()}",
-      cdc = ManifestTable.changeFeedEnabled(snap))
+    val opId = s"sql-delete-${java.util.UUID.randomUUID()}"
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      ManifestTable.deleteWhere(spark, dir, sql, opId,
+        cdc = ManifestTable.changeFeedEnabled(snap))
+    }
   }
 
   private def deleteSql(predicates: Array[Predicate]): Option[String] = {

@@ -79,8 +79,9 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       // conflict: a candidate vanished, or a deletion vector landed on
       // one after we read it (our rewrite would resurrect its rows)
       else if (candidates.exists(c => !old.files.contains(c) ||
-        old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
-        None
+        old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty))) {
+        opConflicted.set(true); None
+      }
       else Some(old.copy(
         files = old.files.filterNot(candidates.contains) ++ live,
         batchIds = old.batchIds + opId,
@@ -103,6 +104,56 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
         op = op, cdcPath = cdcName))
     }
   }
+
+  /** OPTIMISTIC REBASE for the row-level family: re-executes `op`
+    * against the fresh head when it conflict-aborts, up to `attempts`
+    * times, then raises loudly. Sound for every op in this module
+    * because they are DETERMINISTIC FUNCTIONS OF THE HEAD — a
+    * re-execution recomputes candidates, positions and rewrites from
+    * the post-winner snapshot, which is exactly the serializable
+    * "loser ran after the winner" order (Delta's commit-retry resolves
+    * the same races the same way). Two writers touching DISJOINT files
+    * already both land without coming here (the conflict check is
+    * per-candidate); this wrapper buys the SAME-FILE disjoint-row
+    * races — a DV delete and an UPDATE hitting different rows of one
+    * file — at the price of one re-execution.
+    *
+    * The loop keys on the CONFLICT SIGNAL the abort branches raise
+    * (a thread-local, set exactly where a commit callback refuses
+    * because a candidate was rewritten or re-DV'd): `true` =
+    * committed; `false` without the signal = the op declined for its
+    * own reasons (replayed opId, empty candidates, an unmatched
+    * tombstone batch) — done, NOT a conflict; `false` with the signal
+    * = a genuine conflict abort worth rebasing. Exhausted attempts
+    * raise [[java.util.ConcurrentModificationException]] — never a
+    * silent drop of a mutation the caller asked for.
+    */
+  def retryOnConflict(spark: SparkSession, dir: String, opId: String,
+                      attempts: Int = 3)(op: => Boolean): Boolean = {
+    var left = math.max(0, attempts)
+    while (true) {
+      opConflicted.set(false)
+      if (op) return true
+      if (!opConflicted.get) return false
+      if (left == 0)
+        throw new java.util.ConcurrentModificationException(
+          s"row-level op $opId on $dir still conflicting after " +
+            s"$attempts rebase attempts — concurrent writers keep " +
+            "touching its candidate files; retry later or coordinate " +
+            "the writers")
+      left -= 1
+    }
+    false // unreachable
+  }
+
+  /** Raised by the row ops' conflict-abort branches so
+    * [[retryOnConflict]] can tell a conflict from an op that declined
+    * for its own reasons. Row ops run synchronously on the calling
+    * thread, so a thread-local carries the signal exactly one
+    * attempt's distance.
+    */
+  private[ext] val opConflicted: ThreadLocal[Boolean] =
+    ThreadLocal.withInitial(() => false)
 
   /** DELETE FROM the table: rows where `predicateSql` is TRUE are
     * removed (FALSE or NULL survive — SQL DELETE semantics). Only the
@@ -355,8 +406,9 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
         // conflict: a candidate was rewritten away, or another DV landed
         // on one after we computed positions (ours could double-mark)
         else if (candidates.exists(c => !old.files.contains(c) ||
-          old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
-          None
+          old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty))) {
+          opConflicted.set(true); None
+        }
         else Some(old.copy(
           files = old.files.filterNot(whole.contains),
           stats = old.stats -- whole,
@@ -438,8 +490,9 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       commit(spark, dir) { old =>
         if (old.batchIds.contains(opId)) None
         else if (candidates.exists(c => !old.files.contains(c) ||
-          old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty)))
-          None
+          old.dvs.getOrElse(c, Seq.empty) != snap.dvs.getOrElse(c, Seq.empty))) {
+          opConflicted.set(true); None
+        }
         else Some(old.copy(
           files = old.files ++ live,
           batchIds = old.batchIds + opId,

@@ -429,10 +429,12 @@ case class GraftDeleteSubqueryCommand(dir: String, cond: GraftHeldCond)
       p.plan.asInstanceOf[LogicalPlan] }
   override def run(spark: SparkSession): Seq[Row] = {
     val lit = GraftDmlRule.literalizeSubqueries(spark, cond.e)
-    ManifestTable.deleteWhere(spark, dir, GraftDmlRule.predicateSql(lit),
-      s"sql-delete-${java.util.UUID.randomUUID()}",
-      cdc = ManifestTable.changeFeedEnabled(
-        ManifestTable.snapshot(spark, dir)))
+    val opId = s"sql-delete-${java.util.UUID.randomUUID()}"
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      ManifestTable.deleteWhere(spark, dir, GraftDmlRule.predicateSql(lit),
+        opId, cdc = ManifestTable.changeFeedEnabled(
+          ManifestTable.snapshot(spark, dir)))
+    }
     Seq.empty
   }
 }
@@ -449,10 +451,12 @@ case class GraftUpdateSubqueryCommand(dir: String, cond: GraftHeldCond,
       p.plan.asInstanceOf[LogicalPlan] }
   override def run(spark: SparkSession): Seq[Row] = {
     val lit = GraftDmlRule.literalizeSubqueries(spark, cond.e)
-    ManifestTable.updateWhere(spark, dir, GraftDmlRule.predicateSql(lit),
-      set, s"sql-update-${java.util.UUID.randomUUID()}",
-      cdc = ManifestTable.changeFeedEnabled(
-        ManifestTable.snapshot(spark, dir)))
+    val opId = s"sql-update-${java.util.UUID.randomUUID()}"
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      ManifestTable.updateWhere(spark, dir, GraftDmlRule.predicateSql(lit),
+        set, opId, cdc = ManifestTable.changeFeedEnabled(
+          ManifestTable.snapshot(spark, dir)))
+    }
     Seq.empty
   }
 }
@@ -464,10 +468,12 @@ case class GraftUpdateCommand(dir: String, condSql: String,
                               set: Map[String, String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    ManifestTable.updateWhere(spark, dir, condSql, set,
-      s"sql-update-${java.util.UUID.randomUUID()}",
-      cdc = ManifestTable.changeFeedEnabled(
-        ManifestTable.snapshot(spark, dir)))
+    val opId = s"sql-update-${java.util.UUID.randomUUID()}"
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      ManifestTable.updateWhere(spark, dir, condSql, set, opId,
+        cdc = ManifestTable.changeFeedEnabled(
+          ManifestTable.snapshot(spark, dir)))
+    }
     Seq.empty
   }
 }
@@ -484,10 +490,12 @@ case class GraftMergeDeleteCommand(dir: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, source)
-    ManifestTable.deleteMatching(src, dir, keyCols,
-      s"sql-merge-delete-${java.util.UUID.randomUUID()}",
-      cdc = ManifestTable.changeFeedEnabled(
-        ManifestTable.snapshot(spark, dir)))
+    val opId = s"sql-merge-delete-${java.util.UUID.randomUUID()}"
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      ManifestTable.deleteMatching(src, dir, keyCols, opId,
+        cdc = ManifestTable.changeFeedEnabled(
+          ManifestTable.snapshot(spark, dir)))
+    }
     Seq.empty
   }
 }
@@ -504,10 +512,12 @@ case class GraftMergeCommand(dir: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, source)
-    ManifestTable.merge(src, dir, keyCols,
-      s"sql-merge-${java.util.UUID.randomUUID()}",
-      cdc = ManifestTable.changeFeedEnabled(
-        ManifestTable.snapshot(spark, dir)))
+    val opId = s"sql-merge-${java.util.UUID.randomUUID()}"
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      ManifestTable.merge(src, dir, keyCols, opId,
+        cdc = ManifestTable.changeFeedEnabled(
+          ManifestTable.snapshot(spark, dir)))
+    }
     Seq.empty
   }
 }
@@ -533,12 +543,14 @@ case class GraftMergeGeneralCommand(dir: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, source)
-    ManifestTable.mergeGeneral(src, dir, keyCols, matched, notMatched,
-      notMatchedBySource,
-      s"sql-merge-general-${java.util.UUID.randomUUID()}",
-      cdc = ManifestTable.changeFeedEnabled(
-        ManifestTable.snapshot(spark, dir)),
-      sourceKeyCols = sourceKeyCols, residueSql = residueSql)
+    val opId = s"sql-merge-general-${java.util.UUID.randomUUID()}"
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      ManifestTable.mergeGeneral(src, dir, keyCols, matched, notMatched,
+        notMatchedBySource, opId,
+        cdc = ManifestTable.changeFeedEnabled(
+          ManifestTable.snapshot(spark, dir)),
+        sourceKeyCols = sourceKeyCols, residueSql = residueSql)
+    }
     Seq.empty
   }
 }
