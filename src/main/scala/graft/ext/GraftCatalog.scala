@@ -168,7 +168,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *   - `ALTER COLUMN ... TYPE`: WIDENING within a stats family only
     *     (byte→short→int→long, float→double — see
     *     [[ManifestTable.widenColumnType]]); anything else is a loud
-    *     error, the same rule the append path enforces.
+    *     error, the same rule the append path enforces;
+    *   - `ALTER COLUMN ... SET / DROP NOT NULL`: DROP is metadata-only;
+    *     SET validates existing rows first (one aggregate) — see
+    *     [[ManifestTable.setColumnNullability]];
+    *   - `ALTER COLUMN ... COMMENT`: field-metadata commit, surfaced by
+    *     DESCRIBE ([[ManifestTable.setColumnComment]]).
     *
     * Partition columns cannot be renamed or dropped.
     */
@@ -201,6 +206,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case w: TableChange.UpdateColumnType =>
         ManifestTable.widenColumnType(spark, dirOf(ident),
           topLevel("ALTER COLUMN TYPE", w.fieldNames()), w.newDataType())
+      case nn: TableChange.UpdateColumnNullability =>
+        ManifestTable.setColumnNullability(spark, dirOf(ident),
+          topLevel("ALTER COLUMN NULLABILITY", nn.fieldNames()),
+          nn.nullable())
+      case cm: TableChange.UpdateColumnComment =>
+        ManifestTable.setColumnComment(spark, dirOf(ident),
+          topLevel("ALTER COLUMN COMMENT", cm.fieldNames()),
+          Option(cm.newComment()).filter(_.nonEmpty))
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on graft-manifest " +

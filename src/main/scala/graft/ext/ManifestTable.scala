@@ -1183,6 +1183,74 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         op = "metadata", cdcPath = None))
     }
 
+  /** ALTER TABLE ... ALTER COLUMN ... SET / DROP NOT NULL as one
+    * metadata commit. DROP NOT NULL is pure metadata (a wider contract
+    * is always safe). SET NOT NULL first VALIDATES EXISTING ROWS — one
+    * aggregate over the DV-aware read, inside the commit callback so a
+    * CAS retry re-validates against rows a racing append just landed
+    * (the [[addConstraint]] discipline) — then flips the recorded
+    * field. Enforcement after the flip: the SQL INSERT path gets
+    * Spark's own analysis-time nullability checks from the declared V2
+    * schema, and the Scala [[append]] path re-checks NOT NULL columns
+    * in its constraint pass. Partition columns are immutable like the
+    * layout. Returns false when the flag already holds.
+    */
+  def setColumnNullability(spark: SparkSession, dir: String, name: String,
+                           nullable: Boolean): Boolean =
+    commit(spark, dir) { old =>
+      import org.apache.spark.sql.types.StructType
+      val cur = tableSchema(old).getOrElse(throw new IllegalStateException(
+        s"ManifestTable at $dir tracks no schema — ALTER has nothing " +
+          "to change"))
+      val fd = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name does not exist in $dir"))
+      require(!old.partitionCols.exists(_.equalsIgnoreCase(name)),
+        s"cannot alter nullability of partition column $name")
+      if (fd.nullable == nullable) None
+      else {
+        if (!nullable && old.files.nonEmpty) {
+          val n = readFiles(spark, dir, old, old.files)
+            .where(org.apache.spark.sql.functions.col(fd.name).isNull)
+            .count()
+          require(n == 0L,
+            s"cannot SET NOT NULL on $name: $n existing row(s) are NULL")
+        }
+        Some(old.copy(schemaJson = Some(StructType(cur.fields.map(f =>
+          if (f eq fd) f.copy(nullable = nullable) else f)).json),
+          op = "metadata", cdcPath = None))
+      }
+    }
+
+  /** ALTER TABLE ... ALTER COLUMN ... COMMENT as one metadata commit —
+    * the comment rides the recorded schema's field metadata (the
+    * standard Spark slot, so DESCRIBE and the V2 column face surface
+    * it); `None` clears. Returns false when nothing changes.
+    */
+  def setColumnComment(spark: SparkSession, dir: String, name: String,
+                       comment: Option[String]): Boolean =
+    commit(spark, dir) { old =>
+      import org.apache.spark.sql.types.StructType
+      val cur = tableSchema(old).getOrElse(throw new IllegalStateException(
+        s"ManifestTable at $dir tracks no schema — ALTER has nothing " +
+          "to comment"))
+      val fd = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name does not exist in $dir"))
+      if (fd.getComment() == comment) None
+      else {
+        val next = comment match {
+          case Some(c) => fd.withComment(c)
+          case None => fd.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(fd.metadata).remove("comment").build())
+        }
+        Some(old.copy(schemaJson = Some(StructType(cur.fields.map(f =>
+          if (f eq fd) next else f)).json),
+          op = "metadata", cdcPath = None))
+      }
+    }
+
   /** Constraint expressions that reference `col` — rename/drop must not
     * silently break a recorded CHECK (its SQL string holds the old
     * name); the caller rewrites or drops the constraint first.
@@ -1300,8 +1368,17 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     // commit callback re-merges against the CAS-fresh head anyway)
     mergedSchemaJson(snap0, df.schema)
     // and a constraint-violating one (one aggregate pass, all
-    // constraints at once; free when the table has none)
-    enforceConstraints(df, snap0.constraints, s"append batch $batchId")
+    // constraints at once; free when the table has none). NOT NULL
+    // columns ride the same pass as synthetic checks — the Scala path's
+    // half of the nullability contract (SQL INSERTs get Spark's own
+    // analysis-time enforcement from the declared schema)
+    val notNullChecks = tableSchema(snap0).map(_.fields.toSeq
+      .filter(fd => !fd.nullable &&
+        df.columns.exists(_.equalsIgnoreCase(fd.name)))
+      .map(fd => s"graft.notnull.${fd.name}" -> s"${fd.name} IS NOT NULL")
+      .toMap).getOrElse(Map.empty)
+    enforceConstraints(df, snap0.constraints ++ notNullChecks,
+      s"append batch $batchId")
     val layout = resolveLayout(snap0, df.schema, partitionBy)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
     // data files bind by PHYSICAL names (partition columns cannot be

@@ -91,6 +91,28 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
           s"cannot DELETE from a time-travel pinned version of ${t.name()}")
         GraftDeleteSubqueryCommand(t.dir, GraftHeldCond(d.condition)): LogicalPlan
       }.getOrElse(d)
+    // ALTER COLUMN ... SET NOT NULL: Spark's checker forbids
+    // nullable→non-nullable outright (it cannot validate existing data
+    // for an arbitrary table) — the manifest CAN, with one aggregate,
+    // so pure SET NOT NULL statements on graft tables lower to the
+    // engine's validated metadata commit before the checker objects
+    // (DROP NOT NULL and COMMENT pass Spark's checks and take the
+    // normal alterTable path)
+    case ac @ AlterColumns(rt: org.apache.spark.sql.catalyst.analysis
+        .ResolvedTable, specs)
+        if rt.table.isInstanceOf[GraftTableV2] && specs.nonEmpty &&
+          specs.forall(sp => sp.newNullability.contains(false) &&
+            sp.newDataType.isEmpty && sp.newComment.isEmpty &&
+            sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty &&
+            !sp.dropDefault) =>
+      GraftSetNotNullCommand(
+        rt.table.asInstanceOf[GraftTableV2].dir,
+        specs.map { sp =>
+          require(sp.column.name.size == 1,
+            "graft-manifest supports top-level SET NOT NULL only, got " +
+              sp.column.name.mkString("."))
+          sp.column.name.head
+        })
     case other => other
   }
 
@@ -402,6 +424,19 @@ object GraftDmlRule {
       case _ => ()
     }
     out
+  }
+}
+
+/** `ALTER COLUMN ... SET NOT NULL` lowered to
+  * [[ManifestTable.setColumnNullability]] — the existing-rows
+  * validation aggregate plus one metadata commit per column.
+  */
+case class GraftSetNotNullCommand(dir: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    cols.foreach(c =>
+      ManifestTable.setColumnNullability(spark, dir, c, nullable = false))
+    Seq.empty
   }
 }
 

@@ -1626,6 +1626,19 @@ object ExtQueries {
       "SELECT op FROM graft_fix.sqlmeta.history ORDER BY version DESC")
       .first().getString(0)
     require(lastOp == "append", s"history face ends in '$lastOp'")
+    // column COMMENT: a metadata-only commit that DESCRIBE surfaces
+    // (zero files move) — the SQL face of setColumnComment
+    val filesBefore = graft.ext.ManifestTable
+      .snapshot(s, s"$wh/sqlmeta").files.toSet
+    s.sql("ALTER TABLE graft_fix.sqlmeta ALTER COLUMN n_chars " +
+      "COMMENT 'character count'")
+    require(graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmeta")
+      .files.toSet == filesBefore, "COMMENT moved data files")
+    val described = s.sql("DESCRIBE TABLE graft_fix.sqlmeta").collect()
+      .collectFirst { case r if r.getString(0) == "n_chars" =>
+        r.getString(2) }
+    require(described.contains("character count"),
+      s"DESCRIBE did not surface the column comment: $described")
     s.sql("SELECT lang, CAST(rows_known AS BIGINT) AS n_docs " +
       "FROM graft_fix.sqlmeta.partitions ORDER BY lang")
   }

@@ -244,4 +244,60 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already exists"))
   }
+
+  test("ALTER COLUMN SET/DROP NOT NULL: DROP is metadata-only, SET validates rows and enforces") {
+    fsDel(s"$wh/t_null")
+    sql("CREATE TABLE graft.t_null (id BIGINT NOT NULL, v STRING)")
+    sql("INSERT INTO graft.t_null VALUES (1, 'a'), (2, NULL)")
+    val files0 = ManifestTable.snapshot(spark, s"$wh/t_null").files.toSet
+    // DROP NOT NULL: pure metadata, wider contract always safe
+    sql("ALTER TABLE graft.t_null ALTER COLUMN id DROP NOT NULL")
+    assert(ManifestTable.snapshot(spark, s"$wh/t_null").files.toSet
+      === files0, "DROP NOT NULL must not move data")
+    assert(spark.table("graft.t_null").schema("id").nullable)
+    // SET NOT NULL on a column holding NULLs: the validation aggregate
+    // refuses — never a silent lie in the schema
+    val bad = intercept[Exception] {
+      sql("ALTER TABLE graft.t_null ALTER COLUMN v SET NOT NULL")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(bad).exists(_.contains("existing row(s) are NULL")),
+      msgs(bad).mkString(" | "))
+    // on a clean column it lands as metadata and ENFORCES both paths
+    sql("ALTER TABLE graft.t_null ALTER COLUMN id SET NOT NULL")
+    assert(!spark.table("graft.t_null").schema("id").nullable)
+    assert(ManifestTable.snapshot(spark, s"$wh/t_null").files.toSet
+      === files0, "SET NOT NULL must not move data")
+    // SQL INSERT of NULL: Spark's own analysis/runtime nullability check
+    assert(intercept[Exception] {
+      sql("INSERT INTO graft.t_null VALUES (NULL, 'x')")
+    } != null)
+    // Scala append of NULL: the constraint pass catches it
+    val scalaNull = intercept[Exception] {
+      ManifestTable.append(
+        Seq((None: Option[Long], "y")).toDF("id", "v"),
+        s"$wh/t_null", "bnull")
+    }
+    assert(msgs(scalaNull).exists(_.contains("IS NOT NULL")),
+      msgs(scalaNull).mkString(" | "))
+    assert(sql("SELECT count(*) FROM graft.t_null").as[Long].head() === 2L)
+  }
+
+  test("ALTER COLUMN COMMENT: field-metadata commit, DESCRIBE surfaces it") {
+    fsDel(s"$wh/t_cmnt")
+    sql("CREATE TABLE graft.t_cmnt (id BIGINT, v STRING)")
+    sql("INSERT INTO graft.t_cmnt VALUES (1, 'a')")
+    val files0 = ManifestTable.snapshot(spark, s"$wh/t_cmnt").files.toSet
+    sql("ALTER TABLE graft.t_cmnt ALTER COLUMN v COMMENT 'the payload'")
+    assert(ManifestTable.snapshot(spark, s"$wh/t_cmnt").files.toSet
+      === files0, "COMMENT must not move data")
+    val desc = sql("DESCRIBE TABLE graft.t_cmnt")
+      .as[(String, String, String)].collect()
+      .map { case (k, _, c) => k -> c }.toMap
+    assert(desc.get("v").contains("the payload"), desc.toString)
+    // reads and writes are untouched by the metadata commit
+    sql("INSERT INTO graft.t_cmnt VALUES (2, 'b')")
+    assert(sql("SELECT count(*) FROM graft.t_cmnt").as[Long].head() === 2L)
+  }
 }
