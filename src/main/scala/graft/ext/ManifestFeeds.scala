@@ -94,6 +94,33 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
     }
   }
 
+  /** The streaming source's ADMISSION WALK: per-version added data
+    * files and their bytes over `(fromVersion, toVersion]`, lazily — a
+    * rate-limited trigger stops reading the log the moment its cap is
+    * reached, so a whole backfill costs O(total versions) small log
+    * reads ACROSS all its triggers, never per trigger. Bytes come from
+    * each commit's own `size:` lines (exact at write time; a version
+    * only reachable through a checkpoint falls back to the snapshot
+    * diff). No feed classification here — a commit the append feed
+    * cannot represent fails in `getBatch` wherever the cut lands.
+    */
+  private[graft] def addedSizesIterator(spark: SparkSession, dir: String,
+                                        fromVersion: Long, toVersion: Long)
+  : Iterator[(Long, Int, Long)] = {
+    val log = listLog(spark, dir)
+    ((fromVersion + 1L) to toVersion).iterator.map { v =>
+      if (log.delta.contains(v)) {
+        val d = readDelta(spark, dir, v)
+        (v, d.adds.size, d.adds.map(a => d.sizes.getOrElse(a, 0L)).sum)
+      } else {
+        val cur = resolveAt(spark, dir, v, log)
+        val prevSet = resolveAt(spark, dir, v - 1L, log).files.toSet
+        val adds = cur.files.filterNot(prevSet)
+        (v, adds.size, adds.map(a => cur.sizes.getOrElse(a, 0L)).sum)
+      }
+    }
+  }
+
   /** Feed classification is by ACTUAL DELTA CONTENT, not op label:
     *
     *   - `compact` / `metadata` commits are known row-preserving

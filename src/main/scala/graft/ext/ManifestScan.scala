@@ -410,7 +410,9 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
         (f.name == "_change_type" || f.name == "commit_version"))))
       .getOrElse(ManifestPlan.schemaOf(spark, dir, ManifestTable.snapshot(spark, dir)))
     new ManifestStreamSource(spark, dir, base, since, cdcOn(parameters),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      parameters.get("maxFilesPerTrigger").map(_.toInt),
+      parameters.get("maxBytesPerTrigger").map(_.toLong))
   }
 }
 

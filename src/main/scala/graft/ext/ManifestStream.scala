@@ -45,7 +45,9 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
                            baseSchema: StructType,
                            sinceVersion: Long,
                            cdcMode: Boolean = false,
-                           maxVersionsPerTrigger: Option[Long] = None)
+                           maxVersionsPerTrigger: Option[Long] = None,
+                           maxFilesPerTrigger: Option[Int] = None,
+                           maxBytesPerTrigger: Option[Long] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -75,9 +77,15 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
 
   /** The admission-control face (the engine prefers it over `getOffset`
     * whenever the source declares it): next batch end = committed
-    * offset + at most `maxVersionsPerTrigger` versions, never past the
+    * offset + at most `maxVersionsPerTrigger` versions, cut further by
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` (the Delta rate-limit
+    * idiom — added data files / their bytes per micro-batch, measured
+    * from the commits' own size lines, ALWAYS admitting at least one
+    * version because a commit is atomic), never past the
     * AvailableNow-frozen head. Returns null when drained — under
-    * `Trigger.AvailableNow` that is the clean stop.
+    * `Trigger.AvailableNow` that is the clean stop. The admission walk
+    * is lazy, so a backfill's total log-read cost is O(versions) across
+    * all its triggers.
     */
   override def latestOffset(
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -86,9 +94,25 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
     val base = math.max(sinceVersion,
       Option(startOffset).map(verOf).getOrElse(sinceVersion))
     val head = frozenHead.getOrElse(ManifestTable.headVersion(spark, dir))
-    val capped = maxVersionsPerTrigger.fold(head)(m =>
+    val vCap = maxVersionsPerTrigger.fold(head)(m =>
       math.min(head, base + m))
-    if (capped <= base) null else LongOffset(capped)
+    val cut =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) vCap
+      else {
+        var files = 0L; var bytes = 0L; var last = base
+        val it = ManifestTable.addedSizesIterator(spark, dir, base, vCap)
+        var stop = false
+        while (!stop && it.hasNext) {
+          val (v, nf, nb) = it.next()
+          val wf = files + nf
+          val wb = bytes + nb
+          if (last > base && (maxFilesPerTrigger.exists(wf > _) ||
+              maxBytesPerTrigger.exists(wb > _))) stop = true
+          else { files = wf; bytes = wb; last = v }
+        }
+        last
+      }
+    if (cut <= base) null else LongOffset(cut)
   }
 
   override def reportLatestOffset()

@@ -169,9 +169,10 @@ class GraftV2Reads(session: SparkSession)
     // instead the streaming relation rewrites to the graft-manifest V1
     // source — version-offset micro-batches over exactly the appended
     // files, reader options (`readChangeFeed`, `sinceVersion`,
-    // `sinceTimestamp`, `maxVersionsPerTrigger`) passing through
-    // verbatim. Same move as the batch conversion below, same
-    // authority: the table's manifest, resolved per micro-batch.
+    // `sinceTimestamp`, `maxVersionsPerTrigger`, `maxFilesPerTrigger`,
+    // `maxBytesPerTrigger`) passing through verbatim. Same move as the
+    // batch conversion below, same authority: the table's manifest,
+    // resolved per micro-batch.
     case s: StreamingRelationV2
         if s.table.isInstanceOf[graft.ext.GraftTableV2] =>
       val t = s.table.asInstanceOf[graft.ext.GraftTableV2]

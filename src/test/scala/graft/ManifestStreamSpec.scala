@@ -183,6 +183,39 @@ class ManifestStreamSpec extends SparkSpec {
       "the second run must add only the post-freeze commits")
   }
 
+  test("maxFilesPerTrigger / maxBytesPerTrigger cut micro-batches at commit granularity") {
+    val dir = tmp("filelimit")
+    (0 until 6).foreach(i =>
+      ManifestTable.append(batch(i.toLong), dir, s"b$i")) // v1..v6, 1 file each
+    val perVersion = ManifestTable.snapshot(spark, dir).files.size / 6.0
+    require(perVersion == 1.0, s"fixture drifted: $perVersion files/version")
+    // two files per trigger -> 2 versions per batch -> 3 data batches
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("mt_flim")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mt_flim").select("id").as[Long]
+        .collect().toSeq.sorted === (0L until 6L))
+      assert(q.recentProgress.count(_.numInputRows > 0) === 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally { q.stop(); spark.catalog.dropTempView("mt_flim") }
+    // a 1-byte budget still admits ONE version per trigger (a commit is
+    // atomic) -> 6 data batches, nothing lost
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("maxBytesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("mt_blim")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("mt_blim").select("id").as[Long]
+        .collect().toSeq.sorted === (0L until 6L))
+      assert(q2.recentProgress.count(_.numInputRows > 0) === 6,
+        q2.recentProgress.map(_.numInputRows).mkString(","))
+    } finally { q2.stop(); spark.catalog.dropTempView("mt_blim") }
+  }
+
   test("readChangeFeed streams the typed CDC log, row ops included") {
     val dir = tmp("cdc")
     ManifestTable.append(batch(1, 2), dir, "b0")              // v1
