@@ -133,14 +133,24 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
     *   - anything that removed files or landed a DV changed visible
     *     rows — the append feed raises (it cannot represent removal).
     */
+  /** `skipChanges` (the streaming source's `skipChangeCommits` option,
+    * Delta's spelling): a commit that removed or DV-marked files
+    * contributes NOTHING instead of failing the feed — the caller has
+    * explicitly chosen an appends-only view that diverges from the
+    * table across row-level commits (their rewritten files, updated
+    * and untouched rows alike, are never re-emitted). The default
+    * stays the honest raise.
+    */
   private[graft] def appendCommitsBetween(spark: SparkSession, dir: String,
-                                          fromVersion: Long, toVersion: Long)
+                                          fromVersion: Long, toVersion: Long,
+                                          skipChanges: Boolean = false)
   : Seq[(Long, Seq[String])] =
     versionChanges(spark, dir, fromVersion, toVersion).flatMap { c =>
       c.op match {
         case "compact" | "metadata" => None // rewrites: no rows changed
         case _ if c.pureInsert =>
           if (c.adds.isEmpty) None else Some((c.v, c.adds))
+        case _ if skipChanges => None // opted-in divergence, whole commit
         case "" => throw new IllegalStateException(
           s"append feed: version ${c.v} of $dir removed or DV-marked " +
             "files and has no op provenance (manifest written before op " +
@@ -148,7 +158,8 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
         case other => throw new IllegalStateException(
           s"append feed: version ${c.v} of $dir is a row-level '$other' " +
             "commit that removed or changed visible rows; an append-only " +
-            "feed cannot represent it")
+            "feed cannot represent it (stream with skipChangeCommits = " +
+            "true to skip such commits, or consume readChangeFeed)")
       }
     }
 

@@ -412,7 +412,8 @@ class ManifestSource extends RelationProvider with StreamSourceProvider
     new ManifestStreamSource(spark, dir, base, since, cdcOn(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
-      parameters.get("maxBytesPerTrigger").map(_.toLong))
+      parameters.get("maxBytesPerTrigger").map(_.toLong),
+      parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")))
   }
 }
 

@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *     commit (delete/update/merge) FAILS the stream rather than
   *     silently drifting from the table — the same honest contract as
   *     the batch feed, and what Delta does without ignoreChanges.
+  *     `skipChangeCommits = true` (Delta's spelling) opts into
+  *     skipping such commits whole — an appends-only view that
+  *     knowingly diverges; the honest raise stays the default.
   *   - `cdcMode` switches the batch to the FULL CHANGE FEED (the
   *     streaming face of [[ManifestTable.changesBetween]]): appends
   *     arrive as `insert` rows, row-level commits as their typed CDC
@@ -47,7 +50,8 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
                            cdcMode: Boolean = false,
                            maxVersionsPerTrigger: Option[Long] = None,
                            maxFilesPerTrigger: Option[Int] = None,
-                           maxBytesPerTrigger: Option[Long] = None)
+                           maxBytesPerTrigger: Option[Long] = None,
+                           skipChangeCommits: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -181,7 +185,8 @@ class ManifestStreamSource(spark: SparkSession, dir: String,
     val to = ver(end)
     lastSeen = math.max(lastSeen, to)
     if (!cdcMode) {
-      val names = ManifestTable.appendCommitsBetween(spark, dir, from, to)
+      val names = ManifestTable.appendCommitsBetween(spark, dir, from, to,
+          skipChanges = skipChangeCommits)
         .flatMap(_._2)
       // restrict the batch's file index to exactly the appended files;
       // the snapshot's stats ride along, so pushed filters prune WITHIN

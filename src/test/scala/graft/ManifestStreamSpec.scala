@@ -216,6 +216,27 @@ class ManifestStreamSpec extends SparkSpec {
     } finally { q2.stop(); spark.catalog.dropTempView("mt_blim") }
   }
 
+  test("skipChangeCommits streams past row-level commits; the default stays the raise") {
+    val dir = tmp("skipchanges")
+    ManifestTable.append(batch(1, 2, 3), dir, "b0")           // v1
+    assert(ManifestTable.updateWhere(spark, dir, "id = 2",
+      Map("text" -> "'changed'"), "u0"))                      // v2: row-level
+    ManifestTable.append(batch(7, 8), dir, "b1")              // v3
+    val q = spark.readStream.format("graft-manifest")
+      .option("skipChangeCommits", "true").load(dir)
+      .writeStream.format("memory").queryName("mt_skip")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the appends arrive; the update's commit contributes NOTHING
+      // (neither the changed row nor its rewritten file-mates re-emit)
+      assert(spark.table("mt_skip").select("id").as[Long]
+        .collect().toSeq.sorted === Seq(1L, 2L, 3L, 7L, 8L))
+      assert(spark.table("mt_skip").where("text = 'changed'").count()
+        === 0L, "the skipped commit's rows must not surface")
+    } finally { q.stop(); spark.catalog.dropTempView("mt_skip") }
+  }
+
   test("readChangeFeed streams the typed CDC log, row ops included") {
     val dir = tmp("cdc")
     ManifestTable.append(batch(1, 2), dir, "b0")              // v1
