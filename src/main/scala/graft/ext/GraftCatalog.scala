@@ -67,6 +67,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catName
 
+  // column DEFAULT values: the analyzer substitutes them into INSERTs
+  // at analysis time (rows store REAL values); the default SQL rides
+  // the recorded schema's field metadata — see
+  // [[ManifestTable.setColumnDefault]]
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def spark: SparkSession = SparkSession.active
 
   private def fs(path: String) =
@@ -195,6 +202,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     changes.foreach {
       case add: TableChange.AddColumn =>
+        // an ADD with a default would need Delta's EXISTS_DEFAULT
+        // read-fill for the old rows (here they null-fill) — reject
+        // rather than silently disagree with the declared default
+        require(add.defaultValue() == null,
+          s"ADD COLUMN ${add.fieldNames().mkString(".")} with DEFAULT " +
+            "is not supported — existing rows null-fill; ADD first, " +
+            "then ALTER COLUMN ... SET DEFAULT (affects future inserts) " +
+            "or backfill with UPDATE")
         ManifestTable.addColumn(spark, dirOf(ident),
           topLevel("ADD COLUMN", add.fieldNames()), add.dataType())
       case ren: TableChange.RenameColumn =>
@@ -210,6 +225,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ManifestTable.setColumnNullability(spark, dirOf(ident),
           topLevel("ALTER COLUMN NULLABILITY", nn.fieldNames()),
           nn.nullable())
+      case dv: TableChange.UpdateColumnDefaultValue =>
+        ManifestTable.setColumnDefault(spark, dirOf(ident),
+          topLevel("ALTER COLUMN DEFAULT", dv.fieldNames()),
+          Option(dv.newDefaultValue()).filter(_.nonEmpty))
       case cm: TableChange.UpdateColumnComment =>
         ManifestTable.setColumnComment(spark, dirOf(ident),
           topLevel("ALTER COLUMN COMMENT", cm.fieldNames()),

@@ -1251,6 +1251,51 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       }
     }
 
+  /** ALTER TABLE ... ALTER COLUMN ... SET / DROP DEFAULT as one
+    * metadata commit — the default rides the recorded schema's field
+    * metadata under Spark's own key (`CURRENT_DEFAULT`), which is
+    * where the analyzer's default-column resolution reads it, so
+    * INSERTs that omit the column (or write the DEFAULT keyword)
+    * substitute it at ANALYSIS time and the stored rows carry real
+    * values. A default is a WRITE-time contract only: rows written
+    * while a different (or no) default held keep what they hold —
+    * which is why `ADD COLUMN ... DEFAULT` stays rejected (old rows
+    * null-fill here; Delta's EXISTS_DEFAULT read-fill is a read-path
+    * liability this engine deliberately does not carry). `None` drops
+    * the default. Returns false when nothing changes.
+    */
+  def setColumnDefault(spark: SparkSession, dir: String, name: String,
+                       defaultSql: Option[String]): Boolean =
+    commit(spark, dir) { old =>
+      import org.apache.spark.sql.types.StructType
+      val cur = tableSchema(old).getOrElse(throw new IllegalStateException(
+        s"ManifestTable at $dir tracks no schema — ALTER has nothing " +
+          "to default"))
+      val fd = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name does not exist in $dir"))
+      val key = "CURRENT_DEFAULT"
+      val curDefault =
+        if (fd.metadata.contains(key)) Some(fd.metadata.getString(key))
+        else None
+      if (curDefault == defaultSql) None
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fd.metadata)
+        val next = fd.copy(metadata = defaultSql match {
+          case Some(sql) =>
+            // parse now: a default that cannot even parse must fail the
+            // ALTER, not every later INSERT
+            spark.sessionState.sqlParser.parseExpression(sql)
+            mb.putString(key, sql).build()
+          case None => mb.remove(key).build()
+        })
+        Some(old.copy(schemaJson = Some(StructType(cur.fields.map(f =>
+          if (f eq fd) next else f)).json),
+          op = "metadata", cdcPath = None))
+      }
+    }
+
   /** Constraint expressions that reference `col` — rename/drop must not
     * silently break a recorded CHECK (its SQL string holds the old
     * name); the caller rewrites or drops the constraint first.

@@ -140,7 +140,9 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     if (e.exists(_.isInstanceOf[PlanExpression[_]]))
       throw new UnsupportedOperationException(
         "graft-manifest UPDATE/MERGE does not support subqueries in " +
-          s"SET expressions or MERGE clauses (got: ${e.sql})")
+          s"SET expressions or MERGE clauses (got: ${e.sql}) — fold the " +
+          "subquery into the USING source query (a join or computed " +
+          "column there expresses the same condition)")
     GraftDmlRule.predicateSql(e)
   }
 

@@ -284,6 +284,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM graft.t_null").as[Long].head() === 2L)
   }
 
+  test("column DEFAULT values: CREATE-time, INSERT substitution, SET/DROP DEFAULT") {
+    fsDel(s"$wh/t_dflt")
+    sql("CREATE TABLE graft.t_dflt " +
+      "(id BIGINT, n BIGINT DEFAULT 7, s STRING DEFAULT 'x')")
+    // omitted columns and the DEFAULT keyword both substitute at
+    // analysis time — the stored rows carry REAL values
+    sql("INSERT INTO graft.t_dflt (id) VALUES (1)")
+    sql("INSERT INTO graft.t_dflt VALUES (2, DEFAULT, DEFAULT)")
+    sql("INSERT INTO graft.t_dflt VALUES (3, 30, 'y')")
+    assert(sql("SELECT id, n, s FROM graft.t_dflt ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((1L, 7L, "x"), (2L, 7L, "x"), (3L, 30L, "y")))
+    // SET DEFAULT: metadata-only, affects FUTURE inserts only
+    val files0 = ManifestTable.snapshot(spark, s"$wh/t_dflt").files.toSet
+    sql("ALTER TABLE graft.t_dflt ALTER COLUMN n SET DEFAULT 9")
+    assert(ManifestTable.snapshot(spark, s"$wh/t_dflt").files.toSet
+      === files0, "SET DEFAULT must not move data")
+    sql("INSERT INTO graft.t_dflt (id) VALUES (4)")
+    assert(sql("SELECT n FROM graft.t_dflt WHERE id = 4").as[Long].head()
+      === 9L)
+    assert(sql("SELECT n FROM graft.t_dflt WHERE id = 1").as[Long].head()
+      === 7L, "existing rows keep their written values")
+    // DROP DEFAULT: omitted column goes back to NULL
+    sql("ALTER TABLE graft.t_dflt ALTER COLUMN n DROP DEFAULT")
+    sql("INSERT INTO graft.t_dflt (id) VALUES (5)")
+    assert(sql("SELECT n FROM graft.t_dflt WHERE id = 5")
+      .as[Option[Long]].collect() === Array(None))
+    // ADD COLUMN with DEFAULT would need read-time fill for old rows —
+    // loud rejection naming the two-step remedy
+    val e = intercept[Exception] {
+      sql("ALTER TABLE graft.t_dflt ADD COLUMN z BIGINT DEFAULT 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("SET DEFAULT")), msgs(e).mkString(" | "))
+  }
+
   test("ALTER COLUMN COMMENT: field-metadata commit, DESCRIBE surfaces it") {
     fsDel(s"$wh/t_cmnt")
     sql("CREATE TABLE graft.t_cmnt (id BIGINT, v STRING)")
