@@ -70,9 +70,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // column DEFAULT values: the analyzer substitutes them into INSERTs
   // at analysis time (rows store REAL values); the default SQL rides
   // the recorded schema's field metadata — see
-  // [[ManifestTable.setColumnDefault]]
+  // [[ManifestTable.setColumnDefault]].
+  // table CONSTRAINTs: `ALTER TABLE ... ADD CONSTRAINT ck CHECK (...)`
+  // lowers through alterTable to [[ManifestTable.addConstraint]] — the
+  // same existing-rows-validated, append-enforced CHECK every Scala
+  // caller gets
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -229,6 +234,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ManifestTable.setColumnDefault(spark, dirOf(ident),
           topLevel("ALTER COLUMN DEFAULT", dv.fieldNames()),
           Option(dv.newDefaultValue()).filter(_.nonEmpty))
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            ManifestTable.addConstraint(spark, dirOf(ident),
+              ck.name(), ck.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"graft-manifest tables enforce CHECK constraints only; " +
+              s"'${other.name()}' is ${other.getClass.getSimpleName} — " +
+              "UNIQUE/PRIMARY KEY/FOREIGN KEY are unenforced metadata " +
+              "in Spark and this engine refuses to record what it " +
+              "cannot honor")
+        }
+      case dc: TableChange.DropConstraint =>
+        val dropped = ManifestTable.dropConstraint(spark, dirOf(ident),
+          dc.name())
+        if (!dropped && !dc.ifExists())
+          throw new IllegalArgumentException(
+            s"table ${ident.name()} has no constraint '${dc.name()}'")
       case cm: TableChange.UpdateColumnComment =>
         ManifestTable.setColumnComment(spark, dirOf(ident),
           topLevel("ALTER COLUMN COMMENT", cm.fieldNames()),
@@ -435,6 +458,20 @@ class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
     (snap.properties ++ Map("location" -> dir,
       "provider" -> "graft-manifest",
       "version" -> snap.version.toString)).asJava
+
+  // surface the manifest's CHECK constraints on the V2 face (DESCRIBE
+  // EXTENDED, SHOW CREATE, engine introspection): enforced + validated
+  // is the literal truth — addConstraint validated existing rows and
+  // every append re-checks
+  override def constraints()
+  : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(e).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   // AUTOMATIC_SCHEMA_EVOLUTION lets the analyzer's own
   // ResolveMergeIntoSchemaEvolution serve `MERGE ... WITH SCHEMA

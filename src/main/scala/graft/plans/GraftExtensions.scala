@@ -152,7 +152,7 @@ class GraftV2Reads(session: SparkSession)
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
 
   import org.apache.spark.sql.catalyst.expressions.Alias
-  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, Project, V2WriteCommand}
+  import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddConstraint, DeleteFromTable, InsertIntoStatement, LogicalPlan, Project, V2WriteCommand}
   import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
   import org.apache.spark.sql.execution.datasources.DataSource
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -162,6 +162,11 @@ class GraftV2Reads(session: SparkSession)
     case w: V2WriteCommand => w.withNewQuery(convert(w.query))
     case i: InsertIntoStatement => i.copy(query = convert(i.query))
     case d: DeleteFromTable => d
+    // constraint DDL validates against the table and then routes to
+    // alterTable — both need the V2 relation intact (a converted V1
+    // read would leave AddCheckConstraint with no physical plan)
+    case c: AddCheckConstraint => c
+    case c: AddConstraint => c
     // `spark.readStream.table("cat.t")` — the catalog table as a
     // STREAM. The V2 table deliberately does not claim
     // MICRO_BATCH_READ (a V2 MicroBatchStream would re-implement the

@@ -321,6 +321,39 @@ class GraftCatalogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("SET DEFAULT")), msgs(e).mkString(" | "))
   }
 
+  test("SQL CHECK constraints: ADD validates existing rows, appends enforce, DROP releases") {
+    fsDel(s"$wh/t_ck")
+    sql("CREATE TABLE graft.t_ck (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft.t_ck VALUES (1, 10), (2, 20)")
+    // ADD over clean data lands (one validation aggregate)
+    sql("ALTER TABLE graft.t_ck ADD CONSTRAINT n_pos CHECK (n > 0)")
+    assert(ManifestTable.snapshot(spark, s"$wh/t_ck")
+      .constraints.get("n_pos").exists(_.contains("n")))
+    // a violating INSERT is refused by the append-side enforcement
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val bad = intercept[Exception] {
+      sql("INSERT INTO graft.t_ck VALUES (3, -1)")
+    }
+    assert(msgs(bad).exists(_.contains("n_pos")), msgs(bad).mkString(" | "))
+    assert(sql("SELECT count(*) FROM graft.t_ck").as[Long].head() === 2L)
+    // ADD over violating data is refused with the count
+    val bad2 = intercept[Exception] {
+      sql("ALTER TABLE graft.t_ck ADD CONSTRAINT n_small CHECK (n < 15)")
+    }
+    assert(msgs(bad2).exists(_.contains("violate")), msgs(bad2).mkString(" | "))
+    // DROP releases; unknown names raise unless IF EXISTS
+    sql("ALTER TABLE graft.t_ck DROP CONSTRAINT n_pos")
+    sql("INSERT INTO graft.t_ck VALUES (3, -1)")
+    assert(sql("SELECT count(*) FROM graft.t_ck").as[Long].head() === 3L)
+    val bad3 = intercept[Exception] {
+      sql("ALTER TABLE graft.t_ck DROP CONSTRAINT nope")
+    }
+    assert(msgs(bad3).exists(_.toLowerCase.contains("constraint")),
+      msgs(bad3).mkString(" | "))
+    sql("ALTER TABLE graft.t_ck DROP CONSTRAINT IF EXISTS nope") // no-op
+  }
+
   test("ALTER COLUMN COMMENT: field-metadata commit, DESCRIBE surfaces it") {
     fsDel(s"$wh/t_cmnt")
     sql("CREATE TABLE graft.t_cmnt (id BIGINT, v STRING)")
