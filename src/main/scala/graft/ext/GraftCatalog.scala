@@ -153,6 +153,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       pinned = Some(v))
   }
 
+  /** The TableInfo entry point Spark actually calls (the older
+    * overloads delegate to it in REVERSE here): a `CREATE TABLE` with
+    * inline `CONSTRAINT ... CHECK (...)` applies them through
+    * [[ManifestTable.addConstraint]] right after the create — without
+    * this override the default delegation DROPPED them silently, the
+    * exact quiet-lie failure the engine exists to refuse.
+    */
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+  : Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    info.constraints().foreach {
+      case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        ManifestTable.addConstraint(spark, dirOf(ident),
+          ck.name(), ck.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"graft-manifest tables enforce CHECK constraints only; " +
+          s"'${other.name()}' is ${other.getClass.getSimpleName}")
+    }
+    if (info.constraints().nonEmpty) loadTable(ident) else t
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -301,6 +324,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // and contents together while the history survives: time travel
   // still answers below the replace, restore can undo it, and the CDC
   // feed spans it as a synthesized snapshot diff.
+
+  // the staged (CTAS/RTAS) paths cannot honor inline constraints
+  // atomically — the AS-SELECT data lands in the same commit the
+  // constraint would have to pre-validate — so they refuse loudly
+  // instead of dropping them; create-then-ALTER is the supported shape
+  private def rejectStagedConstraints(
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      what: String): Unit =
+    require(info.constraints().isEmpty,
+      s"inline CONSTRAINTs are not supported on $what — run the " +
+        "statement without them, then ALTER TABLE ... ADD CONSTRAINT " +
+        "(which validates the landed rows)")
+
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+  : StagedTable = {
+    rejectStagedConstraints(info, "CREATE TABLE ... AS SELECT")
+    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+  }
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo)
+  : StagedTable = {
+    rejectStagedConstraints(info, "REPLACE TABLE")
+    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo)
+  : StagedTable = {
+    rejectStagedConstraints(info, "CREATE OR REPLACE TABLE")
+    stageCreateOrReplace(ident, info.schema(), info.partitions(),
+      info.properties())
+  }
 
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

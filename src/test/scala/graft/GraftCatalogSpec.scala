@@ -354,6 +354,35 @@ class GraftCatalogSpec extends SparkSpec {
     sql("ALTER TABLE graft.t_ck DROP CONSTRAINT IF EXISTS nope") // no-op
   }
 
+  test("inline CHECK at CREATE TABLE records and enforces; staged paths refuse loudly") {
+    fsDel(s"$wh/t_ckc")
+    sql("CREATE TABLE graft.t_ckc " +
+      "(id BIGINT, n BIGINT, CONSTRAINT n_pos CHECK (n > 0))")
+    assert(ManifestTable.snapshot(spark, s"$wh/t_ckc")
+      .constraints === Map("n_pos" -> "n > 0"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // enforced from row one — both Spark's write-side check (the table
+    // surfaces the constraint on its V2 face) and the manifest append
+    // pass stand behind it
+    val bad = intercept[Exception] {
+      sql("INSERT INTO graft.t_ckc VALUES (1, -5)")
+    }
+    assert(msgs(bad).exists(_.contains("n_pos")), msgs(bad).mkString(" | "))
+    sql("INSERT INTO graft.t_ckc VALUES (1, 5)")
+    assert(sql("SELECT count(*) FROM graft.t_ckc").as[Long].head() === 1L)
+    // the staged paths (CTAS/REPLACE) cannot honor inline constraints
+    // atomically — Spark's own parser refuses first (and the catalog's
+    // stage* overrides guard the same hole as defense-in-depth)
+    fsDel(s"$wh/t_ckc2")
+    val staged = intercept[Exception] {
+      sql("CREATE TABLE graft.t_ckc2 (CONSTRAINT n_pos CHECK (n > 0)) " +
+        "AS SELECT id, n FROM graft.t_ckc")
+    }
+    assert(msgs(staged).exists(m => m.contains("Constraints") ||
+      m.contains("ADD CONSTRAINT")), msgs(staged).mkString(" | "))
+  }
+
   test("ALTER COLUMN COMMENT: field-metadata commit, DESCRIBE surfaces it") {
     fsDel(s"$wh/t_cmnt")
     sql("CREATE TABLE graft.t_cmnt (id BIGINT, v STRING)")
