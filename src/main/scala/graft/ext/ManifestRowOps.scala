@@ -1070,9 +1070,18 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
             when(condCol(c), lit(i)).otherwise(acc) }
         val firing = unmatched.withColumn("__clause", armed)
           .where(col("__clause") >= 0)
+        // a column no firing clause assigns gets its DECLARED DEFAULT
+        // when one exists (the CURRENT_DEFAULT schema metadata INSERT
+        // INTO also fills from — constant by Spark's DDL contract),
+        // else NULL: partial MERGE inserts and partial INSERT column
+        // lists agree
+        def unassigned(fd: org.apache.spark.sql.types.StructField): Column =
+          (if (fd.metadata.contains("CURRENT_DEFAULT"))
+            expr(fd.metadata.getString("CURRENT_DEFAULT"))
+          else lit(null)).cast(fd.dataType)
         Some(firing.select(tSchema.fields.map { fd =>
           notMatched.zipWithIndex.foldRight(
-              lit(null).cast(fd.dataType): Column) { case ((c, i), acc) =>
+              unassigned(fd): Column) { case ((c, i), acc) =>
             c.set.find(_._1.equalsIgnoreCase(fd.name)) match {
               case Some((_, e)) => when(col("__clause") === i,
                 expr(e).cast(fd.dataType)).otherwise(acc)

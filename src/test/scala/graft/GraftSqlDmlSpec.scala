@@ -470,6 +470,26 @@ class GraftSqlDmlSpec extends SparkSpec {
       msgs(e).mkString(" | "))
   }
 
+  test("MERGE INSERT fills omitted columns from declared DEFAULTs, like INSERT INTO") {
+    fsDel(s"$wh/g_dflt")
+    sql("CREATE TABLE graft_dml.g_dflt " +
+      "(id BIGINT, n BIGINT DEFAULT 7, s STRING DEFAULT 'x')")
+    sql("INSERT INTO graft_dml.g_dflt VALUES (1, 1, 'a')")
+    spark.range(2, 4).selectExpr("id AS k")
+      .createOrReplaceTempView("g_dflt_src")
+    sql("""MERGE INTO graft_dml.g_dflt t USING g_dflt_src s ON t.id = s.k
+          |WHEN NOT MATCHED THEN INSERT (id) VALUES (s.k)""".stripMargin)
+    assert(sql("SELECT id, n, s FROM graft_dml.g_dflt ORDER BY id")
+      .as[(Long, Long, String)].collect().toSeq ===
+      Seq((1L, 1L, "a"), (2L, 7L, "x"), (3L, 7L, "x")),
+      "partial MERGE inserts and partial INSERT column lists must agree")
+    // UPDATE SET c = DEFAULT resolves through the analyzer to the
+    // declared literal and rides the normal update path
+    sql("UPDATE graft_dml.g_dflt SET n = DEFAULT WHERE id = 1")
+    assert(sql("SELECT n FROM graft_dml.g_dflt WHERE id = 1")
+      .as[Long].head() === 7L)
+  }
+
   test("unsupported DML shapes are a loud no, never an approximation") {
     fsDel(s"$wh/d_err")
     sql("CREATE TABLE graft_dml.d_err (id BIGINT, n BIGINT)")
