@@ -163,17 +163,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier,
                            info: org.apache.spark.sql.connector.catalog.TableInfo)
   : Table = {
-    val t = createTable(ident, info.schema(), info.partitions(),
-      info.properties())
-    info.constraints().foreach {
+    // validate EVERY constraint before the create commits — a rejection
+    // after it would strand an orphan table the rerun then collides with
+    val checks = info.constraints().map {
       case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
-        ManifestTable.addConstraint(spark, dirOf(ident),
-          ck.name(), ck.predicateSql())
+        val parsed = spark.sessionState.sqlParser
+          .parseExpression(ck.predicateSql())
+        parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }.foreach(c => require(
+          info.schema().fields.exists(_.name.equalsIgnoreCase(c)),
+          s"CHECK constraint ${ck.name()} references column $c, which " +
+            "the table does not declare"))
+        ck.name() -> ck.predicateSql()
       case other => throw new UnsupportedOperationException(
         s"graft-manifest tables enforce CHECK constraints only; " +
           s"'${other.name()}' is ${other.getClass.getSimpleName}")
     }
-    if (info.constraints().nonEmpty) loadTable(ident) else t
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    checks.foreach { case (n, sql) =>
+      ManifestTable.addConstraint(spark, dirOf(ident), n, sql) }
+    if (checks.nonEmpty) loadTable(ident) else t
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -536,7 +548,13 @@ class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
   // alterTable(AddColumn)/alterTable(UpdateColumnType) — the same
   // metadata commits ALTER TABLE makes (nullable adds, family-widening
   // only, anything else a loud error) — then re-resolves the merge
-  // against the evolved schema and GraftDmlRule lowers it as usual
+  // against the evolved schema and GraftDmlRule lowers it as usual.
+  // KNOWN CONTRACT of Spark's capability (not this engine's choice):
+  // the ALTER commits at ANALYSIS time, so a merge that later fails —
+  // or is merely EXPLAINed — leaves the evolved column behind. The
+  // residue is benign (nullable, empty, visible as its own `metadata`
+  // commit in history, removable with DROP COLUMN) and is spec-pinned
+  // rather than papered over.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,

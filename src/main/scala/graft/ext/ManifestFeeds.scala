@@ -47,7 +47,8 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
   private final case class VersionChange(v: Long, op: String,
                                          adds: Seq[String],
                                          removedOrDvd: Boolean,
-                                         cdcPath: Option[String]) {
+                                         cdcPath: Option[String],
+                                         sizes: Map[String, Long]) {
     /** PROOF the commit's added files hold only NEW rows: nothing was
       * removed and no deletion vector landed, so every previously
       * visible row is still visible through its original file — the
@@ -60,38 +61,46 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
     def pureInsert: Boolean = !removedOrDvd
   }
 
+  /** One version's change record — delta fast path when the log still
+    * holds the file, checkpoint snapshot diff otherwise. The ONE place
+    * "what did version v change" is computed; the feed classification
+    * and the admission walk both read it, so they can never diverge.
+    */
+  private def versionChangeAt(spark: SparkSession, dir: String,
+                              log: LogFiles, v: Long): VersionChange =
+    if (log.delta.contains(v)) {
+      val d = readDelta(spark, dir, v)
+      // dvClear counts as a row-visibility change: a restore whose only
+      // action RESETS surviving files' deletion vectors (cleardv: with
+      // no removes and no new dv: suffix) resurrects rows — a feed that
+      // classified it pureInsert would silently skip the commit and
+      // drift from the table
+      VersionChange(v, d.op, d.adds,
+        d.removes.nonEmpty || d.dvs.nonEmpty || d.dvClear.nonEmpty,
+        d.cdcPath, d.sizes)
+    } else {
+      val cur = resolveAt(spark, dir, v, log)
+      val prev = resolveAt(spark, dir, v - 1L, log)
+      val prevSet = prev.files.toSet
+      val curSet = cur.files.toSet
+      // ANY dv-ref difference — growth, shrinkage, or rewrite — means
+      // visible rows changed (shrinkage is the restore shape the
+      // growth-only check used to miss)
+      val dvChanged = (cur.dvs.keySet ++ prev.dvs.keySet).exists { fn =>
+        cur.dvs.getOrElse(fn, Seq.empty) != prev.dvs.getOrElse(fn, Seq.empty)
+      }
+      VersionChange(v, cur.op, cur.files.filterNot(prevSet),
+        prev.files.exists(!curSet.contains(_)) || dvChanged, cur.cdcPath,
+        cur.sizes)
+    }
+
   private def versionChanges(spark: SparkSession, dir: String,
                              fromVersion: Long, toVersion: Long)
   : Seq[VersionChange] = {
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"change walk needs 0 <= from <= to, got ($fromVersion, $toVersion)")
     val log = listLog(spark, dir)
-    ((fromVersion + 1L) to toVersion).map { v =>
-      if (log.delta.contains(v)) {
-        val d = readDelta(spark, dir, v)
-        // dvClear counts as a row-visibility change: a restore whose only
-        // action RESETS surviving files' deletion vectors (cleardv: with
-        // no removes and no new dv: suffix) resurrects rows — a feed that
-        // classified it pureInsert would silently skip the commit and
-        // drift from the table
-        VersionChange(v, d.op, d.adds,
-          d.removes.nonEmpty || d.dvs.nonEmpty || d.dvClear.nonEmpty,
-          d.cdcPath)
-      } else {
-        val cur = resolveAt(spark, dir, v, log)
-        val prev = resolveAt(spark, dir, v - 1L, log)
-        val prevSet = prev.files.toSet
-        val curSet = cur.files.toSet
-        // ANY dv-ref difference — growth, shrinkage, or rewrite — means
-        // visible rows changed (shrinkage is the restore shape the
-        // growth-only check used to miss)
-        val dvChanged = (cur.dvs.keySet ++ prev.dvs.keySet).exists { fn =>
-          cur.dvs.getOrElse(fn, Seq.empty) != prev.dvs.getOrElse(fn, Seq.empty)
-        }
-        VersionChange(v, cur.op, cur.files.filterNot(prevSet),
-          prev.files.exists(!curSet.contains(_)) || dvChanged, cur.cdcPath)
-      }
-    }
+    ((fromVersion + 1L) to toVersion).map(versionChangeAt(spark, dir, log, _))
   }
 
   /** The streaming source's ADMISSION WALK: per-version added data
@@ -109,15 +118,8 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
   : Iterator[(Long, Int, Long)] = {
     val log = listLog(spark, dir)
     ((fromVersion + 1L) to toVersion).iterator.map { v =>
-      if (log.delta.contains(v)) {
-        val d = readDelta(spark, dir, v)
-        (v, d.adds.size, d.adds.map(a => d.sizes.getOrElse(a, 0L)).sum)
-      } else {
-        val cur = resolveAt(spark, dir, v, log)
-        val prevSet = resolveAt(spark, dir, v - 1L, log).files.toSet
-        val adds = cur.files.filterNot(prevSet)
-        (v, adds.size, adds.map(a => cur.sizes.getOrElse(a, 0L)).sum)
-      }
+      val c = versionChangeAt(spark, dir, log, v)
+      (v, c.adds.size, c.adds.map(a => c.sizes.getOrElse(a, 0L)).sum)
     }
   }
 

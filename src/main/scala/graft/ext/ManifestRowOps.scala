@@ -275,8 +275,11 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     try {
       // only the CHANGED rows need constraint validation (pass-through
       // rows already satisfy the table's invariants)
-      candDf.foreach(df => enforceConstraints(
-        applied(df, onlyMatched = true), snap.constraints, "updateWhere"))
+      candDf.foreach { df =>
+        val chg = applied(df, onlyMatched = true)
+        enforceConstraints(chg, withNotNull(snap, chg, snap.constraints),
+          "updateWhere")
+      }
       val out = candDf.map(applied(_, onlyMatched = false))
       val changes =
         if (!cdc) None
@@ -459,7 +462,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       if (counts.isEmpty)
         return emptyOpCommit(spark, dir, "update", opId)
       val updated = applySet(matched.drop(fm, pm), set)
-      enforceConstraints(updated, snap.constraints, "updateWhereDV")
+      enforceConstraints(updated,
+        withNotNull(snap, updated, snap.constraints), "updateWhereDV")
       val dvName = java.util.UUID.randomUUID().toString
       // no coalesce(1): parallel positions write, same as deleteWhereDV
       matched.select(col(fm).as(DvFileCol), col(pm).as(DvPosCol))
@@ -544,7 +548,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       s"overwriteWhere: $nBad incoming row(s) do not satisfy " +
         s"[$predicateSql] — an overwrite may only write rows inside the " +
         "region it replaces")
-    enforceConstraints(df, snap.constraints, s"overwriteWhere $opId")
+    enforceConstraints(df, withNotNull(snap, df, snap.constraints),
+      s"overwriteWhere $opId")
     // align to the table's column order and types (an overwrite is not
     // a schema change); a schema-less legacy table takes df as-is and
     // unionByName below stays the loud check
@@ -776,7 +781,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
         "or drop them explicitly)")
     val aligned = source.select(tSchema.fields.map(fd =>
       col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
-    enforceConstraints(aligned, snap.constraints, "merge source")
+    enforceConstraints(aligned,
+      withNotNull(snap, aligned, snap.constraints), "merge source")
     if (snap.files.isEmpty)
       return cowCommit(spark, dir, snap, Nil, Some(aligned), "merge", opId,
         beforeSwap, bloomCols, bloomFpp,
@@ -1092,8 +1098,9 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       }
       val out = (outTgt.toSeq ++ insOut.toSeq).reduceOption(_ unionByName _)
       if (out.isEmpty) return emptyOpCommit(spark, dir, "merge", opId)
-      // constraints: changed rows only (pass-through rows already hold)
-      if (snap.constraints.nonEmpty) {
+      // constraints + NOT NULL: changed rows only (pass-through rows
+      // already hold); enforceConstraints is free when both are empty
+      locally {
         val updIdx = updates.map(_._1)
         val changedTgt = joined.map(j =>
           (if (updIdx.isEmpty) j.where(lit(false))
@@ -1101,7 +1108,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
             .select(tSchema.fields.map(fd =>
               valueOf(fd).as(fd.name)).toSeq: _*))
         (changedTgt.toSeq ++ insOut.toSeq).reduceOption(_ unionByName _)
-          .foreach(enforceConstraints(_, snap.constraints, "mergeGeneral"))
+          .foreach(chg => enforceConstraints(chg,
+            withNotNull(snap, chg, snap.constraints), "mergeGeneral"))
       }
       val changes =
         if (!cdc) None

@@ -1416,13 +1416,18 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     // constraints at once; free when the table has none). NOT NULL
     // columns ride the same pass as synthetic checks — the Scala path's
     // half of the nullability contract (SQL INSERTs get Spark's own
-    // analysis-time enforcement from the declared schema)
-    val notNullChecks = tableSchema(snap0).map(_.fields.toSeq
-      .filter(fd => !fd.nullable &&
-        df.columns.exists(_.equalsIgnoreCase(fd.name)))
-      .map(fd => s"graft.notnull.${fd.name}" -> s"${fd.name} IS NOT NULL")
-      .toMap).getOrElse(Map.empty)
-    enforceConstraints(df, snap0.constraints ++ notNullChecks,
+    // analysis-time enforcement from the declared schema). A batch that
+    // OMITS a NOT NULL column entirely is refused — reads would
+    // null-fill it, the exact silent lie the declaration forbids
+    tableSchema(snap0).foreach { sc =>
+      val omitted = sc.fields.filter(fd => !fd.nullable &&
+        !df.columns.exists(_.equalsIgnoreCase(fd.name)))
+      require(omitted.isEmpty,
+        s"append batch $batchId omits NOT NULL column(s) " +
+          s"${omitted.map(_.name).mkString(", ")} — reads would " +
+          "null-fill them; supply the column or DROP NOT NULL first")
+    }
+    enforceConstraints(df, withNotNull(snap0, df, snap0.constraints),
       s"append batch $batchId")
     val layout = resolveLayout(snap0, df.schema, partitionBy)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
@@ -1640,6 +1645,23 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     require(bad.isEmpty,
       s"$what violates CHECK constraint(s): ${bad.mkString("; ")}")
   }
+
+  /** `cons` plus a synthetic `IS NOT NULL` check per NON-NULLABLE
+    * schema column present in `df` — NOT NULL is enforced in the same
+    * one-aggregate pass as the CHECK constraints at every seam that
+    * can introduce a NULL (append, update SET, merge SET/INSERT,
+    * overwrite). Columns the frame doesn't carry are the CALLER's
+    * omission problem (append raises on them; row-op frames always
+    * project the full schema).
+    */
+  private[ext] def withNotNull(snap: Snapshot, df: DataFrame,
+                               cons: Map[String, String])
+  : Map[String, String] =
+    cons ++ tableSchema(snap).map(_.fields.toSeq
+      .filter(fd => !fd.nullable &&
+        df.columns.exists(_.equalsIgnoreCase(fd.name)))
+      .map(fd => s"graft.notnull.${fd.name}" -> s"${fd.name} IS NOT NULL")
+      .toMap).getOrElse(Map.empty)
 
   /** Record CHECK constraint `name` = `exprSql`. EXISTING rows are
     * validated first (inside the commit callback, so a CAS retry

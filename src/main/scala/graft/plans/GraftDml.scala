@@ -276,6 +276,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
         unsupported("subqueries in MERGE conditions or SET expressions " +
           s"are not supported (got: ${e.sql})")
       e.transformUp {
+        case org.apache.spark.sql.catalyst.expressions.objects
+            .AssertNotNull(child, _) => child
         case a: AttributeReference if targetOut.contains(a) =>
           a.withName("__t_" + a.name).withQualifier(Nil)
         case a: AttributeReference if sourceOut.contains(a) =>
@@ -359,6 +361,12 @@ object GraftDmlRule {
   private[plans] def predicateSql(e: Expression): String =
     e.transformUp {
       case a: AttributeReference => a.withQualifier(Nil)
+      // the analyzer wraps assignments to non-nullable columns in
+      // AssertNotNull, which has no SQL spelling — strip it; the
+      // engine's own NOT NULL pass enforces the same contract with a
+      // proper message
+      case org.apache.spark.sql.catalyst.expressions.objects
+          .AssertNotNull(child, _) => child
       // fold analyzer-inserted casts of literals (CAST(100 AS BIGINT))
       // back into typed literals — the stats pruner matches bare
       // literals, and an unfolded cast would silently cost the rewrite

@@ -105,7 +105,10 @@ class GraftReadOptions(session: SparkSession)
         // porting consumer expects); `sinceVersion` is the exclusive
         // spelling. changesBetween covers (from, to], so the inclusive
         // option shifts its lower bound by one.
-        val from = opts.get("startingversion").map(_.toLong - 1)
+        // clamp: startingVersion=0 is the Delta "whole history"
+        // spelling — an unclamped -1 would fail changesBetween's bounds
+        val from = opts.get("startingversion")
+          .map(v => math.max(0L, v.toLong - 1))
           .orElse(opts.get("sinceversion").map(_.toLong))
           .orElse(opts.get("sincetimestamp").map(ts =>
             ManifestTable.versionAt(session, dir, ts.toLong)))

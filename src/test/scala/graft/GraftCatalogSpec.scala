@@ -281,6 +281,29 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(msgs(scalaNull).exists(_.contains("IS NOT NULL")),
       msgs(scalaNull).mkString(" | "))
+    // a batch OMITTING the NOT NULL column entirely is refused too —
+    // reads would null-fill it, the silent lie the declaration forbids
+    val omitted = intercept[Exception] {
+      ManifestTable.append(Seq("z").toDF("v"), s"$wh/t_null", "bomit")
+    }
+    assert(msgs(omitted).exists(_.contains("omits NOT NULL")),
+      msgs(omitted).mkString(" | "))
+    // UPDATE cannot write NULL into it either (SET rides the same pass)
+    val updNull = intercept[Exception] {
+      sql("UPDATE graft.t_null SET id = NULL WHERE id = 1")
+    }
+    assert(msgs(updNull).exists(_.contains("IS NOT NULL")),
+      msgs(updNull).mkString(" | "))
+    // nor can a MERGE clause
+    spark.range(1, 2).selectExpr("id AS k").createOrReplaceTempView("tn_src")
+    val mrgNull = intercept[Exception] {
+      sql("""MERGE INTO graft.t_null t USING tn_src s ON t.id = s.k
+            |WHEN MATCHED THEN UPDATE SET id = NULL""".stripMargin)
+    }
+    assert(msgs(mrgNull).exists(_.contains("IS NOT NULL")),
+      msgs(mrgNull).mkString(" | "))
+    assert(sql("SELECT count(*) FROM graft.t_null WHERE id IS NULL")
+      .as[Long].head() === 0L)
     assert(sql("SELECT count(*) FROM graft.t_null").as[Long].head() === 2L)
   }
 

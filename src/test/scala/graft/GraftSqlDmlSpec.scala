@@ -391,6 +391,32 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(snap.op === "merge")
   }
 
+  test("WITH SCHEMA EVOLUTION commits the ADD at analysis time — a failing merge leaves the column (pinned Spark contract)") {
+    fsDel(s"$wh/g_evo_fail")
+    sql("CREATE TABLE graft_dml.g_evo_fail (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_evo_fail VALUES (1, 10)")
+    // duplicate ON keys -> the cardinality raise fires at EXECUTION,
+    // after Spark's ResolveMergeIntoSchemaEvolution already committed
+    // the nullable ADD during analysis
+    Seq((1L, 1L, 2L), (1L, 2L, 3L)).toDF("id", "n", "extra")
+      .createOrReplaceTempView("g_evo_fail_src")
+    intercept[Exception] {
+      sql("""MERGE WITH SCHEMA EVOLUTION
+            |INTO graft_dml.g_evo_fail t USING g_evo_fail_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    // the rows are untouched; the evolved column stays — nullable,
+    // empty, loud in history as its own metadata commit, removable
+    assert(sql("SELECT id, n, extra FROM graft_dml.g_evo_fail")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.isNullAt(2))).toSeq === Seq((1L, 10L, true)))
+    assert(ManifestTable.snapshot(spark, s"$wh/g_evo_fail").op
+      === "metadata")
+    sql("ALTER TABLE graft_dml.g_evo_fail DROP COLUMN extra")
+    assert(spark.table("graft_dml.g_evo_fail").columns.toSeq
+      === Seq("id", "n"))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION after a RENAME binds a fresh physical slot") {
     fsDel(s"$wh/g_evo_ren")
     sql("CREATE TABLE graft_dml.g_evo_ren (id BIGINT, a BIGINT)")

@@ -51,6 +51,10 @@ class ReadOptionsSpec extends SparkSpec {
     assert(spark.read.option("readChangeFeed", "true")
       .option("startingVersion", "1").table("graft_ropt.cdf")
       .count() === 16L)
+    // 0 = the Delta "whole history" spelling (clamped, never underflows)
+    assert(spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", "0").table("graft_ropt.cdf")
+      .count() === 16L)
     // sinceVersion stays the EXCLUSIVE spelling of the same bound
     assert(spark.read.option("readChangeFeed", "true")
       .option("sinceVersion", "1").table("graft_ropt.cdf")
