@@ -585,8 +585,13 @@ class GraftTableV2(spark: SparkSession, val dir: String, ident: String,
         s"DELETE predicate not translatable: ${predicates.mkString(", ")}"))
     val opId = s"sql-delete-${java.util.UUID.randomUUID()}"
     ManifestTable.retryOnConflict(spark, dir, opId) {
+      // cdc recomputed INSIDE the retried closure from the fresh head
+      // (not the table's load-time snapshot) — a change-feed property
+      // toggled concurrently must not mis-record CDC on a rebased
+      // delete; same contract as the SQL command paths
       ManifestTable.deleteWhere(spark, dir, sql, opId,
-        cdc = ManifestTable.changeFeedEnabled(snap))
+        cdc = ManifestTable.changeFeedEnabled(
+          ManifestTable.snapshot(spark, dir)))
     }
   }
 

@@ -74,6 +74,12 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       name
     }
     beforeSwap()
+    // the op's own terminal decision starts HERE: clear any conflict
+    // signal a NESTED row op (another write on this thread inside the
+    // caller's closure, or the beforeSwap callback) left behind, so a
+    // decline below (replayed opId, CAS-lost-but-applied) can never
+    // read as this op's conflict and trigger a spurious rebase
+    opConflicted.set(false)
     commit(spark, dir) { old =>
       if (old.batchIds.contains(opId)) None // replayed op: already applied
       // conflict: a candidate vanished, or a deletion vector landed on
@@ -155,6 +161,14 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
   private[ext] val opConflicted: ThreadLocal[Boolean] =
     ThreadLocal.withInitial(() => false)
 
+  /** A row op declining for its OWN reasons (replayed opId, empty
+    * candidates, nothing to do): clear the conflict signal first, so a
+    * NESTED op's conflict inside the caller's closure can never bleed
+    * into this op's verdict (the [[retryOnConflict]] contract — false
+    * without the signal means "done, not a conflict").
+    */
+  private def declined(): Boolean = { opConflicted.set(false); false }
+
   /** DELETE FROM the table: rows where `predicateSql` is TRUE are
     * removed (FALSE or NULL survive — SQL DELETE semantics). Only the
     * files whose stats/blooms admit a match are rewritten; files the
@@ -183,7 +197,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
                   cdc: Boolean = false): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
+    if (snap.batchIds.contains(opId)) return declined()
     val candidates = keptFiles(spark, dir, snap, predicateSql)
     // METADATA-ONLY split: stats proving a full match mean the file's
     // DV-invisible rows are deleted too by dropping it — sound, they
@@ -243,7 +257,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
+    if (snap.batchIds.contains(opId)) return declined()
     val candidates = keptFiles(spark, dir, snap, predicateSql)
     val cond = coalesce(expr(predicateSql), lit(false))
     // the SET projection against the OLD row; `onlyMatched` restricts it
@@ -311,12 +325,14 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     * no-op, and the op kind recorded for feed provenance.
     */
   private def emptyOpCommit(spark: SparkSession, dir: String, op: String,
-                            opId: String): Boolean =
+                            opId: String): Boolean = {
+    opConflicted.set(false) // terminal decision: drop nested-op signals
     commit(spark, dir) { old =>
       if (old.batchIds.contains(opId)) None
       else Some(old.copy(batchIds = old.batchIds + opId, op = op,
         cdcPath = None))
     }
+  }
 
   /** `set` applied to every row of `df` (expressions see the OLD row;
     * values cast back to the column's type — SQL UPDATE semantics).
@@ -347,7 +363,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
                     cdc: Boolean = false): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
     val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
+    if (snap.batchIds.contains(opId)) return declined()
     val candidates = keptFiles(spark, dir, snap, predicateSql)
     if (candidates.isEmpty)
       return emptyOpCommit(spark, dir, "delete", opId)
@@ -404,6 +420,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
             }
         }
       beforeSwap()
+      opConflicted.set(false) // terminal decision: drop nested-op signals
       commit(spark, dir) { old =>
         if (old.batchIds.contains(opId)) None
         // conflict: a candidate was rewritten away, or another DV landed
@@ -446,7 +463,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     require(set.nonEmpty, "updateWhereDV needs at least one SET column")
     val f = fs(spark, dir)
     val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
+    if (snap.batchIds.contains(opId)) return declined()
     val candidates = keptFiles(spark, dir, snap, predicateSql)
     if (candidates.isEmpty)
       return emptyOpCommit(spark, dir, "update", opId)
@@ -491,6 +508,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
           Some(name)
         }
       beforeSwap()
+      opConflicted.set(false) // terminal decision: drop nested-op signals
       commit(spark, dir) { old =>
         if (old.batchIds.contains(opId)) None
         else if (candidates.exists(c => !old.files.contains(c) ||
@@ -541,7 +559,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val spark = df.sparkSession
     val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
+    if (snap.batchIds.contains(opId)) return declined()
     val cond = coalesce(expr(predicateSql), lit(false))
     val nBad = df.where(not(cond)).count()
     require(nBad == 0L,
@@ -720,8 +738,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
     val spark = source.sparkSession
     val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
-    if (snap.files.isEmpty) return false
+    if (snap.batchIds.contains(opId)) return declined()
+    if (snap.files.isEmpty) return declined()
     val tSchema = tableSchema(snap).getOrElse(
       readFiles(spark, dir, snap, snap.files).schema)
     keyCols.foreach { k =>
@@ -738,7 +756,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     val tableKeyCols = keyDf.columns.toSeq
     val candidates = sourceKeyCandidates(spark, dir, snap, keyDf,
       tableKeyCols, tSchema, maxProbeKeys)
-    if (candidates.isEmpty) return false
+    if (candidates.isEmpty) return declined()
     val candDf = readFiles(spark, dir, snap, candidates)
     if (cdc) candDf.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -762,7 +780,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = source.sparkSession
     val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
+    if (snap.batchIds.contains(opId)) return declined()
     val tSchema = tableSchema(snap).getOrElse(
       if (snap.files.isEmpty) source.schema
       else readFiles(spark, dir, snap, snap.files).schema)
@@ -847,16 +865,18 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     * scan), and the reason they are a separate argument rather than a
     * default.
     *
-    * SQL cardinality rule: a target row matching MORE THAN ONE source
-    * row with matched clauses present is non-deterministic and RAISES
-    * (the standard's cardinality violation) — detected with one
-    * aggregation over the batch-sized source plus, only when duplicate
-    * keys exist at all, one semi-probe of the candidates. DELIBERATELY
-    * STRICTER than Delta: the raise fires even when clause CONDITIONS
-    * would disambiguate (at most one clause applying per row) — a merge
-    * whose correctness depends on condition-level disambiguation of a
-    * multiply-matching source is a rewrite-order bug waiting to happen;
-    * deduplicate the source on the ON keys instead.
+    * SQL cardinality rule, CLAUSE-AWARE (Delta's contract): a target
+    * row RAISES only when more than one source row matches it under
+    * the FULL ON condition (keys AND residue) and satisfies some
+    * matched clause condition — the genuinely non-deterministic case.
+    * Multiply-keyed sources whose residue or clause conditions
+    * disambiguate to at most one modifying row per target (the SCD
+    * idiom: `ON t.id = s.id AND s.ts > t.ts`, or mutually-exclusive
+    * clause guards) commit. Cost: one aggregation over the batch-sized
+    * source always; a deduplicated source pays nothing more, and only
+    * a duplicate-keyed source adds a tag-join-window pass over the
+    * candidate rows (raise + collapse of the fan-out to the single
+    * firing pair).
     *
     * ON-condition generality: `sourceKeyCols` names the i-th SOURCE
     * column providing the i-th target key (the `ON t.id = s.src_id`
@@ -896,7 +916,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       "mergeGeneral needs at least one clause")
     val spark = source.sparkSession
     val snap = snapshot(spark, dir)
-    if (snap.batchIds.contains(opId)) return false
+    if (snap.batchIds.contains(opId)) return declined()
     val tSchema = tableSchema(snap).getOrElse {
       require(snap.files.nonEmpty,
         "mergeGeneral into an empty schema-less table: create the table " +
@@ -943,28 +963,19 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     val tgt =
       if (candidates.isEmpty) None
       else Some(readFiles(spark, dir, snap, candidates))
-    // SQL cardinality violation: >1 source row for one matched target
-    // row. The probe is KEY-based even under a residue — a source with
-    // duplicate ON keys touching any candidate row raises regardless of
-    // whether the residue would disambiguate (the documented
-    // stricter-than-Delta contract; it also guarantees the left_outer
-    // join below can never fan a target row out)
-    if (matched.nonEmpty) tgt.foreach { t =>
-      val dup = source.groupBy(sKeys.map(col).toSeq: _*)
-        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
-        .select(keyCols.map { k =>
-          val fd = tField(k).get
-          col(sKeyOf(k)).cast(fd.dataType).as(fd.name)
-        }.toSeq: _*)
-      if (!dup.isEmpty)
-        require(t.join(dup, keyCols.map(k => tField(k).get.name).toSeq,
-          "left_semi").isEmpty,
-          "MERGE cardinality violation: a target row matches more than " +
-            "one source row and matched clauses are present — " +
-            "deduplicate the source on the ON keys first (this raise is " +
-            "deliberately stricter than Delta's: it fires even when " +
-            "clause conditions would disambiguate)")
-    }
+    // SQL cardinality rule, CLAUSE-AWARE (Delta's contract): a target
+    // row is in violation only when MORE THAN ONE source row both
+    // matches it under the FULL ON condition (keys AND residue) and
+    // satisfies some matched clause condition — multiply-matching
+    // source rows whose residue or clause conditions disambiguate to
+    // at most one modifier are legal (the SCD idiom). The cheap
+    // source-side duplicate-key pre-check keeps the common
+    // deduplicated-source path entirely free of the per-pair probe
+    // (distinct ON keys make >1 full-ON match per target impossible);
+    // only a duplicate-keyed source pays the joined-frame pass below.
+    val dupSourceKeys = matched.nonEmpty && tgt.isDefined &&
+      !source.groupBy(sKeys.map(col).toSeq: _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).isEmpty
     // clause-selection column: first matching clause wins, SQL order;
     // matched clauses number from 0, NMBS from 1000 (disjoint guards)
     val NmbsBase = 1000
@@ -1019,10 +1030,43 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       // The match marker lives OUTSIDE the __t_/__s_ prefix namespaces —
       // a source column named `present` prefixes to __s_present and can
       // never shadow it
-      if (matched.nonEmpty)
+      if (matched.nonEmpty && !dupSourceKeys)
         tgtP.join(srcP.withColumn(Marker, lit(true)), fullOn, "left_outer")
           .withColumn("__clause",
             clauseCol(coalesce(col(Marker), lit(false))))
+      else if (matched.nonEmpty) {
+        // duplicate ON keys in the source: the left_outer join can fan
+        // a target row out. Tag each target row, join, then (a) RAISE
+        // if any target row has >1 clause-firing match — the genuine
+        // cardinality violation — and (b) collapse the fan-out back to
+        // ONE row per target: the firing pair if there is one (unique
+        // after (a)), else any pass-through copy (all identical in the
+        // __t_ columns, so the pick cannot change the output). The
+        // window pass costs one shuffle over the CANDIDATE rows only,
+        // and only on this dup-key path.
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{monotonically_increasing_id, row_number}
+        val j0 = tgtP.withColumn("__tid", monotonically_increasing_id())
+          .join(srcP.withColumn(Marker, lit(true)), fullOn, "left_outer")
+          .withColumn("__clause",
+            clauseCol(coalesce(col(Marker), lit(false))))
+          .withColumn("__fired",
+            coalesce(col(Marker), lit(false)) && col("__clause") >= 0 &&
+              col("__clause") < NmbsBase)
+        val viol = j0.where(col("__fired")).groupBy(col("__tid"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        require(viol.isEmpty,
+          "MERGE cardinality violation: a target row matches more than " +
+            "one source row that satisfies a matched clause condition " +
+            "(under the full ON condition) — deduplicate the source on " +
+            "the ON keys, or make the clause conditions/ON residue " +
+            "disambiguate to at most one modifying row")
+        j0.withColumn("__rn", row_number().over(
+            Window.partitionBy(col("__tid"))
+              .orderBy(col("__fired").desc, col("__tid"))))
+          .where(col("__rn") === 1)
+          .drop("__rn", "__fired", "__tid")
+      }
       else if (residueSql.isEmpty)
         tgtP.join(srcP.select(keyCols.map(k =>
             srcKeyCast(k).as(sP + sKeyOf(k))).toSeq: _*)

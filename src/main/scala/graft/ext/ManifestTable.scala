@@ -1660,7 +1660,12 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     cons ++ tableSchema(snap).map(_.fields.toSeq
       .filter(fd => !fd.nullable &&
         df.columns.exists(_.equalsIgnoreCase(fd.name)))
-      .map(fd => s"graft.notnull.${fd.name}" -> s"${fd.name} IS NOT NULL")
+      // backtick-quoted (embedded backticks doubled): a column name
+      // needing quoting (spaces, dots — possible via the DataFrame
+      // path) must still parse as ONE identifier, not brick every
+      // later append/UPDATE/MERGE with a parse error
+      .map(fd => s"graft.notnull.${fd.name}" ->
+        s"`${fd.name.replace("`", "``")}` IS NOT NULL")
       .toMap).getOrElse(Map.empty)
 
   /** Record CHECK constraint `name` = `exprSql`. EXISTING rows are

@@ -272,6 +272,13 @@ object Skipping {
     case a: UnresolvedAttribute if a.nameParts.size == 1 =>
       Some(a.nameParts.head.toLowerCase)
     case a: AttributeReference => Some(a.name.toLowerCase)
+    // a RESOLVED struct-field access maps to the parquet LEAF path the
+    // footer stats are keyed by (`meta.n` — ColumnPath.toDotString):
+    // struct-leaf predicates prune like top-level ones. Only the
+    // resolved shape: a multi-part UnresolvedAttribute could as well
+    // be a qualified top-level name, and guessing prunes wrong files.
+    case g: GetStructField =>
+      colName(g.child).map(c => s"$c.${g.extractFieldName.toLowerCase}")
     case _ => None
   }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, Exists, Expression, InSubquery, NamedExpression, Not, OuterReference, PlanExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -59,7 +59,13 @@ import graft.ext.{GraftTableV2, ManifestTable}
   * Expressions are re-printed as predicate SQL (qualifiers stripped so
   * they resolve against the table's own frame) because the manifest
   * row-level API is SQL-string-native — that is what its stats pruning
-  * parses. Subqueries cannot survive that seam and are rejected.
+  * parses. Subqueries cannot survive that seam; DELETE/UPDATE
+  * predicates carrying them lower instead to the subquery commands:
+  * UNCORRELATED shapes literalize at run time (bounded IN-list /
+  * boolean / scalar), and CORRELATED `[NOT] EXISTS` / `IN` (plus
+  * multi-column IN) decorrelate to the engine's source-key-pruned
+  * semi/anti row ops ([[GraftDmlRule.correlatedLowering]]) — the
+  * unbounded-key-set path, no driver collect.
   *
   * Injected as a RESOLUTION rule (same slot Delta intercepts MERGE at):
   * it fires the moment the command is fully resolved, before the
@@ -89,7 +95,19 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       graftTarget(d.table).map { t =>
         require(t.pinned.isEmpty,
           s"cannot DELETE from a time-travel pinned version of ${t.name()}")
-        GraftDeleteSubqueryCommand(t.dir, GraftHeldCond(d.condition)): LogicalPlan
+        // CORRELATED EXISTS / IN (and multi-column IN) lower to the
+        // source-key-pruned semi/anti row ops — no driver collect, no
+        // key-count cap; everything else (uncorrelated single-column
+        // shapes) keeps the bounded-literalization command
+        GraftDmlRule.correlatedLowering(d.condition,
+          AttributeSet(d.table.output)) match {
+          case Some(low) =>
+            GraftDeleteCorrelatedCommand(t.dir, low.sourcePlan, low.keyCols,
+              low.negated, low.residual.map(GraftHeldCond)): LogicalPlan
+          case None =>
+            GraftDeleteSubqueryCommand(t.dir,
+              GraftHeldCond(d.condition)): LogicalPlan
+        }
       }.getOrElse(d)
     // ALTER COLUMN ... SET NOT NULL: Spark's checker forbids
     // nullable→non-nullable outright (it cannot validate existing data
@@ -151,24 +169,69 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     require(table.pinned.isEmpty,
       s"cannot UPDATE a time-travel pinned version of ${table.name()}")
     // identity assignments appear when the analyzer has pre-aligned the
-    // command (one assignment per column); only real changes travel
-    val sets = u.assignments.flatMap { a =>
-      val col = a.key match {
-        case attr: AttributeReference => attr.name
-        case other => throw new UnsupportedOperationException(
-          s"graft-manifest UPDATE sets top-level columns only (got " +
-            s"${other.sql}; struct-field updates are not supported)")
+    // command (one assignment per column); only real changes travel.
+    // Struct-FIELD assignments (SET meta.lang = x) decompose to (root,
+    // path) and rebuild the whole top-level column as one projection
+    val rawSets: Seq[(AttributeReference, Seq[String], Expression)] =
+      u.assignments.flatMap { a =>
+        val (root, path) = GraftDmlRule.assignmentPath(a.key)
+        if (path.isEmpty && a.value.semanticEquals(a.key)) None
+        else Some((root, path, a.value))
       }
-      if (a.value.semanticEquals(a.key)) None else Some(col -> sqlOf(a.value))
-    }
-    if (sets.isEmpty)
+    if (rawSets.isEmpty)
       throw new UnsupportedOperationException(
         "UPDATE with no effective SET assignment")
-    // a WHERE carrying a subquery lowers to the literalizing command
-    // (SET expressions must stay subquery-free — sqlOf enforces it)
-    if (u.condition.exists(_.exists(_.isInstanceOf[PlanExpression[_]])))
-      return GraftUpdateSubqueryCommand(table.dir,
-        GraftHeldCond(u.condition.get), sets.toMap)
+    // one SET entry per ROOT column, in first-appearance order; the
+    // value printer differs per lowering path (bare frame vs the merge
+    // executor's __t_ namespace)
+    def buildSets(print: Expression => String,
+                  base: String => String): Seq[(String, String)] = {
+      val roots = rawSets.map(_._1.name).distinct
+      roots.map { rn =>
+        val group = rawSets.filter(_._1.name == rn)
+        val root = group.head._1
+        if (group.exists(_._2.isEmpty)) {
+          require(group.size == 1,
+            s"UPDATE assigns column $rn more than once (whole-column " +
+              "and field assignments cannot mix)")
+          rn -> print(group.head._3)
+        } else root.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            rn -> GraftDmlRule.structRebuildSql(base(rn), st,
+              group.map(g => (g._2, print(g._3))))
+          case other => throw new IllegalStateException(
+            s"field path on non-struct column $rn (${other.simpleString})")
+        }
+      }
+    }
+    def qid(n: String) = "`" + n.replace("`", "``") + "`"
+    val sets = buildSets(sqlOf, n => qid(n))
+    // a WHERE carrying a subquery lowers to the literalizing command —
+    // unless it is a CORRELATED EXISTS/IN (or multi-column IN), which
+    // lowers to the source-key-pruned merge path instead (SET
+    // expressions must stay subquery-free on every path)
+    if (u.condition.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))) {
+      GraftDmlRule.correlatedLowering(u.condition.get,
+        AttributeSet(u.table.output)) match {
+        case Some(low) =>
+          // SET values re-printed into the merge executor's __t_
+          // namespace (they reference target columns only)
+          return GraftUpdateCorrelatedCommand(table.dir, low.sourcePlan,
+            low.keyCols, low.negated, low.residual.map(GraftHeldCond),
+            buildSets(
+              v => {
+                if (v.exists(_.isInstanceOf[PlanExpression[_]]))
+                  throw new UnsupportedOperationException(
+                    "graft-manifest UPDATE does not support subqueries " +
+                      s"in SET expressions (got: ${v.sql})")
+                GraftDmlRule.prefixedSql(v, "__t_")
+              },
+              n => qid("__t_" + n)))
+        case None =>
+          return GraftUpdateSubqueryCommand(table.dir,
+            GraftHeldCond(u.condition.get), sets.toMap)
+      }
+    }
     val cond = u.condition.map(sqlOf).getOrElse("true")
     GraftUpdateCommand(table.dir, cond, sets.toMap)
   }
@@ -376,6 +439,269 @@ object GraftDmlRule {
           .create(f.eval(InternalRow.empty), f.dataType)
     }.sql
 
+  /** Resolved, subquery-free expression re-printed into a prefixed
+    * namespace (`__t_<col>` — the general-merge executor's target
+    * frame): same folding and AssertNotNull stripping as
+    * [[predicateSql]], with every attribute renamed.
+    */
+  private[plans] def prefixedSql(e: Expression, prefix: String): String =
+    e.transformUp {
+      case org.apache.spark.sql.catalyst.expressions.objects
+          .AssertNotNull(child, _) => child
+      case a: AttributeReference =>
+        a.withName(prefix + a.name).withQualifier(Nil)
+      case f if evaluablyFoldable(f) =>
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(f.eval(InternalRow.empty), f.dataType)
+    }.sql
+
+  /** An UPDATE assignment key decomposed to its root column and
+    * struct-field path: `meta` → (meta, []), `meta.lang` → (meta,
+    * [lang]), `a.b.c` → (a, [b, c]). Array/map element targets are a
+    * loud no — positional rewrites inside containers are not a column
+    * projection.
+    */
+  private[plans] def assignmentPath(e: Expression)
+  : (AttributeReference, Seq[String]) = e match {
+    case a: AttributeReference => (a, Nil)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      val (a, p) = assignmentPath(g.child)
+      (a, p :+ g.extractFieldName)
+    case other => throw new UnsupportedOperationException(
+      "graft-manifest UPDATE sets top-level columns or struct FIELDS " +
+        s"only (got ${other.sql}; array/map element updates are not " +
+        "supported)")
+  }
+
+  private def qid(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  /** The SQL that rebuilds a struct-typed column with `sets` (relative
+    * field path → value SQL) applied and every other field preserved
+    * from the OLD row — how `UPDATE t SET meta.lang = x` crosses the
+    * engine's SQL-string seam as a single top-level projection.
+    * Semantics match Spark's `Column.withField`: a NULL struct stays
+    * NULL (there is no row-part to update), never sprouts a
+    * half-filled struct.
+    */
+  private[plans] def structRebuildSql(
+      baseSql: String, st: org.apache.spark.sql.types.StructType,
+      sets: Seq[(Seq[String], String)]): String = {
+    val parts = st.fields.map { f =>
+      val here = sets.filter(_._1.head.equalsIgnoreCase(f.name))
+      val v =
+        if (here.isEmpty) s"$baseSql.${qid(f.name)}"
+        else if (here.exists(_._1.size == 1)) {
+          require(here.size == 1,
+            s"UPDATE assigns struct field ${f.name} more than once " +
+              "(or both the field and a sub-field)")
+          here.head._2
+        } else f.dataType match {
+          case nst: org.apache.spark.sql.types.StructType =>
+            structRebuildSql(s"$baseSql.${qid(f.name)}", nst,
+              here.map { case (p, sql) => (p.tail, sql) })
+          case other => throw new UnsupportedOperationException(
+            s"UPDATE path descends into ${other.simpleString} at field " +
+              s"${f.name} — only struct fields are assignable")
+        }
+      s"'${f.name.replace("'", "''")}', $v"
+    }
+    s"CASE WHEN $baseSql IS NULL THEN NULL " +
+      s"ELSE named_struct(${parts.mkString(", ")}) END"
+  }
+
+  /** A DML predicate's correlated-subquery conjunct lowered to a
+    * SEMI/ANTI-JOIN spec: `sourcePlan` projects the subquery's join
+    * keys ALIASED TO THE TARGET KEY NAMES (`keyCols`), `negated` marks
+    * `NOT EXISTS` (anti), and `residual` carries the remaining plain
+    * conjuncts (which may still hold UNCORRELATED subqueries — the
+    * command literalizes them at run time).
+    */
+  private[plans] final case class CorrLowering(sourcePlan: LogicalPlan,
+                                               keyCols: Seq[String],
+                                               negated: Boolean,
+                                               residual: Option[Expression])
+
+  /** Detect and lower the correlated-subquery shapes a graft DML
+    * predicate supports — the everyday dedup/GC idioms:
+    *
+    *   - `[NOT] EXISTS (SELECT ... WHERE s.k = t.k [AND local])`
+    *   - `t.k IN (SELECT k FROM ... [WHERE s.j = t.j AND local])`
+    *   - `(a, b) IN (SELECT x, y ...)` (multi-column, correlated or not
+    *     — the literalizer is single-column by design, the join is not)
+    *
+    * The correlation must be EQUALITY between a bare target column and
+    * a subquery-side expression, sitting in Filter(s) under only
+    * Project/Filter/SubqueryAlias operators — exactly the shapes that
+    * are a semi/anti join by construction. The equalities become the
+    * join keys: the subquery plan is rebuilt with them REMOVED and the
+    * inner key expressions projected out under the target column
+    * names, so the command can hand it to the engine's source-key-
+    * pruned row ops (`deleteMatching` / `mergeGeneral`) — no driver
+    * collect, no key-count bound, candidates pruned by the source's
+    * own keys. `None` = no routed conjunct (caller literalizes);
+    * unsupported correlated shapes raise loudly HERE, at analysis,
+    * with the rewrite that works.
+    *
+    * `NOT IN (subquery)` never routes: its three-valued NULL semantics
+    * (one NULL key vetoes every row) are not an anti-join; the raise
+    * names NOT EXISTS as the rewrite.
+    */
+  /** [[org.apache.spark.sql.catalyst.expressions.PredicateHelper]]'s
+    * conjunct splitter, surfaced for the object-level helpers (the
+    * trait keeps it protected).
+    */
+  private object PH
+      extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    def split(e: Expression): Seq[Expression] =
+      splitConjunctivePredicates(e)
+  }
+
+  private[plans] def correlatedLowering(cond: Expression,
+                                        targetOut: AttributeSet)
+  : Option[CorrLowering] = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(s"graft DML predicates: $what")
+    def corr(e: Expression): Boolean = e.exists {
+      case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
+      case _ => false
+    }
+    def multiIn(e: Expression): Boolean = e.exists {
+      case in: InSubquery => in.values.size > 1
+      case _ => false
+    }
+    val conjuncts = PH.split(cond)
+    val (routed, rest) = conjuncts.partition(c => corr(c) || multiIn(c))
+    if (routed.isEmpty) return None
+    if (routed.size > 1) unsupported(
+      "at most one correlated (or multi-column IN) subquery conjunct " +
+        s"is supported per predicate, got ${routed.size} — split the " +
+        "statement, or fold the conditions into one subquery")
+    val residual = rest.reduceOption(
+      org.apache.spark.sql.catalyst.expressions.And(_, _))
+    def valuePairs(in: InSubquery): Seq[(String, NamedExpression)] =
+      in.values.zip(in.query.plan.output).map {
+        case (a: AttributeReference, out) if targetOut.contains(a) =>
+          a.name -> out
+        case (other, _) => unsupported(
+          s"IN (subquery) values must be bare target columns to lower " +
+            s"to the key-pruned join (got: ${other.sql}) — alias the " +
+            "expression inside the subquery instead")
+      }
+    val (negated, plan0, pairs0) = routed.head match {
+      case ex: Exists => (false, ex.plan, Nil)
+      case Not(ex: Exists) => (true, ex.plan, Nil)
+      case in: InSubquery => (false, in.query.plan, valuePairs(in))
+      case Not(in: InSubquery) => unsupported(
+        "NOT IN (subquery) does not lower to an anti-join (one NULL " +
+          "key vetoes every row — SQL three-valued semantics); " +
+          "rewrite as NOT EXISTS (SELECT 1 FROM ... WHERE k = t.k)")
+      case other => unsupported(
+        "a correlated subquery may appear only as a bare [NOT] EXISTS " +
+          s"or IN conjunct (got: ${other.sql})")
+    }
+    val (rebuilt, corrPairs) = decorrelate(plan0, targetOut, unsupported)
+    val pairs = pairs0 ++ corrPairs
+    if (pairs.isEmpty) unsupported(
+      "EXISTS with no equality correlation to the target is a constant " +
+        "predicate per statement — it belongs in the uncorrelated " +
+        "literalizer, not here (this is a bug if you see it)")
+    pairs.map(_._1.toLowerCase).groupBy(identity).collect {
+      case (k, vs) if vs.size > 1 => k
+    }.headOption.foreach(k => unsupported(
+      s"target column $k is correlated more than once — drop the " +
+        "redundant equality or fold it into the subquery"))
+    val src = Project(
+      pairs.map { case (name, ne) =>
+        Alias(ne.toAttribute, name)(): NamedExpression },
+      rebuilt)
+    Some(CorrLowering(src, pairs.map(_._1), negated, residual))
+  }
+
+  /** Strip the equality-correlation conjuncts out of `plan0`'s
+    * correlated Filter and surface their inner key expressions as
+    * projected columns at the plan root — the plan surgery that turns
+    * "subquery correlated on t.k = e" into "source frame of e keys".
+    * Supported shape: ONE correlated Filter reachable from the root
+    * through Project/Filter/SubqueryAlias only (row-preserving per
+    * key); everything else raises via `unsupported`.
+    */
+  private def decorrelate(plan0: LogicalPlan, targetOut: AttributeSet,
+                          unsupported: String => Nothing)
+  : (LogicalPlan, Seq[(String, NamedExpression)]) = {
+    val corrFilters = plan0.collect {
+      case f: Filter if f.condition.exists(_.isInstanceOf[OuterReference]) => f
+    }
+    if (corrFilters.size > 1) unsupported(
+      "the correlation must sit in ONE Filter of the subquery, found " +
+        s"${corrFilters.size} correlated filters")
+    // outer references anywhere OUTSIDE that filter's condition (a
+    // correlated projection, join side, aggregate...) are not a plain
+    // semi-join shape
+    val stray = plan0.collect {
+      case f: Filter if corrFilters.exists(_ eq f) => Nil
+      case node => node.expressions.filter(
+        _.exists(_.isInstanceOf[OuterReference]))
+    }.flatten
+    if (stray.nonEmpty) unsupported(
+      "outer references may appear only in Filter conditions of the " +
+        s"subquery (got: ${stray.head.sql})")
+    if (corrFilters.isEmpty) return (plan0, Nil)
+    val corrFilter = corrFilters.head
+    // the chain above the correlated filter must preserve
+    // per-key existence: Project/SubqueryAlias/Filter only
+    def validate(p: LogicalPlan): Unit = p match {
+      case f: Filter if f eq corrFilter => ()
+      case pr: Project => validate(pr.child)
+      case sa: SubqueryAlias => validate(sa.child)
+      case f: Filter => validate(f.child)
+      case other => unsupported(
+        "the correlated filter must sit under Project/Filter operators " +
+          s"only (found ${other.nodeName} above it) — aggregates or " +
+          "joins above the correlation do not lower to a key join")
+    }
+    validate(plan0)
+    val (corrConjs, localConjs) =
+      PH.split(corrFilter.condition)
+        .partition(_.exists(_.isInstanceOf[OuterReference]))
+    def innerOk(e: Expression): Boolean =
+      !e.exists(_.isInstanceOf[OuterReference]) &&
+        !e.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        e.references.subsetOf(corrFilter.child.outputSet)
+    val rawPairs: Seq[(AttributeReference, Expression)] = corrConjs.map {
+      case EqualTo(OuterReference(a: AttributeReference), inner)
+          if targetOut.contains(a) && innerOk(inner) => a -> inner
+      case EqualTo(inner, OuterReference(a: AttributeReference))
+          if targetOut.contains(a) && innerOk(inner) => a -> inner
+      case other => unsupported(
+        "only equality correlation between a bare target column and a " +
+          s"subquery expression is supported (got: ${other.sql}) — " +
+          "non-equi correlation cannot drive key-pruned candidates; " +
+          "rewrite with MERGE and a rich ON condition")
+    }
+    val aliases = rawPairs.zipWithIndex.map { case ((a, inner), i) =>
+      Alias(inner, s"__corr_${i}_${a.name}")()
+    }
+    val corrAttrs: Seq[NamedExpression] = aliases.map(_.toAttribute)
+    val newNode: LogicalPlan = Project(
+      corrFilter.child.output ++ aliases,
+      localConjs.reduceOption(
+          org.apache.spark.sql.catalyst.expressions.And(_, _))
+        .map(Filter(_, corrFilter.child)).getOrElse(corrFilter.child))
+    // thread the key attributes up the (validated) chain: Projects
+    // pass them through, Filters and aliases are untouched
+    def rebuild(p: LogicalPlan): LogicalPlan = p match {
+      case f: Filter if f eq corrFilter => newNode
+      case pr @ Project(list, child) =>
+        pr.copy(projectList = list ++ corrAttrs, child = rebuild(child))
+      case sa: SubqueryAlias => sa.copy(child = rebuild(sa.child))
+      case f @ Filter(_, child) => f.copy(child = rebuild(child))
+      case other => unsupported(s"unreachable: ${other.nodeName}")
+    }
+    (rebuild(plan0),
+      rawPairs.zip(aliases).map { case ((a, _), al) =>
+        a.name -> (al.toAttribute: NamedExpression) })
+  }
+
   /** Distinct-key ceiling for literalized `IN (subquery)` predicates —
     * beyond it the IN-list stops being a predicate and starts being a
     * source frame, which is MERGE's job (`WHEN MATCHED THEN
@@ -500,6 +826,102 @@ case class GraftUpdateSubqueryCommand(dir: String, cond: GraftHeldCond,
     ManifestTable.retryOnConflict(spark, dir, opId) {
       ManifestTable.updateWhere(spark, dir, GraftDmlRule.predicateSql(lit),
         set, opId, cdc = ManifestTable.changeFeedEnabled(
+          ManifestTable.snapshot(spark, dir)))
+    }
+    Seq.empty
+  }
+}
+
+/** `DELETE ... WHERE [NOT] EXISTS / IN (correlated subquery)` lowered
+  * to the engine's SOURCE-KEY-PRUNED row ops: the decorrelated
+  * subquery ([[GraftDmlRule.correlatedLowering]]) becomes the source
+  * frame (its key columns aliased to the target key names, dedup'd
+  * here — a semi/anti join is per-KEY existence), and
+  *
+  *   - positive EXISTS/IN with no residual predicate →
+  *     [[ManifestTable.deleteMatching]] (the tombstone path: only the
+  *     files that can hold a source key are rewritten);
+  *   - positive with a residual target predicate → general merge with
+  *     one conditional `WHEN MATCHED THEN DELETE` clause (same
+  *     source-key candidate pruning);
+  *   - NOT EXISTS → general merge with one `WHEN NOT MATCHED BY
+  *     SOURCE THEN DELETE` clause (inherently full-scope: "rows the
+  *     source does NOT name" is unboundable by key stats — the same
+  *     cost Delta pays for the same statement).
+  *
+  * The residual literalizes its UNCORRELATED subqueries at run time,
+  * then re-prints into the merge executor's `__t_` namespace. No
+  * driver collect of keys anywhere — the correlated shape is exactly
+  * the unbounded-key-set case the 10k literalization cap points at.
+  */
+case class GraftDeleteCorrelatedCommand(dir: String,
+                                        @transient source: LogicalPlan,
+                                        keyCols: Seq[String],
+                                        negated: Boolean,
+                                        residual: Option[GraftHeldCond])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] =
+    Seq(source) ++ residual.toSeq.flatMap(_.e.collect {
+      case p: PlanExpression[_] => p.plan.asInstanceOf[LogicalPlan] })
+  override def run(spark: SparkSession): Seq[Row] = {
+    val residSql = residual.map { h =>
+      GraftDmlRule.prefixedSql(
+        GraftDmlRule.literalizeSubqueries(spark, h.e), "__t_")
+    }
+    val src = org.apache.spark.sql.graft.GraftSqlShims
+      .ofRows(spark, source).distinct()
+    val opId = s"sql-delete-corr-${java.util.UUID.randomUUID()}"
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      def cdcNow = ManifestTable.changeFeedEnabled(
+        ManifestTable.snapshot(spark, dir))
+      if (!negated && residSql.isEmpty)
+        ManifestTable.deleteMatching(src, dir, keyCols, opId, cdc = cdcNow)
+      else {
+        val clause = ManifestTable.MergeClause("delete", residSql, Nil)
+        ManifestTable.mergeGeneral(src, dir, keyCols,
+          matched = if (negated) Nil else Seq(clause),
+          notMatched = Nil,
+          notMatchedBySource = if (negated) Seq(clause) else Nil,
+          opId = opId, cdc = cdcNow)
+      }
+    }
+    Seq.empty
+  }
+}
+
+/** `UPDATE ... SET ... WHERE [NOT] EXISTS / IN (correlated subquery)`
+  * — same decorrelated-source lowering as
+  * [[GraftDeleteCorrelatedCommand]], with the SET assignments riding a
+  * single `WHEN MATCHED THEN UPDATE` (positive) or `WHEN NOT MATCHED
+  * BY SOURCE THEN UPDATE` (NOT EXISTS) clause; `set` values are
+  * already in the executor's `__t_` namespace (SET sees the OLD row,
+  * and may reference target columns only).
+  */
+case class GraftUpdateCorrelatedCommand(dir: String,
+                                        @transient source: LogicalPlan,
+                                        keyCols: Seq[String],
+                                        negated: Boolean,
+                                        residual: Option[GraftHeldCond],
+                                        set: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] =
+    Seq(source) ++ residual.toSeq.flatMap(_.e.collect {
+      case p: PlanExpression[_] => p.plan.asInstanceOf[LogicalPlan] })
+  override def run(spark: SparkSession): Seq[Row] = {
+    val residSql = residual.map { h =>
+      GraftDmlRule.prefixedSql(
+        GraftDmlRule.literalizeSubqueries(spark, h.e), "__t_")
+    }
+    val src = org.apache.spark.sql.graft.GraftSqlShims
+      .ofRows(spark, source).distinct()
+    val opId = s"sql-update-corr-${java.util.UUID.randomUUID()}"
+    val clause = ManifestTable.MergeClause("update", residSql, set)
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      ManifestTable.mergeGeneral(src, dir, keyCols,
+        matched = if (negated) Nil else Seq(clause),
+        notMatched = Nil,
+        notMatchedBySource = if (negated) Seq(clause) else Nil,
+        opId = opId, cdc = ManifestTable.changeFeedEnabled(
           ManifestTable.snapshot(spark, dir)))
     }
     Seq.empty

@@ -106,9 +106,16 @@ class GraftReadOptions(session: SparkSession)
         // spelling. changesBetween covers (from, to], so the inclusive
         // option shifts its lower bound by one.
         // clamp: startingVersion=0 is the Delta "whole history"
-        // spelling — an unclamped -1 would fail changesBetween's bounds
+        // spelling — an unclamped -1 would fail changesBetween's bounds.
+        // NEGATIVE input is a caller bug (Delta validates it too): raise
+        // rather than silently reading the whole history
         val from = opts.get("startingversion")
-          .map(v => math.max(0L, v.toLong - 1))
+          .map { v0 =>
+            val v = v0.toLong
+            require(v >= 0L,
+              s"startingVersion must be >= 0, got $v")
+            math.max(0L, v - 1)
+          }
           .orElse(opts.get("sinceversion").map(_.toLong))
           .orElse(opts.get("sincetimestamp").map(ts =>
             ManifestTable.versionAt(session, dir, ts.toLong)))

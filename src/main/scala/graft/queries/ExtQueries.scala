@@ -1415,6 +1415,153 @@ object ExtQueries {
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqldsq ORDER BY doc_id")
   }
 
+  /** CORRELATED subqueries in DML predicates, oracle-replayed — the
+    * everyday dedup/GC idioms lowered to the engine's source-key-pruned
+    * semi/anti row ops (no driver collect, no key-count ceiling):
+    * (1) `DELETE WHERE EXISTS (s.k = t.k AND local)` — semi, lowered to
+    * `deleteMatching`, the REQUIREs pin a strict-subset rewrite (the
+    * matched band's files only) and `delete` provenance; (2) `DELETE
+    * WHERE NOT EXISTS` — anti, a NOT-MATCHED-BY-SOURCE delete (full
+    * scope, inherent to the quantifier); (3) correlated `UPDATE WHERE
+    * EXISTS` — a conditional matched-update merge. DuckDB replays all
+    * three as one frame. Re-runnable for warm bench passes.
+    */
+  def manifestSqlDeleteExistsQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqldex")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqldex_src")
+    s.sql("CREATE TABLE graft_fix.sqldex " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqldex SELECT doc_id, lang, n_chars " +
+        s"FROM sqldex_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqldex")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-delete")
+    // (1) SEMI: equality-correlated EXISTS → deleteMatching
+    s.sql("""DELETE FROM graft_fix.sqldex t WHERE EXISTS
+            |  (SELECT 1 FROM sqldex_src s
+            |   WHERE s.doc_id = t.doc_id
+            |     AND s.doc_id >= 120 AND s.doc_id < 180
+            |     AND s.doc_id % 2 = 0)""".stripMargin)
+    val afterSemi = graft.ext.ManifestTable.snapshot(s, s"$wh/sqldex")
+    val rewritten = before.files.toSet.diff(afterSemi.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size / 2,
+      s"correlated-EXISTS DELETE rewrote $rewritten of " +
+        s"${before.files.size} files — source-key pruning did not hold")
+    require(afterSemi.op == "delete",
+      s"correlated-EXISTS DELETE landed as '${afterSemi.op}', not 'delete'")
+    // (2) ANTI: NOT EXISTS → NOT-MATCHED-BY-SOURCE delete (the >= 350
+    // tail has no witness in the bounded source)
+    s.sql("""DELETE FROM graft_fix.sqldex t WHERE NOT EXISTS
+            |  (SELECT 1 FROM sqldex_src s
+            |   WHERE s.doc_id = t.doc_id AND s.doc_id < 350)""".stripMargin)
+    require(graft.ext.ManifestTable.snapshot(s, s"$wh/sqldex").op == "merge",
+      "NOT-EXISTS DELETE must land as a 'merge' (NMBS) commit")
+    // (3) correlated UPDATE: matched rows only, SET sees the OLD row
+    s.sql("""UPDATE graft_fix.sqldex t SET n_chars = n_chars + 50
+            |WHERE EXISTS (SELECT 1 FROM sqldex_src s
+            |              WHERE s.doc_id = t.doc_id AND s.doc_id < 50)""".stripMargin)
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqldex ORDER BY doc_id")
+  }
+
+  /** MULTI-COLUMN `IN (subquery)` in a DELETE predicate,
+    * oracle-replayed: the single-column literalizer is not its ceiling
+    * — the tuple IN routes through the same key-joined lowering as the
+    * correlated shapes (`deleteMatching` on both columns), with range
+    * pruning on the key band. Re-runnable for warm bench passes.
+    */
+  def manifestSqlDeleteInMultiQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqldim")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqldim_src")
+    s.sql("CREATE TABLE graft_fix.sqldim " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqldim SELECT doc_id, lang, n_chars " +
+        s"FROM sqldim_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqldim")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-delete")
+    s.sql("""DELETE FROM graft_fix.sqldim t
+            |WHERE (doc_id, lang) IN
+            |  (SELECT doc_id, lang FROM sqldim_src
+            |   WHERE doc_id >= 150 AND doc_id < 250)""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqldim")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size,
+      s"tuple-IN DELETE rewrote $rewritten of ${before.files.size} " +
+        "files — key-range pruning did not hold")
+    require(after.op == "delete",
+      s"tuple-IN DELETE landed as '${after.op}', not 'delete'")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqldim ORDER BY doc_id")
+  }
+
+  /** STRUCT columns in manifest tables + struct-field UPDATE,
+    * oracle-replayed: a `STRUCT<lang, n>` column is created, appended
+    * (banded, so its LEAF carries per-file footer stats), probed with
+    * a struct-leaf predicate whose `FileSourceScanExec.numFiles` must
+    * prove leaf-stats pruning, then mutated twice through the SQL
+    * face — `SET meta.n = meta.n + 1000` (field rebuild, whole-column
+    * projection, doc_id-banded candidate pruning) and `SET meta.lang`
+    * under a struct-leaf WHERE. DuckDB replays the leaves as scalars
+    * (the final SELECT projects them out — struct values never cross
+    * the comparator). Re-runnable for warm bench passes.
+    */
+  def manifestStructUpdateQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlstu")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlstu_src")
+    s.sql("CREATE TABLE graft_fix.sqlstu " +
+      "(doc_id BIGINT, meta STRUCT<lang: STRING, n: BIGINT>)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlstu SELECT doc_id, " +
+        "named_struct('lang', lang, 'n', doc_id) " +
+        s"FROM sqlstu_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlstu")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-update")
+    // struct-LEAF pruning on the planner path: the footer keys leaf
+    // stats by dot path (meta.n), the skipping evaluator resolves the
+    // resolved GetStructField to the same key
+    val probe = s.sql("SELECT doc_id FROM graft_fix.sqlstu " +
+      "WHERE meta.n >= 120 AND meta.n < 180")
+    probe.collect()
+    val read = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    require(read.nonEmpty && read.sum < before.files.size,
+      s"struct-leaf probe read ${read.sum} of ${before.files.size} " +
+        "files — meta.n footer stats did not prune")
+    // field UPDATE: rebuilds the column, preserves siblings, prunes
+    // candidates on the banded doc_id
+    s.sql("""UPDATE graft_fix.sqlstu SET meta.n = meta.n + 1000
+            |WHERE doc_id >= 100 AND doc_id < 200""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlstu")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size / 2,
+      s"struct-field UPDATE rewrote $rewritten of ${before.files.size} " +
+        "files — candidate pruning did not hold")
+    require(after.op == "update",
+      s"struct-field UPDATE landed as '${after.op}', not 'update'")
+    // a struct-leaf WHERE drives the row op (conservatively unpruned
+    // on the string seam — correctness first)
+    s.sql("UPDATE graft_fix.sqlstu SET meta.lang = 'xx' " +
+      "WHERE meta.n >= 1150")
+    s.sql("SELECT doc_id, meta.lang AS mlang, meta.n AS mn " +
+      "FROM graft_fix.sqlstu ORDER BY doc_id")
+  }
+
   /** ALTER TABLE RENAME COLUMN via column mapping, oracle-replayed:
     * banded inserts, a RENAME (metadata-only — the REQUIREs pin that
     * ZERO files moved), an insert THROUGH the new name, and a
@@ -3022,6 +3169,9 @@ object ExtQueries {
     "manifest_sql_merge_on_expr" -> (manifestSqlMergeOnExprQ(_, _)),
     "manifest_sql_merge_evolve" -> (manifestSqlMergeEvolveQ(_, _)),
     "manifest_sql_delete_in_subquery" -> (manifestSqlDeleteInSubqueryQ(_, _)),
+    "manifest_sql_delete_exists" -> (manifestSqlDeleteExistsQ(_, _)),
+    "manifest_sql_delete_in_multi" -> (manifestSqlDeleteInMultiQ(_, _)),
+    "manifest_struct_update" -> (manifestStructUpdateQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -3959,6 +4109,38 @@ object ExtQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id < 400
         |  AND NOT (doc_id >= 120 AND doc_id < 180 AND doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // CORRELATED DML replayed: semi-EXISTS delete (even 120-180),
+    // anti-NOT-EXISTS delete (the >= 350 tail), correlated UPDATE
+    // (+50 under 50)
+    "manifest_sql_delete_exists" ->
+      """SELECT doc_id, lang,
+        |  CAST(n_chars + CASE WHEN doc_id < 50 THEN 50 ELSE 0 END
+        |       AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id < 350
+        |  AND NOT (doc_id >= 120 AND doc_id < 180 AND doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // MULTI-COLUMN IN (subquery) DELETE replayed: the 150-250 band's
+    // (doc_id, lang) tuples match themselves and go
+    "manifest_sql_delete_in_multi" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 400
+        |  AND NOT (doc_id >= 150 AND doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
+
+    // STRUCT-FIELD UPDATE replayed as leaf scalars: meta.n bumps by
+    // 1000 in the 100-200 band, meta.lang turns 'xx' where the bumped
+    // leaf reaches 1150 (doc_id 150-199)
+    "manifest_struct_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id >= 150 AND doc_id < 200 THEN 'xx'
+        |       ELSE lang END AS mlang,
+        |  CAST(doc_id + CASE WHEN doc_id >= 100 AND doc_id < 200
+        |                     THEN 1000 ELSE 0 END AS BIGINT) AS mn
+        |FROM documents WHERE doc_id < 400
         |ORDER BY doc_id""".stripMargin,
 
     // ATOMIC REPLACE replayed: the table IS the AS-SELECT frame

@@ -256,6 +256,58 @@ class GraftSqlDmlSpec extends SparkSpec {
       .as[Long].head() === 2L)
   }
 
+  test("MERGE cardinality is CLAUSE-AWARE: disambiguated multi-matches commit (Delta contract)") {
+    fsDel(s"$wh/g_card2")
+    sql("CREATE TABLE graft_dml.g_card2 (id BIGINT, n BIGINT, ts BIGINT)")
+    sql("INSERT INTO graft_dml.g_card2 SELECT id, id, 100 FROM range(6)")
+    // two source rows per key, but only the flag=1 row satisfies any
+    // matched clause condition — at most one modifier per target: valid
+    Seq((2L, 10L, 1L), (2L, 99L, 0L), (3L, 30L, 1L), (3L, 98L, 0L))
+      .toDF("id", "v", "flag").createOrReplaceTempView("g_card2_src")
+    sql("""MERGE INTO graft_dml.g_card2 t USING g_card2_src s ON t.id = s.id
+          |WHEN MATCHED AND s.flag = 1 THEN UPDATE SET n = s.v""".stripMargin)
+    assert(sql("SELECT id, n FROM graft_dml.g_card2 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((0L, 0L), (1L, 1L), (2L, 10L), (3L, 30L), (4L, 4L), (5L, 5L)),
+      "the flag-guarded rows must update; the flag=0 twins must not " +
+        "modify OR duplicate their targets")
+    assert(sql("SELECT count(*) FROM graft_dml.g_card2").as[Long].head()
+      === 6L, "the fan-out must collapse back to one row per target")
+    // the SCD residue shape: two source rows per key, the ON residue
+    // (s.ts > t.ts) admits only the fresh one — valid, matches Delta
+    Seq((4L, 40L, 200L), (4L, 41L, 50L)).toDF("id", "v", "ts")
+      .createOrReplaceTempView("g_card2_scd")
+    sql("""MERGE INTO graft_dml.g_card2 t
+          |USING g_card2_scd s ON t.id = s.id AND s.ts > t.ts
+          |WHEN MATCHED THEN UPDATE SET n = s.v, ts = s.ts""".stripMargin)
+    assert(sql("SELECT n, ts FROM graft_dml.g_card2 WHERE id = 4")
+      .as[(Long, Long)].head() === ((40L, 200L)))
+    // the GENUINELY ambiguous case still raises: both twins fire
+    Seq((5L, 1L, 1L), (5L, 2L, 1L)).toDF("id", "v", "flag")
+      .createOrReplaceTempView("g_card2_bad")
+    val e = intercept[Exception] {
+      sql("""MERGE INTO graft_dml.g_card2 t USING g_card2_bad s ON t.id = s.id
+            |WHEN MATCHED AND s.flag = 1 THEN UPDATE SET n = s.v""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cardinality violation")),
+      msgs(e).mkString(" | "))
+    // and mutually-exclusive UPDATE/DELETE guards: one modifier each,
+    // different clauses — still exactly one firing pair per target
+    fsDel(s"$wh/g_card3")
+    sql("CREATE TABLE graft_dml.g_card3 (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_card3 SELECT id, id FROM range(4)")
+    Seq((1L, 7L, "upd"), (1L, 0L, "noop"), (2L, 0L, "del"), (2L, 0L, "noop"))
+      .toDF("id", "v", "op").createOrReplaceTempView("g_card3_src")
+    sql("""MERGE INTO graft_dml.g_card3 t USING g_card3_src s ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET n = s.v
+          |WHEN MATCHED AND s.op = 'del' THEN DELETE""".stripMargin)
+    assert(sql("SELECT id, n FROM graft_dml.g_card3 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((0L, 0L), (1L, 7L), (3L, 3L)))
+  }
+
   test("MERGE ON t.id = s.src_id: differently-named key equalities, pruned rewrite") {
     fsDel(s"$wh/g_names")
     sql("CREATE TABLE graft_dml.g_names (id BIGINT, v STRING, n BIGINT)")
@@ -516,6 +568,139 @@ class GraftSqlDmlSpec extends SparkSpec {
       .as[Long].head() === 7L)
   }
 
+  test("DELETE/UPDATE WHERE [NOT] EXISTS and correlated IN lower to key-pruned joins") {
+    fsDel(s"$wh/g_corr")
+    fsDel(s"$wh/g_corr_src")
+    sql("CREATE TABLE graft_dml.g_corr (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_corr SELECT id, id FROM range(20)")
+    sql("CREATE TABLE graft_dml.g_corr_src (sid BIGINT, tag STRING)")
+    sql("INSERT INTO graft_dml.g_corr_src VALUES " +
+      "(3, 'del'), (3, 'del'), (5, 'del'), (7, 'keep'), (null, 'del')")
+    // positive EXISTS, no residual → deleteMatching (op 'delete');
+    // duplicate and NULL source keys are absorbed (per-KEY existence)
+    sql("""DELETE FROM graft_dml.g_corr t WHERE EXISTS
+          |  (SELECT 1 FROM graft_dml.g_corr_src s
+          |   WHERE s.sid = t.id AND s.tag = 'del')""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_corr").as[Long].head()
+      === 18L) // ids 3, 5 went; 7 is 'keep'; NULL never matches
+    assert(ManifestTable.snapshot(spark, s"$wh/g_corr").op === "delete")
+    // positive EXISTS with a RESIDUAL target predicate → one
+    // conditional WHEN MATCHED THEN DELETE (op 'merge')
+    sql("""DELETE FROM graft_dml.g_corr t WHERE EXISTS
+          |  (SELECT 1 FROM graft_dml.g_corr_src s WHERE s.sid = t.id)
+          |  AND t.n >= 7""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_corr").as[Long].head()
+      === 17L) // only id 7 satisfies both
+    assert(ManifestTable.snapshot(spark, s"$wh/g_corr").op === "merge")
+    // correlated UPDATE: SET sees the OLD row, matched rows only
+    sql("""UPDATE graft_dml.g_corr t SET n = n + 100 WHERE EXISTS
+          |  (SELECT 1 FROM graft_dml.g_corr_src s
+          |   WHERE s.sid = t.id AND s.tag = 'keep')""".stripMargin)
+    assert(sql("SELECT id FROM graft_dml.g_corr WHERE n >= 100")
+      .as[Long].collect().toSeq === Seq.empty, // id 7 was deleted above
+      "no 'keep' id survives, so no row may update")
+    // NOT EXISTS → anti (NOT MATCHED BY SOURCE); residual narrows it
+    sql("""UPDATE graft_dml.g_corr t SET n = -1 WHERE NOT EXISTS
+          |  (SELECT 1 FROM graft_dml.g_corr_src s WHERE s.sid = t.id)
+          |  AND t.id < 2""".stripMargin)
+    assert(sql("SELECT id FROM graft_dml.g_corr WHERE n = -1 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(0L, 1L))
+    // correlated IN (one key via the IN values, one via an equality
+    // INSIDE the subquery body): both equalities become join keys
+    sql("""DELETE FROM graft_dml.g_corr t
+          |WHERE n IN (SELECT sid FROM graft_dml.g_corr_src s
+          |            WHERE s.sid = t.id)""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_corr").as[Long].head()
+      === 17L, "the id=n rows among {3,5,7,null} are gone — a no-op")
+    // multi-column IN (uncorrelated values tuple) routes through the
+    // same join — the single-column literalizer is not its ceiling
+    sql("""DELETE FROM graft_dml.g_corr t
+          |WHERE (id, n) IN (SELECT sid, sid FROM graft_dml.g_corr_src)""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_corr ORDER BY 1")
+      .as[Long].head() === 17L,
+      "ids 3/5 are gone and 0/1 carry n=-1 — no (id,n) pair matches")
+    sql("INSERT INTO graft_dml.g_corr VALUES (3, 3)")
+    sql("""DELETE FROM graft_dml.g_corr t
+          |WHERE (id, n) IN (SELECT sid, sid FROM graft_dml.g_corr_src)""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_corr").as[Long].head()
+      === 17L, "the re-inserted (3,3) pair must match and go")
+  }
+
+  test("correlated EXISTS DELETE: key-pruned candidates, no key-count ceiling") {
+    fsDel(s"$wh/g_corr_big")
+    fsDel(s"$wh/g_corr_big_src")
+    sql("CREATE TABLE graft_dml.g_corr_big (id BIGINT, t STRING)")
+    sql("INSERT INTO graft_dml.g_corr_big SELECT id, " +
+      "concat('body ', id, ' with ballast text to split files') " +
+      "FROM range(4000)")
+    ManifestTable.compact(spark, s"$wh/g_corr_big",
+      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+    val before = ManifestTable.snapshot(spark, s"$wh/g_corr_big")
+    require(before.files.size > 3, s"degenerate: ${before.files.size} files")
+    // a key set FAR past the 10k literalization ceiling: the join path
+    // must serve it (the IN literalizer would raise here)
+    spark.range(20000).selectExpr("id + 100 AS k")
+      .where("k < 180").createOrReplaceTempView("g_corr_narrow")
+    sql("""DELETE FROM graft_dml.g_corr_big t WHERE EXISTS
+          |  (SELECT 1 FROM g_corr_narrow s WHERE s.k = t.id)""".stripMargin)
+    val after = ManifestTable.snapshot(spark, s"$wh/g_corr_big")
+    assert(sql("SELECT count(*) FROM graft_dml.g_corr_big").as[Long].head()
+      === 3920L)
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    assert(rewritten > 0 && rewritten < before.files.size / 2,
+      s"correlated DELETE rewrote $rewritten of ${before.files.size} " +
+        "files — source-key candidate pruning did not hold")
+    // and the genuinely unbounded set (20k keys) commits too
+    spark.range(20000).selectExpr("id AS k")
+      .createOrReplaceTempView("g_corr_wide")
+    sql("""DELETE FROM graft_dml.g_corr_big t WHERE EXISTS
+          |  (SELECT 1 FROM g_corr_wide s WHERE s.k = t.id)""".stripMargin)
+    assert(sql("SELECT count(*) FROM graft_dml.g_corr_big").as[Long].head()
+      === 0L)
+  }
+
+  test("struct-field UPDATE: rebuilds the column, NULL struct stays NULL, nested paths") {
+    fsDel(s"$wh/g_struct")
+    sql("CREATE TABLE graft_dml.g_struct (id BIGINT, " +
+      "meta STRUCT<lang: STRING, deep: STRUCT<a: BIGINT, b: STRING>>)")
+    sql("INSERT INTO graft_dml.g_struct VALUES " +
+      "(1, named_struct('lang', 'de', 'deep', named_struct('a', 10L, 'b', 'x'))), " +
+      "(2, named_struct('lang', 'fr', 'deep', named_struct('a', 20L, 'b', 'y'))), " +
+      "(3, CAST(NULL AS STRUCT<lang: STRING, deep: STRUCT<a: BIGINT, b: STRING>>))")
+    // one field changes, siblings (including the nested struct) survive
+    sql("UPDATE graft_dml.g_struct SET meta.lang = 'en' WHERE id = 1")
+    assert(sql("SELECT meta.lang, meta.deep.a, meta.deep.b " +
+      "FROM graft_dml.g_struct WHERE id = 1")
+      .as[(String, Long, String)].head() === (("en", 10L, "x")))
+    // nested two-level path
+    sql("UPDATE graft_dml.g_struct SET meta.deep.a = meta.deep.a + 5 " +
+      "WHERE id = 2")
+    assert(sql("SELECT meta.lang, meta.deep.a, meta.deep.b " +
+      "FROM graft_dml.g_struct WHERE id = 2")
+      .as[(String, Long, String)].head() === (("fr", 25L, "y")))
+    // Column.withField semantics: a NULL struct has no part to update
+    // — it stays NULL, never sprouts a half-filled struct
+    sql("UPDATE graft_dml.g_struct SET meta.lang = 'zz' WHERE id = 3")
+    assert(sql("SELECT meta IS NULL FROM graft_dml.g_struct WHERE id = 3")
+      .as[Boolean].head(), "NULL struct must survive a field update")
+    // two fields of one struct in one statement
+    sql("UPDATE graft_dml.g_struct SET meta.lang = 'it', meta.deep.b = 'q' " +
+      "WHERE id = 1")
+    assert(sql("SELECT meta.lang, meta.deep.a, meta.deep.b " +
+      "FROM graft_dml.g_struct WHERE id = 1")
+      .as[(String, Long, String)].head() === (("it", 10L, "q")))
+    // whole-column + field assignment to the same column: loud
+    val e = intercept[Exception] {
+      sql("UPDATE graft_dml.g_struct SET meta = NULL, meta.lang = 'x' " +
+        "WHERE id = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("more than once") ||
+      m.toLowerCase.contains("conflict") ||
+      m.toLowerCase.contains("duplicate")), msgs(e).mkString(" | "))
+  }
+
   test("unsupported DML shapes are a loud no, never an approximation") {
     fsDel(s"$wh/d_err")
     sql("CREATE TABLE graft_dml.d_err (id BIGINT, n BIGINT)")
@@ -535,10 +720,17 @@ class GraftSqlDmlSpec extends SparkSpec {
     rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
               |WHEN MATCHED AND t.id IN (SELECT id FROM d_src) THEN DELETE""".stripMargin,
       "subquer")
-    // correlated subqueries in DELETE/UPDATE predicates stay loud
+    // NON-EQUI correlation cannot drive key-pruned candidates: loud,
+    // naming the MERGE rewrite (equality correlation lowers fine —
+    // see the correlated-subquery test)
     rejects("DELETE FROM graft_dml.d_err t WHERE EXISTS " +
       "(SELECT 1 FROM d_src s WHERE s.id = t.id AND s.n > t.n)",
-      "correlated")
+      "equality correlation")
+    // correlated NOT IN is not an anti-join (NULL-key veto semantics):
+    // loud, naming NOT EXISTS as the rewrite
+    rejects("DELETE FROM graft_dml.d_err t WHERE id NOT IN " +
+      "(SELECT n FROM d_src s WHERE s.id = t.id)",
+      "NOT EXISTS")
     // an ON with NO equality conjunct at all: nothing to prune on
     rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id > s.id
               |WHEN MATCHED THEN UPDATE SET *
