@@ -205,8 +205,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Schema evolution as metadata commits, all through the manifest's
     * column mapping ([[ManifestTable.renameColumn]] etc.):
     *
-    *   - `ADD COLUMN`: forced nullable, old files null-fill; re-adding
-    *     a previously dropped name binds a FRESH physical slot;
+    *   - `ADD COLUMN`: forced nullable, old files null-fill — or
+    *     read-fill the FROZEN literal when the ADD declares a DEFAULT
+    *     (the EXISTS_DEFAULT/CURRENT_DEFAULT two-field protocol, see
+    *     [[ManifestTable.addColumn]]); re-adding a previously dropped
+    *     name binds a FRESH physical slot;
     *   - `RENAME COLUMN`: logical name changes, physical parquet name
     *     stays — no rewrite, stats/blooms/NDV keep pruning;
     *   - `DROP COLUMN`: logical column gone, physical name retired so
@@ -242,16 +245,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     changes.foreach {
       case add: TableChange.AddColumn =>
-        // an ADD with a default would need Delta's EXISTS_DEFAULT
-        // read-fill for the old rows (here they null-fill) — reject
-        // rather than silently disagree with the declared default
-        require(add.defaultValue() == null,
-          s"ADD COLUMN ${add.fieldNames().mkString(".")} with DEFAULT " +
-            "is not supported — existing rows null-fill; ADD first, " +
-            "then ALTER COLUMN ... SET DEFAULT (affects future inserts) " +
-            "or backfill with UPDATE")
+        // ADD COLUMN ... DEFAULT: Delta's two-field protocol.
+        // CURRENT_DEFAULT keeps the declared SQL (future INSERTs);
+        // EXISTS_DEFAULT freezes the value the ANALYZER already
+        // evaluated to a literal (ColumnDefaultValue.getValue — so
+        // current_date() is pinned to the ALTER's date) and read-fills
+        // the pre-ADD files. Both ride the recorded schema's field
+        // metadata; no data moves.
+        val default = Option(add.defaultValue()).map { d =>
+          val lv = d.getValue()
+          require(lv != null,
+            s"ADD COLUMN ${add.fieldNames().mkString(".")}: the DEFAULT " +
+              "did not fold to a literal — only constant defaults can " +
+              "read-fill existing rows")
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+            lv.value(), lv.dataType())
+          val cur = Option(d.getSql()).filter(_.nonEmpty).getOrElse(lit.sql)
+          (cur, lit.sql)
+        }
         ManifestTable.addColumn(spark, dirOf(ident),
-          topLevel("ADD COLUMN", add.fieldNames()), add.dataType())
+          topLevel("ADD COLUMN", add.fieldNames()), add.dataType(), default)
       case ren: TableChange.RenameColumn =>
         ManifestTable.renameColumn(spark, dirOf(ident),
           topLevel("RENAME COLUMN", ren.fieldNames()), ren.newName())

@@ -1034,9 +1034,29 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     * existed null-fill on read, the exact contract append-side schema
     * evolution already gives ([[mergedSchemaJson]]); no data moves.
     * Raises on a duplicate name or a schema-less legacy table.
+    *
+    * `default` = (currentSql, existsLiteralSql) carries `ADD COLUMN ...
+    * DEFAULT`: Delta's TWO-FIELD protocol, riding the recorded schema's
+    * field metadata under Spark's own keys. `CURRENT_DEFAULT` (the
+    * declared SQL) fills future INSERTs that omit the column — and is
+    * what a later SET/DROP DEFAULT changes. `EXISTS_DEFAULT` (the value
+    * FROZEN to a literal at ADD time — `current_date()` evaluates once,
+    * here) fills the column ON READ for every file that physically
+    * lacks it — which is exactly the pre-ADD files, because every
+    * engine write materializes the full column set. No read-path code
+    * carries this: Spark's parquet readers (vectorized and not) apply
+    * existence defaults from the read schema's field metadata per file
+    * footer, on both the `spark.read.schema` path ([[plainRead]]) and
+    * the `HadoopFsRelation` planner path ([[ManifestPlan.relation]]) —
+    * a file that HAS the column keeps its values, NULLs included.
+    * Rewrites read the filled view and write it physically, so the
+    * pre-ADD file set only shrinks; a re-ADD after DROP binds a fresh
+    * physical slot, so a retired column's bytes (and its old default)
+    * can never resurface.
     */
   def addColumn(spark: SparkSession, dir: String, name: String,
-                dataType: org.apache.spark.sql.types.DataType): Boolean =
+                dataType: org.apache.spark.sql.types.DataType,
+                default: Option[(String, String)] = None): Boolean =
     commit(spark, dir) { old =>
       val cur = tableSchema(old).getOrElse(throw new IllegalStateException(
         s"ManifestTable at $dir tracks no schema (created before schema " +
@@ -1057,9 +1077,21 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
             .find(c => !taken.contains(c.toLowerCase)).get
           candidate
         }
+      val fieldMeta = default match {
+        case None => org.apache.spark.sql.types.Metadata.empty
+        case Some((curSql, existsSql)) =>
+          // parse both now: a default that cannot parse must fail the
+          // ALTER, not every later INSERT/read
+          spark.sessionState.sqlParser.parseExpression(curSql)
+          spark.sessionState.sqlParser.parseExpression(existsSql)
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", curSql)
+            .putString("EXISTS_DEFAULT", existsSql)
+            .build()
+      }
       val newSchema = org.apache.spark.sql.types.StructType(
         cur.fields :+ org.apache.spark.sql.types.StructField(
-          name, dataType, nullable = true))
+          name, dataType, nullable = true, fieldMeta))
       val newMap =
         if (old.colMap.isEmpty && phys == name) Nil // stay identity
         else fullColMap(old, cur) :+ (name -> phys)
@@ -1257,12 +1289,13 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     * where the analyzer's default-column resolution reads it, so
     * INSERTs that omit the column (or write the DEFAULT keyword)
     * substitute it at ANALYSIS time and the stored rows carry real
-    * values. A default is a WRITE-time contract only: rows written
-    * while a different (or no) default held keep what they hold —
-    * which is why `ADD COLUMN ... DEFAULT` stays rejected (old rows
-    * null-fill here; Delta's EXISTS_DEFAULT read-fill is a read-path
-    * liability this engine deliberately does not carry). `None` drops
-    * the default. Returns false when nothing changes.
+    * values. SET/DROP DEFAULT is a WRITE-time contract only: rows
+    * written while a different (or no) default held keep what they
+    * hold, and the `EXISTS_DEFAULT` read-fill an `ADD COLUMN ...
+    * DEFAULT` froze (see [[addColumn]]) is deliberately NOT touched
+    * here — Delta's two-field protocol, where SET DEFAULT never
+    * rewrites history. `None` drops the current default only. Returns
+    * false when nothing changes.
     */
   def setColumnDefault(spark: SparkSession, dir: String, name: String,
                        defaultSql: Option[String]): Boolean =

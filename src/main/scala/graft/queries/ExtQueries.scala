@@ -1503,6 +1503,58 @@ object ExtQueries {
     s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqldim ORDER BY doc_id")
   }
 
+  /** `ADD COLUMN ... DEFAULT` via the EXISTS_DEFAULT read-fill,
+    * oracle-replayed: the ADD is a pure metadata commit (REQUIREd —
+    * zero files move) yet every pre-ADD row reads the frozen literal;
+    * an UPDATE then materializes one band (pruned rewrite), SET
+    * DEFAULT moves only the INSERT-time default (new band takes 9,
+    * history keeps 5 — the two-field divergence), and a post-ADD
+    * insert with an explicit NULL stays NULL (the fill is per-file
+    * ABSENCE, never a coalesce). DuckDB replays the same timeline as
+    * CASE arms over `documents`. Re-runnable for warm bench passes.
+    */
+  def manifestSqlAddDefaultQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqladf")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqladf_src")
+    s.sql("CREATE TABLE graft_fix.sqladf (doc_id BIGINT, lang STRING)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqladf SELECT doc_id, lang " +
+        s"FROM sqladf_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqladf")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-ALTER")
+    s.sql("ALTER TABLE graft_fix.sqladf ADD COLUMN score BIGINT DEFAULT 5")
+    val afterAdd = graft.ext.ManifestTable.snapshot(s, s"$wh/sqladf")
+    require(afterAdd.files == before.files,
+      "ADD COLUMN DEFAULT moved data files — it must be metadata-only")
+    // materialize one band: candidate pruning must hold under the fill
+    s.sql("UPDATE graft_fix.sqladf SET score = score + 1 " +
+      "WHERE doc_id >= 100 AND doc_id < 200")
+    val afterUpd = graft.ext.ManifestTable.snapshot(s, s"$wh/sqladf")
+    val rewritten = before.files.toSet.diff(afterUpd.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size / 2,
+      s"UPDATE over the filled column rewrote $rewritten of " +
+        s"${before.files.size} files — pruning did not hold")
+    // CURRENT_DEFAULT fills the omitted column on insert (still 5)
+    s.sql("INSERT INTO graft_fix.sqladf (doc_id, lang) " +
+      "SELECT doc_id, lang FROM sqladf_src " +
+      "WHERE doc_id >= 400 AND doc_id < 450")
+    // SET DEFAULT 9: future inserts only; the read-fill stays 5
+    s.sql("ALTER TABLE graft_fix.sqladf ALTER COLUMN score SET DEFAULT 9")
+    s.sql("INSERT INTO graft_fix.sqladf (doc_id, lang) " +
+      "SELECT doc_id, lang FROM sqladf_src " +
+      "WHERE doc_id >= 450 AND doc_id < 480")
+    // an explicit NULL in a post-ADD file stays NULL
+    s.sql("INSERT INTO graft_fix.sqladf " +
+      "SELECT doc_id, lang, CAST(NULL AS BIGINT) FROM sqladf_src " +
+      "WHERE doc_id >= 480 AND doc_id < 500")
+    s.sql("SELECT doc_id, lang, score FROM graft_fix.sqladf ORDER BY doc_id")
+  }
+
   /** STRUCT columns in manifest tables + struct-field UPDATE,
     * oracle-replayed: a `STRUCT<lang, n>` column is created, appended
     * (banded, so its LEAF carries per-file footer stats), probed with
@@ -3172,6 +3224,7 @@ object ExtQueries {
     "manifest_sql_delete_exists" -> (manifestSqlDeleteExistsQ(_, _)),
     "manifest_sql_delete_in_multi" -> (manifestSqlDeleteInMultiQ(_, _)),
     "manifest_struct_update" -> (manifestStructUpdateQ(_, _)),
+    "manifest_sql_add_default" -> (manifestSqlAddDefaultQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -4129,6 +4182,19 @@ object ExtQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id < 400
         |  AND NOT (doc_id >= 150 AND doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
+
+    // ADD COLUMN DEFAULT replayed: pre-ADD rows read the frozen 5,
+    // the 100-200 band materializes 6, the 400-450 insert takes the
+    // CURRENT default 5, the 450-480 insert takes the moved default 9,
+    // the 480-500 insert stays NULL
+    "manifest_sql_add_default" ->
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id >= 480 THEN NULL
+        |            WHEN doc_id >= 450 THEN 9
+        |            WHEN doc_id >= 100 AND doc_id < 200 THEN 6
+        |            ELSE 5 END AS BIGINT) AS score
+        |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
 
     // STRUCT-FIELD UPDATE replayed as leaf scalars: meta.n bumps by

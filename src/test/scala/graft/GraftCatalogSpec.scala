@@ -334,14 +334,71 @@ class GraftCatalogSpec extends SparkSpec {
     sql("INSERT INTO graft.t_dflt (id) VALUES (5)")
     assert(sql("SELECT n FROM graft.t_dflt WHERE id = 5")
       .as[Option[Long]].collect() === Array(None))
-    // ADD COLUMN with DEFAULT would need read-time fill for old rows —
-    // loud rejection naming the two-step remedy
-    val e = intercept[Exception] {
-      sql("ALTER TABLE graft.t_dflt ADD COLUMN z BIGINT DEFAULT 1")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("SET DEFAULT")), msgs(e).mkString(" | "))
+  }
+
+  test("ADD COLUMN ... DEFAULT: EXISTS_DEFAULT read-fill, the two-field protocol") {
+    fsDel(s"$wh/t_adddf")
+    sql("CREATE TABLE graft.t_adddf (id BIGINT)")
+    sql("INSERT INTO graft.t_adddf VALUES (1), (2)")
+    val files0 = ManifestTable.snapshot(spark, s"$wh/t_adddf").files.toSet
+    // the ADD is METADATA-ONLY; pre-ADD files read the frozen default
+    sql("ALTER TABLE graft.t_adddf ADD COLUMN z BIGINT DEFAULT 5")
+    assert(ManifestTable.snapshot(spark, s"$wh/t_adddf").files.toSet
+      === files0, "ADD COLUMN DEFAULT must not move data")
+    assert(sql("SELECT id, z FROM graft.t_adddf ORDER BY id")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 5L), (2L, 5L)),
+      "pre-ADD rows must read the EXISTS default, not NULL")
+    // a post-ADD file that stores an EXPLICIT NULL keeps it — the fill
+    // is per-file-absence, never a coalesce
+    sql("INSERT INTO graft.t_adddf VALUES (3, NULL), (4, 44)")
+    assert(sql("SELECT id, z FROM graft.t_adddf ORDER BY id")
+      .as[(Long, Option[Long])].collect().toSeq ===
+      Seq((1L, Some(5L)), (2L, Some(5L)), (3L, None), (4L, Some(44L))))
+    // an INSERT omitting the column takes CURRENT_DEFAULT (same value
+    // until a SET DEFAULT)
+    sql("INSERT INTO graft.t_adddf (id) VALUES (5)")
+    assert(sql("SELECT z FROM graft.t_adddf WHERE id = 5")
+      .as[Long].head() === 5L)
+    // SET DEFAULT moves CURRENT only: new omissions take 9, the
+    // pre-ADD rows KEEP reading 5 (EXISTS is frozen at the ADD)
+    sql("ALTER TABLE graft.t_adddf ALTER COLUMN z SET DEFAULT 9")
+    sql("INSERT INTO graft.t_adddf (id) VALUES (6)")
+    assert(sql("SELECT z FROM graft.t_adddf WHERE id = 6")
+      .as[Long].head() === 9L)
+    assert(sql("SELECT z FROM graft.t_adddf WHERE id = 1")
+      .as[Long].head() === 5L,
+      "SET DEFAULT must not rewrite history — EXISTS stays frozen")
+    // DROP DEFAULT: future omissions go NULL; the read-fill still holds
+    sql("ALTER TABLE graft.t_adddf ALTER COLUMN z DROP DEFAULT")
+    sql("INSERT INTO graft.t_adddf (id) VALUES (7)")
+    assert(sql("SELECT z FROM graft.t_adddf WHERE id = 7")
+      .as[Option[Long]].collect() === Array(None))
+    assert(sql("SELECT z FROM graft.t_adddf WHERE id = 2")
+      .as[Long].head() === 5L)
+    // a REWRITE materializes the fill; the rewritten file then carries
+    // real bytes (the pre-ADD set only shrinks)
+    sql("UPDATE graft.t_adddf SET id = id + 10 WHERE id = 1")
+    assert(sql("SELECT z FROM graft.t_adddf WHERE id = 11")
+      .as[Long].head() === 5L)
+    // DROP then re-ADD the name: a FRESH slot — the old default (and
+    // the old bytes) must NOT resurrect; plain re-ADD null-fills
+    sql("ALTER TABLE graft.t_adddf DROP COLUMN z")
+    sql("ALTER TABLE graft.t_adddf ADD COLUMN z BIGINT")
+    assert(sql("SELECT count(*) FROM graft.t_adddf WHERE z IS NOT NULL")
+      .as[Long].head() === 0L,
+      "a re-added column must not resurrect the dropped default")
+    // and a re-ADD WITH a new default fills EVERY existing row with the
+    // NEW value (they all predate the fresh slot)
+    sql("ALTER TABLE graft.t_adddf DROP COLUMN z")
+    sql("ALTER TABLE graft.t_adddf ADD COLUMN z BIGINT DEFAULT 77")
+    assert(sql("SELECT count(*) FROM graft.t_adddf WHERE z = 77")
+      .as[Long].head() ===
+      sql("SELECT count(*) FROM graft.t_adddf").as[Long].head())
+    // widening the defaulted column keeps the fill readable
+    sql("ALTER TABLE graft.t_adddf ADD COLUMN w INT DEFAULT 3")
+    sql("ALTER TABLE graft.t_adddf ALTER COLUMN w TYPE BIGINT")
+    assert(sql("SELECT w FROM graft.t_adddf WHERE id = 2")
+      .as[Long].head() === 3L)
   }
 
   test("SQL CHECK constraints: ADD validates existing rows, appends enforce, DROP releases") {
