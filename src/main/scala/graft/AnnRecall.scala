@@ -100,7 +100,62 @@ object AnnRecall {
       np -> avg((qid, q) => vs.searchPq(spark, root, q, nprobe = np,
         topK = 10, rerank = 4, excludeId = Some(qid)))
     }
+
+    // ---- RECALL UNDER CHURN (VERDICT r18 stretch #7): delete 30% of
+    // the corpus, append a SHIFTED batch the frozen centroids were
+    // never trained on (a genuine distribution drift — assignments
+    // land in the old cells), measure the degraded curve, RETRAIN
+    // through the maintenance path ([[graft.ext.VectorStore.retrain]],
+    // the `vector_store_retrain` op), and measure again vs ground
+    // truth recomputed on the post-churn corpus. Evidence the
+    // maintenance path preserves the recall curve, not just the
+    // search path.
+    val delPred = "vec_id % 10 < 3"
+    graft.ext.ManifestTable.deleteWhere(spark, root, delPred, "churn-del")
+    val shifted = (10 until 13).map { jr =>
+      e.select((col("vec_id") + lit(jr * 100000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.3) * cos(col("vec_id") * 31 + i + lit(jr)))
+          .as("embedding"))
+    }.reduce(_ unionByName _).withColumn("label", lit(0))
+    require(vs.appendCommitted(shifted, root, "churn-add", k = k),
+      "churn append did not commit")
+    val driftPre = vs.driftStats(spark, root)
+    val corpus2 = corpus.where(not(expr(delPred)))
+      .unionByName(shifted).persist()
+    val n2 = corpus2.count()
     corpus.unpersist()
+    def truth2Top10(qid: Long, q: Seq[Double]): Set[Long] = {
+      val qCol = array(q.map(lit): _*)
+      corpus2.where(col("vec_id") =!= qid)
+        .withColumn("cos", graft.ext.Similarity.cosine(col("embedding"), qCol))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val truths2 = queries.map { case (qid, q) => qid -> truth2Top10(qid, q) }.toMap
+    def avg2(f: (Long, Seq[Double]) => DataFrame): Double = {
+      val rs = queries.map { case (qid, q) =>
+        f(qid, q).select("vec_id").collect().map(_.getLong(0)).toSet
+          .intersect(truths2(qid)).size / 10.0 }
+      rs.sum / rs.length
+    }
+    val preRetrain = Seq(2, 4, 8).map { np =>
+      np -> avg2((qid, q) => vs.search(spark, root, q, nprobe = np,
+        topK = 10, excludeId = Some(qid)))
+    }
+    require(vs.retrain(spark, root, "churn-retrain", k = k, iters = 2,
+      filesOut = k), "retrain did not commit")
+    val driftPost = vs.driftStats(spark, root)
+    // 32/64 too: the post-churn 10th truth neighbor is a FAR row (the
+    // shifted cluster, cos ~0.58 vs the ~0.99 twins) whose tight
+    // post-retrain cell ranks beyond the near-probe set — the curve
+    // must be shown closing to 1.0 at full probe, or the plateau reads
+    // as a maintenance-path loss (it is not; verified row-complete)
+    val postRetrain = Seq(1, 2, 4, 8, 16, 32, 64).map { np =>
+      np -> avg2((qid, q) => vs.search(spark, root, q, nprobe = np,
+        topK = 10, excludeId = Some(qid)))
+    }
+    corpus2.unpersist()
 
     def j(pairs: Seq[(Int, Double)]): String =
       pairs.map { case (np, r) => s""""$np":${f"$r%.4f"}""" }.mkString("{", ",", "}")
@@ -109,7 +164,13 @@ object AnnRecall {
          |"note":"sf0.1 embeddings x10 deterministic jitter replicas; recall@10 vs brute-force cosine",
          |"float_recall_at_10_by_nprobe":${j(floatByNprobe)},
          |"q8_rerank4_recall_at_10_by_nprobe":${j(q8)},
-         |"pq_rerank4_recall_at_10_by_nprobe":${j(pq)}}""".stripMargin
+         |"pq_rerank4_recall_at_10_by_nprobe":${j(pq)},
+         |"churn":{"note":"delete 30% + append 3 shifted replicas (old centroids), then retrain",
+         |"corpus_rows":$n2,
+         |"mean_sq_dist_pre_retrain":${f"${driftPre.meanSqDist}%.4f"},
+         |"mean_sq_dist_post_retrain":${f"${driftPost.meanSqDist}%.4f"},
+         |"pre_retrain_recall_at_10_by_nprobe":${j(preRetrain)},
+         |"post_retrain_recall_at_10_by_nprobe":${j(postRetrain)}}}""".stripMargin
       .replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(json)
