@@ -270,7 +270,13 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         val merged = incoming.fields.foldLeft(cur) { (acc, fd) =>
           acc.fields.find(_.name.equalsIgnoreCase(fd.name)) match {
             case Some(ex) =>
-              require(ex.dataType == fd.dataType,
+              // nullability-insensitive at EVERY nesting depth: a batch
+              // whose named_struct literals carry non-nullable inner
+              // fields (or a non-containsNull array) is the same TYPE —
+              // strict equality here rejected every struct-column
+              // INSERT while printing two identical simpleStrings
+              require(org.apache.spark.sql.graft.GraftSqlShims
+                  .sameTypeIgnoreNullability(ex.dataType, fd.dataType),
                 s"schema evolution cannot change column ${fd.name}: " +
                   s"${ex.dataType.simpleString} -> ${fd.dataType.simpleString}")
               acc
