@@ -203,8 +203,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     // DV-invisible rows are deleted too by dropping it — sound, they
     // were already invisible. Conflict detection below still covers
     // these files (a racing DV or rewrite aborts the commit).
-    val predE = toPhysicalExpr(snap,
-      spark.sessionState.sqlParser.parseExpression(predicateSql))
+    val predE = toPhysicalExpr(snap, resolveStructPaths(snap,
+      spark.sessionState.sqlParser.parseExpression(predicateSql)))
     val (whole, partial) = candidates.partition(f =>
       snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
     val cond = coalesce(expr(predicateSql), lit(false))
@@ -372,8 +372,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     // file's positions is strictly worse than removing the file (same
     // visibility, plus per-read anti-join rent until a purge). Same
     // metadata-only split as the CoW delete.
-    val predE = toPhysicalExpr(snap,
-      spark.sessionState.sqlParser.parseExpression(predicateSql))
+    val predE = toPhysicalExpr(snap, resolveStructPaths(snap,
+      spark.sessionState.sqlParser.parseExpression(predicateSql)))
     val (whole, partial) = candidates.partition(f =>
       snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
     val cond = coalesce(expr(predicateSql), lit(false))
@@ -596,8 +596,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       c.equalsIgnoreCase("_change_type")),
       "CDC reserves the column name _change_type; this table has one")
     val candidates = keptFiles(spark, dir, snap, predicateSql)
-    val predE = toPhysicalExpr(snap,
-      spark.sessionState.sqlParser.parseExpression(predicateSql))
+    val predE = toPhysicalExpr(snap, resolveStructPaths(snap,
+      spark.sessionState.sqlParser.parseExpression(predicateSql)))
     val (whole, partial) = candidates.partition(f =>
       snap.stats.get(f).exists(st => Skipping.provesAll(predE, st)))
     val candDf =

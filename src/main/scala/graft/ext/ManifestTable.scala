@@ -219,6 +219,54 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         a.withName(physName(s, a.name))
     }
 
+  /** Multi-part attribute paths in a PARSED (unresolved) predicate
+    * bound to the table's struct columns: `meta.n` becomes a resolved
+    * `GetStructField` chain over an `AttributeReference(meta)` — the
+    * shape [[Skipping]] maps to the footer's dotted leaf stats key, so
+    * the SQL-string row ops (deleteWhere/updateWhere/overwriteWhere)
+    * prune files on struct-LEAF predicates like the planner path does.
+    * Sound inside this seam: row-op predicates evaluate against the
+    * BARE table frame (no aliases), so a multi-part name can only be a
+    * struct path — and any part that does not resolve is left
+    * untouched (the evaluator then conservatively keeps every file,
+    * and the actual filter raises its own resolution error).
+    */
+  private[ext] def resolveStructPaths(s: Snapshot,
+                                      e: org.apache.spark.sql.catalyst.expressions.Expression)
+  : org.apache.spark.sql.catalyst.expressions.Expression =
+    tableSchema(s) match {
+      case None => e
+      case Some(schema) =>
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GetStructField}
+        import org.apache.spark.sql.types.StructType
+        def descend(cur: Expression,
+                    t: org.apache.spark.sql.types.DataType,
+                    parts: List[String]): Option[Expression] = parts match {
+          case Nil => Some(cur)
+          case p :: rest => t match {
+            case st: StructType =>
+              val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(p))
+              if (idx < 0) None
+              else descend(GetStructField(cur, idx,
+                Some(st.fields(idx).name)), st.fields(idx).dataType, rest)
+            case _ => None
+          }
+        }
+        e.transformUp {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if ua.nameParts.size > 1 =>
+            schema.fields.find(f =>
+              f.name.equalsIgnoreCase(ua.nameParts.head) &&
+                f.dataType.isInstanceOf[StructType]) match {
+              case Some(root) =>
+                descend(AttributeReference(root.name, root.dataType,
+                    root.nullable)(), root.dataType,
+                  ua.nameParts.tail.toList).getOrElse(ua)
+              case None => ua
+            }
+        }
+    }
+
   /** The full (logical → physical) list for every schema column —
     * existing mapping entries kept, unmapped columns identity — the
     * base every rename/drop redefinition starts from.
@@ -2113,8 +2161,8 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     // partition values are keyed PHYSICAL — translate before probing.
     // (keptForPredicate itself stays physical-namespace: the planner's
     // pushed dataFilters arrive already bound to the physical scan.)
-    keptForPredicate(spark, dir, s, toPhysicalExpr(s,
-      spark.sessionState.sqlParser.parseExpression(predicateSql)))
+    keptForPredicate(spark, dir, s, toPhysicalExpr(s, resolveStructPaths(s,
+      spark.sessionState.sqlParser.parseExpression(predicateSql))))
 
   /** [[keptFiles]] over an already-built predicate expression — the
     * entry point [[ManifestFileIndex]] feeds the planner's pushed

@@ -181,14 +181,39 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     if (rawSets.isEmpty)
       throw new UnsupportedOperationException(
         "UPDATE with no effective SET assignment")
+    // SET values carrying subqueries: UNCORRELATED ones literalize at
+    // run time (the everyday `SET n = (SELECT max(k) FROM s)` idiom),
+    // whole-column targets only — a struct-field rebuild around a
+    // runtime literal would need deferred SQL assembly for a shape
+    // nobody writes; correlated ones stay a loud no (fold into MERGE's
+    // USING source)
+    val (subqSets, plainSets) = rawSets.partition(
+      _._3.exists(_.isInstanceOf[PlanExpression[_]]))
+    subqSets.foreach { case (root, path, v) =>
+      if (path.nonEmpty)
+        throw new UnsupportedOperationException(
+          "subquery SET values are supported for whole-column targets " +
+            s"only (got struct field ${root.name}.${path.mkString(".")})" +
+            " — split the statement")
+      if (v.exists {
+        case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
+        case _ => false
+      }) throw new UnsupportedOperationException(
+        "correlated subqueries in SET expressions are not supported " +
+          s"(got: ${v.sql}) — express the per-row value with MERGE: " +
+          "compute it in the USING source and SET from the source column")
+      if (plainSets.exists(_._1.name.equalsIgnoreCase(root.name)))
+        throw new UnsupportedOperationException(
+          s"UPDATE assigns column ${root.name} more than once")
+    }
     // one SET entry per ROOT column, in first-appearance order; the
     // value printer differs per lowering path (bare frame vs the merge
     // executor's __t_ namespace)
     def buildSets(print: Expression => String,
                   base: String => String): Seq[(String, String)] = {
-      val roots = rawSets.map(_._1.name).distinct
+      val roots = plainSets.map(_._1.name).distinct
       roots.map { rn =>
-        val group = rawSets.filter(_._1.name == rn)
+        val group = plainSets.filter(_._1.name == rn)
         val root = group.head._1
         if (group.exists(_._2.isEmpty)) {
           require(group.size == 1,
@@ -205,35 +230,42 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       }
     }
     def qid(n: String) = "`" + n.replace("`", "``") + "`"
-    val sets = buildSets(sqlOf, n => qid(n))
+    val heldSets = subqSets.map(r => r._1.name -> GraftHeldCond(r._3))
     // a WHERE carrying a subquery lowers to the literalizing command —
     // unless it is a CORRELATED EXISTS/IN (or multi-column IN), which
-    // lowers to the source-key-pruned merge path instead (SET
-    // expressions must stay subquery-free on every path)
+    // lowers to the source-key-pruned merge path instead (whose SET
+    // expressions must stay subquery-free: the source query is the
+    // place to compute joined values)
     if (u.condition.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))) {
       GraftDmlRule.correlatedLowering(u.condition.get,
         AttributeSet(u.table.output)) match {
         case Some(low) =>
+          if (subqSets.nonEmpty)
+            throw new UnsupportedOperationException(
+              "an UPDATE with a correlated WHERE cannot also carry " +
+                "subquery SET values — compute the value in a MERGE's " +
+                "USING source instead")
           // SET values re-printed into the merge executor's __t_
           // namespace (they reference target columns only)
           return GraftUpdateCorrelatedCommand(table.dir, low.sourcePlan,
             low.keyCols, low.negated, low.residual.map(GraftHeldCond),
-            buildSets(
-              v => {
-                if (v.exists(_.isInstanceOf[PlanExpression[_]]))
-                  throw new UnsupportedOperationException(
-                    "graft-manifest UPDATE does not support subqueries " +
-                      s"in SET expressions (got: ${v.sql})")
-                GraftDmlRule.prefixedSql(v, "__t_")
-              },
+            buildSets(v => GraftDmlRule.prefixedSql(v, "__t_"),
               n => qid("__t_" + n)))
         case None =>
           return GraftUpdateSubqueryCommand(table.dir,
-            GraftHeldCond(u.condition.get), sets.toMap)
+            GraftHeldCond(u.condition.get),
+            buildSets(sqlOf, qid).toMap, heldSets)
       }
     }
+    // subquery-free WHERE (or none) but subquery SET values: same
+    // literalizing command, condition pre-printed
+    if (subqSets.nonEmpty)
+      return GraftUpdateSubqueryCommand(table.dir,
+        GraftHeldCond(u.condition.getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)),
+        buildSets(sqlOf, qid).toMap, heldSets)
     val cond = u.condition.map(sqlOf).getOrElse("true")
-    GraftUpdateCommand(table.dir, cond, sets.toMap)
+    GraftUpdateCommand(table.dir, cond, buildSets(sqlOf, qid).toMap)
   }
 
   private def convertMerge(m: MergeIntoTable,
@@ -350,24 +382,47 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
             .create(f.eval(InternalRow.empty), f.dataType)
       }.sql
     }
+    // UPDATE SET assignments: whole columns, or struct FIELDS (SET
+    // meta.lang = x) rebuilt as one top-level projection in the
+    // executor's __t_ namespace — same decomposition as SQL UPDATE
     def assignsOf(assignments: Seq[Assignment],
-                  verb: String): Seq[(String, String)] =
-      assignments.flatMap { a =>
-        val col = a.key match {
-          case attr: AttributeReference => attr.name
-          case other => unsupported(
-            s"$verb assigns a non-column target: ${other.sql} " +
-              "(struct-field updates are not supported)")
+                  verb: String): Seq[(String, String)] = {
+      val raw = assignments.flatMap { a =>
+        val (root, path) = a.key match {
+          case attr: AttributeReference => (attr, Nil)
+          case other =>
+            try GraftDmlRule.assignmentPath(other)
+            catch { case e: UnsupportedOperationException =>
+              unsupported(s"$verb: ${e.getMessage}") }
         }
         // analyzer-aligned identity assignments (c = t.c) carry no
         // change; dropping them keeps the partial-SET list honest
-        if (a.value match {
+        if (path.isEmpty && (a.value match {
           case v: AttributeReference =>
-            targetOut.contains(v) && v.name.equalsIgnoreCase(col)
+            targetOut.contains(v) && v.name.equalsIgnoreCase(root.name)
           case _ => false
-        }) None
-        else Some(col -> prefixed(a.value))
+        })) None
+        else Some((root, path, a.value))
       }
+      raw.map(_._1.name).distinct.map { rn =>
+        val group = raw.filter(_._1.name == rn)
+        val root = group.head._1
+        if (group.exists(_._2.isEmpty)) {
+          if (group.size != 1) unsupported(
+            s"$verb assigns column $rn more than once (whole-column " +
+              "and field assignments cannot mix)")
+          rn -> prefixed(group.head._3)
+        } else root.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            rn -> GraftDmlRule.structRebuildSql(
+              GraftDmlRule.qid("__t_" + root.name), st,
+              group.map(g => (g._2, prefixed(g._3))))
+          case other => unsupported(
+            s"$verb field path on non-struct column $rn " +
+              s"(${other.simpleString})")
+        }
+      }
+    }
     def clauseOf(a: MergeAction, verb: String): ManifestTable.MergeClause =
       a match {
         case UpdateAction(cond, assignments, _) =>
@@ -473,7 +528,8 @@ object GraftDmlRule {
         "supported)")
   }
 
-  private def qid(n: String): String = "`" + n.replace("`", "``") + "`"
+  private[plans] def qid(n: String): String =
+    "`" + n.replace("`", "``") + "`"
 
   /** The SQL that rebuilds a struct-typed column with `sets` (relative
     * field path → value SQL) applied and every other field preserved
@@ -810,22 +866,33 @@ case class GraftDeleteSubqueryCommand(dir: String, cond: GraftHeldCond)
   }
 }
 
-/** `UPDATE ... WHERE <condition with subqueries>` — same literalize-
-  * then-lower contract as [[GraftDeleteSubqueryCommand]], feeding
-  * [[ManifestTable.updateWhere]]. SET expressions stay subquery-free.
+/** `UPDATE ... WHERE <condition with subqueries>` and/or `SET c =
+  * (uncorrelated subquery)` — same literalize-then-lower contract as
+  * [[GraftDeleteSubqueryCommand]], feeding
+  * [[ManifestTable.updateWhere]]: the condition AND the held SET
+  * values evaluate their uncorrelated subqueries at command time
+  * (`SET n = (SELECT max(k) FROM s)` becomes a typed literal — the
+  * scalar is per-STATEMENT, so one evaluation is the semantics, not a
+  * shortcut). Pre-printed `set` entries (plain and struct-rebuild
+  * values) ride unchanged.
   */
 case class GraftUpdateSubqueryCommand(dir: String, cond: GraftHeldCond,
-                                      set: Map[String, String])
+                                      set: Map[String, String],
+                                      setHeld: Seq[(String, GraftHeldCond)] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] =
-    cond.e.collect { case p: PlanExpression[_] =>
-      p.plan.asInstanceOf[LogicalPlan] }
+    (cond.e +: setHeld.map(_._2.e)).flatMap(_.collect {
+      case p: PlanExpression[_] => p.plan.asInstanceOf[LogicalPlan] })
   override def run(spark: SparkSession): Seq[Row] = {
     val lit = GraftDmlRule.literalizeSubqueries(spark, cond.e)
+    val setAll = set ++ setHeld.map { case (c, h) =>
+      c -> GraftDmlRule.predicateSql(
+        GraftDmlRule.literalizeSubqueries(spark, h.e))
+    }
     val opId = s"sql-update-${java.util.UUID.randomUUID()}"
     ManifestTable.retryOnConflict(spark, dir, opId) {
       ManifestTable.updateWhere(spark, dir, GraftDmlRule.predicateSql(lit),
-        set, opId, cdc = ManifestTable.changeFeedEnabled(
+        setAll, opId, cdc = ManifestTable.changeFeedEnabled(
           ManifestTable.snapshot(spark, dir)))
     }
     Seq.empty

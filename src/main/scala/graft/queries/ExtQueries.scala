@@ -1606,10 +1606,19 @@ object ExtQueries {
         "files — candidate pruning did not hold")
     require(after.op == "update",
       s"struct-field UPDATE landed as '${after.op}', not 'update'")
-    // a struct-leaf WHERE drives the row op (conservatively unpruned
-    // on the string seam — correctness first)
+    // a struct-leaf WHERE drives the row op — and PRUNES on the same
+    // dotted leaf stats (resolveStructPaths binds meta.n on the
+    // SQL-string seam too): only the band the first UPDATE bumped past
+    // 1150 can match
+    val preLeaf = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlstu")
     s.sql("UPDATE graft_fix.sqlstu SET meta.lang = 'xx' " +
       "WHERE meta.n >= 1150")
+    val postLeaf = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlstu")
+    val leafRewritten = preLeaf.files.toSet.diff(postLeaf.files.toSet).size
+    require(leafRewritten > 0 && leafRewritten < preLeaf.files.size / 2,
+      s"struct-leaf UPDATE rewrote $leafRewritten of " +
+        s"${preLeaf.files.size} files — leaf-stats pruning did not " +
+        "hold on the SQL-string seam")
     s.sql("SELECT doc_id, meta.lang AS mlang, meta.n AS mn " +
       "FROM graft_fix.sqlstu ORDER BY doc_id")
   }

@@ -532,6 +532,50 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(head1 > head0)
   }
 
+  test("UPDATE SET c = (uncorrelated subquery): literalizes once per statement") {
+    fsDel(s"$wh/g_setq")
+    fsDel(s"$wh/g_setq_src")
+    sql("CREATE TABLE graft_dml.g_setq (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_setq SELECT id, id FROM range(5)")
+    sql("CREATE TABLE graft_dml.g_setq_src (k BIGINT)")
+    sql("INSERT INTO graft_dml.g_setq_src VALUES (10), (40)")
+    // scalar subquery value, no WHERE subquery
+    sql("""UPDATE graft_dml.g_setq
+          |SET n = (SELECT max(k) FROM graft_dml.g_setq_src)
+          |WHERE id >= 3""".stripMargin)
+    assert(sql("SELECT id, n FROM graft_dml.g_setq ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 40L), (4L, 40L)))
+    // subqueries in BOTH the condition and the value; value may mix
+    // the literal with old-row columns
+    sql("""UPDATE graft_dml.g_setq
+          |SET n = n + (SELECT min(k) FROM graft_dml.g_setq_src)
+          |WHERE id IN (SELECT k / 10 FROM graft_dml.g_setq_src)""".stripMargin)
+    assert(sql("SELECT id, n FROM graft_dml.g_setq ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((0L, 0L), (1L, 11L), (2L, 2L), (3L, 40L), (4L, 50L)))
+    // a scalar subquery returning >1 row is a loud error, and a
+    // CORRELATED value subquery names the MERGE remedy
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val multi = intercept[Exception] {
+      sql("""UPDATE graft_dml.g_setq
+            |SET n = (SELECT k FROM graft_dml.g_setq_src)
+            |WHERE id = 0""".stripMargin)
+    }
+    assert(msgs(multi).exists(_.contains("more than one row")),
+      msgs(multi).mkString(" | "))
+    val corr = intercept[Exception] {
+      sql("""UPDATE graft_dml.g_setq t
+            |SET n = (SELECT max(k) FROM graft_dml.g_setq_src s
+            |         WHERE s.k > t.id)
+            |WHERE id = 0""".stripMargin)
+    }
+    assert(msgs(corr).exists(m =>
+      m.contains("correlated") && m.contains("USING source")),
+      msgs(corr).mkString(" | "))
+  }
+
   test("IN (subquery) beyond the distinct-key ceiling raises with the MERGE remedy") {
     fsDel(s"$wh/g_subq_big")
     sql("CREATE TABLE graft_dml.g_subq_big (id BIGINT)")
@@ -689,6 +733,18 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(sql("SELECT meta.lang, meta.deep.a, meta.deep.b " +
       "FROM graft_dml.g_struct WHERE id = 1")
       .as[(String, Long, String)].head() === (("it", 10L, "q")))
+    // MERGE clauses take struct-field SETs too — values may read the
+    // SOURCE row; siblings survive; NULL structs stay NULL
+    Seq((1L, "pt"), (3L, "ru")).toDF("k", "l")
+      .createOrReplaceTempView("g_struct_src")
+    sql("""MERGE INTO graft_dml.g_struct t USING g_struct_src s
+          |ON t.id = s.k
+          |WHEN MATCHED THEN UPDATE SET meta.lang = s.l""".stripMargin)
+    assert(sql("SELECT meta.lang, meta.deep.a FROM graft_dml.g_struct " +
+      "WHERE id = 1").as[(String, Long)].head() === (("pt", 10L)))
+    assert(sql("SELECT meta IS NULL FROM graft_dml.g_struct WHERE id = 3")
+      .as[Boolean].head(),
+      "a NULL struct must survive a MERGE field update")
     // whole-column + field assignment to the same column: loud
     val e = intercept[Exception] {
       sql("UPDATE graft_dml.g_struct SET meta = NULL, meta.lang = 'x' " +
