@@ -77,7 +77,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // caller gets
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // GENERATED ALWAYS AS: Spark validates the expression at CREATE
+      // (deterministic, non-generated references only) and ships it in
+      // the schema's field metadata; the manifest enforces it at every
+      // write seam (ManifestTable fillGenerated/recomputeGenerated and
+      // the synthetic <=> check)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -181,7 +187,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft-manifest tables enforce CHECK constraints only; " +
           s"'${other.name()}' is ${other.getClass.getSimpleName}")
     }
-    val t = createTable(ident, info.schema(), info.partitions(),
+    // GENERATED ALWAYS AS rides only the V2 Column (info.schema()'s
+    // conversion DROPS generationExpression) — re-attach it to the
+    // recorded schema's field metadata under Spark's own key, after a
+    // reference check mirroring the constraint one above (Spark's
+    // analysis already validated determinism and non-generated refs)
+    val schema = StructType(info.schema().fields.zip(info.columns())
+      .map { case (fd, c) =>
+        Option(c.generationExpression()).filter(_.nonEmpty) match {
+          case Some(gen) =>
+            spark.sessionState.sqlParser.parseExpression(gen).collect {
+              case a: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute => a.nameParts.head
+            }.foreach(rc => require(
+              info.schema().fields.exists(_.name.equalsIgnoreCase(rc)),
+              s"generated column ${fd.name} references column $rc, " +
+                "which the table does not declare"))
+            fd.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(fd.metadata)
+                .putString(org.apache.spark.sql.catalyst.util
+                  .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, gen)
+                .build())
+          case None => fd
+        }
+      })
+    val t = createTable(ident, schema, info.partitions(),
       info.properties())
     checks.foreach { case (n, sql) =>
       ManifestTable.addConstraint(spark, dirOf(ident), n, sql) }

@@ -258,6 +258,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     val snap = snapshot(spark, dir)
     if (snap.batchIds.contains(opId)) return declined()
+    rejectGeneratedAssign(snap, set.keys, "updateWhere")
     val candidates = keptFiles(spark, dir, snap, predicateSql)
     val cond = coalesce(expr(predicateSql), lit(false))
     // the SET projection against the OLD row; `onlyMatched` restricts it
@@ -268,7 +269,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
         df.schema.fields.exists(_.name.equalsIgnoreCase(k)),
         s"updateWhere SET column $k does not exist (UPDATE is not a schema change)"))
       val base = if (onlyMatched) df.where(cond) else df
-      base.select(base.schema.fields.map { fd =>
+      val out = base.select(base.schema.fields.map { fd =>
         set.find(_._1.equalsIgnoreCase(fd.name)) match {
           case Some((_, e)) =>
             (if (onlyMatched) expr(e).cast(fd.dataType)
@@ -277,6 +278,9 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
           case None => col(fd.name)
         }
       }.toSeq: _*)
+      // generated columns refresh from their (possibly updated)
+      // sources; identity on pass-through rows by the stored invariant
+      recomputeGenerated(snap, out)
     }
     // CDC scans the candidates three times (pass-through rewrite,
     // preimages, postimages): persist the one read so every pass past
@@ -464,6 +468,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     val f = fs(spark, dir)
     val snap = snapshot(spark, dir)
     if (snap.batchIds.contains(opId)) return declined()
+    rejectGeneratedAssign(snap, set.keys, "updateWhereDV")
     val candidates = keptFiles(spark, dir, snap, predicateSql)
     if (candidates.isEmpty)
       return emptyOpCommit(spark, dir, "update", opId)
@@ -478,7 +483,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       if (counts.isEmpty)
         return emptyOpCommit(spark, dir, "update", opId)
-      val updated = applySet(matched.drop(fm, pm), set)
+      val updated = recomputeGenerated(snap,
+        applySet(matched.drop(fm, pm), set))
       enforceConstraints(updated,
         withNotNull(snap, updated, snap.constraints), "updateWhereDV")
       val dvName = java.util.UUID.randomUUID().toString
@@ -551,15 +557,18 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     * the replaced rows as deletes and `df`'s rows as inserts in one
     * sidecar.
     */
-  def overwriteWhere(df: DataFrame, dir: String, predicateSql: String,
+  def overwriteWhere(df0: DataFrame, dir: String, predicateSql: String,
                      opId: String, beforeSwap: () => Unit = () => (),
                      bloomCols: Seq[String] = Nil,
                      bloomFpp: Double = 0.01,
                      cdc: Boolean = false): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val snap = snapshot(spark, dir)
     if (snap.batchIds.contains(opId)) return declined()
+    // generated columns: omitted/null slots compute, wrong explicit
+    // values fail the synthetic check in enforceConstraints below
+    val df = fillGenerated(snap, df0)
     val cond = coalesce(expr(predicateSql), lit(false))
     val nBad = df.where(not(cond)).count()
     require(nBad == 0L,
@@ -790,14 +799,17 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     // MERGE is not a schema change in EITHER direction: a missing source
     // column fails the select below, and an extra one is rejected here —
     // silently dropping it would lose an evolving source's data column
-    // with no signal
-    val extra = source.columns.filterNot(c =>
+    // with no signal. Generated columns the source omits (or
+    // null-fills) compute first — a full-row upsert must land the
+    // derived value, not null
+    val source2 = fillGenerated(snap, source)
+    val extra = source2.columns.filterNot(c =>
       tSchema.fields.exists(_.name.equalsIgnoreCase(c)))
     require(extra.isEmpty,
       s"merge source has columns the table lacks: ${extra.mkString(", ")} " +
         "(merge is not a schema change — append with schema evolution, " +
         "or drop them explicitly)")
-    val aligned = source.select(tSchema.fields.map(fd =>
+    val aligned = source2.select(tSchema.fields.map(fd =>
       col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
     enforceConstraints(aligned,
       withNotNull(snap, aligned, snap.constraints), "merge source")
@@ -939,6 +951,11 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
         s"MERGE assigns column $c, which is not a table column " +
           "(merge is not a schema change)")
     })
+    // UPDATE clauses may not assign GENERATED ALWAYS AS columns (they
+    // recompute); INSERT clauses may carry them — wrong explicit
+    // values fail the synthetic <=> check, null/omitted slots compute
+    (matched ++ notMatchedBySource).filter(_.kind == "update").foreach(c =>
+      rejectGeneratedAssign(snap, c.set.map(_._1), "MERGE UPDATE"))
     val tP = "__t_"
     val sP = "__s_"
     val Marker = "__graft_present"
@@ -1092,8 +1109,8 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       val outTgt = joined.map { j =>
         val kept = if (deletes.isEmpty) j
           else j.where(!col("__clause").isin(deletes: _*))
-        kept.select(tSchema.fields.map(fd =>
-          valueOf(fd).as(fd.name)).toSeq: _*)
+        recomputeGenerated(snap, kept.select(tSchema.fields.map(fd =>
+          valueOf(fd).as(fd.name)).toSeq: _*))
       }
       // insert path: source rows (dups preserved — each inserts
       // independently) with no candidate match BY THE FULL ON CONDITION;
@@ -1129,7 +1146,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
           (if (fd.metadata.contains("CURRENT_DEFAULT"))
             expr(fd.metadata.getString("CURRENT_DEFAULT"))
           else lit(null)).cast(fd.dataType)
-        Some(firing.select(tSchema.fields.map { fd =>
+        Some(fillGenerated(snap, firing.select(tSchema.fields.map { fd =>
           notMatched.zipWithIndex.foldRight(
               unassigned(fd): Column) { case ((c, i), acc) =>
             c.set.find(_._1.equalsIgnoreCase(fd.name)) match {
@@ -1138,7 +1155,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
               case None => acc
             }
           }.as(fd.name)
-        }.toSeq: _*))
+        }.toSeq: _*)))
       }
       val out = (outTgt.toSeq ++ insOut.toSeq).reduceOption(_ unionByName _)
       if (out.isEmpty) return emptyOpCommit(spark, dir, "merge", opId)
@@ -1147,10 +1164,11 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       locally {
         val updIdx = updates.map(_._1)
         val changedTgt = joined.map(j =>
-          (if (updIdx.isEmpty) j.where(lit(false))
-           else j.where(col("__clause").isin(updIdx: _*)))
-            .select(tSchema.fields.map(fd =>
-              valueOf(fd).as(fd.name)).toSeq: _*))
+          recomputeGenerated(snap,
+            (if (updIdx.isEmpty) j.where(lit(false))
+             else j.where(col("__clause").isin(updIdx: _*)))
+              .select(tSchema.fields.map(fd =>
+                valueOf(fd).as(fd.name)).toSeq: _*)))
         (changedTgt.toSeq ++ insOut.toSeq).reduceOption(_ unionByName _)
           .foreach(chg => enforceConstraints(chg,
             withNotNull(snap, chg, snap.constraints), "mergeGeneral"))
@@ -1166,9 +1184,10 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
               .select(tRow(j).toSeq: _*)
               .withColumn("_change_type", lit("update_preimage")))
           val post = joined.filter(_ => updIdx.nonEmpty).map(j =>
-            j.where(col("__clause").isin(updIdx: _*))
-              .select(tSchema.fields.map(fd =>
-                valueOf(fd).as(fd.name)).toSeq: _*)
+            recomputeGenerated(snap,
+              j.where(col("__clause").isin(updIdx: _*))
+                .select(tSchema.fields.map(fd =>
+                  valueOf(fd).as(fd.name)).toSeq: _*))
               .withColumn("_change_type", lit("update_postimage")))
           val del = joined.filter(_ => deletes.nonEmpty).map(j =>
             j.where(col("__clause").isin(deletes: _*))

@@ -1486,16 +1486,20 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     * partition pruning without directories. Later appends inherit the
     * layout automatically (passing a conflicting one raises).
     */
-  def append(df: DataFrame, dir: String, batchId: String,
+  def append(df0: DataFrame, dir: String, batchId: String,
              beforeCommit: () => Unit = () => (),
              bloomCols: Seq[String] = Nil,
              bloomFpp: Double = 0.01,
              partitionBy: Seq[String] = Nil,
              ndvCols: Seq[String] = Nil): Boolean = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val f = fs(spark, dir)
     val snap0 = snapshot(spark, dir)
     if (snap0.batchIds.contains(batchId)) return false
+    // GENERATED ALWAYS AS columns: omitted → computed, NULL slots →
+    // computed, explicit non-null values validated by the synthetic
+    // <=> check riding the constraint pass below
+    val df = fillGenerated(snap0, df0)
     // fail a type-conflicting batch BEFORE writing its data files (the
     // commit callback re-merges against the CAS-fresh head anyway)
     mergedSchemaJson(snap0, df.schema)
@@ -1753,7 +1757,89 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       // later append/UPDATE/MERGE with a parse error
       .map(fd => s"graft.notnull.${fd.name}" ->
         s"`${fd.name.replace("`", "``")}` IS NOT NULL")
-      .toMap).getOrElse(Map.empty)
+      .toMap).getOrElse(Map.empty) ++
+      // GENERATED ALWAYS AS columns validate on the same pass: after
+      // [[fillGenerated]] the equality is an invariant, so this only
+      // fires on an EXPLICIT wrong value (never a silent correction)
+      generatedOf(snap)
+        .filter(g => df.columns.exists(_.equalsIgnoreCase(g._1.name)))
+        .map { case (fd, gen) =>
+          s"graft.generated.${fd.name}" ->
+            (s"`${fd.name.replace("`", "``")}` <=> " +
+              s"(CAST(($gen) AS ${fd.dataType.sql}))")
+        }.toMap
+
+  // ---------------------------------------------- generated columns
+  //
+  // `GENERATED ALWAYS AS (expr)` — the third column-metadata write
+  // contract next to DEFAULTs and CHECKs. The expression rides the
+  // recorded schema's field metadata under Spark's own key
+  // (GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY — the catalog
+  // declares SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS, so Spark
+  // validates it at CREATE: deterministic, references only
+  // non-generated columns). Write-side contract, enforced at every
+  // row-introducing or row-changing seam:
+  //
+  //   - a batch that OMITS the column computes it; a NULL slot in a
+  //     provided column computes too (generation fills absence, and a
+  //     NULL is absence per row — the one DOCUMENTED divergence from
+  //     Delta, which rejects explicit NULLs; the full-width V1 write
+  //     path cannot tell an omitted column from a null-filled one);
+  //   - an explicit NON-NULL value must equal the expression — the
+  //     synthetic `<=>` check above raises otherwise, same one
+  //     aggregate as the CHECK/NOT NULL pass, never a silent fix;
+  //   - UPDATE/MERGE may not assign the column; instead every update
+  //     projection RECOMPUTES it — the stored invariant (c <=> expr
+  //     holds for every committed row) makes recomputation identity on
+  //     pass-through rows and exactly the dependency refresh on
+  //     changed ones.
+
+  /** The table's generated columns with their generation expressions. */
+  private[ext] def generatedOf(snap: Snapshot)
+  : Seq[(org.apache.spark.sql.types.StructField, String)] =
+    tableSchema(snap).map(_.fields.toSeq.flatMap(fd =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(fd).map(fd -> _))).getOrElse(Nil)
+
+  /** Fill generated columns on a ROW-INTRODUCING frame: absent columns
+    * compute whole, NULL slots of provided columns compute per row.
+    */
+  private[ext] def fillGenerated(snap: Snapshot, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    generatedOf(snap).foldLeft(df) { case (acc, (fd, gen)) =>
+      if (!acc.columns.exists(_.equalsIgnoreCase(fd.name)))
+        acc.withColumn(fd.name, expr(gen).cast(fd.dataType))
+      else acc.withColumn(fd.name,
+        when(col(fd.name).isNull, expr(gen).cast(fd.dataType))
+          .otherwise(col(fd.name)))
+    }
+  }
+
+  /** Recompute generated columns on an UPDATED full-width frame —
+    * identity on rows whose dependencies did not change (the stored
+    * invariant), the refresh on rows whose dependencies did.
+    */
+  private[ext] def recomputeGenerated(snap: Snapshot,
+                                      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    generatedOf(snap).foldLeft(df) { case (acc, (fd, gen)) =>
+      acc.withColumn(fd.name, expr(gen).cast(fd.dataType))
+    }
+  }
+
+  /** Loud rejection of a SET list naming a generated column — it
+    * recomputes from its sources, it is never assignable.
+    */
+  private[ext] def rejectGeneratedAssign(snap: Snapshot,
+                                         cols: Iterable[String],
+                                         what: String): Unit = {
+    val gen = generatedOf(snap).map(_._1.name.toLowerCase).toSet
+    cols.find(c => gen.contains(c.toLowerCase)).foreach(c =>
+      throw new UnsupportedOperationException(
+        s"$what assigns column $c, which is GENERATED ALWAYS AS — " +
+          "generated columns cannot be assigned; they recompute when " +
+          "their source columns change"))
+  }
 
   /** Record CHECK constraint `name` = `exprSql`. EXISTING rows are
     * validated first (inside the commit callback, so a CAS retry

@@ -1555,6 +1555,52 @@ object ExtQueries {
     s.sql("SELECT doc_id, lang, score FROM graft_fix.sqladf ORDER BY doc_id")
   }
 
+  /** GENERATED ALWAYS AS columns, oracle-replayed: the expression rides
+    * the recorded schema (catalog capability + field metadata), inserts
+    * omitting the column COMPUTE it, an UPDATE on a source column
+    * RECOMPUTES it (never assignable directly), and a general MERGE
+    * recomputes matched updates and computes partial inserts. DuckDB
+    * replays the whole timeline as arithmetic over `documents`.
+    * Re-runnable for warm bench passes.
+    */
+  def manifestSqlGeneratedQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlgen")
+    t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      .createOrReplaceTempView("sqlgen_src")
+    s.sql("CREATE TABLE graft_fix.sqlgen (doc_id BIGINT, n_chars BIGINT, " +
+      "nc2 BIGINT GENERATED ALWAYS AS (n_chars * 2 + doc_id % 7))")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlgen (doc_id, n_chars) " +
+        "SELECT doc_id, n_chars FROM sqlgen_src " +
+        s"WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlgen")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-update")
+    // recompute on UPDATE, with candidate pruning intact
+    s.sql("UPDATE graft_fix.sqlgen SET n_chars = n_chars + 10 " +
+      "WHERE doc_id >= 100 AND doc_id < 200")
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlgen")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size / 2,
+      s"generated-column UPDATE rewrote $rewritten of " +
+        s"${before.files.size} files — pruning did not hold")
+    // general MERGE: matched partial SET recomputes, partial INSERT
+    // computes
+    s.sql("""MERGE INTO graft_fix.sqlgen t
+            |USING (SELECT doc_id, CAST(n_chars + 5 AS BIGINT) AS x
+            |       FROM sqlgen_src
+            |       WHERE doc_id >= 350 AND doc_id < 450) s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED THEN UPDATE SET n_chars = s.x
+            |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars)
+            |  VALUES (s.doc_id, s.x)""".stripMargin)
+    s.sql("SELECT doc_id, n_chars, nc2 FROM graft_fix.sqlgen " +
+      "ORDER BY doc_id")
+  }
+
   /** STRUCT columns in manifest tables + struct-field UPDATE,
     * oracle-replayed: a `STRUCT<lang, n>` column is created, appended
     * (banded, so its LEAF carries per-file footer stats), probed with
@@ -3234,6 +3280,7 @@ object ExtQueries {
     "manifest_sql_delete_in_multi" -> (manifestSqlDeleteInMultiQ(_, _)),
     "manifest_struct_update" -> (manifestStructUpdateQ(_, _)),
     "manifest_sql_add_default" -> (manifestSqlAddDefaultQ(_, _)),
+    "manifest_sql_generated" -> (manifestSqlGeneratedQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -4204,6 +4251,18 @@ object ExtQueries {
         |            WHEN doc_id >= 100 AND doc_id < 200 THEN 6
         |            ELSE 5 END AS BIGINT) AS score
         |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
+
+    // GENERATED ALWAYS AS replayed: the +10 band and the merge band
+    // move n_chars; nc2 is always n_chars * 2 + doc_id % 7
+    "manifest_sql_generated" ->
+      """SELECT doc_id, CAST(n2 AS BIGINT) AS n_chars,
+        |  CAST(n2 * 2 + doc_id % 7 AS BIGINT) AS nc2
+        |FROM (SELECT doc_id,
+        |        n_chars + CASE WHEN doc_id >= 100 AND doc_id < 200 THEN 10
+        |                       WHEN doc_id >= 350 THEN 5
+        |                       ELSE 0 END AS n2
+        |      FROM documents WHERE doc_id < 450)
         |ORDER BY doc_id""".stripMargin,
 
     // STRUCT-FIELD UPDATE replayed as leaf scalars: meta.n bumps by

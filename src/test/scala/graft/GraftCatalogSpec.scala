@@ -401,6 +401,64 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === 3L)
   }
 
+  test("GENERATED ALWAYS AS: compute on insert, validate explicit, recompute on update") {
+    fsDel(s"$wh/t_gen")
+    sql("CREATE TABLE graft.t_gen (id BIGINT, a BIGINT, " +
+      "g BIGINT GENERATED ALWAYS AS (a * 2 + 1))")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // omitted and NULL slots compute; correct explicit values land
+    sql("INSERT INTO graft.t_gen (id, a) VALUES (1, 10)")
+    sql("INSERT INTO graft.t_gen VALUES (2, 5, 11)")
+    sql("INSERT INTO graft.t_gen VALUES (3, 7, NULL)")
+    assert(sql("SELECT id, g FROM graft.t_gen ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 21L), (2L, 11L), (3L, 15L)))
+    // an explicit WRONG value is a loud check failure, never silently
+    // corrected
+    val bad = intercept[Exception] {
+      sql("INSERT INTO graft.t_gen VALUES (4, 5, 99)")
+    }
+    assert(msgs(bad).exists(_.contains("graft.generated.g")),
+      msgs(bad).mkString(" | "))
+    // UPDATE recomputes from the changed source column...
+    sql("UPDATE graft.t_gen SET a = 20 WHERE id = 1")
+    assert(sql("SELECT g FROM graft.t_gen WHERE id = 1")
+      .as[Long].head() === 41L)
+    // ...and assigning the generated column itself is a loud no
+    val setG = intercept[Exception] {
+      sql("UPDATE graft.t_gen SET g = 5 WHERE id = 1")
+    }
+    assert(msgs(setG).exists(_.contains("GENERATED ALWAYS AS")),
+      msgs(setG).mkString(" | "))
+    // MERGE: matched updates recompute, unmatched partial inserts
+    // compute, SET g rejects
+    Seq((1L, 100L), (9L, 9L)).toDF("k", "v")
+      .createOrReplaceTempView("t_gen_src")
+    sql("""MERGE INTO graft.t_gen t USING t_gen_src s ON t.id = s.k
+          |WHEN MATCHED THEN UPDATE SET a = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, a) VALUES (s.k, s.v)""".stripMargin)
+    assert(sql("SELECT id, g FROM graft.t_gen ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 201L), (2L, 11L), (3L, 15L), (9L, 19L)))
+    val mergeG = intercept[Exception] {
+      sql("""MERGE INTO graft.t_gen t USING t_gen_src s ON t.id = s.k
+            |WHEN MATCHED THEN UPDATE SET g = s.v""".stripMargin)
+    }
+    assert(msgs(mergeG).exists(_.contains("GENERATED ALWAYS AS")),
+      msgs(mergeG).mkString(" | "))
+    // the merge-on-read update path recomputes too
+    ManifestTable.updateWhereDV(spark, s"$wh/t_gen", "id = 2",
+      Map("a" -> "a + 1"), "gen-dv-upd")
+    assert(sql("SELECT g FROM graft.t_gen WHERE id = 2")
+      .as[Long].head() === 13L)
+    // full-row Scala merge computes the omitted generated column
+    ManifestTable.merge(Seq((20L, 3L)).toDF("id", "a"), s"$wh/t_gen",
+      Seq("id"), "gen-merge")
+    assert(sql("SELECT g FROM graft.t_gen WHERE id = 20")
+      .as[Long].head() === 7L)
+  }
+
   test("SQL CHECK constraints: ADD validates existing rows, appends enforce, DROP releases") {
     fsDel(s"$wh/t_ck")
     sql("CREATE TABLE graft.t_ck (id BIGINT, n BIGINT)")
