@@ -83,7 +83,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // the schema's field metadata; the manifest enforces it at every
       // write seam (ManifestTable fillGenerated/recomputeGenerated and
       // the synthetic <=> check)
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // GENERATED [ALWAYS | BY DEFAULT] AS IDENTITY: the spec rides the
+      // field metadata, the high-water mark is a versioned table
+      // property, minting is append-side with conflict-rebase — see
+      // ManifestTable.fillIdentity
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -209,7 +214,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 .putString(org.apache.spark.sql.catalyst.util
                   .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, gen)
                 .build())
-          case None => fd
+          case None => Option(c.identityColumnSpec()) match {
+            // IDENTITY spec rides the field metadata under Spark's own
+            // keys (the schema conversion drops it, like generation)
+            case Some(ispec) =>
+              require(fd.dataType ==
+                  org.apache.spark.sql.types.LongType,
+                s"identity column ${fd.name} must be BIGINT " +
+                  s"(got ${fd.dataType.simpleString}) — minted ranges " +
+                  "are 64-bit")
+              require(ispec.getStep != 0L,
+                s"identity column ${fd.name} needs a non-zero step")
+              fd.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(fd.metadata)
+                  .putLong(org.apache.spark.sql.catalyst.util
+                    .IdentityColumn.IDENTITY_INFO_START, ispec.getStart)
+                  .putLong(org.apache.spark.sql.catalyst.util
+                    .IdentityColumn.IDENTITY_INFO_STEP, ispec.getStep)
+                  .putBoolean(org.apache.spark.sql.catalyst.util
+                    .IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+                    ispec.isAllowExplicitInsert)
+                  .build())
+            case None => fd
+          }
         }
       })
     val t = createTable(ident, schema, info.partitions(),

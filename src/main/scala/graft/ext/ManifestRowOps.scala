@@ -567,7 +567,15 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     val snap = snapshot(spark, dir)
     if (snap.batchIds.contains(opId)) return declined()
     // generated columns: omitted/null slots compute, wrong explicit
-    // values fail the synthetic check in enforceConstraints below
+    // values fail the synthetic check in enforceConstraints below.
+    // IDENTITY columns: an overwrite REPLACES rows, so their values
+    // must arrive with the data — allowed only under BY DEFAULT
+    identityOf(snap).foreach { case (fd, spec) =>
+      require(spec.isAllowExplicitInsert,
+        s"overwriteWhere would write identity column ${fd.name} " +
+          "(GENERATED ALWAYS AS IDENTITY) explicitly — declare it " +
+          "GENERATED BY DEFAULT to backfill, or restore instead")
+    }
     val df = fillGenerated(snap, df0)
     val cond = coalesce(expr(predicateSql), lit(false))
     val nBad = df.where(not(cond)).count()
@@ -801,7 +809,16 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     // silently dropping it would lose an evolving source's data column
     // with no signal. Generated columns the source omits (or
     // null-fills) compute first — a full-row upsert must land the
-    // derived value, not null
+    // derived value, not null. IDENTITY columns cannot be minted here
+    // (the mark is append-side): GENERATED ALWAYS refuses the full-row
+    // replace outright, BY DEFAULT requires the source to carry the
+    // values (the user owns uniqueness — the Delta contract)
+    identityOf(snap).foreach { case (fd, spec) =>
+      require(spec.isAllowExplicitInsert,
+        s"merge would assign identity column ${fd.name} (GENERATED " +
+          "ALWAYS AS IDENTITY) from the source — route inserts through " +
+          "append/INSERT, which mints values")
+    }
     val source2 = fillGenerated(snap, source)
     val extra = source2.columns.filterNot(c =>
       tSchema.fields.exists(_.name.equalsIgnoreCase(c)))
@@ -956,6 +973,21 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     // values fail the synthetic <=> check, null/omitted slots compute
     (matched ++ notMatchedBySource).filter(_.kind == "update").foreach(c =>
       rejectGeneratedAssign(snap, c.set.map(_._1), "MERGE UPDATE"))
+    // IDENTITY + insert clauses: minting lives on the append path
+    // (the mark advance is a commit-level contract this joined rewrite
+    // does not carry) — GENERATED ALWAYS refuses; BY DEFAULT requires
+    // every insert clause to assign the column explicitly
+    if (notMatched.nonEmpty) identityOf(snap).foreach { case (fd, spec) =>
+      require(spec.isAllowExplicitInsert,
+        s"MERGE INSERT cannot mint identity column ${fd.name} " +
+          "(GENERATED ALWAYS AS IDENTITY) — route inserts through " +
+          "append/INSERT")
+      require(notMatched.forall(_.set.exists(
+          _._1.equalsIgnoreCase(fd.name))),
+        s"MERGE INSERT clauses must assign identity column ${fd.name} " +
+          "explicitly (GENERATED BY DEFAULT; null-filling it would be " +
+          "a silent lie) — or route inserts through append/INSERT")
+    }
     val tP = "__t_"
     val sP = "__s_"
     val Marker = "__graft_present"

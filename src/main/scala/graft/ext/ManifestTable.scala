@@ -1492,14 +1492,35 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
              bloomFpp: Double = 0.01,
              partitionBy: Seq[String] = Nil,
              ndvCols: Seq[String] = Nil): Boolean = {
+    // IDENTITY tables wrap the attempt in the standard conflict-rebase
+    // loop: a racing append that advanced a mark aborts this one's
+    // commit (overlapping minted ranges must never publish), and the
+    // retry restages against the fresh mark. Identity-free tables —
+    // the overwhelmingly common case — take the attempt directly.
+    if (identityOf(snapshot(df0.sparkSession, dir)).isEmpty)
+      appendOnce(df0, dir, batchId, beforeCommit, bloomCols, bloomFpp,
+        partitionBy, ndvCols)
+    else retryOnConflict(df0.sparkSession, dir, batchId, attempts = 5)(
+      appendOnce(df0, dir, batchId, beforeCommit, bloomCols, bloomFpp,
+        partitionBy, ndvCols))
+  }
+
+  private def appendOnce(df0: DataFrame, dir: String, batchId: String,
+             beforeCommit: () => Unit,
+             bloomCols: Seq[String],
+             bloomFpp: Double,
+             partitionBy: Seq[String],
+             ndvCols: Seq[String]): Boolean = {
     val spark = df0.sparkSession
     val f = fs(spark, dir)
     val snap0 = snapshot(spark, dir)
     if (snap0.batchIds.contains(batchId)) return false
-    // GENERATED ALWAYS AS columns: omitted → computed, NULL slots →
-    // computed, explicit non-null values validated by the synthetic
-    // <=> check riding the constraint pass below
-    val df = fillGenerated(snap0, df0)
+    // IDENTITY columns mint first (a generation expression may read
+    // them), then GENERATED ALWAYS AS columns compute: omitted →
+    // computed, NULL slots → computed, explicit non-null values
+    // validated by the synthetic <=> check riding the constraint pass
+    val (dfId, idAdv) = fillIdentity(snap0, df0)
+    val df = fillGenerated(snap0, dfId)
     // fail a type-conflicting batch BEFORE writing its data files (the
     // commit callback re-merges against the CAS-fresh head anyway)
     mergedSchemaJson(snap0, df.schema)
@@ -1547,9 +1568,17 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         snap0.ndvCols
       } else ndvCols.map(c => physName(snap0, c).toLowerCase)
     val ndvMap = buildNdv(spark, dir, live, tracked)
+    val idMarks = identityMarks(spark, dir, snap0, live, stats, idAdv)
     beforeCommit()
+    if (idAdv.nonEmpty) opConflicted.set(false) // terminal decision
     commit(spark, dir) { old =>
       if (old.batchIds.contains(batchId)) None // lost the race to a replay
+      // IDENTITY race: another append advanced a mark after this one
+      // staged — committing would publish an overlapping minted range;
+      // signal a conflict so the identity retry loop rebases
+      else if (idAdv.exists(a => old.properties.get(a.key) != a.prevProp)) {
+        opConflicted.set(true); None
+      }
       else {
         // the layout was resolved against snap0; a racing creation that
         // declared a DIFFERENT layout makes this staged data wrong —
@@ -1570,6 +1599,7 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
           partitionCols = if (layout.nonEmpty) layout else old.partitionCols,
           ndvCols = if (tracked.nonEmpty) tracked else old.ndvCols,
           ndv = old.ndv ++ ndvMap.view.filterKeys(live.toSet).toMap,
+          properties = old.properties ++ idMarks,
           op = "append", schemaJson = mergedSchemaJson(old, df.schema),
           cdcPath = None))
       }
@@ -1827,8 +1857,9 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     }
   }
 
-  /** Loud rejection of a SET list naming a generated column — it
-    * recomputes from its sources, it is never assignable.
+  /** Loud rejection of a SET list naming a generated or identity
+    * column — neither is assignable (generated recomputes from its
+    * sources; identity values are minted by the append path).
     */
   private[ext] def rejectGeneratedAssign(snap: Snapshot,
                                          cols: Iterable[String],
@@ -1839,7 +1870,138 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         s"$what assigns column $c, which is GENERATED ALWAYS AS — " +
           "generated columns cannot be assigned; they recompute when " +
           "their source columns change"))
+    val ids = identityOf(snap).map(_._1.name.toLowerCase).toSet
+    cols.find(c => ids.contains(c.toLowerCase)).foreach(c =>
+      throw new UnsupportedOperationException(
+        s"$what assigns column $c, which is GENERATED AS IDENTITY — " +
+          "identity values are minted by the append/INSERT path"))
   }
+
+  // ---------------------------------------------- identity columns
+  //
+  // `GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY` — transactional
+  // value minting without a coordinator. The spec (start/step/
+  // allowExplicitInsert) rides the recorded schema's field metadata
+  // under Spark's own keys; the HIGH-WATER MARK is a table property
+  // (`graft.identity.hwm.<col>` = the next value to mint), so it
+  // versions, time-travels and restores with everything else. An
+  // append that mints values reads the HWM, stamps DENSE per-batch
+  // positions (RDD zipWithIndex — no sort, no single-partition
+  // window), and its commit callback REFUSES if a concurrent append
+  // moved the mark (the standard conflict signal; the append retries
+  // against the fresh head, restaging with the new base) — two racing
+  // INSERTs can never mint overlapping ranges. Values are unique and
+  // monotonic per the step sign; gaps appear only across retried/
+  // explicit batches (the Delta identity contract — gaps are allowed,
+  // overlaps never).
+
+  /** The table's identity columns with their specs. */
+  private[ext] def identityOf(snap: Snapshot)
+  : Seq[(org.apache.spark.sql.types.StructField,
+      org.apache.spark.sql.connector.catalog.IdentityColumnSpec)] =
+    tableSchema(snap).map(_.fields.toSeq.flatMap(fd =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn
+        .getIdentityInfo(fd).map(fd -> _))).getOrElse(Nil)
+
+  /** The HWM property key for an identity column. */
+  private[ext] def identityHwmKey(col: String): String =
+    s"graft.identity.hwm.${col.toLowerCase}"
+
+  /** The next value to mint for an identity column at `snap`. */
+  private[ext] def identityBase(snap: Snapshot,
+      fd: org.apache.spark.sql.types.StructField,
+      spec: org.apache.spark.sql.connector.catalog.IdentityColumnSpec): Long =
+    snap.properties.get(identityHwmKey(fd.name)).map(_.toLong)
+      .getOrElse(spec.getStart)
+
+  /** `df` with a DENSE 0-based batch position appended — RDD
+    * zipWithIndex on the frame's own partitioning (one count job, no
+    * sort, no single-partition funnel). Positions are stable for the
+    * single staging materialization that consumes them; they carry no
+    * cross-run meaning (identity values promise uniqueness, not a
+    * particular assignment — Delta's contract).
+    */
+  private def zipDense(df: DataFrame, posCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, df.schema
+      .add(posCol, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  /** One identity column's pending mark advance: the commit refuses if
+    * `prevProp` (the HWM property as of the staging snapshot) moved —
+    * the signal the append's retry loop rebases on.
+    */
+  private[ext] final case class IdentityAdvance(
+      key: String, prevProp: Option[String], col: String, step: Long)
+
+  /** Mint identity values for an append batch. Explicit non-null
+    * values require `allowExplicitInsert` (GENERATED BY DEFAULT);
+    * GENERATED ALWAYS refuses them loudly. NULL slots and absent
+    * columns mint `base + step * densePos`. The new mark is taken
+    * AFTER staging from the staged files' own footer stats (the
+    * max/min of the column clears minted and explicit values alike),
+    * so no extra pass over the batch ever runs.
+    */
+  private[ext] def fillIdentity(snap: Snapshot, df0: DataFrame)
+  : (DataFrame, Seq[IdentityAdvance]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val ids = identityOf(snap)
+    if (ids.isEmpty) return (df0, Nil)
+    val pos = "__graft_idpos"
+    var df = zipDense(df0, pos)
+    val advances = ids.map { case (fd, spec) =>
+      val has = df0.columns.exists(_.equalsIgnoreCase(fd.name))
+      if (has && !spec.isAllowExplicitInsert)
+        require(df0.where(col(fd.name).isNotNull).isEmpty,
+          s"column ${fd.name} is GENERATED ALWAYS AS IDENTITY — " +
+            "explicit values are not accepted; omit the column " +
+            "(or declare it GENERATED BY DEFAULT)")
+      val base = identityBase(snap, fd, spec)
+      val minted = lit(base) + lit(spec.getStep) * col(pos)
+      df = df.withColumn(fd.name,
+        if (has) coalesce(col(fd.name).cast(fd.dataType),
+          minted.cast(fd.dataType))
+        else minted.cast(fd.dataType))
+      IdentityAdvance(identityHwmKey(fd.name),
+        snap.properties.get(identityHwmKey(fd.name)), fd.name, spec.getStep)
+    }
+    (df.drop(pos), advances)
+  }
+
+  /** The post-staging mark values: per advance, the staged files'
+    * footer max (min for a negative step) of the column, plus one
+    * step. None when the batch staged no rows (mark unchanged). Falls
+    * back to one aggregate over the staged files if any footer lacks
+    * the column's stats — the mark may never under-advance.
+    */
+  private[ext] def identityMarks(spark: SparkSession, dir: String,
+                                 snap: Snapshot, moved: Seq[String],
+                                 stats: Map[String, FileStats],
+                                 advances: Seq[IdentityAdvance])
+  : Seq[(String, String)] =
+    if (advances.isEmpty || moved.isEmpty) Nil
+    else advances.map { adv =>
+      val phys = physName(snap, adv.col)
+      val key = phys.toLowerCase
+      val vals: Seq[Long] =
+        if (moved.forall(f => stats.get(f).exists(_.cols.contains(key))))
+          moved.flatMap { f =>
+            val cs = stats(f).cols(key)
+            (if (adv.step >= 0) cs.max else cs.min).map(_.toLong)
+          }
+        else {
+          import org.apache.spark.sql.functions.{col, max, min}
+          val agg = if (adv.step >= 0) max(col(phys)) else min(col(phys))
+          val r = plainRead(spark, dir, snap, moved).agg(agg).head()
+          if (r.isNullAt(0)) Nil else Seq(r.getLong(0))
+        }
+      val mark =
+        if (vals.isEmpty) adv.prevProp.map(_.toLong)
+        else Some((if (adv.step >= 0) vals.max else vals.min) + adv.step)
+      adv.key -> mark.map(_.toString).getOrElse("")
+    }.filter(_._2.nonEmpty)
 
   /** Record CHECK constraint `name` = `exprSql`. EXISTING rows are
     * validated first (inside the commit callback, so a CAS retry

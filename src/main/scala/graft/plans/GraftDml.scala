@@ -86,20 +86,25 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       graftTarget(u.table).map(convertUpdate(u, _)).getOrElse(u)
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable).map(convertMerge(m, _)).getOrElse(m)
-    // DELETE whose condition carries a subquery: the SupportsDeleteV2
-    // seam cannot express it (plans don't cross the filter pushdown),
-    // so it lowers to a command that literalizes the UNCORRELATED
-    // subqueries at run time; plain deletes keep the native V2 path
-    case d: DeleteFromTable if d.resolved &&
-        d.condition.exists(_.isInstanceOf[PlanExpression[_]]) =>
+    // EVERY graft DELETE lowers here at resolution. The
+    // SupportsDeleteV2 seam only carries V1-translatable filters — a
+    // predicate with modulo/arithmetic/functions made `canDeleteWhere`
+    // refuse and Spark ERROR rather than fall back (it would demand
+    // the full SupportsRowLevelOperations stack). The command path
+    // speaks the manifest's SQL-string predicates natively (same
+    // stats-pruned deleteWhere destination the V2 seam reaches), so it
+    // serves arbitrary predicates; conditions carrying subqueries
+    // additionally literalize (uncorrelated) or decorrelate to the
+    // source-key-pruned semi/anti row ops (correlated / multi-IN).
+    // The V2 seam stays for API completeness (extension-less sessions).
+    case d: DeleteFromTable if d.resolved =>
       graftTarget(d.table).map { t =>
         require(t.pinned.isEmpty,
           s"cannot DELETE from a time-travel pinned version of ${t.name()}")
-        // CORRELATED EXISTS / IN (and multi-column IN) lower to the
-        // source-key-pruned semi/anti row ops — no driver collect, no
-        // key-count cap; everything else (uncorrelated single-column
-        // shapes) keeps the bounded-literalization command
-        GraftDmlRule.correlatedLowering(d.condition,
+        if (!d.condition.exists(_.isInstanceOf[PlanExpression[_]]))
+          GraftDeleteSubqueryCommand(t.dir,
+            GraftHeldCond(d.condition)): LogicalPlan
+        else GraftDmlRule.correlatedLowering(d.condition,
           AttributeSet(d.table.output)) match {
           case Some(low) =>
             GraftDeleteCorrelatedCommand(t.dir, low.sourcePlan, low.keyCols,
@@ -843,11 +848,12 @@ case class GraftHeldCond(@transient e: Expression) {
   override def toString: String = e.sql
 }
 
-/** `DELETE ... WHERE <condition with subqueries>` — the uncorrelated
-  * subqueries literalize at run time (bounded IN-list / boolean /
-  * scalar), then the predicate takes [[ManifestTable.deleteWhere]]'s
-  * normal stats-pruned, DV-aware path. Plain deletes never come here
-  * (the SupportsDeleteV2 seam serves them).
+/** SQL `DELETE` over a graft table — the general command: a plain
+  * condition (ANY predicate shape, not just the V1-translatable
+  * subset the SupportsDeleteV2 seam carries) passes straight through;
+  * uncorrelated subqueries literalize at run time (bounded IN-list /
+  * boolean / scalar). Either way the predicate takes
+  * [[ManifestTable.deleteWhere]]'s normal stats-pruned, DV-aware path.
   */
 case class GraftDeleteSubqueryCommand(dir: String, cond: GraftHeldCond)
     extends LeafRunnableCommand {

@@ -1601,6 +1601,44 @@ object ExtQueries {
       "ORDER BY doc_id")
   }
 
+  /** GENERATED ALWAYS AS IDENTITY, oracle-replayed: each banded INSERT
+    * carries ORDER BY doc_id, so the dense mint enumerates the global
+    * sort and every row's id is exactly doc_id + 1 — DuckDB replays
+    * the whole table as arithmetic. The mark survives a DELETE
+    * untouched (the post-delete band continues from it), and the
+    * REQUIREs pin the versioned-property mark and `delete` provenance.
+    * Re-runnable for warm bench passes.
+    */
+  def manifestSqlIdentityQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlidn")
+    t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      .createOrReplaceTempView("sqlidn_src")
+    s.sql("CREATE TABLE graft_fix.sqlidn (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1), " +
+      "doc_id BIGINT, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlidn (doc_id, n_chars) " +
+        "SELECT doc_id, n_chars FROM sqlidn_src " +
+        s"WHERE doc_id >= $lo AND doc_id < ${lo + 100} ORDER BY doc_id"))
+    val mark = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlidn")
+      .properties.get("graft.identity.hwm.id")
+    require(mark.contains("401"),
+      s"identity mark after 400 minted rows should be 401, got $mark")
+    // a DELETE does not move the mark; the next band continues from it
+    s.sql("DELETE FROM graft_fix.sqlidn " +
+      "WHERE doc_id >= 120 AND doc_id < 180 AND doc_id % 2 = 0")
+    require(graft.ext.ManifestTable.snapshot(s, s"$wh/sqlidn")
+      .properties.get("graft.identity.hwm.id").contains("401"),
+      "DELETE must not move the identity mark")
+    s.sql("INSERT INTO graft_fix.sqlidn (doc_id, n_chars) " +
+      "SELECT doc_id, n_chars FROM sqlidn_src " +
+      "WHERE doc_id >= 400 AND doc_id < 450 ORDER BY doc_id")
+    s.sql("SELECT id, doc_id, n_chars FROM graft_fix.sqlidn ORDER BY id")
+  }
+
   /** STRUCT columns in manifest tables + struct-field UPDATE,
     * oracle-replayed: a `STRUCT<lang, n>` column is created, appended
     * (banded, so its LEAF carries per-file footer stats), probed with
@@ -3281,6 +3319,7 @@ object ExtQueries {
     "manifest_struct_update" -> (manifestStructUpdateQ(_, _)),
     "manifest_sql_add_default" -> (manifestSqlAddDefaultQ(_, _)),
     "manifest_sql_generated" -> (manifestSqlGeneratedQ(_, _)),
+    "manifest_sql_identity" -> (manifestSqlIdentityQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -4252,6 +4291,15 @@ object ExtQueries {
         |            ELSE 5 END AS BIGINT) AS score
         |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
+
+    // IDENTITY replayed: ORDER BY-banded inserts make id = doc_id + 1
+    // exactly; the even 120-180 band deleted between bands 4 and 5
+    "manifest_sql_identity" ->
+      """SELECT CAST(doc_id + 1 AS BIGINT) AS id, doc_id, n_chars
+        |FROM documents
+        |WHERE doc_id < 450
+        |  AND NOT (doc_id >= 120 AND doc_id < 180 AND doc_id % 2 = 0)
+        |ORDER BY id""".stripMargin,
 
     // GENERATED ALWAYS AS replayed: the +10 band and the merge band
     // move n_chars; nc2 is always n_chars * 2 + doc_id % 7

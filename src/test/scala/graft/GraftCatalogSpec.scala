@@ -459,6 +459,65 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() === 7L)
   }
 
+  test("GENERATED AS IDENTITY: unique minting, versioned mark, ALWAYS vs BY DEFAULT") {
+    fsDel(s"$wh/t_idn")
+    fsDel(s"$wh/t_idn2")
+    sql("CREATE TABLE graft.t_idn (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 10 INCREMENT BY 2), v STRING)")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    sql("INSERT INTO graft.t_idn (v) VALUES ('a'), ('b'), ('c')")
+    val first = sql("SELECT id FROM graft.t_idn").as[Long].collect().toSet
+    assert(first === Set(10L, 12L, 14L),
+      "first batch must mint the declared start/step range")
+    sql("INSERT INTO graft.t_idn (v) VALUES ('d'), ('e')")
+    val second = sql("SELECT id FROM graft.t_idn").as[Long]
+      .collect().toSet -- first
+    assert(second.size === 2 && second.forall(_ >= 16L),
+      s"second batch must mint past the mark, got $second")
+    // ALWAYS refuses explicit values, and the column is unassignable
+    val exp = intercept[Exception] {
+      sql("INSERT INTO graft.t_idn VALUES (999, 'x')")
+    }
+    assert(msgs(exp).exists(_.contains("GENERATED ALWAYS AS IDENTITY")),
+      msgs(exp).mkString(" | "))
+    val upd = intercept[Exception] {
+      sql("UPDATE graft.t_idn SET id = 1 WHERE v = 'a'")
+    }
+    assert(msgs(upd).exists(_.contains("IDENTITY")), msgs(upd).mkString(" | "))
+    // MERGE cannot mint: loud, naming the append path
+    spark.range(1).selectExpr("'z' AS v").createOrReplaceTempView("idn_src")
+    val mrg = intercept[Exception] {
+      sql("""MERGE INTO graft.t_idn t USING idn_src s ON t.v = s.v
+            |WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)""".stripMargin)
+    }
+    assert(msgs(mrg).exists(_.contains("append/INSERT")),
+      msgs(mrg).mkString(" | "))
+    // BY DEFAULT: explicit values land, the mark clears them, minted
+    // values never collide
+    sql("CREATE TABLE graft.t_idn2 (id BIGINT GENERATED BY DEFAULT AS " +
+      "IDENTITY, v STRING)")
+    sql("INSERT INTO graft.t_idn2 VALUES (100, 'x')")
+    sql("INSERT INTO graft.t_idn2 (v) VALUES ('y')")
+    val ids2 = sql("SELECT id FROM graft.t_idn2").as[Long].collect().toSeq
+    assert(ids2.size === 2 && ids2.distinct.size === 2 &&
+      ids2.contains(100L) && ids2.exists(_ > 100L),
+      s"BY DEFAULT minting must clear explicit values, got $ids2")
+    // racing appends can never mint overlapping ranges: a competing
+    // append lands BETWEEN this one's staging and its commit (the
+    // beforeCommit hook) — the commit refuses on the moved mark and
+    // the retry restages against the fresh one
+    import spark.implicits._
+    val dir2 = s"$wh/t_idn2"
+    ManifestTable.append(Seq(("r1"), ("r2")).toDF("v"), dir2, "race-outer",
+      beforeCommit = () =>
+        ManifestTable.append(Seq(("i1"), ("i2")).toDF("v"), dir2,
+          "race-inner"): Unit)
+    val all = sql("SELECT id FROM graft.t_idn2").as[Long].collect().toSeq
+    assert(all.size === 6 && all.distinct.size === 6,
+      s"racing appends minted overlapping ids: $all")
+  }
+
   test("SQL CHECK constraints: ADD validates existing rows, appends enforce, DROP releases") {
     fsDel(s"$wh/t_ck")
     sql("CREATE TABLE graft.t_ck (id BIGINT, n BIGINT)")

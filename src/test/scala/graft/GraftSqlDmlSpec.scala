@@ -532,6 +532,27 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(head1 > head0)
   }
 
+  test("DELETE serves ANY predicate shape (not just the V1-translatable subset)") {
+    fsDel(s"$wh/g_delany")
+    sql("CREATE TABLE graft_dml.g_delany (id BIGINT, s STRING)")
+    sql("INSERT INTO graft_dml.g_delany SELECT id, concat('v', id) FROM range(20)")
+    // modulo arithmetic — no V1 Filter form; the old SupportsDeleteV2
+    // seam ERRORED here ("Cannot delete from table ... where")
+    sql("DELETE FROM graft_dml.g_delany WHERE id % 3 = 0")
+    assert(sql("SELECT count(*) FROM graft_dml.g_delany").as[Long].head()
+      === 13L)
+    // a string function predicate
+    sql("DELETE FROM graft_dml.g_delany WHERE length(s) > 2")
+    assert(sql("SELECT id FROM graft_dml.g_delany ORDER BY id")
+      .as[Long].collect().toSeq ===
+      Seq(1L, 2L, 4L, 5L, 7L, 8L), "v10+ (3 chars) must be gone")
+    assert(ManifestTable.snapshot(spark, s"$wh/g_delany").op === "delete")
+    // unconditional DELETE = truncate-shaped, still one commit
+    sql("DELETE FROM graft_dml.g_delany")
+    assert(sql("SELECT count(*) FROM graft_dml.g_delany").as[Long].head()
+      === 0L)
+  }
+
   test("UPDATE SET c = (uncorrelated subquery): literalizes once per statement") {
     fsDel(s"$wh/g_setq")
     fsDel(s"$wh/g_setq_src")
