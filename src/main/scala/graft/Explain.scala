@@ -61,7 +61,10 @@ object Explain {
       "manifest_sql_replace",
       "manifest_sql_maintenance",
       "manifest_sql_meta", "manifest_table_stream_replay",
-      "manifest_sql_tag", "manifest_sql_merge_delete")
+      "manifest_sql_tag", "manifest_sql_merge_delete",
+      "manifest_sql_delete_exists", "manifest_sql_delete_in_multi",
+      "manifest_sql_add_default", "manifest_struct_update",
+      "manifest_sql_generated", "manifest_sql_identity")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -302,7 +305,70 @@ object Explain {
           "bounded IN-list (GraftDeleteSubqueryCommand), which drove " +
           "the same stats/bloom candidate pruning a literal IN gets; " +
           "the builder REQUIREd a strict-subset rewrite; correlated " +
-          "subqueries stay a loud rejection"
+          "subqueries lower to the key-joined path instead (next note)"
+      }),
+      "manifest_sql_delete_exists" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqldex")
+        s"correlated-DML target: v${snap.version}, op=${snap.op} — " +
+          "DELETE WHERE EXISTS decorrelated at resolution " +
+          "(GraftDmlRule.correlatedLowering) to deleteMatching: the " +
+          "equality correlation became the source-key pruning pair, no " +
+          "driver collect, no key-count ceiling; the builder REQUIREd " +
+          "a strict-subset rewrite for the semi shape and the NMBS " +
+          "'merge' provenance for NOT EXISTS (inherently full-scope)"
+      }),
+      "manifest_sql_delete_in_multi" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqldim")
+        s"tuple-IN DELETE target: v${snap.version}, op=${snap.op} — " +
+          "(doc_id, lang) IN (subquery) routed through the same " +
+          "key-joined lowering (two pruning key columns, range " +
+          "conjuncts); the single-column literalizer is not its ceiling"
+      }),
+      "manifest_sql_add_default" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqladf")
+        s"ADD COLUMN DEFAULT target: v${snap.version}, op=${snap.op} — " +
+          "the ADD was REQUIREd metadata-only (zero file moves): " +
+          "EXISTS_DEFAULT read-fills pre-ADD files inside Spark's own " +
+          "parquet readers (per-file-footer absence, both scan paths), " +
+          "CURRENT_DEFAULT serves INSERT omission; SET DEFAULT moved " +
+          "only the latter — history stayed frozen"
+      }),
+      "manifest_struct_update" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlstu")
+        s"struct-column table: v${snap.version}, op=${snap.op} — " +
+          "the builder REQUIREd (a) a numFiles-pruned planner probe on " +
+          "meta.n (Skipping maps resolved GetStructField to the " +
+          "footer's dotted leaf stats key), (b) a strict-subset rewrite " +
+          "for SET meta.n = ... (doc_id candidates), and (c) a " +
+          "strict-subset rewrite for a meta.n WHERE on the SQL-string " +
+          "seam (resolveStructPaths binds the leaf there too)"
+      }),
+      "manifest_sql_generated" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlgen")
+        s"generated-column table: v${snap.version}, op=${snap.op} — " +
+          "nc2 = n_chars * 2 + doc_id % 7 rides the schema metadata; " +
+          "inserts computed it, the banded UPDATE recomputed it (with " +
+          "the REQUIREd strict-subset candidate rewrite), the general " +
+          "MERGE recomputed matched rows and computed partial inserts; " +
+          "explicit wrong values die on the synthetic <=> check in the " +
+          "one-aggregate constraint pass"
+      }),
+      "manifest_sql_identity" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlidn")
+        s"identity table: v${snap.version}, op=${snap.op}, mark=" +
+          s"${snap.properties.getOrElse("graft.identity.hwm.id", "?")} — " +
+          "appends minted dense base+step*pos values (RDD zipWithIndex, " +
+          "no sort, no single-partition window); the mark is a " +
+          "versioned table property advanced from the staged files' own " +
+          "footer stats, and a racing append aborts on a moved mark " +
+          "(conflict-rebase) so ranges can never overlap; the DELETE " +
+          "was REQUIREd not to move the mark"
       }),
       "manifest_sql_maintenance" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,
