@@ -1396,6 +1396,19 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         .exists(_.equalsIgnoreCase(col)) => n
     }
 
+  /** Generated columns whose generation expression references `col` —
+    * rename/drop must not silently break a recorded expression (its
+    * SQL holds the old name), the same contract as [[constraintsOn]].
+    */
+  private[ext] def generatedReferencing(spark: SparkSession, s: Snapshot,
+                                        col: String): Seq[String] =
+    generatedOf(s).collect {
+      case (fd, gen) if spark.sessionState.sqlParser.parseExpression(gen)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => a.nameParts.head }
+        .exists(_.equalsIgnoreCase(col)) => fd.name
+    }
+
   /** ALTER TABLE ... RENAME COLUMN as ONE metadata commit — column
     * mapping (Delta/Iceberg): the logical name changes, the PHYSICAL
     * parquet name stays, so no data file rewrites and every recorded
@@ -1425,6 +1438,10 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       require(cons.isEmpty,
         s"cannot rename $from: CHECK constraint(s) ${cons.mkString(", ")} " +
           "reference it — drop and re-add them with the new name")
+      val gens = generatedReferencing(spark, old, from)
+      require(gens.isEmpty,
+        s"cannot rename $from: generated column(s) ${gens.mkString(", ")} " +
+          "compute from it (the recorded expression holds the old name)")
       val newSchema = org.apache.spark.sql.types.StructType(cur.fields.map(
         f => if (f eq fd) f.copy(name = to) else f))
       val newMap = fullColMap(old, cur).map { case (l, ph) =>
@@ -1458,6 +1475,11 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       require(cons.isEmpty,
         s"cannot drop $name: CHECK constraint(s) ${cons.mkString(", ")} " +
           "reference it — drop them first")
+      val gens = generatedReferencing(spark, old, name)
+        .filterNot(_.equalsIgnoreCase(name))
+      require(gens.isEmpty,
+        s"cannot drop $name: generated column(s) ${gens.mkString(", ")} " +
+          "compute from it — drop them first")
       val phys = physName(old, name)
       val newSchema = org.apache.spark.sql.types.StructType(
         cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
@@ -1907,12 +1929,17 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
   private[ext] def identityHwmKey(col: String): String =
     s"graft.identity.hwm.${col.toLowerCase}"
 
-  /** The next value to mint for an identity column at `snap`. */
+  /** The next value to mint for an identity column at `snap`. The mark
+    * is keyed by the column's PHYSICAL name — like every stat and
+    * sidecar — so a RENAME cannot orphan it (a logically-keyed mark
+    * would fall back to the declared start and re-mint a published
+    * range).
+    */
   private[ext] def identityBase(snap: Snapshot,
       fd: org.apache.spark.sql.types.StructField,
       spec: org.apache.spark.sql.connector.catalog.IdentityColumnSpec): Long =
-    snap.properties.get(identityHwmKey(fd.name)).map(_.toLong)
-      .getOrElse(spec.getStart)
+    snap.properties.get(identityHwmKey(physName(snap, fd.name)))
+      .map(_.toLong).getOrElse(spec.getStart)
 
   /** `df` with a DENSE 0-based batch position appended — RDD
     * zipWithIndex on the frame's own partitioning (one count job, no
@@ -1964,8 +1991,8 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         if (has) coalesce(col(fd.name).cast(fd.dataType),
           minted.cast(fd.dataType))
         else minted.cast(fd.dataType))
-      IdentityAdvance(identityHwmKey(fd.name),
-        snap.properties.get(identityHwmKey(fd.name)), fd.name, spec.getStep)
+      val key = identityHwmKey(physName(snap, fd.name))
+      IdentityAdvance(key, snap.properties.get(key), fd.name, spec.getStep)
     }
     (df.drop(pos), advances)
   }

@@ -516,6 +516,39 @@ class GraftCatalogSpec extends SparkSpec {
     val all = sql("SELECT id FROM graft.t_idn2").as[Long].collect().toSeq
     assert(all.size === 6 && all.distinct.size === 6,
       s"racing appends minted overlapping ids: $all")
+    // RENAME cannot orphan the mark (it is keyed physically, like
+    // every stat): minting continues, never re-mints from the start
+    sql("ALTER TABLE graft.t_idn2 RENAME COLUMN id TO row_id")
+    sql("INSERT INTO graft.t_idn2 (v) VALUES ('post-rename')")
+    val all2 = sql("SELECT row_id FROM graft.t_idn2").as[Long]
+      .collect().toSeq
+    assert(all2.size === 7 && all2.distinct.size === 7,
+      s"post-rename mint re-used a published id: $all2")
+    assert(all2.max > all.max,
+      "post-rename mint must continue from the mark, not the start")
+  }
+
+  test("rename/drop of a generation-expression source column is a loud no") {
+    fsDel(s"$wh/t_genref")
+    sql("CREATE TABLE graft.t_genref (id BIGINT, a BIGINT, " +
+      "g BIGINT GENERATED ALWAYS AS (a + 1))")
+    sql("INSERT INTO graft.t_genref (id, a) VALUES (1, 10)")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ren = intercept[Exception] {
+      sql("ALTER TABLE graft.t_genref RENAME COLUMN a TO b")
+    }
+    assert(msgs(ren).exists(_.contains("compute from it")),
+      msgs(ren).mkString(" | "))
+    val drp = intercept[Exception] {
+      sql("ALTER TABLE graft.t_genref DROP COLUMN a")
+    }
+    assert(msgs(drp).exists(_.contains("compute from it")),
+      msgs(drp).mkString(" | "))
+    // dropping the GENERATED column itself releases the dependency
+    sql("ALTER TABLE graft.t_genref DROP COLUMN g")
+    sql("ALTER TABLE graft.t_genref RENAME COLUMN a TO b")
+    assert(sql("SELECT b FROM graft.t_genref").as[Long].head() === 10L)
   }
 
   test("SQL CHECK constraints: ADD validates existing rows, appends enforce, DROP releases") {
