@@ -1905,8 +1905,11 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
   // value minting without a coordinator. The spec (start/step/
   // allowExplicitInsert) rides the recorded schema's field metadata
   // under Spark's own keys; the HIGH-WATER MARK is a table property
-  // (`graft.identity.hwm.<col>` = the next value to mint), so it
-  // versions, time-travels and restores with everything else. An
+  // (`graft.identity.hwm.<physCol>` = the next value to mint), so it
+  // versions and time-travels with everything else. RESTORE keeps the
+  // CURRENT mark (restore carries old.properties): the mark is
+  // monotonic forever, because rewinding it could re-mint values that
+  // rows in still-travelable history already carry. An
   // append that mints values reads the HWM, stamps DENSE per-batch
   // positions (RDD zipWithIndex — no sort, no single-partition
   // window), and its commit callback REFUSES if a concurrent append

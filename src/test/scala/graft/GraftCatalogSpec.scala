@@ -526,6 +526,17 @@ class GraftCatalogSpec extends SparkSpec {
       s"post-rename mint re-used a published id: $all2")
     assert(all2.max > all.max,
       "post-rename mint must continue from the mark, not the start")
+    // RESTORE keeps the mark (monotonic forever): minting after a
+    // rewind can never re-issue an id a travelable version carries
+    val vNow = ManifestTable.headVersion(spark, dir2)
+    sql("INSERT INTO graft.t_idn2 (v) VALUES ('doomed')")
+    val peak = sql("SELECT max(row_id) FROM graft.t_idn2").as[Long].head()
+    ManifestTable.restore(spark, dir2, vNow, "idn-restore")
+    sql("INSERT INTO graft.t_idn2 (v) VALUES ('post-restore')")
+    val post = sql("SELECT max(row_id) FROM graft.t_idn2").as[Long].head()
+    assert(post > peak,
+      s"post-restore mint ($post) must clear the pre-restore peak " +
+        s"($peak) — the mark never rewinds")
   }
 
   test("rename/drop of a generation-expression source column is a loud no") {
