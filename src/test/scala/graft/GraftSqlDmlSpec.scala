@@ -691,6 +691,42 @@ class GraftSqlDmlSpec extends SparkSpec {
       === 17L, "the re-inserted (3,3) pair must match and go")
   }
 
+  test("self-referential EXISTS: the reconciliation idiom over one table") {
+    fsDel(s"$wh/g_self")
+    sql("CREATE TABLE graft_dml.g_self (k BIGINT, id BIGINT, bad BIGINT)")
+    sql("INSERT INTO graft_dml.g_self VALUES " +
+      "(1, 10, 0), (1, 11, 1), (2, 20, 0), (3, 30, 0), (3, 31, 0)")
+    // delete every row whose KEY has a flagged witness anywhere in the
+    // SAME table — the subquery snapshot is the pre-delete head
+    sql("""DELETE FROM graft_dml.g_self a WHERE EXISTS
+          |  (SELECT 1 FROM graft_dml.g_self b
+          |   WHERE b.k = a.k AND b.bad = 1)""".stripMargin)
+    assert(sql("SELECT id FROM graft_dml.g_self ORDER BY id")
+      .as[Long].collect().toSeq === Seq(20L, 30L, 31L),
+      "both k=1 rows go (one is the witness)")
+    // the classic keep-first dedup needs a NON-EQUI self-correlation
+    // (b.id < a.id): stays a loud no naming the MERGE rewrite — never
+    // a wrong approximation
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      sql("""DELETE FROM graft_dml.g_self a WHERE EXISTS
+            |  (SELECT 1 FROM graft_dml.g_self b
+            |   WHERE b.k = a.k AND b.id < a.id)""".stripMargin)
+    }
+    assert(msgs(e).exists(_.contains("equality correlation")),
+      msgs(e).mkString(" | "))
+    // ...and the working spelling of keep-first dedup: MERGE on the
+    // min-id-per-key source, delete the rest
+    sql("""MERGE INTO graft_dml.g_self t
+          |USING (SELECT k, min(id) AS keep_id FROM graft_dml.g_self
+          |       GROUP BY k) s
+          |ON t.k = s.k AND t.id <> s.keep_id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(sql("SELECT id FROM graft_dml.g_self ORDER BY id")
+      .as[Long].collect().toSeq === Seq(20L, 30L))
+  }
+
   test("correlated EXISTS DELETE: key-pruned candidates, no key-count ceiling") {
     fsDel(s"$wh/g_corr_big")
     fsDel(s"$wh/g_corr_big_src")
