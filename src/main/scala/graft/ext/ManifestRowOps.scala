@@ -929,11 +929,25 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
                    bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
                    maxProbeKeys: Int = 1024, cdc: Boolean = false,
                    sourceKeyCols: Seq[String] = Nil,
-                   residueSql: Option[String] = None): Boolean = {
+                   residueSql: Option[String] = None,
+                   scopeSql: Option[String] = None): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, when}
-    require(keyCols.nonEmpty, "mergeGeneral needs at least one key column")
+    // THETA shape (no equality pair in the ON): legal with a residue —
+    // MATCHED is then residue-only and the candidate scope is the whole
+    // table (no key stat can bound "some source row satisfies a
+    // non-equi condition"); the documented Delta-parity full-scan cost
+    require(keyCols.nonEmpty || residueSql.nonEmpty,
+      "mergeGeneral needs at least one key column, or (theta merge) a " +
+        "residue condition")
     require(sourceKeyCols.isEmpty || sourceKeyCols.size == keyCols.size,
       "sourceKeyCols must pair 1:1 with keyCols")
+    // scopeSql: a predicate over the bare table frame that every row
+    // ANY clause can change provably satisfies (the SQL faces pass the
+    // statement's own WHERE) — used ONLY to bound the candidate files.
+    // Incompatible with insert clauses: the insert anti-join needs the
+    // full key-candidate superset, which a change-scope bound is not.
+    require(scopeSql.isEmpty || notMatched.isEmpty,
+      "scopeSql cannot bound a merge with NOT MATCHED insert clauses")
     require(matched.forall(c => c.kind == "update" || c.kind == "delete"),
       "matched clauses must be update or delete")
     require(notMatched.forall(_.kind == "insert"),
@@ -996,17 +1010,26 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
       col(c).as(sP + c)).toSeq: _*)
     def srcKeyCast(k: String) =
       col(sP + sKeyOf(k)).cast(tField(k).get.dataType)
-    val keyDf = source.select(keyCols.map { k =>
+    lazy val keyDf = source.select(keyCols.map { k =>
       val fd = tField(k).get
       col(sKeyOf(k)).cast(fd.dataType).as(fd.name)
     }.toSeq: _*).distinct()
     // NMBS quantifies over rows the source does NOT name — unboundable
-    // by key stats, so the candidate scope is the whole table
-    val candidates =
+    // by key stats — and a theta merge has no keys to bound with: both
+    // start from the whole table. The change-scope predicate (when the
+    // caller proved one) then prunes EITHER base: files whose stats
+    // refute it hold no row any clause can change
+    val candidates0 =
       if (snap.files.isEmpty) Seq.empty[String]
-      else if (notMatchedBySource.nonEmpty) snap.files
+      else if (notMatchedBySource.nonEmpty || keyCols.isEmpty) snap.files
       else sourceKeyCandidates(spark, dir, snap, keyDf, keyCols.map(k =>
         tField(k).get.name), tSchema, maxProbeKeys)
+    val candidates = scopeSql match {
+      case None => candidates0
+      case Some(sc) =>
+        val kept = keptFiles(spark, dir, snap, sc).toSet
+        candidates0.filter(kept)
+    }
     if (candidates.isEmpty && notMatched.isEmpty)
       return emptyOpCommit(spark, dir, "merge", opId)
     val tgt =
@@ -1064,8 +1087,9 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     val rewriting = matched.nonEmpty || notMatchedBySource.nonEmpty
     def prefixT(df: DataFrame): DataFrame = df.select(tSchema.fields.map(
       fd => col(fd.name).as(tP + fd.name)).toSeq: _*)
-    val keysEq = keyCols.map(k =>
-      col(tP + k) === srcKeyCast(k)).reduce(_ && _)
+    val keysEq =
+      if (keyCols.isEmpty) lit(true)
+      else keyCols.map(k => col(tP + k) === srcKeyCast(k)).reduce(_ && _)
     // MATCHED means the FULL ON condition: key equalities (the pruning
     // proof) AND the residue conjuncts (`AND s.ts > t.ts` — the SCD
     // idiom); a key-equal row failing the residue is NOT MATCHED on

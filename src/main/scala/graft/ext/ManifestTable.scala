@@ -2027,9 +2027,19 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
           val r = plainRead(spark, dir, snap, moved).agg(agg).head()
           if (r.isNullAt(0)) Nil else Seq(r.getLong(0))
         }
+      // CLAMPED in the step direction: a GENERATED BY DEFAULT insert
+      // carrying only explicit values BEHIND the mark (the backfill of
+      // id=5 after minting 1..100) must not rewind it — the next
+      // minting append would re-mint already-published ids, violating
+      // the "overlaps never / mark is monotonic forever" contract.
+      // Explicit values only ever ADVANCE the mark.
       val mark =
         if (vals.isEmpty) adv.prevProp.map(_.toLong)
-        else Some((if (adv.step >= 0) vals.max else vals.min) + adv.step)
+        else {
+          val cand = (if (adv.step >= 0) vals.max else vals.min) + adv.step
+          Some(adv.prevProp.map(_.toLong).fold(cand)(p =>
+            if (adv.step >= 0) math.max(cand, p) else math.min(cand, p)))
+        }
       adv.key -> mark.map(_.toString).getOrElse("")
     }.filter(_._2.nonEmpty)
 

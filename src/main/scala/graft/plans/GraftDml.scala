@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, Exists, Expression, InSubquery, NamedExpression, Not, OuterReference, PlanExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, Exists, Expression, InSubquery, IsNotNull, NamedExpression, Not, OuterReference, PlanExpression, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -53,8 +53,11 @@ import graft.ext.{GraftTableV2, ManifestTable}
   * `ResolveMergeIntoSchemaEvolution` commits the source-new columns
   * through `alterTable` (the same nullable-ADD / family-widening
   * metadata commits `ALTER TABLE` makes) and re-resolves the merge
-  * against the evolved schema before this rule lowers it. Subqueries
-  * in clause expressions stay a loud UnsupportedOperationException.
+  * against the evolved schema before this rule lowers it.
+  * UNCORRELATED subqueries in clause conditions / SET values ride as
+  * held expressions and literalize at command time; correlated ones
+  * stay a loud UnsupportedOperationException naming the USING-source
+  * rewrite.
   *
   * Expressions are re-printed as predicate SQL (qualifiers stripped so
   * they resolve against the table's own frame) because the manifest
@@ -194,23 +197,30 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     // USING source)
     val (subqSets, plainSets) = rawSets.partition(
       _._3.exists(_.isInstanceOf[PlanExpression[_]]))
-    subqSets.foreach { case (root, path, v) =>
+    subqSets.foreach { case (root, path, _) =>
       if (path.nonEmpty)
         throw new UnsupportedOperationException(
           "subquery SET values are supported for whole-column targets " +
             s"only (got struct field ${root.name}.${path.mkString(".")})" +
             " — split the statement")
-      if (v.exists {
-        case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
-        case _ => false
-      }) throw new UnsupportedOperationException(
-        "correlated subqueries in SET expressions are not supported " +
-          s"(got: ${v.sql}) — express the per-row value with MERGE: " +
-          "compute it in the USING source and SET from the source column")
       if (plainSets.exists(_._1.name.equalsIgnoreCase(root.name)))
         throw new UnsupportedOperationException(
           s"UPDATE assigns column ${root.name} more than once")
     }
+    // two subquery SET values targeting one column are the same
+    // duplicate as a plain pair — reject them against each other too
+    subqSets.map(_._1.name.toLowerCase).groupBy(identity).collect {
+      case (n, vs) if vs.size > 1 => n
+    }.headOption.foreach(n => throw new UnsupportedOperationException(
+      s"UPDATE assigns column $n more than once"))
+    // CORRELATED scalar subquery SET values — the everyday enrichment
+    // idiom `SET v = (SELECT s.v FROM s WHERE s.k = t.k)` — lower to
+    // the source-key-joined merge path (see convertUpdateScalarSet);
+    // uncorrelated ones literalize at run time
+    val (corrSets, heldSubqSets) = subqSets.partition(_._3.exists {
+      case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
+      case _ => false
+    })
     // one SET entry per ROOT column, in first-appearance order; the
     // value printer differs per lowering path (bare frame vs the merge
     // executor's __t_ namespace)
@@ -235,7 +245,14 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       }
     }
     def qid(n: String) = "`" + n.replace("`", "``") + "`"
-    val heldSets = subqSets.map(r => r._1.name -> GraftHeldCond(r._3))
+    val heldSets = heldSubqSets.map(r => r._1.name -> GraftHeldCond(r._3))
+    // correlated scalar SET values: the dedicated lowering (one merge
+    // source per statement; static sets re-printed into its namespace)
+    if (corrSets.nonEmpty)
+      return convertUpdateScalarSet(u, table, corrSets,
+        buildSets(v => GraftDmlRule.prefixedSql(v, "__t_"),
+          n => qid("__t_" + n)),
+        heldSets)
     // a WHERE carrying a subquery lowers to the literalizing command —
     // unless it is a CORRELATED EXISTS/IN (or multi-column IN), which
     // lowers to the source-key-pruned merge path instead (whose SET
@@ -271,6 +288,92 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
         buildSets(sqlOf, qid).toMap, heldSets)
     val cond = u.condition.map(sqlOf).getOrElse("true")
     GraftUpdateCommand(table.dir, cond, buildSets(sqlOf, qid).toMap)
+  }
+
+  /** `UPDATE t SET v = (SELECT ... FROM s WHERE s.k = t.k) WHERE p` —
+    * the everyday enrichment idiom — lowered through the same
+    * decorrelation machinery as correlated WHERE predicates: the scalar
+    * subquery's plan becomes the MERGE source frame (correlation keys
+    * aliased to the target key names, the scalar value projected as
+    * [[GraftDmlRule.ScalarValueCol]]), consumed by one `WHEN MATCHED
+    * THEN UPDATE SET v = __s_<value>` clause plus one `WHEN NOT MATCHED
+    * BY SOURCE THEN UPDATE SET v = <NULL-substituted value>` clause.
+    * SQL semantics, both pinned by spec:
+    *
+    *   - NO MATCH: the scalar subquery evaluates to NULL for that row,
+    *     so the NMBS clause re-evaluates the full SET value with the
+    *     subquery slot nulled — `SET v = coalesce((SELECT ...), -1)`
+    *     null-fills to -1, a bare subquery to NULL;
+    *   - MULTIPLE MATCHES with distinct values: the merge executor's
+    *     clause-aware cardinality probe RAISES (the scalar subquery
+    *     "more than one row" error; exact duplicates collapse in the
+    *     source distinct, which SQL cannot observe — equal scalars are
+    *     equal);
+    *   - rows failing the WHERE never evaluate the subquery (clause
+    *     conditions guard both clauses), and the WHERE doubles as the
+    *     candidate SCOPE predicate, so the NMBS full-table quantifier
+    *     still prunes to the files whose stats can satisfy it.
+    *
+    * An aggregate at the subquery root (`SET v = (SELECT max(x) ...)`)
+    * lowers by grouping the decorrelated frame on the correlation keys
+    * — legal only for NULL-on-empty aggregates (max/min/sum/avg/first/
+    * last); count()-style aggregates answer 0 on no match, which the
+    * group-by cannot represent, and stay a loud rejection.
+    */
+  private def convertUpdateScalarSet(u: UpdateTable, table: GraftTableV2,
+      corrSets: Seq[(AttributeReference, Seq[String], Expression)],
+      staticSets: Seq[(String, String)],
+      heldSets: Seq[(String, GraftHeldCond)]): LogicalPlan = {
+    if (corrSets.size > 1)
+      throw new UnsupportedOperationException(
+        "one correlated subquery SET value per UPDATE — split the " +
+          "statement (each statement decorrelates to one source frame)")
+    val (root, _, vExpr) = corrSets.head
+    // one decorrelated source per verb: a WHERE that is itself
+    // correlated (or a multi-column IN) would need a second one
+    u.condition.foreach { c =>
+      val alsoCorr = c.exists {
+        case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
+        case in: InSubquery => in.values.size > 1
+        case _ => false
+      }
+      if (alsoCorr) throw new UnsupportedOperationException(
+        "an UPDATE with a correlated subquery SET value cannot also " +
+          "carry a correlated (or multi-column IN) WHERE conjunct — " +
+          "fold the WHERE into the SET subquery, or rewrite as MERGE")
+    }
+    val subqs = vExpr.collect { case p: PlanExpression[_] => p }
+    val scalars = vExpr.collect {
+      case s: ScalarSubquery if s.getOuterAttrs.nonEmpty => s }
+    if (scalars.size != 1 || subqs.size != 1)
+      throw new UnsupportedOperationException(
+        "a correlated SET value must be built around exactly ONE " +
+          "correlated SCALAR subquery and no other subquery (got: " +
+          s"${vExpr.sql}) — compute richer shapes in a MERGE's USING " +
+          "source")
+    val sq = scalars.head
+    val low = GraftDmlRule.scalarSubqueryLowering(sq,
+      AttributeSet(u.table.output))
+    // the SET value re-printed into the merge executor's namespace,
+    // with the subquery slot replaced by the source value column
+    // (matched) or a typed NULL (not matched by source)
+    def valueSql(repl: Expression): String = vExpr.transformUp {
+      case _: ScalarSubquery => repl
+      case org.apache.spark.sql.catalyst.expressions.objects
+          .AssertNotNull(child, _) => child
+      case a: AttributeReference =>
+        a.withName("__t_" + a.name).withQualifier(Nil)
+      case f if GraftDmlRule.evaluablyFoldable(f) =>
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(f.eval(InternalRow.empty), f.dataType)
+    }.sql
+    val matchedVal = valueSql(AttributeReference(
+      "__s_" + GraftDmlRule.ScalarValueCol, sq.dataType)())
+    val nmbsVal = valueSql(org.apache.spark.sql.catalyst.expressions
+      .Literal.create(null, sq.dataType))
+    GraftUpdateScalarSetCommand(table.dir, low.sourcePlan, low.keyCols,
+      root.name, matchedVal, nmbsVal, staticSets, heldSets,
+      u.condition.map(GraftHeldCond))
   }
 
   private def convertMerge(m: MergeIntoTable,
@@ -324,10 +427,12 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
             case _ => (pairs, res :+ conj)
           }
       }
-    if (keyPairs.isEmpty)
-      unsupported("the ON condition has no target/source column " +
-        s"equality conjunct (got: ${m.mergeCondition.sql}) — at least " +
-        "one is required, it is the file-pruning key")
+    // No equality pair at all (a THETA merge — `ON t.id BETWEEN s.lo
+    // AND s.hi`): served by the general path with the whole ON as
+    // residue and FULL-SCOPE candidates (no key stat can bound a
+    // non-equi match; Delta pays the same full scan). The cardinality
+    // rules are unchanged — overlapping source ranges that both fire a
+    // matched clause on one target row still raise.
     val keyCols = keyPairs.map(_._1)
     val sameNamedKeys = residue.isEmpty &&
       keyPairs.forall { case (t, s) => t.equalsIgnoreCase(s) }
@@ -371,10 +476,24 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
     // the executor's prefixed namespace (`__t_<col>` target, `__s_<col>`
     // source) — sides decided HERE, by the analyzer's resolution, so
     // shared column names can never cross-bind in the re-parse.
+    // Expressions carrying UNCORRELATED subqueries cannot print yet
+    // (subqueries execute when the DML executes): they are RENAMED into
+    // the prefix namespace now (a pure tree transform — the analyzer's
+    // side decision survives) and HELD for the command to literalize
+    // and print at run time. Correlated ones stay a loud no: compute
+    // the per-row value in the USING source.
+    def prefixedRename(e: Expression): Expression = e.transformUp {
+      case org.apache.spark.sql.catalyst.expressions.objects
+          .AssertNotNull(child, _) => child
+      case a: AttributeReference if targetOut.contains(a) =>
+        a.withName("__t_" + a.name).withQualifier(Nil)
+      case a: AttributeReference if sourceOut.contains(a) =>
+        a.withName("__s_" + a.name).withQualifier(Nil)
+    }
     def prefixed(e: Expression): String = {
       if (e.exists(_.isInstanceOf[PlanExpression[_]]))
         unsupported("subqueries in MERGE conditions or SET expressions " +
-          s"are not supported (got: ${e.sql})")
+          s"are not supported here (got: ${e.sql})")
       e.transformUp {
         case org.apache.spark.sql.catalyst.expressions.objects
             .AssertNotNull(child, _) => child
@@ -387,11 +506,24 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
             .create(f.eval(InternalRow.empty), f.dataType)
       }.sql
     }
+    def holdOrPrint(e: Expression,
+                    what: String): Either[String, GraftHeldCond] =
+      if (!e.exists(_.isInstanceOf[PlanExpression[_]])) Left(prefixed(e))
+      else {
+        e.foreach {
+          case s: SubqueryExpression if s.getOuterAttrs.nonEmpty =>
+            unsupported(s"$what carries a CORRELATED subquery (got: " +
+              s"${e.sql}) — compute the per-row value in the USING " +
+              "source query instead")
+          case _ => ()
+        }
+        Right(GraftHeldCond(prefixedRename(e)))
+      }
     // UPDATE SET assignments: whole columns, or struct FIELDS (SET
     // meta.lang = x) rebuilt as one top-level projection in the
     // executor's __t_ namespace — same decomposition as SQL UPDATE
-    def assignsOf(assignments: Seq[Assignment],
-                  verb: String): Seq[(String, String)] = {
+    def assignsOf(assignments: Seq[Assignment], verb: String)
+    : Seq[(String, Either[String, GraftHeldCond])] = {
       val raw = assignments.flatMap { a =>
         val (root, path) = a.key match {
           case attr: AttributeReference => (attr, Nil)
@@ -409,6 +541,15 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
         })) None
         else Some((root, path, a.value))
       }
+      // subquery-carrying values cross the seam whole-column only: a
+      // struct-field rebuild around a run-time literal would need
+      // deferred SQL assembly for a shape nobody writes
+      raw.foreach { case (root, path, v) =>
+        if (path.nonEmpty && v.exists(_.isInstanceOf[PlanExpression[_]]))
+          unsupported(s"$verb: subquery SET values are supported for " +
+            "whole-column targets only (got struct field " +
+            s"${root.name}.${path.mkString(".")}) — split the statement")
+      }
       raw.map(_._1.name).distinct.map { rn =>
         val group = raw.filter(_._1.name == rn)
         val root = group.head._1
@@ -416,34 +557,38 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
           if (group.size != 1) unsupported(
             s"$verb assigns column $rn more than once (whole-column " +
               "and field assignments cannot mix)")
-          rn -> prefixed(group.head._3)
+          rn -> holdOrPrint(group.head._3, s"$verb SET value")
         } else root.dataType match {
           case st: org.apache.spark.sql.types.StructType =>
-            rn -> GraftDmlRule.structRebuildSql(
+            rn -> (Left(GraftDmlRule.structRebuildSql(
               GraftDmlRule.qid("__t_" + root.name), st,
-              group.map(g => (g._2, prefixed(g._3))))
+              group.map(g => (g._2, prefixed(g._3)))))
+              : Either[String, GraftHeldCond])
           case other => unsupported(
             s"$verb field path on non-struct column $rn " +
               s"(${other.simpleString})")
         }
       }
     }
-    def clauseOf(a: MergeAction, verb: String): ManifestTable.MergeClause =
+    def clauseOf(a: MergeAction, verb: String): GraftClause =
       a match {
         case UpdateAction(cond, assignments, _) =>
-          ManifestTable.MergeClause("update", cond.map(prefixed),
+          GraftClause("update",
+            cond.map(holdOrPrint(_, s"$verb condition")),
             assignsOf(assignments, verb))
         case DeleteAction(cond) =>
-          ManifestTable.MergeClause("delete", cond.map(prefixed), Nil)
+          GraftClause("delete",
+            cond.map(holdOrPrint(_, s"$verb condition")), Nil)
         case InsertAction(cond, assignments) =>
-          ManifestTable.MergeClause("insert", cond.map(prefixed),
+          GraftClause("insert",
+            cond.map(holdOrPrint(_, s"$verb condition")),
             assignments.map { asg =>
               val col = asg.key match {
                 case attr: AttributeReference => attr.name
                 case other => unsupported(
                   s"$verb assigns a non-column target: ${other.sql}")
               }
-              col -> prefixed(asg.value)
+              col -> holdOrPrint(asg.value, s"$verb VALUES entry")
             })
         case other =>
           unsupported(s"$verb action ${other.getClass.getSimpleName} " +
@@ -456,9 +601,11 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
       m.notMatchedBySourceActions.map(
         clauseOf(_, "WHEN NOT MATCHED BY SOURCE")),
       sourceKeyCols = keyPairs.map(_._2),
-      residueSql =
+      residue =
         if (residue.isEmpty) None
-        else Some(residue.map(prefixed).mkString("(", ") AND (", ")")))
+        else Some(holdOrPrint(residue.reduce(
+          org.apache.spark.sql.catalyst.expressions.And(_, _)),
+          "the MERGE ON condition")))
   }
 }
 
@@ -603,9 +750,10 @@ object GraftDmlRule {
     * unsupported correlated shapes raise loudly HERE, at analysis,
     * with the rewrite that works.
     *
-    * `NOT IN (subquery)` never routes: its three-valued NULL semantics
-    * (one NULL key vetoes every row) are not an anti-join; the raise
-    * names NOT EXISTS as the rewrite.
+    * `NOT IN (subquery)` routes only under a STATIC no-NULL proof on
+    * both sides (see the case) — its three-valued NULL semantics (one
+    * NULL key vetoes every row) are not an anti-join otherwise; the
+    * raise names the IS NOT NULL conjuncts and NOT EXISTS as rewrites.
     */
   /** [[org.apache.spark.sql.catalyst.expressions.PredicateHelper]]'s
     * conjunct splitter, surfaced for the object-level helpers (the
@@ -652,10 +800,44 @@ object GraftDmlRule {
       case ex: Exists => (false, ex.plan, Nil)
       case Not(ex: Exists) => (true, ex.plan, Nil)
       case in: InSubquery => (false, in.query.plan, valuePairs(in))
-      case Not(in: InSubquery) => unsupported(
-        "NOT IN (subquery) does not lower to an anti-join (one NULL " +
-          "key vetoes every row — SQL three-valued semantics); " +
-          "rewrite as NOT EXISTS (SELECT 1 FROM ... WHERE k = t.k)")
+      // NOT IN lowers to the anti join ONLY under a STATIC no-NULL
+      // proof on both sides — SQL's three-valued semantics make one
+      // NULL inner key veto every row, and a NULL outer value never
+      // TRUE, neither of which a plain anti join expresses. The proof:
+      //   - each outer value is a non-nullable target column, or the
+      //     predicate carries its own `col IS NOT NULL` conjunct (that
+      //     conjunct rides the residual, so the veto rows stay
+      //     untouched exactly as SQL leaves them);
+      //   - each subquery output is non-nullable, or an alias of a
+      //     column some subquery Filter pins with IS NOT NULL.
+      // With the proof in hand NOT IN *is* the anti join (rows with no
+      // key match — including rows whose correlation key matches no
+      // group, where NOT IN over the empty set is TRUE — fire).
+      case Not(in: InSubquery) =>
+        val pairs = valuePairs(in)
+        in.values.foreach {
+          case a: AttributeReference if a.nullable &&
+              !rest.exists {
+                case IsNotNull(x: AttributeReference) => x.semanticEquals(a)
+                case _ => false
+              } =>
+            unsupported(
+              s"NOT IN over nullable target column ${a.name}: a NULL " +
+                "value is never deleted (three-valued semantics), " +
+                "which the anti-join lowering cannot express — add " +
+                s"`AND ${a.name} IS NOT NULL` to the predicate, " +
+                "declare the column NOT NULL, or rewrite as NOT EXISTS")
+          case _ => ()
+        }
+        in.query.plan.output.foreach { o =>
+          if (!provablyNonNull(in.query.plan, o)) unsupported(
+            s"NOT IN subquery output ${o.name} may be NULL — one NULL " +
+              "key vetoes every row (three-valued semantics), which " +
+              "the anti-join lowering cannot express; filter it with " +
+              s"`WHERE ${o.name} IS NOT NULL` inside the subquery, or " +
+              "rewrite as NOT EXISTS")
+        }
+        (true, in.query.plan, pairs)
       case other => unsupported(
         "a correlated subquery may appear only as a bare [NOT] EXISTS " +
           s"or IN conjunct (got: ${other.sql})")
@@ -678,6 +860,50 @@ object GraftDmlRule {
     Some(CorrLowering(src, pairs.map(_._1), negated, residual))
   }
 
+  /** Static no-NULL proof for one output column of a NOT IN subquery:
+    * the attribute is non-nullable, or it traces (through Project
+    * aliases / Filters / SubqueryAliases) to a non-null literal or to
+    * a column some Filter below pins with `IS NOT NULL`. Purely
+    * syntactic and one-sided — anything unprovable answers false and
+    * the statement stays a loud rejection.
+    */
+  private[plans] def provablyNonNull(plan: LogicalPlan,
+                                     out: org.apache.spark.sql.catalyst
+                                       .expressions.Attribute): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Literal}
+    if (!out.nullable) return true
+    // every attribute some Filter in the plan pins with IS NOT NULL —
+    // a pin ANYWHERE along the alias chain proves the output (Filters
+    // only ever drop rows, and the chain is pure forwarding)
+    val pinned: Set[Long] = plan.collect {
+      case Filter(cond, _) => PH.split(cond).collect {
+        case IsNotNull(x: AttributeReference) => x.exprId.id
+      }
+    }.flatten.toSet
+    def proved(a: Attribute): Boolean =
+      !a.nullable || pinned.contains(a.exprId.id)
+    def chase(p: LogicalPlan, a: Attribute): Boolean =
+      proved(a) || (p match {
+        case Project(list, child) =>
+          list.find(_.exprId == a.exprId) match {
+            case Some(Alias(ar: AttributeReference, _)) => chase(child, ar)
+            case Some(Alias(l: Literal, _)) => l.value != null
+            case Some(ar: AttributeReference) => chase(child, ar)
+            case _ => false
+          }
+        case SubqueryAlias(_, child) => chase(child, a)
+        case Filter(_, child) => chase(child, a)
+        case ag: Aggregate =>
+          ag.aggregateExpressions.find(_.exprId == a.exprId) match {
+            case Some(Alias(ar: AttributeReference, _)) => chase(ag.child, ar)
+            case Some(ar: AttributeReference) => chase(ag.child, ar)
+            case _ => false
+          }
+        case _ => false
+      })
+    chase(plan, out)
+  }
+
   /** Strip the equality-correlation conjuncts out of `plan0`'s
     * correlated Filter and surface their inner key expressions as
     * projected columns at the plan root — the plan surgery that turns
@@ -686,8 +912,50 @@ object GraftDmlRule {
     * through Project/Filter/SubqueryAlias only (row-preserving per
     * key); everything else raises via `unsupported`.
     */
+  /** A correlated SCALAR subquery (an UPDATE SET value) lowered to a
+    * source frame: `sourcePlan` projects the scalar value as
+    * [[ScalarValueCol]] plus the correlation keys aliased to the target
+    * key names. With an aggregate at the subquery root the decorrelated
+    * frame GROUPS on the keys (one row per key by construction);
+    * otherwise it is the row-preserving Project/Filter shape and the
+    * caller's source-distinct + cardinality probe enforce the scalar
+    * "more than one row" raise.
+    */
+  private[plans] final case class ScalarLowering(sourcePlan: LogicalPlan,
+                                                 keyCols: Seq[String])
+
+  /** Source column name carrying the decorrelated scalar value. */
+  val ScalarValueCol = "__graft_sv"
+
+  private[plans] def scalarSubqueryLowering(sq: ScalarSubquery,
+                                            targetOut: AttributeSet)
+  : ScalarLowering = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft DML SET scalar subqueries: $what")
+    val (rebuilt, pairs) =
+      decorrelate(sq.plan, targetOut, unsupported, allowRootAgg = true)
+    if (pairs.isEmpty) unsupported(
+      "no equality correlation to the target survived decorrelation — " +
+        "an uncorrelated scalar belongs to the literalizing path " +
+        "(this is a bug if you see it)")
+    pairs.map(_._1.toLowerCase).groupBy(identity).collect {
+      case (k, vs) if vs.size > 1 => k
+    }.headOption.foreach(k => unsupported(
+      s"target column $k is correlated more than once — drop the " +
+        "redundant equality or fold it into the subquery"))
+    val valueAttr = sq.plan.output.head
+    val src = Project(
+      (Alias(valueAttr, ScalarValueCol)() +:
+        pairs.map { case (name, ne) => Alias(ne.toAttribute, name)() })
+        .map(ne => ne: NamedExpression),
+      rebuilt)
+    ScalarLowering(src, pairs.map(_._1))
+  }
+
   private def decorrelate(plan0: LogicalPlan, targetOut: AttributeSet,
-                          unsupported: String => Nothing)
+                          unsupported: String => Nothing,
+                          allowRootAgg: Boolean = false)
   : (LogicalPlan, Seq[(String, NamedExpression)]) = {
     val corrFilters = plan0.collect {
       case f: Filter if f.condition.exists(_.isInstanceOf[OuterReference]) => f
@@ -708,19 +976,77 @@ object GraftDmlRule {
         s"subquery (got: ${stray.head.sql})")
     if (corrFilters.isEmpty) return (plan0, Nil)
     val corrFilter = corrFilters.head
-    // the chain above the correlated filter must preserve
-    // per-key existence: Project/SubqueryAlias/Filter only
-    def validate(p: LogicalPlan): Unit = p match {
+    // the chain above the correlated filter must preserve per-key
+    // existence: Project/SubqueryAlias/Filter only — plus, for SCALAR
+    // subqueries (allowRootAgg), ONE group-less Aggregate whose
+    // functions are NULL on empty input: grouping the decorrelated
+    // frame on the keys then makes a missing key and an empty group
+    // coincide, exactly the scalar's NULL-on-no-match. Anything above
+    // that Aggregate must be a pure rename (a computed projection —
+    // `coalesce(max(x), 0)` — evaluates on the NULL the subquery
+    // returns, which a missing group cannot reproduce).
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    def validate(p: LogicalPlan, aggAllowed: Boolean): Unit = p match {
       case f: Filter if f eq corrFilter => ()
-      case pr: Project => validate(pr.child)
-      case sa: SubqueryAlias => validate(sa.child)
-      case f: Filter => validate(f.child)
+      case ag: Aggregate =>
+        if (!aggAllowed) unsupported(
+          if (allowRootAgg)
+            "only ONE group-less aggregate may sit over the " +
+              "correlation, reached through pure column renames — a " +
+              "computed projection or second aggregate above it would " +
+              "change the no-match NULL-fill"
+          else
+            "the correlated filter must sit under Project/Filter " +
+              "operators only — an aggregate over the correlation " +
+              "does not lower to a key join (EXISTS over a scalar " +
+              "aggregate is constant-true)")
+        if (ag.groupingExpressions.nonEmpty) unsupported(
+          "a correlated scalar subquery with GROUP BY does not lower " +
+            "to the key join — compute the grouping in a MERGE USING " +
+            "source")
+        // the output must be NULL when the group is EMPTY, because a
+        // missing key in the grouped frame null-fills — proven by a
+        // path from the root to a null-on-empty aggregate through
+        // null-propagating nodes only (`max(v) + count(*)` qualifies:
+        // max's NULL forces the sum; bare count() or coalesce(max, 0)
+        // do not — they answer a non-NULL the group-by cannot produce)
+        def nullOnEmpty(e: Expression): Boolean = e match {
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case _: Max | _: Min | _: Sum | _: Average | _: First |
+                 _: Last => true
+            case _ => false
+          }
+          case a: Alias => nullOnEmpty(a.child)
+          case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+            nullOnEmpty(c.child)
+          case b: org.apache.spark.sql.catalyst.expressions
+              .BinaryArithmetic =>
+            nullOnEmpty(b.left) || nullOnEmpty(b.right)
+          case u: org.apache.spark.sql.catalyst.expressions.UnaryMinus =>
+            nullOnEmpty(u.child)
+          case _ => false
+        }
+        ag.aggregateExpressions.find(!nullOnEmpty(_)).foreach(bad =>
+          unsupported(
+            s"the aggregate output ${bad.sql} is not provably NULL on " +
+              "empty input (count() answers 0, coalesce substitutes), " +
+              "so a no-match target row cannot null-fill exactly — " +
+              "compute the value in a MERGE USING source instead"))
+        validate(ag.child, aggAllowed = false)
+      case pr: Project =>
+        validate(pr.child, aggAllowed && pr.projectList.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case _ => false
+        })
+      case sa: SubqueryAlias => validate(sa.child, aggAllowed)
+      case f: Filter => validate(f.child, aggAllowed)
       case other => unsupported(
         "the correlated filter must sit under Project/Filter operators " +
           s"only (found ${other.nodeName} above it) — aggregates or " +
           "joins above the correlation do not lower to a key join")
     }
-    validate(plan0)
+    validate(plan0, allowRootAgg)
     val (corrConjs, localConjs) =
       PH.split(corrFilter.condition)
         .partition(_.exists(_.isInstanceOf[OuterReference]))
@@ -752,6 +1078,13 @@ object GraftDmlRule {
     // pass them through, Filters and aliases are untouched
     def rebuild(p: LogicalPlan): LogicalPlan = p match {
       case f: Filter if f eq corrFilter => newNode
+      // the (validated) root aggregate becomes a GROUP BY on the
+      // correlation keys — one output row per key, keys flow to the root
+      case ag: Aggregate =>
+        ag.copy(groupingExpressions =
+            ag.groupingExpressions ++ corrAttrs.map(_.toAttribute),
+          aggregateExpressions = ag.aggregateExpressions ++ corrAttrs,
+          child = rebuild(ag.child))
       case pr @ Project(list, child) =>
         pr.copy(projectList = list ++ corrAttrs, child = rebuild(child))
       case sa: SubqueryAlias => sa.copy(child = rebuild(sa.child))
@@ -937,10 +1270,9 @@ case class GraftDeleteCorrelatedCommand(dir: String,
     Seq(source) ++ residual.toSeq.flatMap(_.e.collect {
       case p: PlanExpression[_] => p.plan.asInstanceOf[LogicalPlan] })
   override def run(spark: SparkSession): Seq[Row] = {
-    val residSql = residual.map { h =>
-      GraftDmlRule.prefixedSql(
-        GraftDmlRule.literalizeSubqueries(spark, h.e), "__t_")
-    }
+    val residLit = residual.map(h =>
+      GraftDmlRule.literalizeSubqueries(spark, h.e))
+    val residSql = residLit.map(GraftDmlRule.prefixedSql(_, "__t_"))
     val src = org.apache.spark.sql.graft.GraftSqlShims
       .ofRows(spark, source).distinct()
     val opId = s"sql-delete-corr-${java.util.UUID.randomUUID()}"
@@ -955,7 +1287,8 @@ case class GraftDeleteCorrelatedCommand(dir: String,
           matched = if (negated) Nil else Seq(clause),
           notMatched = Nil,
           notMatchedBySource = if (negated) Seq(clause) else Nil,
-          opId = opId, cdc = cdcNow)
+          opId = opId, cdc = cdcNow,
+          scopeSql = residLit.map(GraftDmlRule.predicateSql))
       }
     }
     Seq.empty
@@ -981,10 +1314,9 @@ case class GraftUpdateCorrelatedCommand(dir: String,
     Seq(source) ++ residual.toSeq.flatMap(_.e.collect {
       case p: PlanExpression[_] => p.plan.asInstanceOf[LogicalPlan] })
   override def run(spark: SparkSession): Seq[Row] = {
-    val residSql = residual.map { h =>
-      GraftDmlRule.prefixedSql(
-        GraftDmlRule.literalizeSubqueries(spark, h.e), "__t_")
-    }
+    val residLit = residual.map(h =>
+      GraftDmlRule.literalizeSubqueries(spark, h.e))
+    val residSql = residLit.map(GraftDmlRule.prefixedSql(_, "__t_"))
     val src = org.apache.spark.sql.graft.GraftSqlShims
       .ofRows(spark, source).distinct()
     val opId = s"sql-update-corr-${java.util.UUID.randomUUID()}"
@@ -995,7 +1327,66 @@ case class GraftUpdateCorrelatedCommand(dir: String,
         notMatched = Nil,
         notMatchedBySource = if (negated) Seq(clause) else Nil,
         opId = opId, cdc = ManifestTable.changeFeedEnabled(
-          ManifestTable.snapshot(spark, dir)))
+          ManifestTable.snapshot(spark, dir)),
+        scopeSql = residLit.map(GraftDmlRule.predicateSql))
+    }
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET v = (correlated scalar subquery) [, c = expr...]
+  * WHERE p` — the decorrelated subquery ([[GraftDmlRule
+  * .scalarSubqueryLowering]]) is the MERGE source; `matchedValSql`
+  * carries the SET value with the subquery slot replaced by the source
+  * value column, `nmbsValSql` the same value with a typed NULL in the
+  * slot (SQL's no-match null-fill — `coalesce((SELECT ...), -1)`
+  * null-fills to -1). Both clauses guard on the (literalized) WHERE,
+  * which doubles as the candidate SCOPE predicate: the NOT-MATCHED-BY-
+  * SOURCE quantifier prunes to the files whose stats can satisfy it.
+  * Multiple distinct matches per target row raise through the merge
+  * executor's clause-aware cardinality probe — the scalar subquery's
+  * "more than one row" error.
+  */
+case class GraftUpdateScalarSetCommand(dir: String,
+                                       @transient source: LogicalPlan,
+                                       keyCols: Seq[String],
+                                       setCol: String,
+                                       matchedValSql: String,
+                                       nmbsValSql: String,
+                                       staticSets: Seq[(String, String)],
+                                       setHeld: Seq[(String, GraftHeldCond)],
+                                       residual: Option[GraftHeldCond])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] =
+    Seq(source) ++ (residual.toSeq.map(_.e) ++ setHeld.map(_._2.e))
+      .flatMap(_.collect {
+        case p: PlanExpression[_] => p.plan.asInstanceOf[LogicalPlan] })
+  override def run(spark: SparkSession): Seq[Row] = {
+    val residLit = residual.map(h =>
+      GraftDmlRule.literalizeSubqueries(spark, h.e))
+    val residSql = residLit.map(GraftDmlRule.prefixedSql(_, "__t_"))
+    val scope = residLit.map(GraftDmlRule.predicateSql)
+    val held = setHeld.map { case (c, h) =>
+      c -> GraftDmlRule.prefixedSql(
+        GraftDmlRule.literalizeSubqueries(spark, h.e), "__t_") }
+    // full-row distinct: exact duplicate (key, value) pairs collapse
+    // (SQL cannot observe equal scalars); distinct VALUES per key
+    // survive and trip the cardinality probe — the "more than one row"
+    // raise
+    val src = org.apache.spark.sql.graft.GraftSqlShims
+      .ofRows(spark, source).distinct()
+    val opId = s"sql-update-scalar-${java.util.UUID.randomUUID()}"
+    val m = ManifestTable.MergeClause("update", residSql,
+      staticSets ++ held :+ (setCol -> matchedValSql))
+    val n = ManifestTable.MergeClause("update", residSql,
+      staticSets ++ held :+ (setCol -> nmbsValSql))
+    ManifestTable.retryOnConflict(spark, dir, opId) {
+      ManifestTable.mergeGeneral(src, dir, keyCols,
+        matched = Seq(m), notMatched = Nil,
+        notMatchedBySource = Seq(n),
+        opId = opId, cdc = ManifestTable.changeFeedEnabled(
+          ManifestTable.snapshot(spark, dir)),
+        scopeSql = scope)
     }
     Seq.empty
   }
@@ -1062,34 +1453,66 @@ case class GraftMergeCommand(dir: String,
   }
 }
 
+/** A MERGE clause as the resolution rule hands it to the command:
+  * condition and SET values are either pre-printed prefixed SQL
+  * (`Left`) or — when they carry UNCORRELATED subqueries — held,
+  * pre-renamed expressions (`Right`) that literalize at command time
+  * ([[GraftDmlRule.literalizeSubqueries]]: subqueries execute when the
+  * DML executes, once per statement, never during analysis).
+  */
+final case class GraftClause(kind: String,
+                             cond: Option[Either[String, GraftHeldCond]],
+                             set: Seq[(String, Either[String, GraftHeldCond])])
+
 /** General `MERGE INTO` — conditional matched clauses, partial-column
   * `UPDATE SET`, mixed UPDATE+DELETE, conditional/partial INSERTs and
   * `NOT MATCHED BY SOURCE` — lowered to
   * [[ManifestTable.mergeGeneral]]: source-key-pruned candidates (full
-  * scope only when NMBS clauses quantify over the whole target),
-  * SQL clause-order and cardinality-violation semantics, one atomic
-  * commit. Clause expressions travel as SQL in the executor's
-  * `__t_`/`__s_` prefixed namespace, sides fixed at resolution.
+  * scope only when NMBS clauses quantify over the whole target, or
+  * when a THETA `ON` carries no equality pair at all — `keyCols`
+  * empty, whole ON in `residue`), SQL clause-order and
+  * cardinality-violation semantics, one atomic commit. Clause
+  * expressions travel as SQL in the executor's `__t_`/`__s_` prefixed
+  * namespace, sides fixed at resolution; uncorrelated subqueries in
+  * clause conditions / SET values ride as held expressions and
+  * literalize here at run time.
   */
 case class GraftMergeGeneralCommand(dir: String,
                                     @transient source: LogicalPlan,
                                     keyCols: Seq[String],
-                                    matched: Seq[ManifestTable.MergeClause],
-                                    notMatched: Seq[ManifestTable.MergeClause],
-                                    notMatchedBySource: Seq[ManifestTable.MergeClause],
+                                    matched: Seq[GraftClause],
+                                    notMatched: Seq[GraftClause],
+                                    notMatchedBySource: Seq[GraftClause],
                                     sourceKeyCols: Seq[String] = Nil,
-                                    residueSql: Option[String] = None)
+                                    residue: Option[Either[String, GraftHeldCond]] = None)
     extends LeafRunnableCommand {
-  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  private def heldOf(e: Either[String, GraftHeldCond]): Seq[Expression] =
+    e.toSeq.map(_.e)
+  override def innerChildren: Seq[LogicalPlan] =
+    Seq(source) ++
+      ((matched ++ notMatched ++ notMatchedBySource).flatMap(c =>
+        c.cond.toSeq.flatMap(heldOf) ++ c.set.flatMap(s => heldOf(s._2))) ++
+        residue.toSeq.flatMap(heldOf))
+        .flatMap(_.collect {
+          case p: PlanExpression[_] => p.plan.asInstanceOf[LogicalPlan] })
   override def run(spark: SparkSession): Seq[Row] = {
+    def render(e: Either[String, GraftHeldCond]): String = e match {
+      case Left(s) => s
+      case Right(h) => GraftDmlRule.predicateSql(
+        GraftDmlRule.literalizeSubqueries(spark, h.e))
+    }
+    def toClause(c: GraftClause): ManifestTable.MergeClause =
+      ManifestTable.MergeClause(c.kind, c.cond.map(render),
+        c.set.map { case (n, v) => n -> render(v) })
     val src = org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, source)
     val opId = s"sql-merge-general-${java.util.UUID.randomUUID()}"
     ManifestTable.retryOnConflict(spark, dir, opId) {
-      ManifestTable.mergeGeneral(src, dir, keyCols, matched, notMatched,
-        notMatchedBySource, opId,
+      ManifestTable.mergeGeneral(src, dir, keyCols,
+        matched.map(toClause), notMatched.map(toClause),
+        notMatchedBySource.map(toClause), opId,
         cdc = ManifestTable.changeFeedEnabled(
           ManifestTable.snapshot(spark, dir)),
-        sourceKeyCols = sourceKeyCols, residueSql = residueSql)
+        sourceKeyCols = sourceKeyCols, residueSql = residue.map(render))
     }
     Seq.empty
   }

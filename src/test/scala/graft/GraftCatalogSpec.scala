@@ -539,6 +539,46 @@ class GraftCatalogSpec extends SparkSpec {
         s"($peak) — the mark never rewinds")
   }
 
+  test("identity mark never rewinds on a behind-the-mark explicit backfill") {
+    fsDel(s"$wh/t_idn3")
+    sql("CREATE TABLE graft.t_idn3 (id BIGINT GENERATED BY DEFAULT AS " +
+      "IDENTITY, v STRING)")
+    sql("INSERT INTO graft.t_idn3 (v) " +
+      "SELECT CAST(id AS STRING) FROM range(100)")
+    val dir = s"$wh/t_idn3"
+    val mark0 = ManifestTable.snapshot(spark, dir)
+      .properties("graft.identity.hwm.id").toLong
+    assert(mark0 === 101L,
+      s"100 minted rows from start 1 must leave the mark at 101, got $mark0")
+    // the backfill: an explicit value far BEHIND the mark — the staged
+    // footer max (5) plus step would REWIND the mark without the clamp,
+    // and the next mint would re-issue already-published ids
+    sql("INSERT INTO graft.t_idn3 VALUES (5, 'backfill')")
+    val mark1 = ManifestTable.snapshot(spark, dir)
+      .properties("graft.identity.hwm.id").toLong
+    assert(mark1 === mark0,
+      s"a behind-the-mark explicit value moved the mark $mark0 -> $mark1")
+    sql("INSERT INTO graft.t_idn3 (v) VALUES ('after')")
+    val ids = sql("SELECT id FROM graft.t_idn3").as[Long].collect().toSeq
+    assert(ids.count(_ === 101L) === 1 && ids.max === 101L,
+      s"the post-backfill mint must continue at 101, got max ${ids.max}")
+    // a NEGATIVE step clamps the other way: explicit value ABOVE the
+    // (descending) mark must not raise it back up
+    fsDel(s"$wh/t_idn4")
+    sql("CREATE TABLE graft.t_idn4 (id BIGINT GENERATED BY DEFAULT AS " +
+      "IDENTITY (START WITH 0 INCREMENT BY -1), v STRING)")
+    sql("INSERT INTO graft.t_idn4 (v) SELECT CAST(id AS STRING) FROM range(10)")
+    val dmark0 = ManifestTable.snapshot(spark, s"$wh/t_idn4")
+      .properties("graft.identity.hwm.id").toLong
+    assert(dmark0 === -10L, s"descending mark after 0..-9 must be -10, got $dmark0")
+    sql("INSERT INTO graft.t_idn4 VALUES (-3, 'backfill')")
+    val dmark1 = ManifestTable.snapshot(spark, s"$wh/t_idn4")
+      .properties("graft.identity.hwm.id").toLong
+    assert(dmark1 === dmark0,
+      s"an above-the-mark explicit value moved the descending mark " +
+        s"$dmark0 -> $dmark1")
+  }
+
   test("rename/drop of a generation-expression source column is a loud no") {
     fsDel(s"$wh/t_genref")
     sql("CREATE TABLE graft.t_genref (id BIGINT, a BIGINT, " +

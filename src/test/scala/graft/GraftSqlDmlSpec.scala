@@ -592,8 +592,11 @@ class GraftSqlDmlSpec extends SparkSpec {
             |         WHERE s.k > t.id)
             |WHERE id = 0""".stripMargin)
     }
+    // NON-EQUI correlation in the SET subquery: the equality shapes
+    // lower (see the correlated-scalar test); this one stays loud,
+    // naming the MERGE rewrite
     assert(msgs(corr).exists(m =>
-      m.contains("correlated") && m.contains("USING source")),
+      m.contains("correlation") && m.contains("MERGE")),
       msgs(corr).mkString(" | "))
   }
 
@@ -828,26 +831,156 @@ class GraftSqlDmlSpec extends SparkSpec {
       assert(msgs(e).exists(_.toLowerCase.contains(needle.toLowerCase)),
         s"expected '$needle' in: ${msgs(e).mkString(" | ")}")
     }
-    // subquery in a MERGE clause condition cannot cross the SQL seam
-    // (the USING source is already an arbitrary query — put it there)
-    rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id = s.id
-              |WHEN MATCHED AND t.id IN (SELECT id FROM d_src) THEN DELETE""".stripMargin,
-      "subquer")
     // NON-EQUI correlation cannot drive key-pruned candidates: loud,
     // naming the MERGE rewrite (equality correlation lowers fine —
     // see the correlated-subquery test)
     rejects("DELETE FROM graft_dml.d_err t WHERE EXISTS " +
       "(SELECT 1 FROM d_src s WHERE s.id = t.id AND s.n > t.n)",
       "equality correlation")
-    // correlated NOT IN is not an anti-join (NULL-key veto semantics):
-    // loud, naming NOT EXISTS as the rewrite
+    // NOT IN over a NULLABLE target column without its own IS NOT NULL
+    // conjunct: the NULL-veto semantics are not an anti-join — loud,
+    // naming the rewrites (the provable shapes lower — see the NOT IN
+    // test)
     rejects("DELETE FROM graft_dml.d_err t WHERE id NOT IN " +
       "(SELECT n FROM d_src s WHERE s.id = t.id)",
       "NOT EXISTS")
-    // an ON with NO equality conjunct at all: nothing to prune on
+    // a theta MERGE with OVERLAPPING matches keeps the cardinality
+    // raise: >1 source row fires a matched clause on one target row
     rejects("""MERGE INTO graft_dml.d_err t USING d_src s ON t.id > s.id
-              |WHEN MATCHED THEN UPDATE SET *
-              |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
-      "no target/source column equality")
+              |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin,
+      "cardinality")
+  }
+
+  test("UPDATE SET c = (correlated scalar subquery): null-fill, raise on >1, key-joined") {
+    fsDel(s"$wh/g_csq")
+    sql("CREATE TABLE graft_dml.g_csq (id BIGINT, n BIGINT, s STRING)")
+    sql("INSERT INTO graft_dml.g_csq SELECT id, id, CONCAT('r', id) FROM range(6)")
+    // enrich source: ids 1 and 4 present, id 3 present TWICE with
+    // distinct values (the cardinality trap)
+    Seq((1L, 10L), (4L, 40L), (3L, 30L), (3L, 31L)).toDF("k", "v")
+      .createOrReplaceTempView("g_csq_src")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // the enrichment idiom: matched rows take the joined value, rows
+    // with NO match null-fill (SQL scalar-subquery semantics), rows
+    // outside the WHERE are untouched
+    sql("""UPDATE graft_dml.g_csq t
+          |SET n = (SELECT v FROM g_csq_src s WHERE s.k = t.id)
+          |WHERE id <= 2""".stripMargin)
+    assert(sql("SELECT id, n FROM graft_dml.g_csq ORDER BY id")
+      .as[(Long, Option[Long])].collect().toSeq ===
+      Seq((0L, None), (1L, Some(10L)), (2L, None), (3L, Some(3L)),
+        (4L, Some(4L)), (5L, Some(5L))),
+      "no-match rows inside the WHERE must null-fill; outside untouched")
+    // an expression AROUND the subquery re-evaluates with the slot
+    // nulled: coalesce((SELECT ...), -1) null-fills to -1
+    sql("""UPDATE graft_dml.g_csq t
+          |SET n = coalesce((SELECT v FROM g_csq_src s WHERE s.k = t.id), -1)
+          |WHERE id IN (2, 4)""".stripMargin)
+    assert(sql("SELECT n FROM graft_dml.g_csq WHERE id IN (2, 4) ORDER BY id")
+      .as[Long].collect().toSeq === Seq(-1L, 40L))
+    // >1 DISTINCT value for a matched key: the scalar "more than one
+    // row" raise, through the merge cardinality probe
+    val multi = intercept[Exception] {
+      sql("""UPDATE graft_dml.g_csq t
+            |SET n = (SELECT v FROM g_csq_src s WHERE s.k = t.id)
+            |WHERE id = 3""".stripMargin)
+    }
+    assert(msgs(multi).exists(_.toLowerCase.contains("cardinality")),
+      msgs(multi).mkString(" | "))
+    // aggregate at the subquery root: groups on the correlation key;
+    // null-on-empty aggregates only
+    sql("""UPDATE graft_dml.g_csq t
+          |SET n = (SELECT max(v) + min(v) FROM g_csq_src s WHERE s.k = t.id)
+          |WHERE id >= 3""".stripMargin)
+    assert(sql("SELECT id, n FROM graft_dml.g_csq WHERE id >= 3 ORDER BY id")
+      .as[(Long, Option[Long])].collect().toSeq ===
+      Seq((3L, Some(61L)), (4L, Some(80L)), (5L, None)),
+      "aggregate decorrelation must group per key and null-fill misses")
+    // count() is 0 on empty input — the group-by cannot represent it
+    val cnt = intercept[Exception] {
+      sql("""UPDATE graft_dml.g_csq t
+            |SET n = (SELECT count(*) FROM g_csq_src s WHERE s.k = t.id)""".stripMargin)
+    }
+    assert(msgs(cnt).exists(_.contains("NULL on empty")),
+      msgs(cnt).mkString(" | "))
+    // two correlated SET values: one source frame per statement
+    val two = intercept[Exception] {
+      sql("""UPDATE graft_dml.g_csq t SET
+            |  n = (SELECT v FROM g_csq_src s WHERE s.k = t.id),
+            |  s = (SELECT CAST(v AS STRING) FROM g_csq_src s WHERE s.k = t.id)""".stripMargin)
+    }
+    assert(msgs(two).exists(_.contains("one correlated subquery SET")),
+      msgs(two).mkString(" | "))
+  }
+
+  test("MERGE: uncorrelated subqueries in clause conditions, SET values and VALUES literalize") {
+    fsDel(s"$wh/g_msq")
+    sql("CREATE TABLE graft_dml.g_msq (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_msq SELECT id, id * 10 FROM range(6)")
+    Seq(2L, 4L, 8L).toDF("k").createOrReplaceTempView("g_msq_src")
+    // min(k)=2, max(k)=8, count=3 — all exact
+    sql("""MERGE INTO graft_dml.g_msq t USING g_msq_src s ON t.id = s.k
+          |WHEN MATCHED AND t.n > (SELECT min(k) FROM g_msq_src) * 10
+          |  THEN UPDATE SET n = t.n + (SELECT max(k) FROM g_msq_src)
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT (id, n)
+          |  VALUES (s.k, (SELECT count(*) FROM g_msq_src))""".stripMargin)
+    // id=2: n=20 NOT > 20 → second clause deletes; id=4: n=40 > 20 →
+    // n=48; id=8: unmatched → insert (8, 3)
+    assert(sql("SELECT id, n FROM graft_dml.g_msq ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((0L, 0L), (1L, 10L), (3L, 30L), (4L, 48L), (5L, 50L), (8L, 3L)))
+  }
+
+  test("theta MERGE (no equality ON): full-scope lowering with SQL semantics intact") {
+    fsDel(s"$wh/g_theta")
+    sql("CREATE TABLE graft_dml.g_theta (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_theta SELECT id, id FROM range(10)")
+    // disjoint ranges: every target row matches at most one source row
+    Seq((2L, 5L, 100L), (7L, 9L, 200L)).toDF("lo", "hi", "bump")
+      .createOrReplaceTempView("g_theta_src")
+    sql("""MERGE INTO graft_dml.g_theta t USING g_theta_src s
+          |ON t.id >= s.lo AND t.id < s.hi
+          |WHEN MATCHED THEN UPDATE SET n = t.n + s.bump""".stripMargin)
+    assert(sql("SELECT id, n FROM graft_dml.g_theta ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      (0L until 10L).map(i =>
+        (i, if (i >= 2 && i < 5) i + 100L
+            else if (i >= 7 && i < 9) i + 200L else i)),
+      "theta MERGE must update exactly the range-matched rows")
+    assert(ManifestTable.snapshot(spark, s"$wh/g_theta").op === "merge")
+  }
+
+  test("correlated and multi-column NOT IN lower under the static no-NULL proof") {
+    fsDel(s"$wh/g_nin")
+    sql("CREATE TABLE graft_dml.g_nin " +
+      "(id BIGINT NOT NULL, grp BIGINT NOT NULL, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_nin SELECT id, id % 2, id FROM range(10)")
+    // the CASE makes k NULLABLE (range ids are not) — the proof must
+    // come from the predicate's own IS NOT NULL pin
+    spark.range(6).selectExpr("CASE WHEN id >= 0 THEN id END AS k",
+        "id % 2 AS j")
+      .createOrReplaceTempView("g_nin_src")
+    // target id NOT NULL (declared), inner filtered IS NOT NULL: the
+    // proof holds, the anti-join fires — per group, keep only ids the
+    // subquery names (rows with NO matching group delete too: NOT IN
+    // over the empty set is TRUE). S_grp0 = {0,2}, S_grp1 = {1,3}.
+    sql("""DELETE FROM graft_dml.g_nin t WHERE id NOT IN
+          |  (SELECT k FROM g_nin_src s
+          |   WHERE s.k IS NOT NULL AND s.j = t.grp AND s.k < 4)""".stripMargin)
+    assert(sql("SELECT id FROM graft_dml.g_nin ORDER BY id")
+      .as[Long].collect().toSeq === (0L until 4L).toSeq,
+      "correlated NOT IN must keep exactly the per-group named ids")
+    assert(ManifestTable.snapshot(spark, s"$wh/g_nin").op === "merge",
+      "NOT IN lowers through the NMBS merge path")
+    // nullable inner key without the IS NOT NULL pin: loud
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      sql("""DELETE FROM graft_dml.g_nin t WHERE id NOT IN
+            |  (SELECT k FROM g_nin_src s WHERE s.j = t.grp)""".stripMargin)
+    }
+    assert(msgs(e).exists(_.contains("may be NULL")), msgs(e).mkString(" | "))
   }
 }
