@@ -1051,10 +1051,10 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       require(fd.isDefined, s"partition column $c is not in the schema")
       require(fd.get.dataType match {
         case ByteType | ShortType | IntegerType | LongType |
-             StringType | BooleanType => true
+             StringType | BooleanType | DateType => true
         case _ => false
       }, s"partition column $c has type ${fd.get.dataType.simpleString}; " +
-        "only integral, string and boolean columns can partition")
+        "only integral, string, boolean and date columns can partition")
     }
   }
 
@@ -1681,6 +1681,7 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         case ByteType | ShortType | IntegerType | LongType =>
           c.toLowerCase -> "long"
         case BooleanType => c.toLowerCase -> "bool"
+        case DateType => c.toLowerCase -> "date"
         case _ => c.toLowerCase -> "string"
       })
     }.toMap
@@ -1718,7 +1719,13 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
                 require(dec0.startsWith(PartValueTag),
                   s"staged partition directory $name lacks the " +
                     s"'$PartValueTag' value tag — not a graft stage")
-                Some(dec0.substring(PartValueTag.length))
+                val s0 = dec0.substring(PartValueTag.length)
+                // DATE partitions: the directory carries the cast
+                // string ('2024-03-05'); the skipping evaluator's date
+                // family compares DAYS since epoch — canonicalize here
+                Some(if (partFams.get(c).contains("date"))
+                  java.time.LocalDate.parse(s0).toEpochDay.toString
+                else s0)
               }
             walk(st.getPath,
               pv + (c -> PartValue(partFams.getOrElse(c, "string"), v)))
@@ -2452,15 +2459,194 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     keptForPredicate(spark, dir, s, toPhysicalExpr(s, resolveStructPaths(s,
       spark.sessionState.sqlParser.parseExpression(predicateSql))))
 
+  /** `pred` (PHYSICAL namespace) augmented with conjuncts DERIVED from
+    * GENERATED ALWAYS AS column definitions — Delta's generated-column
+    * partition-pruning trick, generalized to every pruning pass that
+    * funnels through [[keptForPredicate]] (planner scan, SQL-string row
+    * ops, merge candidate selection): for a column `g = f(c)`,
+    *
+    *   - `c = v`   implies `g = f(v)`    for ANY deterministic f,
+    *   - `c IN (…)` maps elementwise the same way,
+    *   - `c >= L`  implies `g >= f(L)`  (and `<=` dually; strict
+    *     comparisons derive the NON-strict bound) when f is MONOTONE
+    *     non-decreasing — CAST between timestamp/date, year(), trunc/
+    *     date_trunc, substring(_, 1, n), and integral widening casts,
+    *     composed freely.
+    *
+    * A `WHERE ts BETWEEN …` on a table partitioned by `day GENERATED
+    * ALWAYS AS (CAST(ts AS DATE))` thus prunes the date partitions (and
+    * any file whose recorded g-stats refute the bound) with zero user
+    * rewrite — the derived conjunct rides the same one-sided evaluator,
+    * partition point-stats included. Conjuncts only (never under OR/
+    * NOT), one-sided soundness: `c op v` holding for a row makes
+    * `g op' f(v)` hold by monotonicity and the stored `g <=> f(c)`
+    * invariant; any derivation surprise (unresolvable expression,
+    * NULL-valued f(v), type mismatch) just drops that conjunct.
+    */
+  private[graft] def withGeneratedDerived(spark: SparkSession, s: Snapshot,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+  : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val gens = generatedOf(s)
+    if (gens.isEmpty) return pred
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Project}
+    import org.apache.spark.sql.types._
+    val schema = tableSchema(s).getOrElse(return pred)
+    // (physical child name) -> (resolved f-tree over one attr, monotone,
+    // physical generated name, generated type)
+    final case class Deriv(tree: Expression, monotone: Boolean,
+                           gPhys: String, gType: DataType)
+    def monotoneCast(from: DataType, to: DataType): Boolean =
+      (from, to) match {
+        case (a, b) if a == b => true
+        case (TimestampType, DateType) | (DateType, TimestampType) => true
+        case (TimestampNTZType, DateType) | (DateType, TimestampNTZType) =>
+          true
+        case (a @ (ByteType | ShortType | IntegerType | LongType),
+              b @ (ByteType | ShortType | IntegerType | LongType)) =>
+          b.defaultSize >= a.defaultSize // widening only: exact, ordered
+        case _ => false
+      }
+    def monotone(e: Expression): Boolean = e match {
+      case _: AttributeReference => true
+      case c: Cast => monotoneCast(c.child.dataType, c.dataType) &&
+        monotone(c.child)
+      case y: Year => monotone(y.child)
+      case t: TruncDate =>
+        t.format.isInstanceOf[Literal] && monotone(t.date)
+      case t: TruncTimestamp =>
+        t.format.isInstanceOf[Literal] && monotone(t.timestamp)
+      case sub: Substring => (sub.pos, sub.len) match {
+        case (Literal(p: Int, _), _: Literal) if p == 1 => monotone(sub.str)
+        case _ => false
+      }
+      case _ => false
+    }
+    val derivs: Map[String, Seq[Deriv]] = gens.flatMap { case (fd, genSql) =>
+      try {
+        val parsed = spark.sessionState.sqlParser.parseExpression(genSql)
+        val refs = parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.size == 1 => a.nameParts.head.toLowerCase
+        }.distinct
+        val multi = parsed.exists {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            => a.nameParts.size > 1
+          case _ => false
+        }
+        if (refs.size != 1 || multi) None
+        else schema.fields.find(_.name.equalsIgnoreCase(refs.head))
+          .flatMap { cfd =>
+            val attr = AttributeReference(cfd.name, cfd.dataType)()
+            val proj = Project(
+              Seq(Alias(Cast(parsed, fd.dataType), "__g")()),
+              LocalRelation(attr))
+            val analyzed = spark.sessionState.analyzer.execute(proj)
+            analyzed.collectFirst { case p: Project =>
+              p.projectList.head.asInstanceOf[Alias].child
+            }.filter(_.deterministic).map(tree =>
+              physName(s, cfd.name).toLowerCase ->
+                Deriv(tree, monotone(tree), physName(s, fd.name),
+                  fd.dataType))
+          }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    if (derivs.isEmpty) return pred
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    def childName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name.toLowerCase)
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.size == 1 => Some(a.nameParts.head.toLowerCase)
+      case _ => None
+    }
+    def fOf(d: Deriv, l: Literal): Option[Literal] =
+      try {
+        if (l.value == null) None
+        else {
+          // the conjunct's literal may be typed looser than the child
+          // column (a parsed `id = 9` carries an INT against a BIGINT
+          // column) — cast it to the child type first, or the resolved
+          // f-tree's eval would see the wrong internal representation
+          val childT = d.tree.collectFirst {
+            case a: AttributeReference => a.dataType }.getOrElse(l.dataType)
+          val cv =
+            if (childT == l.dataType) l.value
+            else Cast(Literal.create(l.value, l.dataType), childT,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+          if (cv == null) return None
+          val v = d.tree.transformUp {
+            case _: AttributeReference => Literal.create(cv, childT)
+          }.eval(null)
+          if (v == null) None else Some(Literal.create(v, d.gType))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def gAttr(d: Deriv) = AttributeReference(d.gPhys, d.gType)()
+    val derived: Seq[Expression] = split(pred).flatMap { conj =>
+      def forCol(e: Expression)(mk: Deriv => Option[Expression])
+      : Seq[Expression] =
+        childName(e).toSeq.flatMap(n =>
+          derivs.getOrElse(n, Nil).flatMap(d => mk(d).toSeq))
+      conj match {
+        case EqualTo(a, l: Literal) => forCol(a)(d =>
+          fOf(d, l).map(EqualTo(gAttr(d), _)))
+        case EqualTo(l: Literal, a) => forCol(a)(d =>
+          fOf(d, l).map(EqualTo(gAttr(d), _)))
+        case GreaterThan(a, l: Literal) => forCol(a)(d =>
+          if (!d.monotone) None
+          else fOf(d, l).map(GreaterThanOrEqual(gAttr(d), _)))
+        case GreaterThanOrEqual(a, l: Literal) => forCol(a)(d =>
+          if (!d.monotone) None
+          else fOf(d, l).map(GreaterThanOrEqual(gAttr(d), _)))
+        case LessThan(a, l: Literal) => forCol(a)(d =>
+          if (!d.monotone) None
+          else fOf(d, l).map(LessThanOrEqual(gAttr(d), _)))
+        case LessThanOrEqual(a, l: Literal) => forCol(a)(d =>
+          if (!d.monotone) None
+          else fOf(d, l).map(LessThanOrEqual(gAttr(d), _)))
+        case GreaterThan(l: Literal, a) => forCol(a)(d =>
+          if (!d.monotone) None
+          else fOf(d, l).map(LessThanOrEqual(gAttr(d), _)))
+        case GreaterThanOrEqual(l: Literal, a) => forCol(a)(d =>
+          if (!d.monotone) None
+          else fOf(d, l).map(LessThanOrEqual(gAttr(d), _)))
+        case LessThan(l: Literal, a) => forCol(a)(d =>
+          if (!d.monotone) None
+          else fOf(d, l).map(GreaterThanOrEqual(gAttr(d), _)))
+        case LessThanOrEqual(l: Literal, a) => forCol(a)(d =>
+          if (!d.monotone) None
+          else fOf(d, l).map(GreaterThanOrEqual(gAttr(d), _)))
+        case In(a, list) if list.nonEmpty &&
+            list.forall(_.isInstanceOf[Literal]) => forCol(a) { d =>
+          val mapped = list.map(l => fOf(d, l.asInstanceOf[Literal]))
+          if (mapped.exists(_.isEmpty)) None
+          else Some(In(gAttr(d), mapped.map(_.get)))
+        }
+        case _ => Nil
+      }
+    }
+    if (derived.isEmpty) pred
+    else org.apache.spark.sql.catalyst.expressions.And(pred,
+      derived.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)))
+  }
+
   /** [[keptFiles]] over an already-built predicate expression — the
     * entry point [[ManifestFileIndex]] feeds the planner's pushed
     * dataFilters (resolved `AttributeReference` shapes) into. Same
-    * one-sided stats + bloom passes as the SQL-string path.
+    * one-sided stats + bloom passes as the SQL-string path. Predicates
+    * on GENERATED-column sources first gain their derived conjuncts
+    * ([[withGeneratedDerived]]) so partition values and stats recorded
+    * on the generated column prune too.
     */
   private[graft] def keptForPredicate(spark: SparkSession, dir: String,
                                       s: Snapshot,
-                                      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+                                      pred0: org.apache.spark.sql.catalyst.expressions.Expression)
   : Seq[String] = {
+    val pred =
+      try withGeneratedDerived(spark, s, pred0)
+      catch { case scala.util.control.NonFatal(_) => pred0 }
     // PARTITION pruning first (cheapest, exact): a file's recorded
     // partition values are point stats — min = max = value (or all-null
     // for the hive null partition) — so the same one-sided evaluator

@@ -1601,13 +1601,16 @@ object ExtQueries {
       "ORDER BY doc_id")
   }
 
-  /** GENERATED ALWAYS AS IDENTITY, oracle-replayed: each banded INSERT
-    * carries ORDER BY doc_id, so the dense mint enumerates the global
-    * sort and every row's id is exactly doc_id + 1 — DuckDB replays
-    * the whole table as arithmetic. The mark survives a DELETE
-    * untouched (the post-delete band continues from it), and the
-    * REQUIREs pin the versioned-property mark and `delete` provenance.
-    * Re-runnable for warm bench passes.
+  /** GENERATED ALWAYS AS IDENTITY, oracle-replayed on the contract the
+    * engine actually makes — UNIQUENESS and per-batch DENSITY, never a
+    * particular row↔id assignment (zipDense enumerates the frame's own
+    * partitioning): each banded INSERT mints a dense 100-id block, the
+    * mark lands at exactly minted-max + 1 (REQUIREd, assignment-free),
+    * a DELETE by ID BAND removes 50 known ids without moving the mark,
+    * and the next band continues from it. The final frame is id-band
+    * AGGREGATES (count/min/max/sum per 50-id band), which the id
+    * MULTISET fully determines — DuckDB replays the multiset from
+    * doc_id arithmetic. Re-runnable for warm bench passes.
     */
   def manifestSqlIdentityQ(s: SparkSession, d: String): DataFrame = {
     val wh = "/tmp/graft_fix/wh"
@@ -1622,21 +1625,33 @@ object ExtQueries {
     Seq(0, 100, 200, 300).foreach(lo =>
       s.sql("INSERT INTO graft_fix.sqlidn (doc_id, n_chars) " +
         "SELECT doc_id, n_chars FROM sqlidn_src " +
-        s"WHERE doc_id >= $lo AND doc_id < ${lo + 100} ORDER BY doc_id"))
+        s"WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
     val mark = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlidn")
       .properties.get("graft.identity.hwm.id")
     require(mark.contains("401"),
       s"identity mark after 400 minted rows should be 401, got $mark")
-    // a DELETE does not move the mark; the next band continues from it
-    s.sql("DELETE FROM graft_fix.sqlidn " +
-      "WHERE doc_id >= 120 AND doc_id < 180 AND doc_id % 2 = 0")
+    // a DELETE (by id band — assignment-independent, stats-prunable)
+    // does not move the mark; the next band continues from it
+    s.sql("DELETE FROM graft_fix.sqlidn WHERE id > 100 AND id <= 150")
     require(graft.ext.ManifestTable.snapshot(s, s"$wh/sqlidn")
       .properties.get("graft.identity.hwm.id").contains("401"),
       "DELETE must not move the identity mark")
     s.sql("INSERT INTO graft_fix.sqlidn (doc_id, n_chars) " +
       "SELECT doc_id, n_chars FROM sqlidn_src " +
-      "WHERE doc_id >= 400 AND doc_id < 450 ORDER BY doc_id")
-    s.sql("SELECT id, doc_id, n_chars FROM graft_fix.sqlidn ORDER BY id")
+      "WHERE doc_id >= 400 AND doc_id < 450")
+    require(graft.ext.ManifestTable.snapshot(s, s"$wh/sqlidn")
+      .properties.get("graft.identity.hwm.id").contains("451"),
+      "the post-delete band must continue from the standing mark")
+    // uniqueness sanity, assignment-free
+    require(s.sql("SELECT count(*) - count(DISTINCT id) " +
+      "FROM graft_fix.sqlidn").head().getLong(0) == 0L,
+      "identity ids must be unique")
+    s.sql("""SELECT CAST((id - 1) DIV 50 AS BIGINT) AS band,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(min(id) AS BIGINT) AS lo,
+            |  CAST(max(id) AS BIGINT) AS hi,
+            |  CAST(sum(id) AS BIGINT) AS sid
+            |FROM graft_fix.sqlidn GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   /** STRUCT columns in manifest tables + struct-field UPDATE,
@@ -1705,6 +1720,228 @@ object ExtQueries {
         "hold on the SQL-string seam")
     s.sql("SELECT doc_id, meta.lang AS mlang, meta.n AS mn " +
       "FROM graft_fix.sqlstu ORDER BY doc_id")
+  }
+
+  /** Correlated SCALAR subqueries in UPDATE SET, oracle-replayed — the
+    * everyday enrichment idiom (`graft.plans.GraftDmlRule
+    * .scalarSubqueryLowering`): statement 1 fills `n_chars` from the
+    * matching source row inside a WHERE band — matched rows take the
+    * joined value, in-band unmatched rows NULL-fill (SQL scalar
+    * semantics), out-of-band rows stay untouched, and the WHERE doubles
+    * as the candidate SCOPE (REQUIREd: the NMBS rewrite stays a strict
+    * subset of the files). Statement 2 exercises the AGGREGATE-rooted
+    * shape (group-by decorrelation) with a shifted key. DuckDB replays
+    * both as a self-join. Re-runnable for warm bench passes.
+    */
+  def manifestSqlUpdateCorrSetQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlucs")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlucs_src")
+    s.sql("CREATE TABLE graft_fix.sqlucs " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlucs SELECT doc_id, lang, n_chars " +
+        s"FROM sqlucs_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlucs")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-update")
+    // enrichment: rows 120-180 match the bounded source (+1000); rows
+    // 100-120 and 180-200 are in the WHERE but match nothing → NULL;
+    // everything else is out of scope and untouched
+    s.sql("""UPDATE graft_fix.sqlucs t
+            |SET n_chars = (SELECT s.n_chars + 1000 FROM sqlucs_src s
+            |               WHERE s.doc_id = t.doc_id
+            |                 AND s.doc_id >= 120 AND s.doc_id < 180)
+            |WHERE t.doc_id >= 100 AND t.doc_id < 200""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlucs")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size / 2,
+      s"correlated-SET UPDATE rewrote $rewritten of " +
+        s"${before.files.size} files — the WHERE scope did not bound " +
+        "the NMBS candidates")
+    require(after.op == "merge",
+      s"correlated-SET UPDATE landed as '${after.op}', not 'merge'")
+    // aggregate shape: per-row max over a SHIFTED key — rows >= 300
+    // read the lang of doc_id - 300 (always present: 0-100)
+    s.sql("""UPDATE graft_fix.sqlucs t
+            |SET lang = (SELECT max(s.lang) FROM sqlucs_src s
+            |            WHERE s.doc_id + 300 = t.doc_id)
+            |WHERE t.doc_id >= 300""".stripMargin)
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlucs " +
+      "ORDER BY doc_id")
+  }
+
+  /** UNCORRELATED subqueries inside MERGE clause conditions, UPDATE SET
+    * values and INSERT VALUES, oracle-replayed: they ride the command
+    * as held expressions and literalize once per statement — exact
+    * integer scalars (min/max/count), so DuckDB computes the identical
+    * values in its replay. Re-runnable for warm bench passes.
+    */
+  def manifestSqlMergeSubqueryQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmsq")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlmsq_src")
+    s.sql("CREATE TABLE graft_fix.sqlmsq " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlmsq SELECT doc_id, lang, n_chars " +
+        s"FROM sqlmsq_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    // matched rows split on an n_chars threshold from a scalar
+    // subquery; updates add another scalar; inserts carry a third
+    s.sql("""MERGE INTO graft_fix.sqlmsq t
+            |USING (SELECT doc_id, lang, n_chars FROM sqlmsq_src
+            |       WHERE doc_id >= 350 AND doc_id < 450) s
+            |ON t.doc_id = s.doc_id
+            |WHEN MATCHED AND t.n_chars >
+            |    (SELECT min(n_chars) FROM sqlmsq_src WHERE doc_id < 450)
+            |  THEN UPDATE SET n_chars = s.n_chars +
+            |    (SELECT max(doc_id) FROM sqlmsq_src WHERE doc_id < 100)
+            |WHEN MATCHED THEN DELETE
+            |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+            |  VALUES (s.doc_id, s.lang,
+            |    (SELECT count(*) FROM sqlmsq_src WHERE doc_id < 50))""".stripMargin)
+    require(graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmsq").op == "merge",
+      "subquery MERGE must land as a 'merge' commit")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmsq " +
+      "ORDER BY doc_id")
+  }
+
+  /** THETA MERGE (an ON with no equality pair at all), oracle-replayed:
+    * `ON t.doc_id >= s.lo AND t.doc_id < s.hi` over disjoint source
+    * ranges updates each banded row at most once (the cardinality rules
+    * are unchanged — overlapping ranges raise), and an out-of-range
+    * source row INSERTs through the same full-ON anti join. Full-scope
+    * candidates by construction (no key stat bounds a non-equi match —
+    * the documented Delta-parity cost). Re-runnable for warm bench
+    * passes.
+    */
+  def manifestSqlMergeThetaQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlmth")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlmth_src")
+    s.sql("CREATE TABLE graft_fix.sqlmth " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlmth SELECT doc_id, lang, n_chars " +
+        s"FROM sqlmth_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    s.sql("""MERGE INTO graft_fix.sqlmth t
+            |USING (SELECT * FROM VALUES
+            |         (150L, 250L, 1000L), (300L, 320L, 2000L),
+            |         (9000L, 9010L, -1L)
+            |       AS r(lo, hi, bump)) s
+            |ON t.doc_id >= s.lo AND t.doc_id < s.hi
+            |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.bump
+            |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+            |  VALUES (s.lo, 'theta', s.bump)""".stripMargin)
+    require(graft.ext.ManifestTable.snapshot(s, s"$wh/sqlmth").op == "merge",
+      "theta MERGE must land as a 'merge' commit")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlmth " +
+      "ORDER BY doc_id, lang")
+  }
+
+  /** Correlated NOT IN under the static no-NULL proof, oracle-replayed:
+    * the target key is declared NOT NULL and the subquery pins its
+    * output with IS NOT NULL, so the anti-join lowering is exact —
+    * per correlation group, rows whose doc_id the subquery does not
+    * name are deleted (NOT IN over the empty set is TRUE: rows with no
+    * group at all go too). Re-runnable for warm bench passes.
+    */
+  def manifestSqlDeleteNotInQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqldni")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqldni_src")
+    s.sql("CREATE TABLE graft_fix.sqldni " +
+      "(doc_id BIGINT NOT NULL, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqldni SELECT doc_id, lang, n_chars " +
+        s"FROM sqldni_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    // keep only the doc_ids the bounded subquery names WITHIN the
+    // row's own lang group (each surviving row matches itself): < 260
+    // and not in the excluded 40-80 band. The lang correlation makes
+    // this the decorrelated NMBS path, not the literalizer.
+    s.sql("""DELETE FROM graft_fix.sqldni t WHERE doc_id NOT IN
+            |  (SELECT s.doc_id FROM sqldni_src s
+            |   WHERE s.doc_id IS NOT NULL AND s.lang = t.lang
+            |     AND s.doc_id < 260
+            |     AND NOT (s.doc_id >= 40 AND s.doc_id < 80))""".stripMargin)
+    require(graft.ext.ManifestTable.snapshot(s, s"$wh/sqldni").op == "merge",
+      "NOT IN DELETE must land through the NMBS merge path")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqldni " +
+      "ORDER BY doc_id")
+  }
+
+  /** GENERATED-column derived pruning, oracle-replayed — Delta's
+    * partition-pruning trick: the table is PARTITIONED BY a `day DATE
+    * GENERATED ALWAYS AS (CAST(ts AS DATE))` column, and a predicate on
+    * the raw `ts` ALONE prunes the date partitions (REQUIREd through
+    * `FileSourceScanExec.numFiles`) because every pruning pass augments
+    * the predicate with the derived `day` bound
+    * ([[graft.ext.ManifestTable.withGeneratedDerived]]). A ts-band
+    * DELETE proves the same bound on the row-op candidate path.
+    * DuckDB replays the timestamps as arithmetic over `documents`.
+    * Re-runnable for warm bench passes.
+    */
+  def manifestSqlGeneratedPruningQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlgpp")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlgpp_src")
+    s.sql("CREATE TABLE graft_fix.sqlgpp (doc_id BIGINT, ts TIMESTAMP, " +
+      "n_chars BIGINT, day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "PARTITIONED BY (day)")
+    // one insert, ts = 2024-03-01 + doc_id hours (500 docs ≈ 21 days);
+    // the partitioned write splits one file per derived day
+    // DISTRIBUTE BY the day expression: one task per day, so the
+    // partitioned write lands ONE file per date partition at any SF
+    // (without it each of the N input tasks writes every day it holds
+    // — N x days tiny files)
+    s.sql("INSERT INTO graft_fix.sqlgpp (doc_id, ts, n_chars) " +
+      "SELECT doc_id, TIMESTAMP'2024-03-01 00:00:00' + " +
+      "make_interval(0, 0, 0, 0, CAST(doc_id AS INT)), n_chars " +
+      "FROM sqlgpp_src WHERE doc_id < 500 " +
+      "DISTRIBUTE BY CAST(TIMESTAMP'2024-03-01 00:00:00' + " +
+      "make_interval(0, 0, 0, 0, CAST(doc_id AS INT)) AS DATE)")
+    val snap = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlgpp")
+    require(snap.files.size >= 10,
+      s"fixture degenerate: ${snap.files.size} day-partition files")
+    // SCAN: the probe filters on ts ALONE; the derived day bound must
+    // prune to the ±1-day file neighborhood
+    val probe = s.sql("SELECT doc_id, n_chars FROM graft_fix.sqlgpp " +
+      "WHERE ts >= TIMESTAMP'2024-03-05 00:00:00' " +
+      "AND ts < TIMESTAMP'2024-03-07 00:00:00'")
+    probe.collect()
+    val read = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    require(read.nonEmpty && read.sum <= 3,
+      s"ts-band probe read ${read.sum} of ${snap.files.size} files — " +
+        "the derived day bound did not prune the date partitions")
+    // ROW OP: a ts-band DELETE rewrites only the bounded day files
+    s.sql("DELETE FROM graft_fix.sqlgpp " +
+      "WHERE ts >= TIMESTAMP'2024-03-10 00:00:00' " +
+      "AND ts < TIMESTAMP'2024-03-12 00:00:00'")
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlgpp")
+    val rewritten = snap.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten <= 3,
+      s"ts-band DELETE rewrote $rewritten of ${snap.files.size} files " +
+        "— the derived day bound did not prune the candidates")
+    s.sql("SELECT doc_id, CAST(day AS STRING) AS day_s, n_chars " +
+      "FROM graft_fix.sqlgpp ORDER BY doc_id")
   }
 
   /** ALTER TABLE RENAME COLUMN via column mapping, oracle-replayed:
@@ -3320,6 +3557,12 @@ object ExtQueries {
     "manifest_sql_add_default" -> (manifestSqlAddDefaultQ(_, _)),
     "manifest_sql_generated" -> (manifestSqlGeneratedQ(_, _)),
     "manifest_sql_identity" -> (manifestSqlIdentityQ(_, _)),
+    "manifest_sql_update_corr_set" -> (manifestSqlUpdateCorrSetQ(_, _)),
+    "manifest_sql_merge_subquery" -> (manifestSqlMergeSubqueryQ(_, _)),
+    "manifest_sql_merge_theta" -> (manifestSqlMergeThetaQ(_, _)),
+    "manifest_sql_delete_not_in" -> (manifestSqlDeleteNotInQ(_, _)),
+    "manifest_sql_generated_pruning" ->
+      (manifestSqlGeneratedPruningQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -4292,14 +4535,19 @@ object ExtQueries {
         |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin,
 
-    // IDENTITY replayed: ORDER BY-banded inserts make id = doc_id + 1
-    // exactly; the even 120-180 band deleted between bands 4 and 5
+    // IDENTITY replayed on the id MULTISET (uniqueness + density, no
+    // row assignment assumed): ids are {1..400} minus the deleted
+    // (100,150] band plus the continued {401..450} — band aggregates
+    // derive from doc_id arithmetic
     "manifest_sql_identity" ->
-      """SELECT CAST(doc_id + 1 AS BIGINT) AS id, doc_id, n_chars
-        |FROM documents
-        |WHERE doc_id < 450
-        |  AND NOT (doc_id >= 120 AND doc_id < 180 AND doc_id % 2 = 0)
-        |ORDER BY id""".stripMargin,
+      """SELECT CAST((id - 1) // 50 AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(id) AS BIGINT) AS lo,
+        |  CAST(max(id) AS BIGINT) AS hi,
+        |  CAST(sum(id) AS BIGINT) AS sid
+        |FROM (SELECT doc_id + 1 AS id FROM documents WHERE doc_id < 450)
+        |WHERE NOT (id > 100 AND id <= 150)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // GENERATED ALWAYS AS replayed: the +10 band and the merge band
     // move n_chars; nc2 is always n_chars * 2 + doc_id % 7
@@ -4311,6 +4559,78 @@ object ExtQueries {
         |                       WHEN doc_id >= 350 THEN 5
         |                       ELSE 0 END AS n2
         |      FROM documents WHERE doc_id < 450)
+        |ORDER BY doc_id""".stripMargin,
+
+    // CORRELATED SCALAR UPDATE SET replayed as a self-join: the
+    // 120-180 band takes its own n_chars + 1000, the rest of the
+    // 100-200 WHERE band null-fills, everything else keeps n_chars;
+    // rows >= 300 take the lang of doc_id - 300
+    "manifest_sql_update_corr_set" ->
+      """SELECT d.doc_id,
+        |  CASE WHEN d.doc_id >= 300 THEN m.lang ELSE d.lang END AS lang,
+        |  CAST(CASE WHEN d.doc_id >= 120 AND d.doc_id < 180
+        |              THEN d.n_chars + 1000
+        |            WHEN d.doc_id >= 100 AND d.doc_id < 200 THEN NULL
+        |            ELSE d.n_chars END AS BIGINT) AS n_chars
+        |FROM documents d
+        |LEFT JOIN documents m ON m.doc_id = d.doc_id - 300
+        |WHERE d.doc_id < 400
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // MERGE-subquery replayed with the same exact integer scalars
+    // (DuckDB computes min/max/count over the same table): matched
+    // 350-400 rows above the global min take n_chars + 99, the rest
+    // delete; 400-450 inserts carry count(doc_id < 50) = 50
+    "manifest_sql_merge_subquery" ->
+      """WITH th AS (SELECT min(n_chars) AS mn FROM documents
+        |            WHERE doc_id < 450),
+        |     mx AS (SELECT max(doc_id) AS md FROM documents
+        |            WHERE doc_id < 100),
+        |     ct AS (SELECT count(*) AS c FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN d.doc_id >= 350 THEN d.n_chars + (SELECT md FROM mx)
+        |         ELSE d.n_chars END AS n_chars
+        |  FROM documents d
+        |  WHERE d.doc_id < 400
+        |    AND NOT (d.doc_id >= 350
+        |             AND d.n_chars <= (SELECT mn FROM th))
+        |  UNION ALL
+        |  SELECT doc_id, lang, (SELECT c FROM ct) AS n_chars
+        |  FROM documents WHERE doc_id >= 400 AND doc_id < 450
+        |) ORDER BY doc_id""".stripMargin,
+
+    // THETA MERGE replayed: the 150-250 band bumps +1000, 300-320
+    // +2000, and the unmatched (9000, 9010) range inserts one row
+    "manifest_sql_merge_theta" ->
+      """SELECT doc_id, lang,
+        |  CAST(n_chars + CASE WHEN doc_id >= 150 AND doc_id < 250
+        |                        THEN 1000
+        |                      WHEN doc_id >= 300 AND doc_id < 320
+        |                        THEN 2000
+        |                      ELSE 0 END AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id < 400
+        |UNION ALL
+        |SELECT CAST(9000 AS BIGINT), 'theta', CAST(-1 AS BIGINT)
+        |ORDER BY doc_id, lang""".stripMargin,
+
+    // correlated NOT IN replayed: every row matches itself inside its
+    // lang group, so the survivors are exactly the subquery's named
+    // band (< 260 minus 40-80)
+    "manifest_sql_delete_not_in" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id < 260 AND NOT (doc_id >= 40 AND doc_id < 80)
+        |ORDER BY doc_id""".stripMargin,
+
+    // GENERATED-pruning replayed: ts = 2024-03-01 + doc_id hours, day
+    // its date; the 2024-03-10..12 ts band (doc_id 216..264) deleted
+    "manifest_sql_generated_pruning" ->
+      """SELECT doc_id,
+        |  CAST(DATE '2024-03-01' + CAST(doc_id // 24 AS INT) AS VARCHAR)
+        |    AS day_s,
+        |  n_chars
+        |FROM documents
+        |WHERE doc_id < 500 AND NOT (doc_id >= 216 AND doc_id < 264)
         |ORDER BY doc_id""".stripMargin,
 
     // STRUCT-FIELD UPDATE replayed as leaf scalars: meta.n bumps by

@@ -539,6 +539,67 @@ class GraftCatalogSpec extends SparkSpec {
         s"($peak) — the mark never rewinds")
   }
 
+  test("generated-column derived pruning: a WHERE on the source column prunes the generated partitions") {
+    fsDel(s"$wh/t_gpp")
+    sql("CREATE TABLE graft.t_gpp (id BIGINT, ts TIMESTAMP, n BIGINT, " +
+      "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "PARTITIONED BY (day)")
+    // 8 days x 6 rows in ONE insert — the partitioned write splits one
+    // file per day, day computed by fillGenerated (never supplied)
+    sql("INSERT INTO graft.t_gpp (id, ts, n) SELECT id, " +
+      "TIMESTAMP'2024-03-01 00:00:00' + " +
+      "make_interval(0, 0, 0, 0, CAST(id * 4 AS INT)), id FROM range(48)")
+    val dir = s"$wh/t_gpp"
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.files.size >= 8,
+      s"expected >= 8 day-partition files, got ${snap.files.size}")
+    // MECHANISM: the derivation itself — a ts range conjunct gains a
+    // day bound (monotone CAST-to-date), a ts equality gains a day
+    // equality, and a NON-monotone generation (id % 7) derives from
+    // equality only
+    val aug = ManifestTable.withGeneratedDerived(spark, snap,
+      spark.sessionState.sqlParser.parseExpression(
+        "ts >= TIMESTAMP'2024-03-03 00:00:00'"))
+    assert(aug.sql.contains("day") && aug.sql.contains("2024-03-03"),
+      s"ts range must derive a day bound, got: ${aug.sql}")
+    fsDel(s"$wh/t_gppm")
+    sql("CREATE TABLE graft.t_gppm (id BIGINT, " +
+      "m BIGINT GENERATED ALWAYS AS (id % 7))")
+    sql("INSERT INTO graft.t_gppm (id) SELECT id FROM range(10)")
+    val msnap = ManifestTable.snapshot(spark, s"$wh/t_gppm")
+    val maugEq = ManifestTable.withGeneratedDerived(spark, msnap,
+      spark.sessionState.sqlParser.parseExpression("id = 9"))
+    assert(maugEq.sql.contains("m") && maugEq.sql.contains("= 2") ||
+      maugEq.sql.contains("2 ="),
+      s"id = 9 must derive m = 2, got: ${maugEq.sql}")
+    val maugRange = ManifestTable.withGeneratedDerived(spark, msnap,
+      spark.sessionState.sqlParser.parseExpression("id > 5"))
+    assert(maugRange.sql ==
+      spark.sessionState.sqlParser.parseExpression("id > 5").sql,
+      s"a range over a NON-monotone generation must not derive, " +
+        s"got: ${maugRange.sql}")
+    // SCAN: a predicate on ts ALONE reads only the bounded day files
+    val probe = sql("SELECT id, n FROM graft.t_gpp " +
+      "WHERE ts >= TIMESTAMP'2024-03-03 00:00:00' " +
+      "AND ts < TIMESTAMP'2024-03-05 00:00:00'")
+    probe.collect()
+    val read = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    assert(read.nonEmpty && read.sum <= 3,
+      s"ts-range probe read ${read.sum} of ${snap.files.size} files — " +
+        "the derived day bound did not prune")
+    // ROW OPS: a DELETE by ts range rewrites only the bounded day files
+    sql("DELETE FROM graft.t_gpp " +
+      "WHERE ts >= TIMESTAMP'2024-03-07 00:00:00'")
+    val after = ManifestTable.snapshot(spark, dir)
+    val rewritten = snap.files.toSet.diff(after.files.toSet).size
+    assert(rewritten <= 3,
+      s"ts-range DELETE rewrote $rewritten of ${snap.files.size} files")
+    assert(sql("SELECT count(*) FROM graft.t_gpp").as[Long].head() === 36L)
+  }
+
   test("identity mark never rewinds on a behind-the-mark explicit backfill") {
     fsDel(s"$wh/t_idn3")
     sql("CREATE TABLE graft.t_idn3 (id BIGINT GENERATED BY DEFAULT AS " +
