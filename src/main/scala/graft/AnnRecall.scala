@@ -155,6 +155,37 @@ object AnnRecall {
       np -> avg2((qid, q) => vs.search(spark, root, q, nprobe = np,
         topK = 10, excludeId = Some(qid)))
     }
+    // ---- PLATEAU DIAGNOSIS (VERDICT r19 #5): which queries still
+    // miss truth rows at nprobe=32, and at what CENTROID-DISTANCE
+    // RANK (the probe order) each missing row's ASSIGNED cell sits
+    // for that query. A rank beyond the probe budget is INHERENT to
+    // single-assignment IVF: soft assignment or a second probe table
+    // reorders NEAR-BOUNDARY cells, neither can promote a cell whose
+    // centroid is genuinely far from the query — only probing deeper
+    // (the curve closing at 64) reaches it. A rank INSIDE the budget
+    // would instead indict the probe order. The emitted ranks decide.
+    val centsArr = vs.readCentroids(spark, root).get.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def l2sq(cv: Array[Double], q: Seq[Double]): Double =
+      cv.zip(q).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }
+    val plateauNp = 32
+    val misses = queries.flatMap { case (qid, q) =>
+      val got = vs.search(spark, root, q, nprobe = plateauNp, topK = 10,
+        excludeId = Some(qid)).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      val probeOrder = centsArr.map { case (cid, cv) => (cid, l2sq(cv, q)) }
+        .sortBy { case (cid, dd) => (dd, cid) }.map(_._1)
+      (truths2(qid) -- got).toSeq.sorted.map { mid =>
+        val cell = graft.ext.ManifestTable.readWhere(spark, root,
+            s"vec_id = $mid").select("centroid_id").head().getLong(0)
+        val rank = probeOrder.indexOf(cell) + 1
+        val qCol = array(q.map(lit): _*)
+        val cosToQ = corpus2.where(col("vec_id") === mid)
+          .select(graft.ext.Similarity.cosine(col("embedding"), qCol))
+          .head().getDouble(0)
+        (qid, mid, rank, cosToQ)
+      }
+    }
     corpus2.unpersist()
 
     def j(pairs: Seq[(Int, Double)]): String =
@@ -170,7 +201,13 @@ object AnnRecall {
          |"mean_sq_dist_pre_retrain":${f"${driftPre.meanSqDist}%.4f"},
          |"mean_sq_dist_post_retrain":${f"${driftPost.meanSqDist}%.4f"},
          |"pre_retrain_recall_at_10_by_nprobe":${j(preRetrain)},
-         |"post_retrain_recall_at_10_by_nprobe":${j(postRetrain)}}}""".stripMargin
+         |"post_retrain_recall_at_10_by_nprobe":${j(postRetrain)},
+         |"plateau_diagnosis":{"nprobe":$plateauNp,
+         |"stuck_queries":${misses.map(_._1).distinct.length},
+         |"misses":[${misses.map { case (qid, mid, rank, c) =>
+             s"""{"qid":$qid,"missing_vec_id":$mid,"cell_probe_rank":$rank,""" +
+               f""""cos_to_query":$c%.4f}""" }.mkString(",")}],
+         |"note":"cell_probe_rank = position of the missing row's assigned cell in the query's centroid-distance probe order; ranks beyond 32 mean no probe ORDERING (soft assignment, second table) reaches the row without probing deeper — the far shifted-cluster 10th neighbors, inherent to single-assignment IVF at this cell count; ranks <= 32 would instead indict the probe order"}}}""".stripMargin
       .replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(json)

@@ -67,7 +67,7 @@ object Explain {
       "manifest_sql_generated", "manifest_sql_identity",
       "manifest_sql_update_corr_set", "manifest_sql_merge_subquery",
       "manifest_sql_merge_theta", "manifest_sql_delete_not_in",
-      "manifest_sql_generated_pruning")
+      "manifest_sql_generated_pruning", "manifest_sql_clone")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")

@@ -43,7 +43,8 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("vacuum", "checkpoint", "expire_log",
     "compact_small", "purge_deletes", "restore", "compact",
-    "create_tag", "drop_tag", "add_constraint", "drop_constraint")
+    "create_tag", "drop_tag", "add_constraint", "drop_constraint",
+    "clone")
 
   def identifiers: Array[Identifier] =
     names.map(n => Identifier.of(Array("system"), n)).toArray
@@ -136,6 +137,16 @@ object GraftProcedures {
         StructType(Seq(StructField("dropped", BooleanType, false))),
         in => Seq(ManifestTable.dropTag(spark, dirFor(str(in, 0)),
           str(in, 1))))
+      case "clone" => proc("clone",
+        "SHALLOW CLONE: one metadata commit referencing the source " +
+          "table's live files by absolute path — zero data-file copies; " +
+          "divergent writes stay isolated on either side",
+        Seq(p("source", StringType), p("target", StringType)),
+        StructType(Seq(StructField("version", LongType, false))),
+        in => {
+          val dst = dirOf(str(in, 1).split('.').toSeq)
+          Seq(ManifestTable.shallowClone(spark, dirFor(str(in, 0)), dst))
+        })
       case "add_constraint" => proc("add_constraint",
         "add a named CHECK constraint (validates existing rows first)",
         Seq(p("table", StringType), p("name", StringType),

@@ -252,7 +252,7 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
     } else added.map { case (v, names) =>
       val base = toLogical(to,
         schema.fold(spark.read)(sc => spark.read.schema(physSchema(to, sc)))
-          .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*))
+          .parquet(names.map(n => ManifestTable.dataFilePath(dir, n)): _*))
       // legacy tables (no tracked schema) surface their columns from the
       // footers — the reservation must hold for those too
       requireNoReservedFeedCols(base.schema, Seq("commit_version"),
@@ -304,7 +304,7 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
       .map {
         case (v, FeedInserts(fresh)) =>
           toLogical(to, spark.read.schema(physSchema(to, baseSchema))
-            .parquet(fresh.map(n => s"${dataDir(dir)}/$n"): _*))
+            .parquet(fresh.map(n => ManifestTable.dataFilePath(dir, n)): _*))
             .withColumn("_change_type", lit("insert"))
             .withColumn("commit_version", lit(v))
         case (v, FeedSidecar(name)) =>
@@ -363,7 +363,7 @@ private[ext] trait ManifestFeeds { this: ManifestTable.type =>
       // (the feed's end version / the stream's start) — physical names
       // are stable, so it maps every era's files correctly
       toLogical(mapSnap, spark.read.schema(physSchema(mapSnap, baseSchema))
-        .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+        .parquet(names.map(n => ManifestTable.dataFilePath(dir, n)): _*)
         .withColumn(fm, element_at(split(col("_metadata.file_path"), "/"), -1))
         .withColumn(pm, col("_metadata.row_index")))
 

@@ -50,7 +50,7 @@ private[ext] trait ManifestMaintenance { this: ManifestTable.type =>
     // manifest-recorded sizes spare the per-file RPC; pre-sizes files
     // fall back to getFileStatus
     val totalBytes = snap.files.map(n => snap.sizes.getOrElse(n,
-      f.getFileStatus(p(s"${dataDir(dir)}/$n")).getLen)).sum
+      f.getFileStatus(p(dataFilePath(dir, n))).getLen)).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
     // schema-aware read: rewritten files MATERIALIZE the full column set,
@@ -146,7 +146,7 @@ private[ext] trait ManifestMaintenance { this: ManifestTable.type =>
     val f = fs(spark, dir)
     val snap = snapshot(spark, dir)
     def sizeOf(n: String): Long = snap.sizes.getOrElse(n,
-      f.getFileStatus(p(s"${dataDir(dir)}/$n")).getLen)
+      f.getFileStatus(p(dataFilePath(dir, n))).getLen)
     val candidates = snap.files.filter(sizeOf(_) < minFileBytes)
     if (candidates.size < 2) return (0, 0)
     val candBytes = candidates.map(sizeOf).sum

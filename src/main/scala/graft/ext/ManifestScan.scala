@@ -68,7 +68,7 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
     if (snap.files.forall(snap.sizes.contains))
       snap.files.map { n =>
         n -> new FileStatus(snap.sizes(n), false, 1, 128L * 1024 * 1024,
-          0L, new Path(s"$dir/data/$n"))
+          0L, new Path(ManifestTable.dataFilePath(dir, n)))
       }.toMap
     else {
       ManifestFileIndex.dataDirListings.incrementAndGet()
@@ -97,7 +97,7 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
   }
 
   override def inputFiles: Array[String] =
-    snap.files.map(n => s"$dir/data/$n").toArray
+    snap.files.map(n => ManifestTable.dataFilePath(dir, n)).toArray
 
   override def refresh(): Unit = ()
 
@@ -132,7 +132,7 @@ object ManifestPlan {
     ManifestTable.tableSchema(snap).getOrElse {
       require(snap.files.nonEmpty,
         s"ManifestTable at $dir has no committed data (and no tracked schema)")
-      spark.read.parquet(snap.files.map(n => s"$dir/data/$n"): _*).schema
+      spark.read.parquet(snap.files.map(n => ManifestTable.dataFilePath(dir, n)): _*).schema
     }
 
   /** The parquet relation over the snapshot's DV-LESS files, planned

@@ -394,7 +394,7 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
                         names: Seq[String]): DataFrame =
     tableSchema(s).fold(spark.read)(sc =>
       spark.read.schema(physSchema(s, sc)))
-      .parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+      .parquet(names.map(n => dataFilePath(dir, n)): _*)
 
   /** `names` read with two extra columns (`fm` = data file NAME, `pm` =
     * physical row position from `_metadata.row_index`), with the files'
@@ -435,6 +435,18 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
 
   private[ext] def manifestDir(dir: String) = s"$dir/_manifest"
   private[ext] def dataDir(dir: String) = s"$dir/data"
+
+  /** A manifest file entry resolved to its storage path. Entries are
+    * normally bare UUID names under `data/`; a SHALLOW CLONE
+    * ([[shallowClone]]) records ABSOLUTE paths into the source table's
+    * data directory instead — zero data-file copies — and every reader
+    * resolves through this seam. Copy-on-write rewrites replace
+    * absolute entries with ordinary relative ones, so a clone
+    * un-shares exactly the files it mutates.
+    */
+  private[ext] def dataFilePath(dir: String, name: String): String =
+    if (name.startsWith("/") || name.contains("://")) name
+    else s"${dataDir(dir)}/$name"
   private[ext] def bloomDir(dir: String) = s"$dir/_bloom"
   // colName lowercased so the write side (caller-supplied bloomCols case)
   // and the probe side (eqConjuncts' lowercased attribute names) agree on
@@ -1056,6 +1068,62 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       }, s"partition column $c has type ${fd.get.dataType.simpleString}; " +
         "only integral, string, boolean and date columns can partition")
     }
+  }
+
+  /** SHALLOW CLONE (`CALL system.clone`) — the dev/test idiom: one
+    * metadata commit at `dstDir` referencing the SOURCE table's live
+    * data files BY ABSOLUTE PATH (zero data-file copies; see
+    * [[dataFilePath]]), carrying the full table surface — schema,
+    * stats, sizes, NDV sketches, partition layout + values, CHECK
+    * constraints, properties, column mapping. The clone is a fully
+    * independent table from its first commit: writes land in its own
+    * `data/`, copy-on-write DML replaces exactly the absolute entries
+    * it touches with fresh relative files, and the source never sees
+    * any of it. Vacuum liveness composes by construction — the clone's
+    * vacuum only ever deletes from the clone's own data directory, so
+    * cloned (absolute) files are never its candidates; conversely a
+    * vacuum of the SOURCE cannot see the clone's references, the same
+    * documented caveat Delta shallow clones carry. Bloom sidecars do
+    * not travel (pruning falls back to stats until the clone rewrites
+    * a file); deletion-vector sidecars cannot cross the boundary at
+    * all, so a DV-carrying source must `purge_deletes` first — loud.
+    * Returns the clone's head version (always 1).
+    */
+  def shallowClone(spark: SparkSession, srcDir: String,
+                   dstDir: String): Long = {
+    val s = snapshot(spark, srcDir)
+    require(s.version > 0L, s"clone source $srcDir does not exist")
+    require(s.dvs.isEmpty,
+      s"clone source $srcDir carries deletion-vector sidecars, which " +
+        "cannot cross the table boundary — run system.purge_deletes " +
+        "(max_deleted_fraction => 0.0) first")
+    require(s.files.forall(s.sizes.contains),
+      s"clone source $srcDir predates size tracking — compact it first")
+    val rekey: Map[String, String] =
+      s.files.map(n => n -> dataFilePath(srcDir, n)).toMap
+    def re[A](m: Map[String, A]): Map[String, A] =
+      m.flatMap { case (k, v) => rekey.get(k).map(_ -> v) }
+    val done = commit(spark, dstDir) { old =>
+      require(old.version == 0L,
+        s"clone target $dstDir already exists (v${old.version})")
+      Some(old.copy(
+        files = s.files.map(rekey),
+        stats = re(s.stats),
+        op = "clone",
+        schemaJson = s.schemaJson,
+        cdcPath = None,
+        sizes = re(s.sizes),
+        constraints = s.constraints,
+        partitionCols = s.partitionCols,
+        pvals = re(s.pvals),
+        ndvCols = s.ndvCols,
+        ndv = re(s.ndv),
+        properties = s.properties,
+        colMap = s.colMap,
+        retiredCols = s.retiredCols))
+    }
+    require(done, s"clone commit to $dstDir did not land")
+    snapshot(spark, dstDir).version
   }
 
   /** CREATE TABLE: declare the schema (and optional partition layout)
@@ -2758,7 +2826,7 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     import org.apache.spark.sql.functions.{col, input_file_name}
     import org.apache.datasketches.hll.{HllSketch, Union}
     if (cols.isEmpty || names.isEmpty) return Map.empty
-    val df = spark.read.parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+    val df = spark.read.parquet(names.map(n => dataFilePath(dir, n)): _*)
     val usable = cols.filter(c =>
       df.schema.fields.exists(_.name.equalsIgnoreCase(c)))
     if (usable.isEmpty) return Map.empty
@@ -2826,7 +2894,7 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     import org.apache.spark.util.sketch.BloomFilter
     if (cols.isEmpty || names.isEmpty) return
     val f = fs(spark, dir)
-    val df = spark.read.parquet(names.map(n => s"${dataDir(dir)}/$n"): _*)
+    val df = spark.read.parquet(names.map(n => dataFilePath(dir, n)): _*)
     val usable = cols.filter(c => df.schema.fields.exists(fd =>
       fd.name.equalsIgnoreCase(c) && (fd.dataType match {
         case org.apache.spark.sql.types.ByteType |
@@ -2918,7 +2986,7 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
                           names: Seq[String]): Map[String, FileStats] = {
     val conf = spark.sparkContext.hadoopConfiguration
     names.flatMap { n =>
-      scala.util.Try(collectFooter(conf, p(s"${dataDir(dir)}/$n")))
+      scala.util.Try(collectFooter(conf, p(dataFilePath(dir, n))))
         .toOption.map(n -> _)
     }.toMap
   }

@@ -1882,6 +1882,61 @@ object ExtQueries {
       "ORDER BY doc_id")
   }
 
+  /** SHALLOW CLONE (`CALL system.clone`), oracle-replayed: one metadata
+    * commit references the source's live files by absolute path —
+    * REQUIREd zero data-file copies — and a divergent banded UPDATE on
+    * the clone (a) leaves the source bit-identical (REQUIREd via
+    * aggregate), (b) rewrites a strict subset of the clone's files
+    * (stats travel, so candidate pruning holds), and (c) un-shares
+    * exactly the touched entries (absolute and relative names coexist,
+    * REQUIREd). DuckDB replays the clone's final state as arithmetic.
+    * Re-runnable for warm bench passes.
+    */
+  def manifestSqlCloneQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlcln")
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlcln2")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlcln_src")
+    s.sql("CREATE TABLE graft_fix.sqlcln " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlcln SELECT doc_id, lang, n_chars " +
+        s"FROM sqlcln_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    s.sql("CALL graft_fix.system.clone(" +
+      "source => 'sqlcln', target => 'sqlcln2')")
+    // ZERO data-file copies
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(wh), s.sparkContext.hadoopConfiguration)
+    val dd = new org.apache.hadoop.fs.Path(s"$wh/sqlcln2/data")
+    require(!fs.exists(dd) || fs.listStatus(dd).isEmpty,
+      "shallow clone copied data files")
+    val cloneBefore = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlcln2")
+    // divergent banded UPDATE on the clone: pruned rewrite, source
+    // untouched
+    s.sql("UPDATE graft_fix.sqlcln2 SET n_chars = n_chars + 1000 " +
+      "WHERE doc_id >= 100 AND doc_id < 200")
+    val cloneAfter = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlcln2")
+    val rewritten =
+      cloneBefore.files.toSet.diff(cloneAfter.files.toSet).size
+    require(rewritten > 0 && rewritten < cloneBefore.files.size / 2,
+      s"clone UPDATE rewrote $rewritten of ${cloneBefore.files.size} " +
+        "files — the copied stats did not prune")
+    require(cloneAfter.files.exists(_.startsWith("/")) &&
+      cloneAfter.files.exists(!_.startsWith("/")),
+      "COW must un-share exactly the touched files")
+    val srcSum = s.sql("SELECT sum(n_chars) FROM graft_fix.sqlcln")
+      .head().getLong(0)
+    val srcRef = s.sql("SELECT sum(n_chars) FROM sqlcln_src " +
+      "WHERE doc_id < 400").head().getLong(0)
+    require(srcSum == srcRef,
+      s"a clone write reached the source ($srcSum != $srcRef)")
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlcln2 " +
+      "ORDER BY doc_id")
+  }
+
   /** GENERATED-column derived pruning, oracle-replayed — Delta's
     * partition-pruning trick: the table is PARTITIONED BY a `day DATE
     * GENERATED ALWAYS AS (CAST(ts AS DATE))` column, and a predicate on
@@ -3563,6 +3618,7 @@ object ExtQueries {
     "manifest_sql_delete_not_in" -> (manifestSqlDeleteNotInQ(_, _)),
     "manifest_sql_generated_pruning" ->
       (manifestSqlGeneratedPruningQ(_, _)),
+    "manifest_sql_clone" -> (manifestSqlCloneQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -4620,6 +4676,16 @@ object ExtQueries {
     "manifest_sql_delete_not_in" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id < 260 AND NOT (doc_id >= 40 AND doc_id < 80)
+        |ORDER BY doc_id""".stripMargin,
+
+    // SHALLOW CLONE replayed: the clone IS the source plus the
+    // divergent +1000 band
+    "manifest_sql_clone" ->
+      """SELECT doc_id, lang,
+        |  CAST(n_chars + CASE WHEN doc_id >= 100 AND doc_id < 200
+        |                        THEN 1000 ELSE 0 END AS BIGINT)
+        |    AS n_chars
+        |FROM documents WHERE doc_id < 400
         |ORDER BY doc_id""".stripMargin,
 
     // GENERATED-pruning replayed: ts = 2024-03-01 + doc_id hours, day

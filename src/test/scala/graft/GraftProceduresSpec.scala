@@ -194,4 +194,56 @@ class GraftProceduresSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("absent_table"))
   }
+
+  test("clone via CALL: zero data-file copies, shared reads, isolated writes, vacuum-safe") {
+    fsDel(s"$wh/c_src")
+    fsDel(s"$wh/c_dst")
+    sql("CREATE TABLE graft_proc.c_src (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_proc.c_src SELECT id, id FROM range(0, 100)")
+    sql("INSERT INTO graft_proc.c_src SELECT id, id FROM range(100, 200)")
+    val srcSnap = ManifestTable.snapshot(spark, s"$wh/c_src")
+    require(srcSnap.files.size >= 2, s"degenerate: ${srcSnap.files.size}")
+    val v = sql("CALL graft_proc.system.clone(" +
+      "source => 'c_src', target => 'c_dst')").as[Long].head()
+    assert(v === 1L)
+    // ZERO data files copied: the clone's data dir does not exist (or
+    // is empty), yet the table reads the full source content
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(wh), spark.sparkContext.hadoopConfiguration)
+    val dd = new org.apache.hadoop.fs.Path(s"$wh/c_dst/data")
+    assert(!fs.exists(dd) || fs.listStatus(dd).isEmpty,
+      "shallow clone must copy no data files")
+    assert(sql("SELECT count(*), sum(n) FROM graft_proc.c_dst")
+      .as[(Long, Long)].head() === ((200L, 19900L)))
+    // stats travel: the clone prunes like the source
+    val (kept, total) = ManifestTable.pruneInfo(spark, s"$wh/c_dst",
+      "id >= 150")
+    assert(total >= 2 && kept < total,
+      s"clone must prune on the copied stats ($kept/$total)")
+    // divergent write: the clone rewrites ONLY the absolute entries it
+    // touches; the source never changes
+    sql("UPDATE graft_proc.c_dst SET n = n + 1000 WHERE id >= 150")
+    assert(sql("SELECT sum(n) FROM graft_proc.c_src").as[Long].head()
+      === 19900L, "a clone write must never reach the source")
+    assert(sql("SELECT sum(n) FROM graft_proc.c_dst").as[Long].head()
+      === 69900L)
+    val dstSnap = ManifestTable.snapshot(spark, s"$wh/c_dst")
+    assert(dstSnap.files.exists(_.startsWith("/")) &&
+      dstSnap.files.exists(!_.startsWith("/")),
+      "COW must un-share exactly the touched files: " +
+        dstSnap.files.mkString(", "))
+    // vacuum of the clone must not delete source files it references
+    sql("CALL graft_proc.system.vacuum(" +
+      "table => 'c_dst', grace_seconds => 0)")
+    assert(sql("SELECT count(*) FROM graft_proc.c_src").as[Long].head()
+      === 200L, "clone vacuum must never touch the source's files")
+    assert(sql("SELECT count(*) FROM graft_proc.c_dst").as[Long].head()
+      === 200L)
+    // a second clone into an existing table is loud
+    val e = intercept[Exception] {
+      sql("CALL graft_proc.system.clone(" +
+        "source => 'c_src', target => 'c_dst')")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
 }
