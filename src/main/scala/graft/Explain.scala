@@ -373,6 +373,73 @@ object Explain {
           "(conflict-rebase) so ranges can never overlap; the DELETE " +
           "was REQUIREd not to move the mark"
       }),
+      "manifest_sql_update_corr_set" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlucs")
+        s"correlated-SET target: v${snap.version}, op=${snap.op} — " +
+          "UPDATE SET v = (SELECT ... WHERE s.k = t.k) decorrelated at " +
+          "resolution (scalarSubqueryLowering) to a mergeGeneral with a " +
+          "MATCHED update from the joined value and an NMBS update " +
+          "null-filling the subquery slot; the statement WHERE doubled " +
+          "as the candidate SCOPE (REQUIREd strict-subset rewrite " +
+          "despite the NMBS quantifier), and the aggregate shape " +
+          "grouped the decorrelated frame on the correlation key"
+      }),
+      "manifest_sql_merge_subquery" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlmsq")
+        s"subquery-MERGE target: v${snap.version}, op=${snap.op} — " +
+          "uncorrelated scalars in the clause condition, SET value and " +
+          "INSERT VALUES rode the command as held pre-renamed " +
+          "expressions and literalized once at run time (subqueries " +
+          "execute when the DML executes); correlated ones stay a loud " +
+          "rejection naming the USING-source rewrite"
+      }),
+      "manifest_sql_merge_theta" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlmth")
+        s"theta-MERGE target: v${snap.version}, op=${snap.op} — an ON " +
+          "with no equality pair lowered with keyCols empty: the whole " +
+          "ON is the residue, candidates are the full file list (no key " +
+          "stat bounds a non-equi match — the documented Delta-parity " +
+          "cost), the insert side anti-joined on the full ON, and the " +
+          "cardinality probe still raises on overlapping ranges"
+      }),
+      "manifest_sql_delete_not_in" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqldni")
+        s"NOT-IN DELETE target: v${snap.version}, op=${snap.op} — " +
+          "correlated NOT IN lowered to the NMBS anti-join under the " +
+          "static no-NULL proof (doc_id declared NOT NULL; the " +
+          "subquery pins its output with IS NOT NULL); unprovable " +
+          "shapes stay loud with the IS NOT NULL / NOT EXISTS rewrites " +
+          "named — three-valued semantics are never approximated"
+      }),
+      "manifest_sql_generated_pruning" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlgpp")
+        val (k, t) = graft.ext.ManifestTable.pruneInfo(s,
+          "/tmp/graft_fix/wh/sqlgpp",
+          "ts >= TIMESTAMP'2024-03-05 00:00:00' AND " +
+            "ts < TIMESTAMP'2024-03-07 00:00:00'")
+        s"generated-partition table: v${snap.version}, op=${snap.op}, " +
+          s"${snap.files.size} day files; pruneInfo(ts band alone): " +
+          s"kept $k of $t — withGeneratedDerived added the day bound " +
+          "from the CAST-to-date generation (monotone), so scans AND " +
+          "row-op candidates prune date partitions from raw-ts " +
+          "predicates (builder REQUIREd numFiles <= 3 on both paths)"
+      }),
+      "manifest_sql_clone" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlcln2")
+        val abs = snap.files.count(_.startsWith("/"))
+        s"shallow clone: v${snap.version}, op=${snap.op}, " +
+          s"$abs of ${snap.files.size} entries still shared (absolute " +
+          "paths into the source's data dir) — the clone commit copied " +
+          "ZERO data files (REQUIREd), the divergent UPDATE un-shared " +
+          "exactly its pruned candidates, and the clone's vacuum can " +
+          "only sweep its own data dir, never the referenced source"
+      }),
       "manifest_sql_maintenance" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,
           "/tmp/graft_fix/wh/sqlmnt")
