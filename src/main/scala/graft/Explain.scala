@@ -67,7 +67,8 @@ object Explain {
       "manifest_sql_generated", "manifest_sql_identity",
       "manifest_sql_update_corr_set", "manifest_sql_merge_subquery",
       "manifest_sql_merge_theta", "manifest_sql_delete_not_in",
-      "manifest_sql_generated_pruning", "manifest_sql_clone")
+      "manifest_sql_generated_pruning", "manifest_sql_clone",
+      "manifest_sql_where_scalar")
     val sb = new StringBuilder
     sb.append("# Physical plans (headline queries, `explain formatted`)\n\n")
     sb.append(s"Captured from `graft.Explain` on `$sfDir`. Things to check\n")
@@ -439,6 +440,19 @@ object Explain {
           "ZERO data files (REQUIREd), the divergent UPDATE un-shared " +
           "exactly its pruned candidates, and the clone's vacuum can " +
           "only sweep its own data dir, never the referenced source"
+      }),
+      "manifest_sql_where_scalar" -> (s => {
+        val snap = graft.ext.ManifestTable.snapshot(s,
+          "/tmp/graft_fix/wh/sqlwsc")
+        s"scalar-WHERE target: v${snap.version}, op=${snap.op} — " +
+          "DELETE/UPDATE WHERE n < (SELECT ... WHERE s.k = t.k) " +
+          "decorrelated like SET values: the scalar guards the single " +
+          "MATCHED clause (no-match rows never match — SQL's NULL " +
+          "filtering, proven by the slot null-rejection allowlist), " +
+          "candidates stay SOURCE-KEY-PRUNED (no NMBS; REQUIREd " +
+          "strict subset), and a dup-valued correlation key raises " +
+          "'more than one row' BEFORE the merge — a value-dependent " +
+          "condition must never silently pick a value"
       }),
       "manifest_sql_maintenance" -> (s => {
         val snap = graft.ext.ManifestTable.snapshot(s,

@@ -111,7 +111,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
           AttributeSet(d.table.output)) match {
           case Some(low) =>
             GraftDeleteCorrelatedCommand(t.dir, low.sourcePlan, low.keyCols,
-              low.negated, low.residual.map(GraftHeldCond)): LogicalPlan
+              low.negated, low.residual.map(GraftHeldCond),
+              low.valueCondSql): LogicalPlan
           case None =>
             GraftDeleteSubqueryCommand(t.dir,
               GraftHeldCond(d.condition)): LogicalPlan
@@ -272,7 +273,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan]
           return GraftUpdateCorrelatedCommand(table.dir, low.sourcePlan,
             low.keyCols, low.negated, low.residual.map(GraftHeldCond),
             buildSets(v => GraftDmlRule.prefixedSql(v, "__t_"),
-              n => qid("__t_" + n)))
+              n => qid("__t_" + n)),
+            low.valueCondSql)
         case None =>
           return GraftUpdateSubqueryCommand(table.dir,
             GraftHeldCond(u.condition.get),
@@ -724,10 +726,20 @@ object GraftDmlRule {
     * conjuncts (which may still hold UNCORRELATED subqueries — the
     * command literalizes them at run time).
     */
+  /** `valueCondSql`, when set, marks the SCALAR-COMPARISON shape
+    * (`WHERE n < (SELECT max(x) ... WHERE s.k = t.k)`): the source
+    * frame additionally projects the scalar as [[ScalarValueCol]], and
+    * this pre-printed condition (slot replaced by `__s_<value>`,
+    * targets `__t_`-renamed) guards the single MATCHED clause. Rows
+    * with no key match never enter a matched clause — exactly SQL's
+    * NULL-comparison filtering, proven by the slot-null-rejection
+    * check at detection.
+    */
   private[plans] final case class CorrLowering(sourcePlan: LogicalPlan,
                                                keyCols: Seq[String],
                                                negated: Boolean,
-                                               residual: Option[Expression])
+                                               residual: Option[Expression],
+                                               valueCondSql: Option[String] = None)
 
   /** Detect and lower the correlated-subquery shapes a graft DML
     * predicate supports — the everyday dedup/GC idioms:
@@ -796,6 +808,54 @@ object GraftDmlRule {
             s"to the key-pruned join (got: ${other.sql}) — alias the " +
             "expression inside the subquery instead")
       }
+    // the SCALAR-COMPARISON shape: one correlated scalar subquery under
+    // null-propagating comparisons/arithmetic — `WHERE n < (SELECT
+    // max(x) FROM s WHERE s.k = t.k)`. Lowered through the same
+    // decorrelation as SET values: the scalar becomes a source column,
+    // the conjunct becomes the MATCHED clause condition, and no-match
+    // rows are simply never matched — which is exactly SQL's three-
+    // valued filtering PROVIDED a slot NULL cannot make the conjunct
+    // true (the allowlist walk below; an OR or COALESCE around the
+    // slot would resurrect no-match rows and stays a loud no).
+    locally {
+      val head = routed.head
+      val scalars = head.collect {
+        case s: ScalarSubquery if s.getOuterAttrs.nonEmpty => s }
+      val allSubqs = head.collect { case p: PlanExpression[_] => p }
+      if (scalars.size == 1 && allSubqs.size == 1 &&
+          !head.isInstanceOf[Exists] && !head.isInstanceOf[InSubquery]) {
+        import org.apache.spark.sql.catalyst.expressions.{BinaryArithmetic, BinaryComparison, Cast, UnaryMinus}
+        def slotPathOk(e: Expression): Boolean = e match {
+          case _: ScalarSubquery => true
+          case _: BinaryComparison | _: BinaryArithmetic | _: UnaryMinus |
+               _: Cast | _: Not =>
+            e.children.filter(_.exists(_.isInstanceOf[ScalarSubquery]))
+              .forall(slotPathOk)
+          case _ => false
+        }
+        if (!slotPathOk(head)) unsupported(
+          "a correlated scalar subquery may sit only under " +
+            "null-propagating comparisons/arithmetic in a predicate " +
+            s"(got: ${head.sql}) — a no-match row's NULL must make the " +
+            "conjunct non-true, exactly SQL's filtering; OR/COALESCE " +
+            "around the subquery changes that, rewrite as MERGE")
+        val sq = scalars.head
+        val low = scalarSubqueryLowering(sq, targetOut)
+        val condSql = head.transformUp {
+          case _: ScalarSubquery =>
+            AttributeReference("__s_" + ScalarValueCol, sq.dataType)()
+          case org.apache.spark.sql.catalyst.expressions.objects
+              .AssertNotNull(child, _) => child
+          case a: AttributeReference if targetOut.contains(a) =>
+            a.withName("__t_" + a.name).withQualifier(Nil)
+          case f if evaluablyFoldable(f) =>
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create(f.eval(InternalRow.empty), f.dataType)
+        }.sql
+        return Some(CorrLowering(low.sourcePlan, low.keyCols,
+          negated = false, residual, valueCondSql = Some(condSql)))
+      }
+    }
     val (negated, plan0, pairs0) = routed.head match {
       case ex: Exists => (false, ex.plan, Nil)
       case Not(ex: Exists) => (true, ex.plan, Nil)
@@ -932,7 +992,7 @@ object GraftDmlRule {
   : ScalarLowering = {
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
-        s"graft DML SET scalar subqueries: $what")
+        s"graft DML scalar subqueries: $what")
     val (rebuilt, pairs) =
       decorrelate(sq.plan, targetOut, unsupported, allowRootAgg = true)
     if (pairs.isEmpty) unsupported(
@@ -1094,6 +1154,28 @@ object GraftDmlRule {
     (rebuild(plan0),
       rawPairs.zip(aliases).map { case ((a, _), al) =>
         a.name -> (al.toAttribute: NamedExpression) })
+  }
+
+  /** The SCALAR-COMPARISON shape's "more than one row" guard: when a
+    * `valueCond` rides the lowering, a correlated key carrying two
+    * DISTINCT scalar values is the SQL scalar-subquery error — and it
+    * must raise HERE, before the merge, because a value-dependent
+    * clause condition could otherwise fire on only one of the values
+    * and silently pick it (the clause-aware cardinality probe only
+    * raises when BOTH fire). One aggregate over the batch-sized
+    * decorrelated frame; conservative — it raises whether or not a
+    * target row actually carries the ambiguous key.
+    */
+  private[plans] def requireSingleValued(
+      src: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      valueCond: Option[String]): org.apache.spark.sql.DataFrame = {
+    if (valueCond.isEmpty) return src
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).isEmpty,
+      "scalar subquery in the predicate returned more than one row " +
+        "for a correlated key")
+    src
   }
 
   /** Distinct-key ceiling for literalized `IN (subquery)` predicates —
@@ -1264,7 +1346,8 @@ case class GraftDeleteCorrelatedCommand(dir: String,
                                         @transient source: LogicalPlan,
                                         keyCols: Seq[String],
                                         negated: Boolean,
-                                        residual: Option[GraftHeldCond])
+                                        residual: Option[GraftHeldCond],
+                                        valueCond: Option[String] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] =
     Seq(source) ++ residual.toSeq.flatMap(_.e.collect {
@@ -1273,16 +1356,19 @@ case class GraftDeleteCorrelatedCommand(dir: String,
     val residLit = residual.map(h =>
       GraftDmlRule.literalizeSubqueries(spark, h.e))
     val residSql = residLit.map(GraftDmlRule.prefixedSql(_, "__t_"))
-    val src = org.apache.spark.sql.graft.GraftSqlShims
+    val src0 = org.apache.spark.sql.graft.GraftSqlShims
       .ofRows(spark, source).distinct()
+    val src = GraftDmlRule.requireSingleValued(src0, keyCols, valueCond)
+    val clauseCond = (valueCond.toSeq ++ residSql.toSeq)
+      .reduceOption((a, b) => s"($a) AND ($b)")
     val opId = s"sql-delete-corr-${java.util.UUID.randomUUID()}"
     ManifestTable.retryOnConflict(spark, dir, opId) {
       def cdcNow = ManifestTable.changeFeedEnabled(
         ManifestTable.snapshot(spark, dir))
-      if (!negated && residSql.isEmpty)
+      if (!negated && clauseCond.isEmpty)
         ManifestTable.deleteMatching(src, dir, keyCols, opId, cdc = cdcNow)
       else {
-        val clause = ManifestTable.MergeClause("delete", residSql, Nil)
+        val clause = ManifestTable.MergeClause("delete", clauseCond, Nil)
         ManifestTable.mergeGeneral(src, dir, keyCols,
           matched = if (negated) Nil else Seq(clause),
           notMatched = Nil,
@@ -1308,7 +1394,8 @@ case class GraftUpdateCorrelatedCommand(dir: String,
                                         keyCols: Seq[String],
                                         negated: Boolean,
                                         residual: Option[GraftHeldCond],
-                                        set: Seq[(String, String)])
+                                        set: Seq[(String, String)],
+                                        valueCond: Option[String] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] =
     Seq(source) ++ residual.toSeq.flatMap(_.e.collect {
@@ -1317,10 +1404,13 @@ case class GraftUpdateCorrelatedCommand(dir: String,
     val residLit = residual.map(h =>
       GraftDmlRule.literalizeSubqueries(spark, h.e))
     val residSql = residLit.map(GraftDmlRule.prefixedSql(_, "__t_"))
-    val src = org.apache.spark.sql.graft.GraftSqlShims
+    val src0 = org.apache.spark.sql.graft.GraftSqlShims
       .ofRows(spark, source).distinct()
+    val src = GraftDmlRule.requireSingleValued(src0, keyCols, valueCond)
+    val clauseCond = (valueCond.toSeq ++ residSql.toSeq)
+      .reduceOption((a, b) => s"($a) AND ($b)")
     val opId = s"sql-update-corr-${java.util.UUID.randomUUID()}"
-    val clause = ManifestTable.MergeClause("update", residSql, set)
+    val clause = ManifestTable.MergeClause("update", clauseCond, set)
     ManifestTable.retryOnConflict(spark, dir, opId) {
       ManifestTable.mergeGeneral(src, dir, keyCols,
         matched = if (negated) Nil else Seq(clause),

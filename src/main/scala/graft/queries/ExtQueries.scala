@@ -1774,6 +1774,54 @@ object ExtQueries {
       "ORDER BY doc_id")
   }
 
+  /** Correlated SCALAR COMPARISONS in DELETE/UPDATE WHERE, oracle-
+    * replayed — the last decorrelation shape (`WHERE n_chars <
+    * (SELECT ... WHERE s.k = t.k)`): the scalar rides the source frame
+    * as a value column guarding the single MATCHED clause, so no-match
+    * rows are never matched — exactly SQL's NULL-comparison filtering —
+    * and candidates stay SOURCE-KEY-PRUNED (no NMBS: REQUIREd strict
+    * subset). The aggregate-rooted UPDATE shape groups per key. DuckDB
+    * replays both as self-joins. Re-runnable for warm bench passes.
+    */
+  def manifestSqlWhereScalarQ(s: SparkSession, d: String): DataFrame = {
+    val wh = "/tmp/graft_fix/wh"
+    s.conf.set("spark.sql.catalog.graft_fix", "graft.ext.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_fix.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft_fix.sqlwsc")
+    t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("sqlwsc_src")
+    s.sql("CREATE TABLE graft_fix.sqlwsc " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    Seq(0, 100, 200, 300).foreach(lo =>
+      s.sql("INSERT INTO graft_fix.sqlwsc SELECT doc_id, lang, n_chars " +
+        s"FROM sqlwsc_src WHERE doc_id >= $lo AND doc_id < ${lo + 100}"))
+    val before = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlwsc")
+    require(before.files.size >= 4,
+      s"fixture degenerate: ${before.files.size} files pre-delete")
+    // DELETE rows shorter than their 150-shifted witness: only doc_ids
+    // with a witness (>= 150, < 250 after the shift bound) can match —
+    // the 100-250 band, so candidates prune to a strict subset
+    s.sql("""DELETE FROM graft_fix.sqlwsc t
+            |WHERE n_chars < (SELECT s.n_chars FROM sqlwsc_src s
+            |                 WHERE s.doc_id - 150 = t.doc_id
+            |                   AND s.doc_id < 400)""".stripMargin)
+    val after = graft.ext.ManifestTable.snapshot(s, s"$wh/sqlwsc")
+    val rewritten = before.files.toSet.diff(after.files.toSet).size
+    require(rewritten > 0 && rewritten < before.files.size,
+      s"scalar-WHERE DELETE rewrote $rewritten of " +
+        s"${before.files.size} files — source-key pruning did not hold")
+    require(after.op == "merge",
+      s"scalar-WHERE DELETE landed as '${after.op}', not 'merge'")
+    // UPDATE under an aggregate-rooted scalar comparison: bump the
+    // surviving rows at least as long as their 200-below witness
+    // (grouped per correlation key; rows without one stay untouched)
+    s.sql("""UPDATE graft_fix.sqlwsc t SET n_chars = n_chars + 10000
+            |WHERE n_chars >= (SELECT max(s.n_chars) FROM sqlwsc_src s
+            |                  WHERE s.doc_id + 200 = t.doc_id)""".stripMargin)
+    s.sql("SELECT doc_id, lang, n_chars FROM graft_fix.sqlwsc " +
+      "ORDER BY doc_id")
+  }
+
   /** UNCORRELATED subqueries inside MERGE clause conditions, UPDATE SET
     * values and INSERT VALUES, oracle-replayed: they ride the command
     * as held expressions and literalize once per statement — exact
@@ -3619,6 +3667,7 @@ object ExtQueries {
     "manifest_sql_generated_pruning" ->
       (manifestSqlGeneratedPruningQ(_, _)),
     "manifest_sql_clone" -> (manifestSqlCloneQ(_, _)),
+    "manifest_sql_where_scalar" -> (manifestSqlWhereScalarQ(_, _)),
     "manifest_sql_rename_column" -> (manifestSqlRenameColumnQ(_, _)),
     "manifest_sql_widen_type" -> (manifestSqlWidenTypeQ(_, _)),
     "manifest_sql_replace" -> (manifestSqlReplaceQ(_, _)),
@@ -4677,6 +4726,24 @@ object ExtQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id < 260 AND NOT (doc_id >= 40 AND doc_id < 80)
         |ORDER BY doc_id""".stripMargin,
+
+    // scalar-comparison WHERE replayed as self-joins: delete rows
+    // shorter than their +150 witness (< 400), then bump survivors at
+    // least as long as their -200 witness; no-witness rows untouched
+    // (NULL comparison filters)
+    "manifest_sql_where_scalar" ->
+      """SELECT d.doc_id, d.lang,
+        |  CAST(d.n_chars + CASE WHEN m.doc_id IS NOT NULL
+        |                          AND d.n_chars >= m.n_chars
+        |                        THEN 10000 ELSE 0 END AS BIGINT)
+        |    AS n_chars
+        |FROM documents d
+        |LEFT JOIN documents w
+        |  ON w.doc_id = d.doc_id + 150 AND w.doc_id < 400
+        |LEFT JOIN documents m ON m.doc_id = d.doc_id - 200
+        |WHERE d.doc_id < 400
+        |  AND NOT (w.doc_id IS NOT NULL AND d.n_chars < w.n_chars)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // SHALLOW CLONE replayed: the clone IS the source plus the
     // divergent +1000 band

@@ -952,6 +952,56 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(ManifestTable.snapshot(spark, s"$wh/g_theta").op === "merge")
   }
 
+  test("DELETE/UPDATE WHERE <scalar comparison>: correlated scalar predicates lower key-joined") {
+    fsDel(s"$wh/g_wsc")
+    sql("CREATE TABLE graft_dml.g_wsc (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_wsc SELECT id, id * 10 FROM range(8)")
+    // thresholds per id: ids 0-3 present (threshold id*10 + 5 for even,
+    // id*10 - 5 for odd); ids 4-7 have NO row (scalar NULL -> never
+    // selected); id 2 carries TWO distinct thresholds (the raise)
+    Seq((0L, 5L), (1L, 5L), (3L, 35L), (2L, 25L), (2L, 26L))
+      .toDF("k", "thr").createOrReplaceTempView("g_wsc_src")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // n < per-key threshold: id 0 (0 < 5 yes), id 1 (10 < 5 no),
+    // id 3 (30 < 35 yes); ids without a threshold row are NOT deleted
+    // (NULL comparison filters, SQL three-valued semantics)
+    sql("""DELETE FROM graft_dml.g_wsc t
+          |WHERE n < (SELECT thr FROM g_wsc_src s
+          |           WHERE s.k = t.id AND s.k <> 2)
+          |  AND id <> 7""".stripMargin)
+    assert(sql("SELECT id FROM graft_dml.g_wsc ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 4L, 5L, 6L, 7L),
+      "only rows whose NON-NULL per-key threshold exceeds n may delete")
+    assert(ManifestTable.snapshot(spark, s"$wh/g_wsc").op === "merge")
+    // UPDATE under an aggregate-rooted scalar comparison
+    sql("""UPDATE graft_dml.g_wsc t SET n = n + 1
+          |WHERE n >= (SELECT min(thr) * 2 FROM g_wsc_src s
+          |            WHERE s.k = t.id)""".stripMargin)
+    // id 1: 10 >= 10 -> 11; id 2: min(25,26)*2=50, 20 >= 50 no;
+    // ids 4-7: no row -> NULL -> untouched
+    assert(sql("SELECT id, n FROM graft_dml.g_wsc ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 11L), (2L, 20L), (4L, 40L), (5L, 50L), (6L, 60L),
+        (7L, 70L)))
+    // a key with TWO DISTINCT scalar values raises BEFORE the merge —
+    // a value-dependent condition must never silently pick one
+    val multi = intercept[Exception] {
+      sql("""DELETE FROM graft_dml.g_wsc t
+            |WHERE n < (SELECT thr FROM g_wsc_src s WHERE s.k = t.id)""".stripMargin)
+    }
+    assert(msgs(multi).exists(_.contains("more than one row")),
+      msgs(multi).mkString(" | "))
+    // OR around the slot would resurrect no-match rows: loud
+    val or = intercept[Exception] {
+      sql("""DELETE FROM graft_dml.g_wsc t
+            |WHERE n < (SELECT min(thr) FROM g_wsc_src s WHERE s.k = t.id)
+            |   OR id = 6""".stripMargin)
+    }
+    assert(msgs(or).exists(_.contains("null-propagating")),
+      msgs(or).mkString(" | "))
+  }
+
   test("correlated and multi-column NOT IN lower under the static no-NULL proof") {
     fsDel(s"$wh/g_nin")
     sql("CREATE TABLE graft_dml.g_nin " +
