@@ -931,6 +931,19 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(sql("SELECT id, n FROM graft_dml.g_msq ORDER BY id")
       .as[(Long, Long)].collect().toSeq ===
       Seq((0L, 0L), (1L, 10L), (3L, 30L), (4L, 48L), (5L, 50L), (8L, 3L)))
+    // a CORRELATED clause subquery stays loud, naming the USING-source
+    // rewrite (the analyzer resolves it; our lowering refuses it)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val corr = intercept[Exception] {
+      sql("""MERGE INTO graft_dml.g_msq t USING g_msq_src s ON t.id = s.k
+            |WHEN MATCHED AND t.n <
+            |    (SELECT max(x.k) FROM g_msq_src x WHERE x.k = t.id)
+            |  THEN DELETE""".stripMargin)
+    }
+    assert(msgs(corr).exists(m =>
+      m.contains("CORRELATED") && m.contains("USING source")),
+      msgs(corr).mkString(" | "))
   }
 
   test("theta MERGE (no equality ON): full-scope lowering with SQL semantics intact") {
