@@ -904,6 +904,15 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
     assert(msgs(cnt).exists(_.contains("NULL on empty")),
       msgs(cnt).mkString(" | "))
+    // a correlated SET may ride an UNCORRELATED-subquery WHERE: the
+    // WHERE literalizes at run and doubles as the scope + clause guard
+    sql("""UPDATE graft_dml.g_csq t
+          |SET n = (SELECT max(v) FROM g_csq_src s WHERE s.k = t.id)
+          |WHERE id IN (SELECT k - 3 FROM g_csq_src WHERE k = 4)""".stripMargin)
+    // WHERE id IN (1): id=1 takes max(v where k=1) = 10
+    assert(sql("SELECT n FROM graft_dml.g_csq WHERE id = 1")
+      .as[Long].head() === 10L,
+      "the literalized WHERE must gate the correlated SET")
     // two correlated SET values: one source frame per statement
     val two = intercept[Exception] {
       sql("""UPDATE graft_dml.g_csq t SET
@@ -944,6 +953,17 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(msgs(corr).exists(m =>
       m.contains("CORRELATED") && m.contains("USING source")),
       msgs(corr).mkString(" | "))
+    // an uncorrelated subquery in the ON RESIDUE rides the same held
+    // path: matched only above the min(k)=2 threshold
+    sql("""MERGE INTO graft_dml.g_msq t USING g_msq_src s
+          |ON t.id = s.k AND t.n > (SELECT min(k) FROM g_msq_src) * 3
+          |WHEN MATCHED THEN UPDATE SET n = 0""".stripMargin)
+    // keys 4 and 8 match by id; residue n > 6: id=4 has n=48 -> 0;
+    // id=8 has n=3, fails the residue -> untouched
+    assert(sql("SELECT id, n FROM graft_dml.g_msq WHERE id IN (4, 8) " +
+      "ORDER BY id").as[(Long, Long)].collect().toSeq ===
+      Seq((4L, 0L), (8L, 3L)),
+      "a held ON residue must literalize and gate MATCHED")
   }
 
   test("theta MERGE (no equality ON): full-scope lowering with SQL semantics intact") {
