@@ -74,7 +74,8 @@ private[ext] trait ManifestMaintenance { this: ManifestTable.type =>
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(
           clusterBy.map(org.apache.spark.sql.functions.col): _*)
-    stageWrite(toPhysical(snap, reshaped), stage, snap.partitionCols)
+    stageWrite(toPhysical(snap, reshaped), stage, snap.partitionCols,
+      sized = true)
     val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
       stage, partFamilies(base.schema, snap.partitionCols))
     val rewrittenStats = footerStats(spark, dir, rewritten)
@@ -158,7 +159,8 @@ private[ext] trait ManifestMaintenance { this: ManifestTable.type =>
       if (snap.partitionCols.isEmpty) base.repartition(nOut)
       else base.repartition(nOut,
         snap.partitionCols.map(org.apache.spark.sql.functions.col): _*)
-    stageWrite(toPhysical(snap, reshaped), stage, snap.partitionCols)
+    stageWrite(toPhysical(snap, reshaped), stage, snap.partitionCols,
+      sized = true)
     val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
       stage, partFamilies(base.schema, snap.partitionCols))
     val rewrittenStats = footerStats(spark, dir, rewritten)
@@ -218,7 +220,8 @@ private[ext] trait ManifestMaintenance { this: ManifestTable.type =>
     if (candidates.isEmpty) return (0, 0)
     val stage = s"$dir/_stage/${java.util.UUID.randomUUID()}"
     val purgeRead = readFiles(spark, dir, snap, candidates)
-    stageWrite(toPhysical(snap, purgeRead), stage, snap.partitionCols)
+    stageWrite(toPhysical(snap, purgeRead), stage, snap.partitionCols,
+      sized = true)
     val (rewritten, rewrittenSizes, rewrittenPvals) = moveToData(f, dir,
       stage, partFamilies(purgeRead.schema, snap.partitionCols))
     val rewrittenStats = footerStats(spark, dir, rewritten)

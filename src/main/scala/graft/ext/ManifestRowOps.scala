@@ -354,6 +354,27 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     }.toSeq: _*)
   }
 
+  /** Bare-file-name → manifest-entry resolver for the DV ops: the
+    * position scan identifies files by `_metadata.file_path`'s last
+    * segment, but the dvs map (and the readers that consult it) key by
+    * the manifest ENTRY — a bare UUID name for ordinary files, an
+    * ABSOLUTE path for shallow-cloned ones (ADVICE r20 #3: recording
+    * under the bare name made every DV op on a clone a silent no-op).
+    * Entries end in UUID file names, so the basename is unique within
+    * one candidate set; a collision (two entries sharing a name) cannot
+    * be resolved and raises loudly rather than mis-keying a vector.
+    */
+  private def dvEntryResolver(candidates: Seq[String],
+                              what: String): String => String = {
+    val byName = candidates.groupBy(_.split('/').last)
+    byName.find(_._2.size > 1).foreach { case (n, es) =>
+      throw new IllegalStateException(
+        s"$what: candidate entries ${es.mkString(", ")} share the file " +
+          s"name $n — deletion vectors cannot disambiguate them")
+    }
+    (name: String) => byName.get(name).map(_.head).getOrElse(name)
+  }
+
   /** DELETE FROM, merge-on-read: same row semantics, idempotence and
     * conflict contract as [[deleteWhere]], but the matched rows' file
     * positions land as ONE deletion-vector sidecar (O(matched rows)
@@ -383,6 +404,12 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     val cond = coalesce(expr(predicateSql), lit(false))
     val fm = "_graft_meta_file"
     val pm = "_graft_meta_pos"
+    // `fm` carries the data file's NAME (the last path segment); the
+    // manifest entry of a SHALLOW-CLONED file is an ABSOLUTE path, so
+    // the dvs map must be keyed back through the entry or readers —
+    // which look up `snap.dvs(<entry>)` — would never see the vector
+    // and the "deleted" rows would stay visible (ADVICE r20 #3)
+    val entryOf = dvEntryResolver(partial, "deleteWhereDV")
     val matched =
       if (partial.isEmpty) None
       else Some(readWithPos(spark, dir, snap, partial, fm, pm)
@@ -390,7 +417,7 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val counts = matched.map(_.groupBy(col(fm)).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .map(r => entryOf(r.getString(0)) -> r.getLong(1)).toMap)
         .getOrElse(Map.empty[String, Long])
       if (counts.isEmpty && whole.isEmpty)
         return emptyOpCommit(spark, dir, "delete", opId)
@@ -475,12 +502,16 @@ private[ext] trait ManifestRowOps { this: ManifestTable.type =>
     val cond = coalesce(expr(predicateSql), lit(false))
     val fm = "_graft_meta_file"
     val pm = "_graft_meta_pos"
+    // same entry resolution as deleteWhereDV: a shallow-cloned file's
+    // manifest entry is an absolute path while `fm` is the bare name —
+    // the dvs map must be keyed by the entry readers look up
+    val entryOf = dvEntryResolver(candidates, "updateWhereDV")
     val matched = readWithPos(spark, dir, snap, candidates, fm, pm)
       .where(cond)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val counts = matched.groupBy(col(fm)).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => entryOf(r.getString(0)) -> r.getLong(1)).toMap
       if (counts.isEmpty)
         return emptyOpCommit(spark, dir, "update", opId)
       val updated = recomputeGenerated(snap,

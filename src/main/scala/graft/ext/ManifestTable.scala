@@ -1138,11 +1138,20 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
              schema: org.apache.spark.sql.types.StructType,
              partitionBy: Seq[String] = Nil): Unit = {
     validatePartitionDecl(schema, partitionBy)
+    // pin the creating session's timezone for generated columns — the
+    // contract [[withGeneratedDerived]] and [[requireGeneratedTz]]
+    // enforce (harmless for timezone-free generation expressions)
+    val tzProp: Map[String, String] =
+      if (schema.fields.exists(fd => org.apache.spark.sql.catalyst.util
+          .GeneratedColumn.getGenerationExpression(fd).isDefined))
+        Map(GeneratedTzKey -> spark.sessionState.conf.sessionLocalTimeZone)
+      else Map.empty
     commit(spark, dir) { old =>
       require(old.version == 0L,
         s"ManifestTable at $dir already exists (v${old.version})")
       Some(old.copy(schemaJson = Some(schema.json),
-        partitionCols = partitionBy, op = "create", cdcPath = None))
+        partitionCols = partitionBy, properties = old.properties ++ tzProp,
+        op = "create", cdcPath = None))
     }
     ()
   }
@@ -1282,7 +1291,15 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
         schemaJson = Some(schema.json),
         partitionCols = partitionBy,
         constraints = Map.empty,
-        properties = properties,
+        // REPLACE re-pins the generated-column timezone to the replacing
+        // session (the data was just rewritten in it) — same contract
+        // as [[create]]
+        properties = properties ++
+          (if (schema.fields.exists(fd => org.apache.spark.sql.catalyst
+              .util.GeneratedColumn.getGenerationExpression(fd).isDefined))
+            Map(GeneratedTzKey ->
+              spark.sessionState.conf.sessionLocalTimeZone)
+          else Map.empty),
         // fresh identity over the new schema; an explicit identity list
         // when a mapping was active (absent-inherits cannot express
         // "cleared" — same rule as restore), retired names accumulate
@@ -1712,9 +1729,69 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
     * exactly ONE partition tuple, and all read paths (plain, DV-applied,
     * feeds, time travel) keep working unchanged on the flat directory.
     */
+  /** OPTIMIZED WRITE (guide §6 — small files hurt twice; coalesce on
+    * write with a REBALANCE): every staged write otherwise emits one
+    * file per input partition, so a small batch flowing through a
+    * 32-way session writes 32 tiny files — and a lang-partitioned one
+    * writes 32 × (#langs) — each paying a footer read, a rename, a
+    * manifest line and bloom/NDV work per commit, and a per-file open
+    * on every later read. The AQE rebalance sizes output partitions to
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` at RUNTIME (not
+    * from estimates): a tiny batch collapses to one right-sized file,
+    * a 100 TB write splits into advisory-sized files — the same
+    * optimized-write shuffle Delta/Iceberg use for file sizing, scale-
+    * adaptive by construction. Partitioned writes rebalance ON the
+    * partition columns so each task holds whole partition values and
+    * `partitionBy` emits one file per value per task instead of one
+    * per value per input partition. `graft.write.rebalance=false`
+    * restores the raw pass-through (e.g. when an upstream layout must
+    * be preserved exactly).
+    */
+  private def rebalanced(df: DataFrame, partCols: Seq[String],
+                         sized: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val on = df.sparkSession.conf
+      .getOption("graft.write.rebalance").forall(_.toBoolean)
+    if (!on || sized || callerSized(df.queryExecution.logical)) df
+    else if (partCols.isEmpty) df.hint("rebalance")
+    else df.hint("rebalance", partCols.map(col): _*)
+  }
+
+  /** True when the staged frame already carries a DELIBERATE output
+    * layout the rebalance must not override: a `coalesce(n)` (an
+    * explicit file-count directive), a keyed/range repartition or an
+    * earlier rebalance, reachable from the root through partitioning-
+    * preserving narrow ops (Project/Filter/partition-local Sort). A
+    * plain round-robin `repartition(n)` is NOT layout intent — it is
+    * the parallelism aid [[graft.Tables.spread]]-style readers inject,
+    * and letting it through is exactly the 32-tiny-files problem the
+    * rebalance exists to fix.
+    */
+  private def callerSized(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case p: Project => callerSized(p.child)
+      case f: Filter => callerSized(f.child)
+      case s: Sort if !s.global => callerSized(s.child)
+      case a: SubqueryAlias => callerSized(a.child)
+      case r: Repartition => !r.shuffle // coalesce(n): explicit sizing
+      case _: RepartitionByExpression => true
+      case _: RebalancePartitions => true
+      case _ => false
+    }
+  }
+
+  /** `sized = true` marks a caller that already computed its own output
+    * partitioning for file sizing (the maintenance rewrites: compact /
+    * compactSmall size to `targetFileBytes`; purgeDeletes is
+    * contractually zero-shuffle) — the rebalance must not override it.
+    */
   private[ext] def stageWrite(df: DataFrame, stage: String,
-                         partCols: Seq[String]): Unit =
-    if (partCols.isEmpty) df.write.parquet(stage)
+                         partCols: Seq[String],
+                         sized: Boolean = false): Unit =
+    if (partCols.isEmpty) rebalanced(df, Nil, sized).write.parquet(stage)
     else {
       import org.apache.spark.sql.functions.{col, concat, lit, when}
       // the directory key is "v" + canonical value, null kept null:
@@ -1724,7 +1801,7 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       // nothing — silently dropping rows. The prefix keeps every
       // non-null value (including '') out of the null directory;
       // [[moveToData]] strips it back off.
-      val dup = partCols.foldLeft(df)((d, c) =>
+      val dup = partCols.foldLeft(rebalanced(df, partCols, sized))((d, c) =>
         d.withColumn(PartPrefix + c,
           when(col(c).isNull, lit(null: String))
             .otherwise(concat(lit(PartValueTag), col(c).cast("string")))))
@@ -1928,11 +2005,94 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
       org.apache.spark.sql.catalyst.util.GeneratedColumn
         .getGenerationExpression(fd).map(fd -> _))).getOrElse(Nil)
 
+  /** Table property pinning the session timezone generated-column
+    * values are computed in. Recorded at CREATE/REPLACE time for any
+    * table declaring generated columns; [[withGeneratedDerived]] only
+    * evaluates TIMEZONE-SENSITIVE derivations (timestamp→date casts,
+    * trunc, from_unixtime, ...) when the reading session's timezone
+    * matches the pin, and [[fillGenerated]]/[[recomputeGenerated]]
+    * refuse a timezone-sensitive write from a differing session —
+    * otherwise a reader in another zone derives a day bound shifted by
+    * one day and the one-sided evaluator prunes files that contain
+    * matching rows (ADVICE r20 #4: wrong results, not just a missed
+    * optimization).
+    */
+  private[graft] val GeneratedTzKey = "graft.generated.timeZone"
+
+  /** True when evaluating `e` depends on the session timezone. Casts
+    * consult [[Cast.needsTimeZone]] (a Cast node is always
+    * timezone-aware but usually doesn't use it); any other
+    * timezone-aware expression counts conservatively.
+    */
+  private[ext] def tzSensitiveTree(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, TimeZoneAwareExpression}
+    e.exists {
+      case c: Cast => Cast.needsTimeZone(c.child.dataType, c.dataType)
+      case _: TimeZoneAwareExpression => true
+      case _ => false
+    }
+  }
+
+  /** The analyzed tree of generation expression `genSql` (cast to the
+    * generated column's type) resolved over the table schema — None
+    * when it fails to parse/resolve (callers treat that
+    * conservatively).
+    */
+  private[ext] def analyzedGen(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      fd: org.apache.spark.sql.types.StructField, genSql: String)
+  : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast}
+      import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+      val attrs = schema.fields.toIndexedSeq.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)())
+      val proj = Project(
+        Seq(Alias(Cast(
+          spark.sessionState.sqlParser.parseExpression(genSql),
+          fd.dataType), "__g")()),
+        LocalRelation(attrs))
+      spark.sessionState.analyzer.execute(proj).collectFirst {
+        case p: Project => p.projectList.head
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias]
+          .child
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Refuse a generated-column WRITE whose session timezone differs
+    * from the table's pin when any generation expression is
+    * timezone-sensitive — the stored values would silently disagree
+    * with everything already committed (and with the derivation
+    * [[withGeneratedDerived]] serves readers). Non-sensitive
+    * expressions (arithmetic, substrings, date-typed trunc) write from
+    * any zone. Unresolvable expressions count sensitive — one-sided.
+    */
+  private[ext] def requireGeneratedTz(spark: SparkSession,
+                                      snap: Snapshot): Unit = {
+    val gens = generatedOf(snap)
+    if (gens.isEmpty) return
+    val rec = snap.properties.get(GeneratedTzKey)
+    if (rec.isEmpty) return // pre-pin table: derivation never fires either
+    val cur = spark.sessionState.conf.sessionLocalTimeZone
+    if (rec.contains(cur)) return
+    val schema = tableSchema(snap).getOrElse(return)
+    val sensitive = gens.exists { case (fd, gen) =>
+      analyzedGen(spark, schema, fd, gen).forall(tzSensitiveTree) }
+    require(!sensitive,
+      s"this write runs in session timezone $cur but the table's " +
+        s"generated columns are pinned to ${rec.get} — their values " +
+        "depend on the session timezone, so writing from another zone " +
+        "would disagree with committed data; set " +
+        s"spark.sql.session.timeZone=${rec.get} for this write")
+  }
+
   /** Fill generated columns on a ROW-INTRODUCING frame: absent columns
     * compute whole, NULL slots of provided columns compute per row.
     */
   private[ext] def fillGenerated(snap: Snapshot, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, when}
+    requireGeneratedTz(df.sparkSession, snap)
     generatedOf(snap).foldLeft(df) { case (acc, (fd, gen)) =>
       if (!acc.columns.exists(_.equalsIgnoreCase(fd.name)))
         acc.withColumn(fd.name, expr(gen).cast(fd.dataType))
@@ -1949,6 +2109,7 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
   private[ext] def recomputeGenerated(snap: Snapshot,
                                       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.expr
+    requireGeneratedTz(df.sparkSession, snap)
     generatedOf(snap).foldLeft(df) { case (acc, (fd, gen)) =>
       acc.withColumn(fd.name, expr(gen).cast(fd.dataType))
     }
@@ -2612,7 +2773,16 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
             val analyzed = spark.sessionState.analyzer.execute(proj)
             analyzed.collectFirst { case p: Project =>
               p.projectList.head.asInstanceOf[Alias].child
-            }.filter(_.deterministic).map(tree =>
+            }.filter(_.deterministic)
+              // a TIMEZONE-SENSITIVE tree (timestamp→date cast, trunc,
+              // ...) evaluates with the READER's session timezone while
+              // the stored generated/partition values were computed in
+              // the writer's — derive only when the session matches the
+              // pinned zone, else skip (pruning lost, never rows)
+              .filter(tree => !tzSensitiveTree(tree) ||
+                s.properties.get(GeneratedTzKey).contains(
+                  spark.sessionState.conf.sessionLocalTimeZone))
+              .map(tree =>
               physName(s, cfd.name).toLowerCase ->
                 Deriv(tree, monotone(tree), physName(s, fd.name),
                   fd.dataType))
@@ -2985,10 +3155,22 @@ object ManifestTable extends ManifestRowOps with ManifestFeeds with ManifestMain
   private[ext] def footerStats(spark: SparkSession, dir: String,
                           names: Seq[String]): Map[String, FileStats] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    names.flatMap { n =>
+    def one(n: String): Option[(String, FileStats)] =
       scala.util.Try(collectFooter(conf, p(dataFilePath(dir, n))))
         .toOption.map(n -> _)
-    }.toMap
+    // the footer harvest is driver-side small I/O; a commit that lands
+    // many files (a compaction, a large backfill) must not pay it one
+    // file at a time — bounded pool, same results in any order
+    if (names.size <= 2) names.flatMap(one).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, names.size))
+      try names.map(n => pool.submit(
+          new java.util.concurrent.Callable[Option[(String, FileStats)]] {
+            override def call(): Option[(String, FileStats)] = one(n)
+          })).flatMap(_.get()).toMap
+      finally pool.shutdown()
+    }
   }
 
   private def collectFooter(conf: org.apache.hadoop.conf.Configuration,

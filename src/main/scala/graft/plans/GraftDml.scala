@@ -824,9 +824,15 @@ object GraftDmlRule {
       val allSubqs = head.collect { case p: PlanExpression[_] => p }
       if (scalars.size == 1 && allSubqs.size == 1 &&
           !head.isInstanceOf[Exists] && !head.isInstanceOf[InSubquery]) {
-        import org.apache.spark.sql.catalyst.expressions.{BinaryArithmetic, BinaryComparison, Cast, UnaryMinus}
+        import org.apache.spark.sql.catalyst.expressions.{BinaryArithmetic, BinaryComparison, Cast, EqualNullSafe, UnaryMinus}
         def slotPathOk(e: Expression): Boolean = e match {
           case _: ScalarSubquery => true
+          // <=> is a BinaryComparison but NOT null-propagating: a
+          // no-match row's NULL slot makes `n <=> NULL` TRUE when n is
+          // NULL, i.e. SQL would delete that row while the no-match
+          // lowering (never matched) silently leaves it — exactly the
+          // miss case this allowlist exists to exclude (ADVICE r20 #2)
+          case _: EqualNullSafe => false
           case _: BinaryComparison | _: BinaryArithmetic | _: UnaryMinus |
                _: Cast | _: Not =>
             e.children.filter(_.exists(_.isInstanceOf[ScalarSubquery]))
@@ -932,36 +938,41 @@ object GraftDmlRule {
                                        .expressions.Attribute): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, Literal}
     if (!out.nullable) return true
-    // every attribute some Filter in the plan pins with IS NOT NULL —
-    // a pin ANYWHERE along the alias chain proves the output (Filters
-    // only ever drop rows, and the chain is pure forwarding)
-    val pinned: Set[Long] = plan.collect {
-      case Filter(cond, _) => PH.split(cond).collect {
-        case IsNotNull(x: AttributeReference) => x.exprId.id
-      }
-    }.flatten.toSet
-    def proved(a: Attribute): Boolean =
-      !a.nullable || pinned.contains(a.exprId.id)
-    def chase(p: LogicalPlan, a: Attribute): Boolean =
-      proved(a) || (p match {
+    // Pins are collected ONLY along the chase path (ADVICE r20 #1: a
+    // global collect over every Filter in the plan is unsound — a pin
+    // below the null-producing side of an outer join "proves" an output
+    // the join can still null above it, and the anti-join lowering then
+    // deletes rows three-valued semantics keep). Every operator between
+    // a pinning Filter and the output must be row-preserving and
+    // non-null-producing: Project / Filter / SubqueryAlias / Aggregate
+    // passthrough. Anything else (Join, Generate, Union, ...) hits the
+    // default case and answers false — one-sided, the statement stays a
+    // loud rejection.
+    def pinsOf(cond: org.apache.spark.sql.catalyst.expressions.Expression)
+    : Set[Long] = PH.split(cond).collect {
+      case IsNotNull(x: AttributeReference) => x.exprId.id
+    }.toSet
+    def chase(p: LogicalPlan, a: Attribute, pins: Set[Long]): Boolean =
+      !a.nullable || pins.contains(a.exprId.id) || (p match {
         case Project(list, child) =>
           list.find(_.exprId == a.exprId) match {
-            case Some(Alias(ar: AttributeReference, _)) => chase(child, ar)
+            case Some(Alias(ar: AttributeReference, _)) => chase(child, ar, pins)
             case Some(Alias(l: Literal, _)) => l.value != null
-            case Some(ar: AttributeReference) => chase(child, ar)
+            case Some(ar: AttributeReference) => chase(child, ar, pins)
             case _ => false
           }
-        case SubqueryAlias(_, child) => chase(child, a)
-        case Filter(_, child) => chase(child, a)
+        case SubqueryAlias(_, child) => chase(child, a, pins)
+        case Filter(cond, child) => chase(child, a, pins ++ pinsOf(cond))
         case ag: Aggregate =>
           ag.aggregateExpressions.find(_.exprId == a.exprId) match {
-            case Some(Alias(ar: AttributeReference, _)) => chase(ag.child, ar)
-            case Some(ar: AttributeReference) => chase(ag.child, ar)
+            case Some(Alias(ar: AttributeReference, _)) =>
+              chase(ag.child, ar, pins)
+            case Some(ar: AttributeReference) => chase(ag.child, ar, pins)
             case _ => false
           }
         case _ => false
       })
-    chase(plan, out)
+    chase(plan, out, Set.empty)
   }
 
   /** Strip the equality-correlation conjuncts out of `plan0`'s

@@ -160,7 +160,12 @@ object Ingest {
                   statsDir: Option[String] = None): Unit = {
     val (kept, release) = dedupQuality(batch, indexDir, textCol)
     val scrubbed = kept.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
-    scrubbed.write.mode("append").parquet(corpusDir)
+    // optimized write (guide §6): a micro-batch otherwise appends one
+    // tiny file per task partition; the AQE rebalance sizes the output
+    // at runtime (a small batch lands as one file, a huge backfill
+    // splits to advisory-sized files), so the corpus file count grows
+    // with BYTES, not with batches × parallelism
+    scrubbed.hint("rebalance").write.mode("append").parquet(corpusDir)
     release()
     statsDir.foreach(d => StatsSink.append(scrubbed, d, textCol))
     appendExactIndex(indexDir, kept, textCol)

@@ -107,7 +107,9 @@ object NearDupSink {
     foldAndCommit(batch, indexDir, idCol, textCol, threshold, minEstJaccard,
       numHashes, bands, shingleFn) { kept =>
       statsDir.foreach(d => StatsSink.append(kept, d, textCol))
-      kept.write.mode("append").parquet(corpusDir); true
+      // optimized write (guide §6): rebalance so the corpus file count
+      // grows with bytes, not batches x parallelism
+      kept.hint("rebalance").write.mode("append").parquet(corpusDir); true
     }
     ()
   }
@@ -248,7 +250,9 @@ object NearDupSink {
                        tables: Int = 2): Unit = {
     foldAndCommitEmbed(batch, indexDir, idCol, vecCol, minCos, bits, dims,
       tables) { kept =>
-      kept.write.mode("append").parquet(corpusDir); true
+      // optimized write (guide §6): rebalance so the corpus file count
+      // grows with bytes, not batches x parallelism
+      kept.hint("rebalance").write.mode("append").parquet(corpusDir); true
     }
     ()
   }

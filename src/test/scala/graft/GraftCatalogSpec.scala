@@ -140,8 +140,10 @@ class GraftCatalogSpec extends SparkSpec {
     fsDel(s"$wh/t_dv")
     val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("id", "text")
     ManifestTable.append(docs, s"$wh/t_dv", "b0")
+    // 512 B target: the optimized write packs the tiny corpus into one
+    // file, so the multi-file fixture layout must be asked for in bytes
     ManifestTable.compact(spark, s"$wh/t_dv",
-      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+      targetFileBytes = 512L, clusterBy = Seq("id"))
     // a point delete lands a DV on ONE file, everything else untouched
     assert(ManifestTable.deleteWhereDV(spark, s"$wh/t_dv", "id = 7", "d0"))
     val s = ManifestTable.snapshot(spark, s"$wh/t_dv")

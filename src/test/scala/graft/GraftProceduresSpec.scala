@@ -73,11 +73,19 @@ class GraftProceduresSpec extends SparkSpec {
     ManifestTable.append(docs, s"$wh/p_purge", "b0")
     ManifestTable.compact(spark, s"$wh/p_purge",
       targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
-    val total = ManifestTable.snapshot(spark, s"$wh/p_purge").files.size
+    val s0 = ManifestTable.snapshot(spark, s"$wh/p_purge")
+    val total = s0.files.size
     require(total > 3, s"degenerate: $total files")
-    // delete most of one id-band: its file(s) cross the 0.3 fraction
+    // derive the band from the ACTUAL file ranges (file sizing is
+    // byte/compression-dependent): cover file 0 fully (metadata drop)
+    // and ~40% of file 1 — a DV that crosses the 0.3 purge threshold
+    val ranges = s0.files.map { f =>
+      val c = s0.stats(f).cols("id")
+      (c.min.get.toLong, c.max.get.toLong)
+    }.sortBy(_._1)
+    val cut = ranges(1)._1 + ((ranges(1)._2 - ranges(1)._1 + 1) * 2) / 5
     assert(ManifestTable.deleteWhereDV(spark, s"$wh/p_purge",
-      "id >= 0 AND id < 450", "d0"))
+      s"id >= 0 AND id < $cut", "d0"))
     val res = sql("CALL graft_proc.system.purge_deletes(table => 'p_purge')")
       .as[(Int, Int)].head()
     assert(res._1 > 0 && res._1 < total,
@@ -86,7 +94,7 @@ class GraftProceduresSpec extends SparkSpec {
     val after = ManifestTable.snapshot(spark, s"$wh/p_purge")
     assert(after.files.forall(f => after.dvs.get(f).forall(_.isEmpty)),
       "purge left deletion vectors on rewritten files")
-    assert(ManifestTable.read(spark, s"$wh/p_purge").count() === 1550L)
+    assert(ManifestTable.read(spark, s"$wh/p_purge").count() === 2000L - cut)
   }
 
   test("restore via CALL rewinds and reports the new head") {

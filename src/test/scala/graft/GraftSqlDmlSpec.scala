@@ -117,9 +117,12 @@ class GraftSqlDmlSpec extends SparkSpec {
     sql("CREATE TABLE graft_dml.d_mdel (id BIGINT, v STRING)")
     sql("INSERT INTO graft_dml.d_mdel " +
       "SELECT id, concat('r', id, repeat('-ballast', 16)) FROM range(600)")
-    // cluster into id-ranged files so the tombstone batch prunes
+    // cluster into id-ranged files so the tombstone batch prunes (2 KB
+    // target: the optimized write lands the insert as ONE well-packed
+    // file, so the split must be asked for in bytes, not assumed from
+    // input partitioning)
     ManifestTable.compact(spark, s"$wh/d_mdel",
-      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+      targetFileBytes = 2L * 1024, clusterBy = Seq("id"))
     val before = ManifestTable.snapshot(spark, s"$wh/d_mdel")
     require(before.files.size > 3, s"degenerate: ${before.files.size} files")
     spark.range(100, 160).selectExpr("id")
@@ -1065,5 +1068,57 @@ class GraftSqlDmlSpec extends SparkSpec {
             |  (SELECT k FROM g_nin_src s WHERE s.j = t.grp)""".stripMargin)
     }
     assert(msgs(e).exists(_.contains("may be NULL")), msgs(e).mkString(" | "))
+  }
+
+  test("NOT IN proof ignores IS NOT NULL pins below an outer join (ADVICE r20)") {
+    fsDel(s"$wh/g_pin")
+    sql("CREATE TABLE graft_dml.g_pin (id BIGINT NOT NULL, grp BIGINT NOT NULL)")
+    sql("INSERT INTO graft_dml.g_pin SELECT id, id % 2 FROM range(10)")
+    // pin_b carries an IS NOT NULL filter on x, but x then crosses the
+    // null-producing side of a LEFT JOIN: a no-match a-row pads x with
+    // NULL, so the subquery output CAN be NULL and one NULL key vetoes
+    // every row — the unsound-pin shape must stay a loud rejection
+    spark.range(5).selectExpr("id AS k", "id % 2 AS j")
+      .createOrReplaceTempView("g_pin_a")
+    spark.range(3).selectExpr("id * 2 AS x")
+      .createOrReplaceTempView("g_pin_b")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      sql("""DELETE FROM graft_dml.g_pin t WHERE id NOT IN
+            |  (SELECT b.x FROM g_pin_a a LEFT JOIN
+            |     (SELECT x FROM g_pin_b WHERE x IS NOT NULL) b
+            |     ON a.k = b.x
+            |   WHERE a.j = t.grp)""".stripMargin)
+    }
+    assert(msgs(e).exists(_.contains("may be NULL")),
+      s"a pin below an outer join must not prove the output: " +
+        msgs(e).mkString(" | "))
+    // nothing was deleted by the rejected statement
+    assert(sql("SELECT count(*) FROM graft_dml.g_pin")
+      .as[Long].head() === 10L)
+  }
+
+  test("<=> against a correlated scalar subquery stays a loud rejection (ADVICE r20)") {
+    fsDel(s"$wh/g_nsafe")
+    sql("CREATE TABLE graft_dml.g_nsafe (id BIGINT, n BIGINT)")
+    sql("INSERT INTO graft_dml.g_nsafe SELECT id, " +
+      "CASE WHEN id = 3 THEN NULL ELSE id END FROM range(6)")
+    spark.range(6).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("g_nsafe_src")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // NULL <=> NULL is TRUE: a no-match row with n NULL must be deleted
+    // by SQL, but the never-matched lowering would silently keep it —
+    // the non-null-propagating comparison must reject, not approximate
+    val e = intercept[Exception] {
+      sql("""DELETE FROM graft_dml.g_nsafe t
+            |WHERE n <=> (SELECT v FROM g_nsafe_src s
+            |             WHERE s.k = t.id AND s.k < 3)""".stripMargin)
+    }
+    assert(msgs(e).exists(_.toLowerCase.contains("null-propagating")),
+      msgs(e).mkString(" | "))
+    assert(sql("SELECT count(*) FROM graft_dml.g_nsafe")
+      .as[Long].head() === 6L)
   }
 }

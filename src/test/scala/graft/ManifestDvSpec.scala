@@ -272,4 +272,32 @@ class ManifestDvSpec extends SparkSpec {
     assert(res === ((0, 0)), "purge must abort on a DV conflict")
     assert(ids(dir) === ((40L until 60L) ++ (61L until 100L)))
   }
+
+  test("DV ops on a SHALLOW CLONE bind the absolute manifest entries (ADVICE r20)") {
+    val src = table("clonesrc")
+    val dst = tmp("clonedst")
+    ManifestTable.shallowClone(spark, src, dst)
+    val snap0 = ManifestTable.snapshot(spark, dst)
+    assert(snap0.files.forall(_.startsWith("/")),
+      "clone entries must be absolute paths into the source data dir")
+    // the regression: deleteWhereDV recorded its vector under the BARE
+    // file name while readers look up the absolute entry — the op
+    // reported success yet the rows stayed visible
+    assert(ManifestTable.deleteWhereDV(spark, dst, "id = 42", "cd0"))
+    val snap1 = ManifestTable.snapshot(spark, dst)
+    assert(snap1.files === snap0.files, "a DV delete must not rewrite files")
+    assert(snap1.dvs.keySet.forall(snap1.files.contains),
+      s"dv keys ${snap1.dvs.keySet} must be manifest entries")
+    assert(ids(dst) === (0L until 100L).filterNot(_ == 42L),
+      "the cloned table must actually lose the DV'd row")
+    // the source is untouched
+    assert(ids(src) === (0L until 100L))
+    // updateWhereDV through the same seam
+    assert(ManifestTable.updateWhereDV(spark, dst, "id = 7",
+      Map("text" -> "'patched'"), "cu0"))
+    assert(ManifestTable.read(spark, dst).where("id = 7")
+      .select("text").as[String].collect().toSeq === Seq("patched"))
+    assert(ManifestTable.read(spark, src).where("id = 7")
+      .select("text").as[String].collect().toSeq === Seq("doc 7"))
+  }
 }

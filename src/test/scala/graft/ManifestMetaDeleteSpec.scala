@@ -76,8 +76,10 @@ class ManifestMetaDeleteSpec extends SparkSpec {
       (0L until 600L).map(i => (i, (i to i + 30L).mkString(" ")))
         .toDF("id", "text"),
       dir, "b0")
+    // 2 KB target: the optimized write lands the append as one packed
+    // file, so the ≥5-banded-files layout must be asked for in bytes
     ManifestTable.compact(spark, dir,
-      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+      targetFileBytes = 2L * 1024, clusterBy = Seq("id"))
     val s0 = ManifestTable.snapshot(spark, dir)
     assert(s0.files.size >= 5, s"fixture too coarse: ${s0.files.size} files")
     val ranges = s0.files.map { f =>

@@ -79,8 +79,10 @@ class ManifestOverwriteSpec extends SparkSpec {
     ManifestTable.append(
       (0L until 600L).map(i => (i, (i to i + 30L).mkString(" ")))
         .toDF("id", "text"), dir, "b0")
+    // 2 KB target: the optimized write lands the append as one packed
+    // file, so the many-banded-files layout must be asked for in bytes
     ManifestTable.compact(spark, dir,
-      targetFileBytes = 4L * 1024, clusterBy = Seq("id"))
+      targetFileBytes = 2L * 1024, clusterBy = Seq("id"))
     val s0 = ManifestTable.snapshot(spark, dir)
     val replacement = (200L until 400L by 2L)
       .map(i => (i, s"new $i")).toDF("id", "text")
