@@ -2596,8 +2596,18 @@ object ExtQueries {
       "deleteWhereDV did not commit")
     val before = graft.ext.ManifestTable.snapshot(s, root)
     require(before.dvs.nonEmpty, "DV delete recorded no deletion vector")
+    // threshold from the ACTUAL per-file deleted fractions: file widths
+    // are byte/compression-dependent (the optimized write packs the
+    // append into one file before the 4 KB re-split), so a constant 0.2
+    // can straddle the band across files that each sit just under it;
+    // 90% of the highest observed fraction always crosses on ≥1 file
+    // and never the whole table (the band is a strict doc_id subset)
+    val fracs = before.dvs.toSeq.flatMap { case (f, refs) =>
+      before.stats.get(f).filter(_.rows > 0)
+        .map(st => refs.map(_.rows).sum.toDouble / st.rows) }
+    require(fracs.nonEmpty, "no DV'd file carries row stats")
     val (rewritten, _) = graft.ext.ManifestTable.purgeDeletes(s, root,
-      maxDeletedFraction = 0.2)
+      maxDeletedFraction = math.max(fracs.max * 0.9, 1e-9))
     require(rewritten > 0, "purge rewrote nothing despite a deleted band")
     require(rewritten < before.files.size,
       s"purge rewrote all ${before.files.size} files — not targeted")
